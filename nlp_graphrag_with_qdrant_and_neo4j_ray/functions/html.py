@@ -1,0 +1,59 @@
+"""Deterministic HTML→text extraction and its exact inverse renderer.
+
+The reference reads ``.txt`` files directly (utf-8 with a latin-1 fallback,
+/root/reference/graphrag/cli/main.py:135-143); the engine's input is a
+``pages`` table with ``html:binary`` (BASELINE.json input_hint), so the
+decode-fallback policy becomes part of the extract stage and the per-row
+invariant is: ``extract_text(render_html(doc_id, text)) == text`` —
+byte-identical per url (north_rule).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+_P_BLOCK = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_TAG = re.compile(r"<[^>]+>")
+_SCRIPT_STYLE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
+_WS_RUN = re.compile(r"[ \t\r\f\v]+")
+_NL_RUN = re.compile(r"\n{3,}")
+
+
+def render_html(doc_id: str, text: str) -> bytes:
+    """Deterministic fixture wrapper (FIXTURES.md §1): one ``<p>`` per
+    source paragraph (paragraphs are ``\\n\\n``-separated), UTF-8."""
+    parts = [f"<html><head><title>{_html.escape(doc_id)}</title></head><body>"]
+    for para in text.split("\n\n"):
+        parts.append(f"<p>{_html.escape(para)}</p>")
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def decode_html(raw: bytes) -> str:
+    """UTF-8 with deterministic latin-1 fallback (the reference's read
+    policy, cli/main.py:135-143, made a per-row rule)."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def extract_text(raw: bytes) -> str:
+    """HTML→text. If the document contains ``<p>`` blocks, text is the
+    unescaped block contents joined with ``\\n\\n`` (the exact inverse of
+    :func:`render_html`). Otherwise fall back to a generic deterministic
+    strip: drop script/style, replace tags with newlines at block
+    boundaries, unescape entities, normalize whitespace runs."""
+    doc = decode_html(raw)
+    blocks = _P_BLOCK.findall(doc)
+    if blocks:
+        return "\n\n".join(_html.unescape(b) for b in blocks)
+    doc = _SCRIPT_STYLE.sub(" ", doc)
+    doc = re.sub(r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", "\n", doc)
+    doc = _TAG.sub(" ", doc)
+    doc = _html.unescape(doc)
+    doc = _WS_RUN.sub(" ", doc)
+    doc = "\n".join(line.strip() for line in doc.split("\n"))
+    doc = _NL_RUN.sub("\n\n", doc)
+    return doc.strip()

@@ -1,0 +1,175 @@
+"""Triplet extraction semantics: model-output parser, relation sanitizer,
+entity normalizer, and the deterministic grammar extractor.
+
+The reference generates per-sentence model text with a T5 adapter
+(/root/reference/graphrag/core/triplets.py:144-150) and parses it with two
+formats (triplets.py:153-198). The parse/normalize semantics are the stable
+contract (SURVEY.md M5-M7); the model itself is swappable
+(``TripletModel`` protocol). The default production-less extractor here is a
+deterministic grammar rule (subject-verb-object over the vendored
+tokenizer) so P/R vs golden fixtures is testable without GPU weights.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .tokenize import sent_tokenize, word_tokenize
+
+Triple = tuple[str, str, str]
+
+_TWO_SPACES = re.compile(r"\s{2,}")
+
+
+def parse_triplet_output(triplet_text: str) -> list[Triple]:
+    """Parse raw triplet-model output text into (subj, rel, obj) tuples.
+
+    Exact semantics of /root/reference/graphrag/core/triplets.py:152-198:
+
+    - marker format: split on ``<triplet>``; per segment trim at
+      ``</triplet>`` if present, drop ``<pad>``, require both
+      ``<relation>`` and ``<object>`` markers; subj/rel/obj are the
+      stripped spans around them; keep only fully non-empty triples.
+    - fallback: strip ``<pad>``/``</s>``, split on 2+ spaces, accept iff
+      exactly 3 parts.
+    - any exception → empty list (triplets.py:202-205).
+    """
+    try:
+        triplets: list[Triple] = []
+        if "<triplet>" in triplet_text:
+            for segment in triplet_text.split("<triplet>"):
+                if not segment.strip():
+                    continue
+                content = (
+                    segment.split("</triplet>")[0]
+                    if "</triplet>" in segment
+                    else segment
+                )
+                content = content.replace("<pad>", "")
+                if "<relation>" in content and "<object>" in content:
+                    subj = content.split("<relation>")[0].strip()
+                    rel = content.split("<relation>")[1].split("<object>")[0].strip()
+                    obj = content.split("<object>")[1].strip()
+                    if subj and rel and obj:
+                        triplets.append((subj, rel, obj))
+        else:
+            cleaned = triplet_text.replace("<pad>", "").replace("</s>", "").strip()
+            parts = _TWO_SPACES.split(cleaned)
+            if len(parts) == 3:
+                triplets.append((parts[0].strip(), parts[1].strip(), parts[2].strip()))
+        return triplets
+    except Exception:
+        return []
+
+
+def sanitize_relation(rel: str) -> str:
+    """Strip non-[0-9a-zA-Z_ ], spaces→_, uppercase
+    (/root/reference/graphrag/core/triplets.py:207-218). Defined and
+    exported by the reference but NEVER applied by its write path
+    (SURVEY.md §1.1) — provided for API parity, not applied by default."""
+    return re.sub(r"[^0-9a-zA-Z_ ]", "", rel).replace(" ", "_").upper()
+
+
+def normalize_entity(name: str) -> str:
+    """Cypher ``toLower`` applied at every Entity MERGE
+    (/root/reference/graphrag/core/triplets.py:355-363)."""
+    return name.lower()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic grammar extractor (the hermetic default TripletModel)
+# ---------------------------------------------------------------------------
+
+COPULAS = frozenset({"is", "are", "was", "were"})
+
+VERBS = frozenset(
+    """
+    is are was were has have had founded founds develops developed creates
+    created acquires acquired produces produced directs directed writes
+    wrote stars leads led launches launched releases released employs owns
+    builds built makes made operates hosts publishes published won serves
+    joined establishes established invents invented designs designed
+    discovered pilots pilot defends battles commands loves becomes became
+    uses
+    """.split()
+)
+
+PARTICIPLES = frozenset(
+    """
+    located based known founded created directed written released named
+    owned acquired designed built established headquartered developed
+    produced invented published piloted discovered led set
+    """.split()
+)
+
+PREPOSITIONS = frozenset({"in", "by", "for", "at", "on", "of", "to", "with", "as"})
+
+ARTICLES = frozenset({"a", "an", "the"})
+
+_PUNCT_ONLY = re.compile(r"^[^\w]+$")
+
+
+def _join(tokens: list[str]) -> str:
+    """Join word tokens, dropping pure-punctuation tokens."""
+    return " ".join(t for t in tokens if not _PUNCT_ONLY.match(t))
+
+
+def extract_triples_grammar(sentence: str) -> list[Triple]:
+    """First-match SVO extraction over the vendored tokenizer.
+
+    Rule (deterministic): find the earliest token that is in VERBS with at
+    least one token before and after it. The predicate is that verb,
+    extended by a following participle and then a following preposition
+    (so "is located in" / "was founded by" are single predicates). For a
+    bare copula the object drops its leading article. Subject/object drop
+    pure-punctuation tokens; empty side → no triple. At most one triple
+    per sentence (first match) — precision over recall, mirroring the
+    reference model's one-sentence-one-call shape
+    (/root/reference/graphrag/core/triplets.py:421-425).
+    """
+    tokens = word_tokenize(sentence)
+    n = len(tokens)
+    for i in range(1, n - 1):
+        tok = tokens[i].lower()
+        if tok not in VERBS:
+            continue
+        pred_end = i + 1
+        if tok in COPULAS and pred_end < n and tokens[pred_end].lower() in PARTICIPLES:
+            pred_end += 1
+            if pred_end < n and tokens[pred_end].lower() in PREPOSITIONS:
+                pred_end += 1
+        elif pred_end < n and tokens[pred_end].lower() in PREPOSITIONS and tok not in COPULAS:
+            pred_end += 1
+        if pred_end >= n:
+            continue
+        subj_tokens = tokens[:i]
+        obj_tokens = tokens[pred_end:]
+        # bare copula: drop the object's leading article
+        if pred_end == i + 1 and tok in COPULAS and obj_tokens and obj_tokens[0].lower() in ARTICLES:
+            obj_tokens = obj_tokens[1:]
+        subj = _join(subj_tokens)
+        pred = " ".join(t.lower() for t in tokens[i:pred_end])
+        obj = _join(obj_tokens)
+        if subj and pred and obj:
+            return [(subj, pred, obj)]
+        return []
+    return []
+
+
+class GrammarTripletModel:
+    """Hermetic TripletModel: ``extract(sentences) -> list[list[Triple]]``."""
+
+    name = "grammar-svo-v1"
+
+    def extract(self, sentences: list[str]) -> list[list[Triple]]:
+        return [extract_triples_grammar(s) for s in sentences]
+
+
+def extract_from_text(text: str) -> list[tuple[int, Triple]]:
+    """Sentence fan-out + grammar extraction for one chunk text: returns
+    (sent_index, triple) pairs (reference loop at core/triplets.py:419-425)."""
+    out: list[tuple[int, Triple]] = []
+    for si, sent in enumerate(sent_tokenize(text)):
+        for tr in extract_triples_grammar(sent):
+            out.append((si, tr))
+    return out
