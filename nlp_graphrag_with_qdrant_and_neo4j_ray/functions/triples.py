@@ -144,6 +144,25 @@ def extract_triples_grammar(sentence: str) -> list[Triple]:
             continue
         subj_tokens = tokens[:i]
         obj_tokens = tokens[pred_end:]
+        # truncate the object before any later verb (run-on sentences in
+        # web text otherwise swallow the rest of the line)
+        for j, t in enumerate(obj_tokens):
+            if t.lower() in VERBS:
+                obj_tokens = obj_tokens[:j]
+                break
+        # drop trailing punctuation tokens, then a trailing "in <year>"
+        while obj_tokens and _PUNCT_ONLY.match(obj_tokens[-1]):
+            obj_tokens = obj_tokens[:-1]
+        if (
+            len(obj_tokens) >= 3
+            and obj_tokens[-2].lower() == "in"
+            and obj_tokens[-1].isdigit()
+            and len(obj_tokens[-1]) == 4
+        ):
+            obj_tokens = obj_tokens[:-2]
+        # drop a dangling trailing article
+        while obj_tokens and obj_tokens[-1].lower() in ARTICLES:
+            obj_tokens = obj_tokens[:-1]
         # bare copula: drop the object's leading article
         if pred_end == i + 1 and tok in COPULAS and obj_tokens and obj_tokens[0].lower() in ARTICLES:
             obj_tokens = obj_tokens[1:]

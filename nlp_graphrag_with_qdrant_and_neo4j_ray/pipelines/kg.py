@@ -1,0 +1,181 @@
+"""The flagship KG-construction pipeline (SURVEY.md §3.1 engine DAG).
+
+    pages ─ extract+lang-filter ─ documents ─ chunker ─ chunks
+      chunks ─ n-grams ──────────────→ terms, term_nodes
+      chunks ─ embedder actor pool ──→ chunk_vectors
+      chunks ─ triplet actor pool ───→ triples
+      triples ─ broadcast-linker ─ salted canonicalize → entity_nodes
+              └─ edge combiner ─ groupby(src,dst,pred) → edges (sorted)
+
+Each table is a per-stage Parquet checkpoint (atomic publish + _SUCCESS;
+resume skips completed stages); every stage appends per-partition lineage
+rows. The reference runs the same logic as three sequential in-memory
+passes per document (cli/main.py:86-104).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..stages.chunking import make_chunk_fn
+from ..stages.embedding import EmbedChunks
+from ..stages.extract import make_extract_fn
+from ..stages.link import collect_alias_dict, edges, entity_nodes, make_linker_fn
+from ..stages.ngram import make_ngram_fn, term_nodes
+from ..stages.tripletstage import ExtractTriples
+from ..state.checkpoint import checkpointed
+from ..state.lineage import LineageRecorder
+
+
+def build_kg(
+    pages_ds_factory,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+    lineage: bool = True,
+):
+    """Run (or resume) the full KG build; returns {table_name: Dataset}.
+
+    ``pages_ds_factory`` is a zero-arg callable returning the input pages
+    Dataset (a callable so a resumed run doesn't even construct the read).
+    """
+    import ray
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # actor-pool sizing: never reserve every CPU or the pool starves the
+    # read/write tasks and the pipeline deadlocks (observed at num_cpus=4
+    # with a fixed pool of 4). Autoscale from 1 up to a cap below the
+    # cluster CPU count.
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    embed_pool = (1, max(1, min(cfg.embed_concurrency, total_cpus - 2)))
+    triplet_pool = (1, max(1, min(cfg.triplet_concurrency, total_cpus - 2)))
+
+    def rec(stage: str) -> LineageRecorder | None:
+        return LineageRecorder(out_dir, stage, cfg.versioned(stage)) if lineage else None
+
+    documents = checkpointed(
+        out_dir,
+        "documents",
+        lambda: pages_ds_factory().map_batches(
+            make_extract_fn(cfg, rec("extract")),
+            batch_format="pyarrow",
+            batch_size=cfg.chunk_batch_size,
+        ),
+        resume=resume,
+    )
+
+    chunks = checkpointed(
+        out_dir,
+        "chunks",
+        lambda: documents.map_batches(
+            make_chunk_fn(cfg, rec("chunk")),
+            batch_format="pyarrow",
+            batch_size=cfg.chunk_batch_size,
+        ),
+        resume=resume,
+    )
+
+    terms = checkpointed(
+        out_dir,
+        "terms",
+        lambda: chunks.map_batches(
+            make_ngram_fn(cfg, rec("ngram")),
+            batch_format="pyarrow",
+            batch_size=cfg.chunk_batch_size,
+        ),
+        resume=resume,
+    )
+
+    term_nodes_ds = checkpointed(
+        out_dir, "term_nodes", lambda: term_nodes(terms, cfg), resume=resume
+    )
+
+    chunk_vectors = checkpointed(
+        out_dir,
+        "chunk_vectors",
+        lambda: chunks.map_batches(
+            EmbedChunks,
+            fn_constructor_kwargs={"cfg": cfg, "lineage": rec("embed")},
+            batch_format="pyarrow",
+            batch_size=cfg.embed_batch_size,
+            concurrency=embed_pool,
+        ),
+        resume=resume,
+    )
+
+    triples = checkpointed(
+        out_dir,
+        "triples",
+        lambda: chunks.map_batches(
+            ExtractTriples,
+            fn_constructor_kwargs={"cfg": cfg, "lineage": rec("triplets")},
+            batch_format="pyarrow",
+            batch_size=cfg.triplet_batch_size,
+            concurrency=triplet_pool,
+        ),
+        resume=resume,
+    )
+
+    # linking: broadcast alias dict (small side) + annotated triples
+    def linked():
+        alias = collect_alias_dict(triples, cfg)
+        return triples.map_batches(
+            make_linker_fn(alias, cfg), batch_format="pyarrow", batch_size=65536
+        )
+
+    linked_ds = checkpointed(out_dir, "linked_triples", linked, resume=resume)
+
+    entity_nodes_ds = checkpointed(
+        out_dir, "entity_nodes", lambda: entity_nodes(linked_ds, cfg), resume=resume
+    )
+
+    edges_ds = checkpointed(
+        out_dir, "edges", lambda: edges(linked_ds, cfg), resume=resume
+    )
+
+    manifest = {
+        "engine": "nlp_graphrag_with_qdrant_and_neo4j_ray",
+        "stage_version": cfg.stage_version,
+        "config": {
+            "max_tokens_per_chunk": cfg.max_tokens_per_chunk,
+            "remove_stopwords": cfg.remove_stopwords,
+            "embedding_model": cfg.embedding_model,
+            "vector_size": cfg.vector_size,
+            "salt_buckets": cfg.salt_buckets,
+            "languages": list(cfg.languages),
+        },
+        "tables": [
+            "documents",
+            "chunks",
+            "terms",
+            "term_nodes",
+            "chunk_vectors",
+            "triples",
+            "linked_triples",
+            "entity_nodes",
+            "edges",
+        ],
+        "layout": {
+            "edges": "sorted by (src_entity_id, dst_entity_id, pred)",
+            "chunks": "chunk chain as prev/next columns; sort key (doc_id, chunk_index)",
+            "chunk_vectors": "UUIDv5 point ids, cosine/unit-norm vectors",
+        },
+    }
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    return {
+        "documents": documents,
+        "chunks": chunks,
+        "terms": terms,
+        "term_nodes": term_nodes_ds,
+        "chunk_vectors": chunk_vectors,
+        "triples": triples,
+        "linked_triples": linked_ds,
+        "entity_nodes": entity_nodes_ds,
+        "edges": edges_ds,
+    }

@@ -1,0 +1,70 @@
+"""Per-stage Parquet checkpoints with atomic publish + resume.
+
+The reference has no checkpointing (a crash re-processes everything,
+converging only via Cypher MERGE idempotency — SURVEY.md §4.1). Here each
+stage's output table is a directory published atomically: write to
+``<name>.__tmp__``, rename to ``<name>``, then drop a ``_SUCCESS`` marker.
+On resume a stage whose ``_SUCCESS`` exists is loaded with
+``read_parquet`` instead of recomputed, so a failed run skips finished
+stages (per-partition skip within a stage comes from the partitioned
+file layout + idempotent overwrite of the stage directory).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+
+SUCCESS = "_SUCCESS"
+
+
+def table_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, name)
+
+
+def is_complete(out_dir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(out_dir, name, SUCCESS))
+
+
+def checkpointed(
+    out_dir: str,
+    name: str,
+    compute: Callable[[], "ray.data.Dataset"],  # noqa: F821
+    resume: bool = True,
+    write_kwargs: dict | None = None,
+):
+    """Return a Dataset for table ``name``, recomputing only if needed.
+
+    ``compute`` must return the (lazy) Dataset to materialize. The write
+    streams through ``write_parquet`` (no driver materialization).
+    """
+    import ray.data
+
+    path = table_path(out_dir, name)
+    marker = os.path.join(path, SUCCESS)
+    if resume and os.path.exists(marker):
+        return ray.data.read_parquet(path)
+
+    tmp = path + ".__tmp__"
+    for stale in (tmp, path):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    ds = compute()
+    ds.write_parquet(tmp, **(write_kwargs or {}))
+    # an all-empty dataset writes no files (and possibly no directory);
+    # publish an explicit zero-row file so the checkpoint stays readable
+    # with a stable schema
+    os.makedirs(tmp, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        import pyarrow.parquet as pq
+
+        schema = ds.schema()
+        arrow_schema = getattr(schema, "base_schema", None) if schema else None
+        if arrow_schema is not None:
+            pq.write_table(arrow_schema.empty_table(), os.path.join(tmp, "empty.parquet"))
+    os.rename(tmp, path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return ray.data.read_parquet(path)
