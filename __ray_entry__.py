@@ -1,44 +1,571 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.config import PipelineConfig
+
+CFG = PipelineConfig()
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _kg_dir(sf_dir: str) -> str:
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    return os.path.join(tempfile.gettempdir(), f"kgcache-{tag}")
+
+
+def _kg_tables(sf_dir: str):
+    """Build (or resume from checkpoint) the KG over this sf_dir's
+    documents table mapped into the pages schema. Cached across queries
+    within one driver session via the per-stage checkpoints."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.kg import build_kg
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.pages import pages_from_documents
+
+    return build_kg(
+        lambda: pages_from_documents(sf_dir, augment=True),
+        _kg_dir(sf_dir),
+        CFG,
+        resume=True,
+        lineage=True,
+    )
+
+
+def _as_string(ds, cols: list[str]):
+    """Cast large_string columns to string for stable schema comparison."""
+
+    def cast(batch: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for name in cols:
+            col = batch.column(name)
+            if pa.types.is_large_string(col.type):
+                col = pc.cast(col, pa.string())
+            arrays.append(col)
+            names.append(name)
+        return pa.table(dict(zip(names, arrays)))
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full KG construct;
+    returns the sorted weighted edge list."""
+    tables = _kg_tables("/root/testdata/sf0.001")
+    return tables["edges"]
 
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines import dedup as dd
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines import similarity as sim
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines import textstats as ts
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines import query as q
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.pages import pages_from_documents
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.extract import make_extract_fn
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+        decode_images,
+        synth_media_dataset,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- KG pipeline stages (S1, M1-M7, T1-T3, J1, A4-A5, §2.7) ----
 
+    def kg_extract_documents(sf_dir: str):
+        """S1+M2+M3: pages → lang-filtered documents; html→text must be
+        byte-identical to the source text column (SQL-checkable)."""
+        pages = pages_from_documents(sf_dir, augment=False)
+        docs = pages.map_batches(
+            make_extract_fn(CFG), batch_format="pyarrow", batch_size=64
+        )
+        return _as_string(docs, ["doc_id", "url", "text", "n_chars"])
+
+    def kg_chunks(sf_dir: str):
+        t = _kg_tables(sf_dir)
+        return _as_string(
+            t["chunks"],
+            ["chunk_id", "doc_id", "chunk_index", "text", "n_tokens",
+             "prev_chunk_id", "next_chunk_id"],
+        )
+
+    def kg_terms(sf_dir: str):
+        return _kg_tables(sf_dir)["terms"]
+
+    def kg_term_nodes(sf_dir: str):
+        return _kg_tables(sf_dir)["term_nodes"]
+
+    def kg_triples(sf_dir: str):
+        return _kg_tables(sf_dir)["triples"]
+
+    def kg_chunk_vectors(sf_dir: str):
+        ds = _kg_tables(sf_dir)["chunk_vectors"]
+        return ds.select_columns(["chunk_id", "doc_id", "chunk_index",
+                                  "point_uuid", "payload_text"])
+
+    def kg_entity_nodes(sf_dir: str):
+        ds = _kg_tables(sf_dir)["entity_nodes"]
+        return ds.select_columns(["entity_id", "name", "triplet_part",
+                                  "mention_count"])
+
+    def kg_edges(sf_dir: str):
+        return _kg_tables(sf_dir)["edges"]
+
+    # ---- query layer (O1-O5, J2-J5, A1-A2, M8) ----
+
+    def kg_vector_topk(sf_dir: str):
+        t = _kg_tables(sf_dir)
+        hits = q.vector_topk(t["chunk_vectors"], "Who founded Hugging Face?",
+                             k=10, cfg=CFG).take_all()
+        for r in hits:
+            r["score"] = round(r["score"], 6)
+        return pa.Table.from_pylist(hits) if hits else pa.table(
+            {"chunk_id": pa.array([], pa.string()),
+             "payload_text": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())})
+
+    def kg_term_search(sf_dir: str):
+        t = _kg_tables(sf_dir)
+        return q.term_search(t["terms"], "galaxy patrol research", k=10, cfg=CFG)
+
+    def kg_hybrid_retrieve(sf_dir: str):
+        t = _kg_tables(sf_dir)
+        rows = q.hybrid_retrieve(t["chunk_vectors"], t["terms"],
+                                 "Hugging Face company", k=10, cfg=CFG)
+        for r in rows:
+            r["score"] = round(r["score"], 6)
+        return pa.Table.from_pylist(rows)
+
+    def kg_context_windows(sf_dir: str):
+        t = _kg_tables(sf_dir)
+        hits = q.graph_retrieve(t["terms"], "mecha designs", k=5, cfg=CFG)
+        rows = q.with_context(t["chunks"], hits, context_size=1)
+        return pa.Table.from_pylist(
+            [{k: r[k] for k in ("chunk_id", "doc_id", "chunk_index",
+                                "is_match")} for r in rows]
+        )
+
+    def kg_relationship_search(sf_dir: str):
+        t = _kg_tables(sf_dir)
+        rows = q.relationship_search(t["edges"], "Hugging Face", None, k=10)
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"src_entity_id": pa.array([], pa.string())})
+
+    # ---- training-data operators over the raw testdata tables ----
+
+    def ws_token_counts(sf_dir: str):
+        return ts.token_counts(_read(sf_dir, "documents")).select_columns(
+            ["doc_id", "ws_tokens"]
+        )
+
+    def token_counts_full(sf_dir: str):
+        return ts.token_counts(_read(sf_dir, "documents"))
+
+    def language_id(sf_dir: str):
+        return ts.language_id(_read(sf_dir, "documents"))
+
+    def quality_scores(sf_dir: str):
+        ds = ts.quality(_read(sf_dir, "documents"))
+
+        def rnd(batch: pa.Table) -> pa.Table:
+            out = {}
+            for name in batch.column_names:
+                col = batch.column(name)
+                if pa.types.is_floating(col.type):
+                    col = pc.round(col, ndigits=6)
+                out[name] = col
+            return pa.table(out)
+
+        return ds.map_batches(rnd, batch_format="pyarrow")
+
+    def doc_fingerprints(sf_dir: str):
+        return ts.fingerprints(_read(sf_dir, "documents"))
+
+    def exact_dedup_docs(sf_dir: str):
+        return dd.exact_dedup(_read(sf_dir, "documents"))
+
+    def minhash_lsh_pairs(sf_dir: str):
+        return dd.minhash_lsh_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+    def simhash_dup_pairs(sf_dir: str):
+        return dd.simhash_pairs(_read(sf_dir, "documents"), max_hamming=3)
+
+    def ngram_jaccard_dups(sf_dir: str):
+        docs = _read(sf_dir, "documents")
+        cand = dd.minhash_lsh_pairs(docs, threshold=0.5).take_all()
+        pairs = [(r["doc_a"], r["doc_b"]) for r in cand]
+        return dd.ngram_jaccard_verify(docs, pairs, n=3, threshold=0.6)
+
+    def embedding_knn_top10(sf_dir: str):
+        emb = _read(sf_dir, "embeddings")
+        qv = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+        hits = sim.knn_brute(emb, qv, k=10).take_all()
+        return pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in hits], pa.int64()),
+                "score": pa.array([round(r["score"], 6) for r in hits],
+                                  pa.float64()),
+            }
+        )
+
+    def embedding_knn_lsh(sf_dir: str):
+        emb = _read(sf_dir, "embeddings")
+        qv = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+        hits = sim.knn_lsh(emb, qv, dim=len(qv), k=10).take_all()
+        return pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in hits], pa.int64()),
+                "score": pa.array([round(r["score"], 6) for r in hits],
+                                  pa.float64()),
+            }
+        )
+
+    def embedding_near_dups(sf_dir: str):
+        emb = _read(sf_dir, "embeddings")
+        dim = len(emb.take(1)[0]["embedding"])
+        return sim.cosine_near_dup_pairs(emb, dim=dim, threshold=0.95)
+
+    def embedding_label_counts(sf_dir: str):
+        from ray.data.aggregate import Count
+
+        return (
+            _read(sf_dir, "embeddings").groupby("label")
+            .aggregate(Count(alias_name="n"))
+        )
+
+    def decode_image_features(sf_dir: str):
+        media = synth_media_dataset(200, "image")
+        return decode_images(media, feature_dim=64).select_columns(
+            ["media_id", "width", "height", "n_bytes"]
+        )
+
+    # ---- relational operator coverage (A1-A5, O1-O5, J-patterns) ----
+
+    def lang_distribution(sf_dir: str):
+        from ray.data.aggregate import Count
+
+        return _read(sf_dir, "documents").groupby("lang").aggregate(
+            Count(alias_name="n")
+        )
+
+    def docs_by_source(sf_dir: str):
+        from ray.data.aggregate import Count, Sum
+
+        return _read(sf_dir, "documents").groupby("source").aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+
+    def q1_pricing_summary(sf_dir: str):
+        from ray.data.aggregate import Count, Sum
+
+        li = _read(sf_dir, "lineitem")
+        li = li.map_batches(
+            lambda b: b.append_column(
+                "revenue",
+                pc.multiply(b.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+            ).filter(pc.less_equal(b.column("l_shipdate"),
+                                   pa.scalar(np.datetime64("1998-09-02", "us")))),
+            batch_format="pyarrow",
+        )
+        agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Count(alias_name="count_order"),
+        )
+
+        def rnd(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_returnflag": batch.column("l_returnflag"),
+                    "l_linestatus": batch.column("l_linestatus"),
+                    "sum_qty": pc.round(batch.column("sum_qty"), ndigits=2),
+                    "sum_revenue": pc.round(batch.column("sum_revenue"), ndigits=2),
+                    "count_order": batch.column("count_order"),
+                }
+            )
+
+        return agg.map_batches(rnd, batch_format="pyarrow")
+
+    def top_customers_by_orders(sf_dir: str):
+        """Broadcast hash join (orders ⋈ customer) + groupby + top-k."""
+        import ray
+        from ray.data.aggregate import Count, Sum
+
+        cust = {
+            r["c_custkey"]: r["c_name"]
+            for r in _read(sf_dir, "customer").take_all()
+        }
+        ref = ray.put(cust)
+
+        def join(batch: pa.Table) -> pa.Table:
+            names = ray.get(ref)
+            keys = batch.column("o_custkey").to_pylist()
+            return batch.append_column(
+                "c_name", pa.array([names.get(k) for k in keys], pa.string())
+            )
+
+        joined = _read(sf_dir, "orders").map_batches(join, batch_format="pyarrow")
+        agg = joined.groupby(["o_custkey", "c_name"]).aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_spent"),
+        )
+
+        def rnd(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_custkey": batch.column("o_custkey"),
+                    "c_name": batch.column("c_name"),
+                    "n_orders": batch.column("n_orders"),
+                    "total_spent": pc.round(batch.column("total_spent"), ndigits=2),
+                }
+            )
+
+        return (
+            agg.map_batches(rnd, batch_format="pyarrow")
+            .sort(["total_spent", "o_custkey"], descending=[True, False])
+            .limit(10)
+        )
+
+    def nation_region_counts(sf_dir: str):
+        """Broadcast dimension join nation ⋈ region → counts per region."""
+        import ray
+        from ray.data.aggregate import Count
+
+        regions = {
+            r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()
+        }
+        ref = ray.put(regions)
+
+        def join(batch: pa.Table) -> pa.Table:
+            names = ray.get(ref)
+            keys = batch.column("n_regionkey").to_pylist()
+            return batch.append_column(
+                "r_name", pa.array([names.get(k) for k in keys], pa.string())
+            )
+
+        return (
+            _read(sf_dir, "nation")
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("r_name")
+            .aggregate(Count(alias_name="n_nations"))
+        )
+
+    def part_topk_price(sf_dir: str):
+        return (
+            _read(sf_dir, "part")
+            .select_columns(["p_partkey", "p_name", "p_retailprice"])
+            .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+            .limit(5)
+        )
+
+    def events_by_type(sf_dir: str):
+        from ray.data.aggregate import Count, Sum
+
+        agg = _read(sf_dir, "events").groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="sum_value")
+        )
+
+        def rnd(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "n": batch.column("n"),
+                    "sum_value": pc.round(batch.column("sum_value"), ndigits=2),
+                }
+            )
+
+        return agg.map_batches(rnd, batch_format="pyarrow")
+
+    def events_sessionized(sf_dir: str):
+        """Streaming-shaped op: per-user tumbling 1-hour windows.
+        Partition-wise (users hash-bucketed, one shuffle), window
+        aggregation fully vectorized inside each partition."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import grouped_apply
+
+        def windows(pdf: pd.DataFrame) -> pd.DataFrame:
+            win = (
+                pdf["ts"].astype("datetime64[us]").astype("int64") // (3600 * 10**6)
+            )
+            out = (
+                pdf.assign(window_start_h=win)
+                .groupby(["user_id", "window_start_h"], sort=True)
+                .agg(n_events=("event_id", "size"), sum_value=("value", "sum"))
+                .reset_index()
+            )
+            out["sum_value"] = out["sum_value"].round(2)
+            return out[["user_id", "n_events", "sum_value", "window_start_h"]]
+
+        return grouped_apply(
+            _read(sf_dir, "events"), ["user_id"], windows, num_partitions=32
+        )
+
+    return {
+        # KG pipeline
+        "kg_extract_documents": kg_extract_documents,
+        "kg_chunks": kg_chunks,
+        "kg_terms": kg_terms,
+        "kg_term_nodes": kg_term_nodes,
+        "kg_triples": kg_triples,
+        "kg_chunk_vectors": kg_chunk_vectors,
+        "kg_entity_nodes": kg_entity_nodes,
+        "kg_edges": kg_edges,
+        # query layer
+        "kg_vector_topk": kg_vector_topk,
+        "kg_term_search": kg_term_search,
+        "kg_hybrid_retrieve": kg_hybrid_retrieve,
+        "kg_context_windows": kg_context_windows,
+        "kg_relationship_search": kg_relationship_search,
+        # training-data ops
+        "ws_token_counts": ws_token_counts,
+        "token_counts_full": token_counts_full,
+        "language_id": language_id,
+        "quality_scores": quality_scores,
+        "doc_fingerprints": doc_fingerprints,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_dup_pairs": simhash_dup_pairs,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "embedding_knn_top10": embedding_knn_top10,
+        "embedding_knn_lsh": embedding_knn_lsh,
+        "embedding_near_dups": embedding_near_dups,
+        "embedding_label_counts": embedding_label_counts,
+        "decode_image_features": decode_image_features,
+        # relational coverage
+        "lang_distribution": lang_distribution,
+        "docs_by_source": docs_by_source,
+        "q1_pricing_summary": q1_pricing_summary,
+        "top_customers_by_orders": top_customers_by_orders,
+        "nation_region_counts": nation_region_counts,
+        "part_topk_price": part_topk_price,
+        "events_by_type": events_by_type,
+        "events_sessionized": events_sessionized,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # html→text byte-identity: extracted text must equal the source
+        # text column exactly (the north_rule per-row invariant in SQL)
+        "kg_extract_documents": """
+            SELECT source || '-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   'testdata://' || source || '/' || source || '-'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   text,
+                   length(text) AS n_chars
+            FROM documents
+            WHERE lang = 'en'
+        """,
+        "ws_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS ws_tokens
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS keeper, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "embedding_knn_top10": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_label_counts": """
+            SELECT label, count(*) AS n FROM embeddings GROUP BY label
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "docs_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers_by_orders": """
+            SELECT o.o_custkey, c.c_name,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_spent
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY total_spent DESC, o.o_custkey ASC
+            LIMIT 10
+        """,
+        "nation_region_counts": """
+            SELECT r.r_name, count(*) AS n_nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "part_topk_price": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC
+            LIMIT 5
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "events_sessionized": """
+            SELECT any_value(user_id) AS user_id,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_start_h
+            FROM events
+            GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+        """,
+    }

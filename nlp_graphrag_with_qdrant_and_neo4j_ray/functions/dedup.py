@@ -1,0 +1,93 @@
+"""Deduplication sketches: shingles, MinHash, SimHash, n-gram Jaccard.
+
+Pure deterministic functions; the distributed pipelines around them live
+in ``pipelines/dedup.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(s: str, seed: int = 0) -> int:
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "big"))
+    return int.from_bytes(h.digest(), "big")
+
+
+def shingles(text: str, k: int = 5) -> set[int]:
+    """Hashed k-token shingles of whitespace-lowercased text."""
+    toks = text.lower().split()
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {_hash64(" ".join(toks))}
+    return {_hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+
+
+class MinHasher:
+    """num_perm-permutation MinHash over hashed shingles (a*x+b mod p)."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingle_set: set[int]) -> np.ndarray:
+        if not shingle_set:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = np.fromiter(shingle_set, dtype=np.uint64, count=len(shingle_set))
+        # (a*x + b) mod p, per permutation; min over shingles
+        vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1).astype(np.uint64)
+
+    def bands(self, sig: np.ndarray, num_bands: int = 16) -> list[int]:
+        """LSH band keys: hash of each band's rows."""
+        rows = self.num_perm // num_bands
+        out = []
+        for b in range(num_bands):
+            band = sig[b * rows : (b + 1) * rows]
+            out.append(_hash64(band.tobytes().hex(), seed=b + 1))
+        return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace-lowercased tokens."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = _hash64(t)
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def char_ngrams(text: str, n: int = 3) -> set[str]:
+    t = " ".join(text.lower().split())
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}

@@ -1,0 +1,244 @@
+"""Query layer: retrieval over the materialized KG tables.
+
+Re-expresses /root/reference/graphrag/core/retrieval.py as Dataset
+operations over the Parquet tables build_kg materializes:
+
+- vector top-k   (VectorRetriever, retrieval.py:107-161): exact
+  brute-force cosine over ``chunk_vectors`` (O1 — exact ≥ Qdrant ANN for
+  correctness), query embedded with the "query:" prefix (retrieval.py:93).
+- term search    (GraphRetriever.term_search, retrieval.py:193-229):
+  query n-grams matched against the ``terms`` edge list, SUM(score) per
+  chunk (A1). Divergence (documented): Lucene fulltext scores are not
+  reproducible without Lucene; the engine scores a matched term by its
+  n-gram order (unigram 1.0 / bigram 2.0 / trigram 3.0) — deterministic
+  and monotone in specificity.
+- entity search  (retrieval.py:231-263): reads MENTIONS_ENTITY edges that
+  NOTHING ever writes in the reference (SURVEY.md §1.1) — a dead path
+  that always returns empty; reproduced faithfully as an empty result.
+- hybrid combine (HybridRetriever, retrieval.py:533-605): min-max
+  normalization (O3) + weighted vector/graph sum + top-k.
+- context windows (retrieval.py:469-514): ±context_size neighbors via the
+  chunk-chain columns; matches first (score order), context scored 0 (O4).
+- relationship search (retrieval.py:265-314): edges filtered by subject
+  entity (+ case-insensitive predicate substring), with the chunk
+  provenance the reference always returned as null.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.chunk import extract_ngrams
+from ..functions.embed import get_embedder
+from ..functions.link import canonical_key, entity_id_for
+
+# capitalized-phrase query-entity heuristic (retrieval.py:332,622)
+_CAP_PHRASE = re.compile(r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*")
+
+_TYPE_SCORE = {"unigram": 1.0, "bigram": 2.0, "trigram": 3.0}
+
+
+def query_entities(query: str) -> list[str]:
+    return _CAP_PHRASE.findall(query)
+
+
+def embed_query(query: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> np.ndarray:
+    emb = get_embedder(cfg.embedding_model, cfg.vector_size)
+    return np.asarray(emb.encode([query], prefix="query:")[0], dtype=np.float32)
+
+
+def vector_topk(chunk_vectors_ds, query: str, k: int = 10,
+                cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Exact cosine top-k: per-batch matmul against the query vector →
+    global sort desc → limit k. Returns a Dataset
+    (chunk_id, payload_text, score)."""
+    qv = embed_query(query, cfg)
+
+    def score(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").combine_chunks().flatten()
+                         ).reshape(batch.num_rows, cfg.vector_size)
+        s = mat.astype(np.float32) @ qv  # unit-norm rows → dot = cosine
+        return pa.table(
+            {
+                "chunk_id": batch.column("chunk_id"),
+                "payload_text": batch.column("payload_text"),
+                "score": pa.array(s.astype(np.float64)),
+            }
+        )
+
+    return (
+        chunk_vectors_ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .sort("score", descending=True)
+        .limit(k)
+    )
+
+
+def term_search(terms_ds, query: str, k: int = 10,
+                cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Query n-grams ⋈ terms (broadcast semi-join) → SUM(score) per chunk
+    → top-k. Returns Dataset (chunk_id, score)."""
+    from ray.data.aggregate import Sum
+
+    uni, bi, tri = extract_ngrams(query, cfg.remove_stopwords)
+    wanted = {t: _TYPE_SCORE["unigram"] for t in uni}
+    wanted.update({t: _TYPE_SCORE["bigram"] for t in bi})
+    wanted.update({t: _TYPE_SCORE["trigram"] for t in tri})
+    if not wanted:
+        return terms_ds.limit(0).select_columns(["chunk_id"])
+    value_set = pa.array(sorted(wanted))
+
+    def match(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch.column("term"), value_set=value_set))
+        scores = [wanted[t] for t in hit.column("term").to_pylist()]
+        return pa.table(
+            {"chunk_id": hit.column("chunk_id"), "score": pa.array(scores, pa.float64())}
+        )
+
+    return (
+        terms_ds.map_batches(match, batch_format="pyarrow", batch_size=65536)
+        .groupby("chunk_id")
+        .aggregate(Sum("score", alias_name="score"))
+        .sort("score", descending=True)
+        .limit(k)
+    )
+
+
+def entity_search(query: str):
+    """Reference parity: MENTIONS_ENTITY is never written
+    (retrieval.py:246 reads it; no writer exists) → always empty."""
+    return []
+
+
+def _minmax(rows: list[dict], col: str) -> dict[str, float]:
+    """Min-max normalize (retrieval.py:550-569); single/equal scores → 1.0."""
+    if not rows:
+        return {}
+    vals = [r[col] for r in rows]
+    lo, hi = min(vals), max(vals)
+    if hi == lo:
+        return {r["chunk_id"]: 1.0 for r in rows}
+    return {r["chunk_id"]: (r[col] - lo) / (hi - lo) for r in rows}
+
+
+def graph_retrieve(terms_ds, query: str, k: int = 10,
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
+    """GraphRetriever.retrieve_chunks (retrieval.py:316-371): term search ∪
+    entity search (dead), dedup by chunk keeping max score (A2)."""
+    hits = term_search(terms_ds, query, k, cfg).take(k)
+    best: dict[str, float] = {}
+    for r in list(hits) + entity_search(query):
+        cid = r["chunk_id"]
+        if cid not in best or r["score"] > best[cid]:
+            best[cid] = r["score"]
+    out = [{"chunk_id": c, "score": s} for c, s in best.items()]
+    out.sort(key=lambda r: (-r["score"], r["chunk_id"]))
+    return out[:k]
+
+
+def hybrid_retrieve(chunk_vectors_ds, terms_ds, query: str, k: int = 10,
+                    cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
+    """HybridRetriever (retrieval.py:533-605): min-max normalize each list,
+    weighted combine (vector_weight / 1-vector_weight), top-k."""
+    vec = vector_topk(chunk_vectors_ds, query, k, cfg).take(k)
+    gra = graph_retrieve(terms_ds, query, k, cfg)
+    nv = _minmax(list(vec), "score")
+    ng = _minmax(gra, "score")
+    w = cfg.vector_weight
+    combined: dict[str, float] = {}
+    for cid, s in nv.items():
+        combined[cid] = w * s
+    for cid, s in ng.items():
+        combined[cid] = combined.get(cid, 0.0) + (1 - w) * s
+    out = [{"chunk_id": c, "score": s} for c, s in combined.items()]
+    out.sort(key=lambda r: (-r["score"], r["chunk_id"]))
+    return out[:k]
+
+
+def with_context(chunks_ds, hits: list[dict], context_size: int = 1) -> list[dict]:
+    """retrieve_with_context (retrieval.py:469-514): expand each hit with
+    ±context_size chain neighbors via (doc_id, chunk_index) arithmetic —
+    a zero-join window over the chunk-chain columns (J3). Matches first
+    (by score desc), then context chunks with score 0; dedup keeps the
+    match entry."""
+    if not hits:
+        return []
+    want_ids = pa.array([h["chunk_id"] for h in hits])
+    hit_rows = chunks_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("chunk_id"), value_set=want_ids)),
+        batch_format="pyarrow",
+    ).take_all()
+    by_id = {r["chunk_id"]: r for r in hit_rows}
+    windows: set[tuple[str, int]] = set()
+    for h in hits:
+        r = by_id.get(h["chunk_id"])
+        if r is None:
+            continue
+        for d in range(-context_size, context_size + 1):
+            idx = r["chunk_index"] + d
+            if idx >= 0:
+                windows.add((r["doc_id"], idx))
+    keys = pa.array([f"{d}\x00{i}" for d, i in sorted(windows)])
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("doc_id"),
+            pc.cast(batch.column("chunk_index"), pa.string()),
+            "\x00",
+        )
+        return batch.filter(pc.is_in(key, value_set=keys))
+
+    ctx_rows = chunks_ds.map_batches(in_window, batch_format="pyarrow").take_all()
+    score_of = {h["chunk_id"]: h["score"] for h in hits}
+    out = []
+    for r in ctx_rows:
+        cid = r["chunk_id"]
+        out.append(
+            {
+                "chunk_id": cid,
+                "doc_id": r["doc_id"],
+                "chunk_index": r["chunk_index"],
+                "text": r["text"],
+                "is_match": cid in score_of,
+                "score": score_of.get(cid, 0.0),
+            }
+        )
+    out.sort(key=lambda r: (-r["score"], r["doc_id"], r["chunk_index"]))
+    return out
+
+
+def relationship_search(edges_ds, entity_name: str, relation_keyword: str | None = None,
+                        k: int = 10) -> list[dict]:
+    """relationship_search (retrieval.py:265-314): edges by subject entity,
+    optional case-insensitive predicate substring, with real provenance."""
+    eid = entity_id_for(canonical_key(entity_name))
+
+    def match(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.equal(batch.column("src_entity_id"), eid))
+        if relation_keyword:
+            hit = hit.filter(
+                pc.match_substring(hit.column("pred"), relation_keyword,
+                                   ignore_case=True)
+            )
+        return hit
+
+    rows = edges_ds.map_batches(match, batch_format="pyarrow").take(k)
+    return list(rows)
+
+
+def hybrid_retrieve_with_triplets(chunk_vectors_ds, terms_ds, edges_ds, query: str,
+                                  k: int = 10, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """hybrid_retrieve_with_triplets (retrieval.py:607-637): hybrid chunks
+    + per-query-entity relationship hits truncated [:k] per entity and
+    globally (O5)."""
+    chunks = hybrid_retrieve(chunk_vectors_ds, terms_ds, query, k, cfg)
+    triplets: list[dict] = []
+    for ent in query_entities(query):
+        triplets.extend(relationship_search(edges_ds, ent, None, k))
+        if len(triplets) >= k:
+            break
+    return {"chunks": chunks, "triplets": triplets[:k]}

@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute``: exact cosine top-k — per-batch numpy matmul against a
+  broadcast query matrix → global sort → limit (the correctness baseline;
+  exact ≥ ANN).
+- ``lsh_buckets`` / ``knn_lsh``: random-hyperplane LSH bucketing as the
+  scale path: vectors are assigned sign-bit bucket codes once
+  (shuffle-free), queries probe only matching buckets (multi-probe over
+  hamming-1 neighbors), then exact re-rank inside the probed buckets.
+- ``cosine_near_dup_pairs``: embedding near-duplicate detection — bucket
+  by LSH code, exact pairwise cosine ≥ threshold within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+        arr = arr.combine_chunks()
+    values = np.asarray(arr.flatten(), dtype=np.float32)
+    return values.reshape(batch.num_rows, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(embeddings_ds, query_vec, k: int = 10,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact cosine top-k. Returns Dataset (vec_id, score) sorted desc."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch, emb_col).astype(np.float64)
+        m = _normalize(m)
+        s = m @ q
+        return pa.table(
+            {id_col: batch.column(id_col), "score": pa.array(s, pa.float64())}
+        )
+
+    return (
+        embeddings_ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float32)
+
+
+def lsh_code(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket codes for rows of m (int64)."""
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_buckets(embeddings_ds, dim: int, bits: int = 12, seed: int = 42,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Assign every vector its LSH bucket code (adds ``bucket`` column)."""
+    planes = _hyperplanes(dim, bits, seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch, emb_col))
+        codes = lsh_code(m, planes)
+        return batch.append_column("bucket", pa.array(codes, pa.int64()))
+
+    return embeddings_ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+
+
+def knn_lsh(embeddings_ds, query_vec, dim: int, k: int = 10, bits: int = 12,
+            seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate top-k: probe the query's bucket and all hamming-1
+    neighbor buckets, exact re-rank inside. Recall < 1 by construction;
+    use ``knn_brute`` when exactness matters."""
+    import pyarrow.compute as pc
+
+    planes = _hyperplanes(dim, bits, seed)
+    q = np.asarray(query_vec, dtype=np.float32)
+    q = q / (np.linalg.norm(q) or 1.0)
+    code = int(lsh_code(q.reshape(1, -1), planes)[0])
+    probes = pa.array([code] + [code ^ (1 << b) for b in range(bits)], pa.int64())
+
+    bucketed = lsh_buckets(embeddings_ds, dim, bits, seed, id_col, emb_col)
+    candidates = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("bucket"), value_set=probes)),
+        batch_format="pyarrow",
+    )
+    return knn_brute(candidates, q, k, id_col, emb_col)
+
+
+def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
+                          bits: int = 10, seed: int = 42,
+                          id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Embedding near-dup pairs: LSH-bucket, exact cosine within buckets.
+    Returns Dataset (id_a, id_b, cosine). Pairs split across buckets are
+    missed with probability (1-sim_angle)^bits — raise bits/probes or use
+    band-style multi-tables for tighter recall (documented trade-off)."""
+    bucketed = lsh_buckets(embeddings_ds, dim, bits, seed, id_col, emb_col)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].tolist()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g[emb_col]])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        a_l, b_l, c_l = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if sims[x, y] >= threshold:
+                    a_l.append(ids[x])
+                    b_l.append(ids[y])
+                    c_l.append(float(sims[x, y]))
+        return pd.DataFrame({"id_a": a_l, "id_b": b_l, "cosine": c_l})
+
+    from ..stages.shuffle import grouped_map
+
+    return grouped_map(bucketed, ["bucket"], bucket_pairs, num_partitions=64)

@@ -66,11 +66,16 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_names: int = 2_000_0
         .groupby("name")
         .count()
     )
-    rows = distinct.take(max_names + 1)
-    if len(rows) > max_names:
+    names: list[str] = []
+    too_big = False
+    for batch in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        names.extend(batch.column("name").to_pylist())
+        if len(names) > max_names:
+            too_big = True
+            break
+    if too_big:
         alias = None  # too big to broadcast-merge; pure-key fallback
     else:
-        names = [r["name"] for r in rows]
         alias = build_alias_dict(names, _embedder(cfg.embedding_model, cfg.vector_size))
     return BroadcastLookup(broadcast(alias))
 
@@ -139,42 +144,60 @@ def partial_entities(batch: pa.Table) -> pd.DataFrame:
     return agg
 
 
-def merge_salted(group: pd.DataFrame) -> pd.DataFrame:
-    """Level-1 merge: combine partials within one (entity_id, salt)."""
-    names = sorted(set("|".join(group["names"]).split("|")))
-    parts = sorted(set("|".join(group["parts"]).split("|")))
-    return pd.DataFrame(
-        {
-            "entity_id": [group["entity_id"].iloc[0]],
-            "salt": [group["salt"].iloc[0]],
-            "names": ["|".join(names)],
-            "parts": ["|".join(parts)],
-            "mention_count": [int(group["mention_count"].sum())],
-            "chunk_id": [group["chunk_id"].min()],
-        }
+def _merge_pipe_sets(series: pd.Series) -> str:
+    return "|".join(sorted(set("|".join(series).split("|"))))
+
+
+def merge_salted_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Level-1 merge, vectorized across one hash partition: combine
+    partials per (entity_id, salt)."""
+    return (
+        pdf.groupby(["entity_id", "salt"], sort=True)
+        .agg(
+            names=("names", _merge_pipe_sets),
+            parts=("parts", _merge_pipe_sets),
+            mention_count=("mention_count", "sum"),
+            chunk_id=("chunk_id", "min"),
+        )
+        .reset_index()
     )
 
 
-def make_final_entity_merge(cfg: PipelineConfig):
+def make_final_entity_partition(cfg: PipelineConfig):
     model, dim = cfg.embedding_model, cfg.vector_size
 
-    def final(group: pd.DataFrame) -> pa.Table:
-        aliases = sorted(set("|".join(group["names"]).split("|")))
-        parts = sorted(set("|".join(group["parts"]).split("|")))
-        part = "both" if len(parts) > 1 else parts[0]
-        display = aliases[0]
-        emb = _embedder(model, dim).encode([display], prefix="passage:")[0]
+    def final(pdf: pd.DataFrame) -> pa.Table:
+        merged = (
+            pdf.groupby("entity_id", sort=True)
+            .agg(
+                names=("names", _merge_pipe_sets),
+                parts=("parts", _merge_pipe_sets),
+                mention_count=("mention_count", "sum"),
+            )
+            .reset_index()
+        )
+        aliases = [sorted(n.split("|")) for n in merged["names"]]
+        displays = [a[0] for a in aliases]
+        part = [
+            "both" if "|" in p else p for p in merged["parts"]
+        ]
+        # one batched encode for the whole partition's display names
+        emb = _embedder(model, dim).encode(displays, prefix="passage:")
+        import numpy as np
+
         return pa.table(
             {
-                "entity_id": pa.array([group["entity_id"].iloc[0]], pa.string()),
-                "name": pa.array([display], pa.string()),
+                "entity_id": pa.array(merged["entity_id"], pa.string()),
+                "name": pa.array(displays, pa.string()),
                 "embedding": pa.FixedSizeListArray.from_arrays(
-                    pa.array(emb.reshape(-1), type=pa.float32()), dim
+                    pa.array(np.asarray(emb, dtype=np.float32).reshape(-1),
+                             type=pa.float32()),
+                    dim,
                 ),
-                "triplet_part": pa.array([part], pa.string()),
-                "aliases": pa.array([aliases], pa.list_(pa.string())),
+                "triplet_part": pa.array(part, pa.string()),
+                "aliases": pa.array(aliases, pa.list_(pa.string())),
                 "mention_count": pa.array(
-                    [int(group["mention_count"].sum())], pa.int64()
+                    merged["mention_count"].astype("int64"), pa.int64()
                 ),
             }
         )
@@ -182,16 +205,22 @@ def make_final_entity_merge(cfg: PipelineConfig):
     return final
 
 
-def entity_nodes(linked_ds, cfg: PipelineConfig):
-    """Two-level salted canonicalization → entity_nodes table."""
+def entity_nodes(linked_ds, cfg: PipelineConfig, num_partitions: int = 64):
+    """Two-level salted canonicalization → entity_nodes table.
+
+    Both levels run partition-wise (stages/shuffle.py): the salt column
+    spreads a head entity's partials over ``salt_buckets`` level-1 groups;
+    level-2 sees ≤ salt_buckets rows per entity regardless of skew."""
+    from .shuffle import grouped_apply
+
     partials = linked_ds.map_batches(
         partial_entities, batch_format="pyarrow", batch_size=65536
     )
-    level1 = partials.groupby(["entity_id", "salt"]).map_groups(
-        merge_salted, batch_format="pandas"
+    level1 = grouped_apply(
+        partials, ["entity_id", "salt"], merge_salted_partition, num_partitions
     )
-    return level1.groupby("entity_id").map_groups(
-        make_final_entity_merge(cfg), batch_format="pandas"
+    return grouped_apply(
+        level1, ["entity_id"], make_final_entity_partition(cfg), num_partitions
     )
 
 
