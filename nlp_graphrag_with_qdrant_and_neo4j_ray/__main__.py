@@ -1,0 +1,159 @@
+"""CLI parity with the reference's ``graphrag`` command
+(/root/reference/graphrag/cli/main.py:311-359,447-500):
+
+    python -m nlp_graphrag_with_qdrant_and_neo4j_ray ingest --pages <parquet-or-'synth:N'> --out <dir>
+    python -m nlp_graphrag_with_qdrant_and_neo4j_ray query --out <dir> "<question>" [--with-context] [--with-triplets]
+    python -m nlp_graphrag_with_qdrant_and_neo4j_ray reset --out <dir>
+    python -m nlp_graphrag_with_qdrant_and_neo4j_ray env-check
+
+``setup``/``reset`` map to output-dir lifecycle (S7/S8 — no live DBs);
+``process`` → ``ingest``; ``query``/``interactive`` → ``query``.
+
+This module OWNS a Ray session (guarded init + shutdown) — it is a CLI
+entry point, not driver-imported library code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def _ray():
+    """Guarded session init; remembers whether WE started the session so
+    the CLI never shuts down a session owned by an outer harness."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    ray._cli_owns_session = owns
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    ray = _ray()
+    from .pipelines.kg import build_kg
+    from .sources.pages import pages_dataset
+
+    if args.pages.startswith("synth:"):
+        n = int(args.pages.split(":", 1)[1])
+        factory = lambda: pages_dataset(n, "cli")  # noqa: E731
+    else:
+        import ray.data
+
+        factory = lambda: ray.data.read_parquet(args.pages)  # noqa: E731
+    tables = build_kg(factory, args.out, resume=not args.fresh)
+    counts = {name: ds.count() for name, ds in tables.items()}
+    print(json.dumps({"out": args.out, "tables": counts}))
+    if getattr(ray, "_cli_owns_session", True):
+        ray.shutdown()
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    ray = _ray()
+    import ray.data
+
+    from .pipelines import query as q
+
+    tables = {
+        name: ray.data.read_parquet(f"{args.out}/{name}")
+        for name in ("chunks", "terms", "chunk_vectors", "edges")
+    }
+    if args.with_triplets:
+        res = q.hybrid_retrieve_with_triplets(
+            tables["chunk_vectors"], tables["terms"], tables["edges"],
+            args.question, k=args.top_k,
+        )
+    else:
+        hits = q.hybrid_retrieve(
+            tables["chunk_vectors"], tables["terms"], args.question, k=args.top_k
+        )
+        if args.with_context:
+            res = {"chunks": q.with_context(tables["chunks"], hits,
+                                            args.context_size)}
+        else:
+            res = {"chunks": hits}
+    print(json.dumps(res, default=str))
+    if getattr(ray, "_cli_owns_session", True):
+        ray.shutdown()
+    return 0
+
+
+def cmd_reset(args: argparse.Namespace) -> int:
+    shutil.rmtree(args.out, ignore_errors=True)
+    print(json.dumps({"reset": args.out}))
+    return 0
+
+
+def cmd_env_check(_args: argparse.Namespace) -> int:
+    import numpy
+    import pandas
+    import pyarrow
+
+    import ray
+
+    info = {
+        "ray": ray.__version__,
+        "pyarrow": pyarrow.__version__,
+        "pandas": pandas.__version__,
+        "numpy": numpy.__version__,
+    }
+    ray_ = _ray()
+    info["cluster_cpus"] = ray_.cluster_resources().get("CPU")
+    from .sources.pages import page_row
+
+    r = page_row("envcheck", 0)
+    from .functions.html import extract_text
+
+    info["fixture_roundtrip"] = extract_text(r["html"]) == r["text"]
+    print(json.dumps(info))
+    if getattr(ray_, "_cli_owns_session", True):
+        ray_.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nlp_graphrag_with_qdrant_and_neo4j_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="build the KG from a pages parquet")
+    pi.add_argument("--pages", required=True,
+                    help="pages parquet path, or synth:N for N fixture pages")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--fresh", action="store_true", help="ignore checkpoints")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pq_ = sub.add_parser("query", help="query a built KG")
+    pq_.add_argument("question")
+    pq_.add_argument("--out", required=True)
+    pq_.add_argument("--top-k", type=int, default=10)
+    pq_.add_argument("--with-context", action="store_true")
+    pq_.add_argument("--with-triplets", action="store_true")
+    pq_.add_argument("--context-size", type=int, default=1)
+    pq_.set_defaults(fn=cmd_query)
+
+    pr = sub.add_parser("reset", help="delete an output dir (S8 parity)")
+    pr.add_argument("--out", required=True)
+    pr.set_defaults(fn=cmd_reset)
+
+    pe = sub.add_parser("env-check", help="verify_setup.py parity")
+    pe.set_defaults(fn=cmd_env_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,10 @@ class PipelineConfig:
 
     # embeddings (reference utils/common.py:50-98, 768-d e5-base-v2)
     embedding_model: str = "hash-e5-double"  # deterministic test double
+
+    # triplet model (reference core/triplets.py:96-123, T5/PEFT);
+    # "grammar" = the hermetic deterministic extractor
+    triplet_model: str = "grammar"
     vector_size: int = 768
     payload_text_max: int = 1000  # reference core/ingest.py:200
 
@@ -39,8 +43,9 @@ class PipelineConfig:
     chunk_batch_size: int = 64        # pages per chunker batch (wide rows)
     embed_batch_size: int = 256       # chunks per embedder batch
     triplet_batch_size: int = 256     # chunks per extractor batch
-    embed_concurrency: int = 4        # embedder actor pool size
-    triplet_concurrency: int = 4      # triplet actor pool size
+    embed_concurrency: int = 16       # embedder actor pool cap (autoscaled,
+                                      # runtime-capped below cluster CPUs)
+    triplet_concurrency: int = 16     # triplet actor pool cap
     salt_buckets: int = 16            # salt-key skew split for head entities
     stage_version: str = "v1"
 

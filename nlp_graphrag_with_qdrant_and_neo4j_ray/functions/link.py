@@ -105,8 +105,19 @@ def build_alias_dict(
     """
     names = sorted(set(names))
     keys = sorted({canonical_key(n) for n in names})
-    emb = embedder.encode(keys, prefix="passage:")
-    remap = merge_similar_keys(keys, np.asarray(emb), threshold)
+    # embed ONLY keys that share a blocking bucket with another key —
+    # singleton buckets can never merge, and embedding every key would
+    # make the (driver-side) dictionary build linear in vocabulary size
+    buckets: dict[str, list[str]] = {}
+    for k in keys:
+        buckets.setdefault(k.split(" ", 1)[0], []).append(k)
+    candidates = sorted(
+        k for b in buckets.values() if len(b) > 1 for k in b
+    )
+    remap: dict[str, str] = {}
+    if candidates:
+        emb = embedder.encode(candidates, prefix="passage:")
+        remap = merge_similar_keys(candidates, np.asarray(emb), threshold)
     out: dict[str, tuple[str, str]] = {}
     for n in names:
         k = canonical_key(n)

@@ -19,6 +19,8 @@ import json
 import os
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..stages import embedding as emb_stage
+from ..stages import tripletstage as tri_stage
 from ..stages.chunking import make_chunk_fn
 from ..stages.embedding import EmbedChunks
 from ..stages.extract import make_extract_fn
@@ -35,6 +37,7 @@ def build_kg(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     resume: bool = True,
     lineage: bool = True,
+    parallel_branches: bool = True,
 ):
     """Run (or resume) the full KG build; returns {table_name: Dataset}.
 
@@ -79,46 +82,77 @@ def build_kg(
         resume=resume,
     )
 
-    terms = checkpointed(
-        out_dir,
-        "terms",
-        lambda: chunks.map_batches(
-            make_ngram_fn(cfg, rec("ngram")),
-            batch_format="pyarrow",
-            batch_size=cfg.chunk_batch_size,
-        ),
-        resume=resume,
-    )
+    # the three chunk-fed branches are independent: run them on separate
+    # driver threads so the streaming executors overlap (the n-gram task
+    # stage fills CPUs the actor pools leave idle)
+    def _terms_branch():
+        t = checkpointed(
+            out_dir,
+            "terms",
+            lambda: chunks.map_batches(
+                make_ngram_fn(cfg, rec("ngram")),
+                batch_format="pyarrow",
+                batch_size=cfg.chunk_batch_size,
+            ),
+            resume=resume,
+        )
+        tn = checkpointed(
+            out_dir, "term_nodes", lambda: term_nodes(t, cfg), resume=resume
+        )
+        return t, tn
 
-    term_nodes_ds = checkpointed(
-        out_dir, "term_nodes", lambda: term_nodes(terms, cfg), resume=resume
-    )
+    # stage compute mode: heavy models (weights / GPU) → actor pool with
+    # state in __init__; cheap deterministic doubles → stateless tasks on
+    # the warm worker pool (an actor is always a fresh process — ~2 s
+    # cold-start each, which only amortizes for heavyweight state)
+    def _vectors_branch():
+        if emb_stage.wants_actor_pool(cfg):
+            mk = lambda: chunks.map_batches(  # noqa: E731
+                EmbedChunks,
+                fn_constructor_kwargs={"cfg": cfg, "lineage": rec("embed")},
+                batch_format="pyarrow",
+                batch_size=cfg.embed_batch_size,
+                concurrency=embed_pool,
+            )
+        else:
+            mk = lambda: chunks.map_batches(  # noqa: E731
+                emb_stage.make_embed_fn(cfg, rec("embed")),
+                batch_format="pyarrow",
+                batch_size=cfg.embed_batch_size,
+            )
+        return checkpointed(out_dir, "chunk_vectors", mk, resume=resume)
 
-    chunk_vectors = checkpointed(
-        out_dir,
-        "chunk_vectors",
-        lambda: chunks.map_batches(
-            EmbedChunks,
-            fn_constructor_kwargs={"cfg": cfg, "lineage": rec("embed")},
-            batch_format="pyarrow",
-            batch_size=cfg.embed_batch_size,
-            concurrency=embed_pool,
-        ),
-        resume=resume,
-    )
+    def _triples_branch():
+        if tri_stage.wants_actor_pool(cfg):
+            mk = lambda: chunks.map_batches(  # noqa: E731
+                ExtractTriples,
+                fn_constructor_kwargs={"cfg": cfg, "lineage": rec("triplets")},
+                batch_format="pyarrow",
+                batch_size=cfg.triplet_batch_size,
+                concurrency=triplet_pool,
+            )
+        else:
+            mk = lambda: chunks.map_batches(  # noqa: E731
+                tri_stage.make_triplet_fn(cfg, rec("triplets")),
+                batch_format="pyarrow",
+                batch_size=cfg.triplet_batch_size,
+            )
+        return checkpointed(out_dir, "triples", mk, resume=resume)
 
-    triples = checkpointed(
-        out_dir,
-        "triples",
-        lambda: chunks.map_batches(
-            ExtractTriples,
-            fn_constructor_kwargs={"cfg": cfg, "lineage": rec("triplets")},
-            batch_format="pyarrow",
-            batch_size=cfg.triplet_batch_size,
-            concurrency=triplet_pool,
-        ),
-        resume=resume,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    if parallel_branches:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_terms = pool.submit(_terms_branch)
+            f_vectors = pool.submit(_vectors_branch)
+            f_triples = pool.submit(_triples_branch)
+            terms, term_nodes_ds = f_terms.result()
+            chunk_vectors = f_vectors.result()
+            triples = f_triples.result()
+    else:
+        terms, term_nodes_ds = _terms_branch()
+        chunk_vectors = _vectors_branch()
+        triples = _triples_branch()
 
     # linking: broadcast alias dict (small side) + annotated triples
     def linked():
@@ -129,13 +163,25 @@ def build_kg(
 
     linked_ds = checkpointed(out_dir, "linked_triples", linked, resume=resume)
 
-    entity_nodes_ds = checkpointed(
-        out_dir, "entity_nodes", lambda: entity_nodes(linked_ds, cfg), resume=resume
-    )
-
-    edges_ds = checkpointed(
-        out_dir, "edges", lambda: edges(linked_ds, cfg), resume=resume
-    )
+    if parallel_branches:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ents = pool.submit(
+                checkpointed, out_dir, "entity_nodes",
+                lambda: entity_nodes(linked_ds, cfg), resume,
+            )
+            f_edges = pool.submit(
+                checkpointed, out_dir, "edges", lambda: edges(linked_ds, cfg), resume
+            )
+            entity_nodes_ds = f_ents.result()
+            edges_ds = f_edges.result()
+    else:
+        entity_nodes_ds = checkpointed(
+            out_dir, "entity_nodes", lambda: entity_nodes(linked_ds, cfg),
+            resume=resume,
+        )
+        edges_ds = checkpointed(
+            out_dir, "edges", lambda: edges(linked_ds, cfg), resume=resume
+        )
 
     manifest = {
         "engine": "nlp_graphrag_with_qdrant_and_neo4j_ray",

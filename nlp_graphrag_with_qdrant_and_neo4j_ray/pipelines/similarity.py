@@ -78,18 +78,28 @@ def lsh_buckets(embeddings_ds, dim: int, bits: int = 12, seed: int = 42,
     return embeddings_ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
 
 
-def knn_lsh(embeddings_ds, query_vec, dim: int, k: int = 10, bits: int = 12,
-            seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding"):
-    """Approximate top-k: probe the query's bucket and all hamming-1
-    neighbor buckets, exact re-rank inside. Recall < 1 by construction;
-    use ``knn_brute`` when exactness matters."""
+def knn_lsh(embeddings_ds, query_vec, dim: int, k: int = 10, bits: int = 8,
+            probe_radius: int = 2, seed: int = 42,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    ``probe_radius`` bit flips, exact re-rank inside. Recall < 1 by
+    construction; use ``knn_brute`` when exactness matters."""
+    import itertools
+
     import pyarrow.compute as pc
 
     planes = _hyperplanes(dim, bits, seed)
     q = np.asarray(query_vec, dtype=np.float32)
     q = q / (np.linalg.norm(q) or 1.0)
     code = int(lsh_code(q.reshape(1, -1), planes)[0])
-    probes = pa.array([code] + [code ^ (1 << b) for b in range(bits)], pa.int64())
+    probe_codes = [code]
+    for r in range(1, probe_radius + 1):
+        for flips in itertools.combinations(range(bits), r):
+            c = code
+            for b in flips:
+                c ^= 1 << b
+            probe_codes.append(c)
+    probes = pa.array(probe_codes, pa.int64())
 
     bucketed = lsh_buckets(embeddings_ds, dim, bits, seed, id_col, emb_col)
     candidates = bucketed.map_batches(

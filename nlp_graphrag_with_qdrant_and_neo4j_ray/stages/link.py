@@ -50,34 +50,93 @@ def partial_distinct_names(batch: pa.Table) -> pa.Table:
     return pa.table({"name": pa.array(sorted(names), pa.string())})
 
 
-def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_names: int = 2_000_000):
-    """Distinct names (small side) → alias dict → broadcast ref.
+def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000_000):
+    """Distributed alias-dictionary construction → broadcast ref.
 
-    The distinct-name set is bounded: per-batch combiner, then
-    ``groupby(name)`` dedup, then a guarded driver collect. Above
-    ``max_names`` the embedding-merge pass is skipped and linking falls
-    back to the pure canonical key (documented scale path — the dict is
-    an accuracy enhancement, not a correctness dependency).
+    Fully distributed (the naive version collected EVERY distinct name to
+    the driver and embedded serially — a non-scaling driver bottleneck):
+
+    1. per-batch distinct-name combiner → ``groupby(name)`` dedup;
+    2. map: canonical key + first-token blocking bucket;
+    3. partition-wise per bucket: embed the bucket's keys (process-global
+       embedder) and run the ≥0.96 similarity merge LOCALLY — workers do
+       all embedding;
+    4. the driver collects only (name, merged_key) rows for names whose
+       key actually changed — typically a tiny fraction — and broadcasts
+       {name → (entity_id, key)}.
+
+    The linker falls back to the pure canonical key for any name not in
+    the dict, so the dict only needs the REMAPPED names.
     """
-    distinct = (
-        triples_ds.map_batches(
-            partial_distinct_names, batch_format="pyarrow", batch_size=65536
-        )
-        .groupby("name")
-        .count()
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .shuffle import grouped_apply
+
+    model, dim, threshold = cfg.embedding_model, cfg.vector_size, 0.96
+
+    # per-batch distinct only — no global dedup shuffle: the per-bucket
+    # merge below dedups keys itself, so cross-batch duplicate names just
+    # add a few shuffled rows (far cheaper than a full groupby(name))
+    distinct = triples_ds.map_batches(
+        partial_distinct_names, batch_format="pyarrow", batch_size=65536
     )
-    names: list[str] = []
-    too_big = False
-    for batch in distinct.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        names.extend(batch.column("name").to_pylist())
-        if len(names) > max_names:
-            too_big = True
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        names = batch.column("name").to_pylist()
+        keys = [canonical_key(n) for n in names]
+        return pa.table(
+            {
+                "name": pa.array(names, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "bucket": pa.array(
+                    [k.split(" ", 1)[0] for k in keys], pa.string()
+                ),
+            }
+        )
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby("bucket", sort=True):
+            keys = sorted(set(g["key"]))
+            if len(keys) < 2 or len(keys) > 512:
+                continue
+            emb = _embedder(model, dim).encode(keys, prefix="passage:")
+            from ..functions.link import merge_similar_keys
+
+            remap = merge_similar_keys(keys, np.asarray(emb), threshold)
+            changed = {k: v for k, v in remap.items() if k != v}
+            if not changed:
+                continue
+            sub = g[g["key"].isin(changed)]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "name": sub["name"],
+                        "merged_key": sub["key"].map(changed),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame({"name": [], "merged_key": []})
+        return pd.concat(outs, ignore_index=True)
+
+    merged = grouped_apply(
+        distinct.map_batches(keyed, batch_format="pyarrow", batch_size=65536),
+        ["bucket"],
+        merge_bucket,
+        num_partitions=64,
+    )
+    alias: dict[str, tuple[str, str]] = {}
+    for batch in merged.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for n, k in zip(
+            batch.column("name").to_pylist(), batch.column("merged_key").to_pylist()
+        ):
+            alias[n] = (entity_id_for(k), k)
+        if len(alias) > max_aliases:
+            alias = {}
             break
-    if too_big:
-        alias = None  # too big to broadcast-merge; pure-key fallback
-    else:
-        alias = build_alias_dict(names, _embedder(cfg.embedding_model, cfg.vector_size))
-    return BroadcastLookup(broadcast(alias))
+    return BroadcastLookup(broadcast(alias or None))
 
 
 def make_linker_fn(alias_lookup: BroadcastLookup, cfg: PipelineConfig):
@@ -116,8 +175,10 @@ def make_linker_fn(alias_lookup: BroadcastLookup, cfg: PipelineConfig):
 
 
 def partial_entities(batch: pa.Table) -> pd.DataFrame:
-    """Combiner: ≤1 row per (entity_id, salt) per batch. Alias sets are
-    serialized as '|'-joined sorted strings (merged again at each level)."""
+    """Reshape triples → entity-mention rows (vectorized, no per-batch
+    groupby: entity names are mostly unique within a batch, so a combiner
+    here costs Python-lambda time without shrinking the exchange; the
+    real aggregation happens once, partition-wise, at level 1)."""
     df = batch.select(
         ["src_entity_id", "dst_entity_id", "subj", "obj", "salt", "chunk_id"]
     ).to_pandas()
@@ -127,21 +188,12 @@ def partial_entities(batch: pa.Table) -> pd.DataFrame:
         ("dst_entity_id", "obj", "object"),
     ):
         h = df[[id_col, name_col, "salt", "chunk_id"]].copy()
-        h.columns = ["entity_id", "name", "salt", "chunk_id"]
-        h["part"] = part
+        h.columns = ["entity_id", "names", "salt", "chunk_id"]
+        h["parts"] = part
         halves.append(h)
     both = pd.concat(halves, ignore_index=True)
-    agg = (
-        both.groupby(["entity_id", "salt"], sort=True)
-        .agg(
-            names=("name", lambda s: "|".join(sorted(set(s)))),
-            parts=("part", lambda s: "|".join(sorted(set(s)))),
-            mention_count=("name", "size"),
-            chunk_id=("chunk_id", "min"),
-        )
-        .reset_index()
-    )
-    return agg
+    both["mention_count"] = 1
+    return both[["entity_id", "salt", "names", "parts", "mention_count", "chunk_id"]]
 
 
 def _merge_pipe_sets(series: pd.Series) -> str:

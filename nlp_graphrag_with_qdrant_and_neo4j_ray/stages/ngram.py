@@ -72,14 +72,28 @@ def partial_distinct_terms(batch: pa.Table) -> pa.Table:
     )
 
 
-def term_nodes(terms_ds, cfg: PipelineConfig):
-    """terms edge list → distinct Term node table with chunk_count."""
-    from ray.data.aggregate import Sum
+def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 64):
+    """terms edge list → distinct Term node table with chunk_count.
+
+    Partition-wise (stages/shuffle.py) rather than
+    ``groupby([term, term_type]).aggregate``: a sort-based shuffle keyed on
+    ~10M short STRINGS is the pipeline's most expensive exchange (~28 s at
+    8 CPUs); hashing keys to an int partition column and doing the string
+    groupby locally per partition cuts the exchange to an int sort."""
+    import pandas as pd
+
+    from .shuffle import grouped_apply
 
     partials = terms_ds.map_batches(
-        partial_distinct_terms, batch_format="pyarrow", batch_size=65536
+        partial_distinct_terms, batch_format="pyarrow", batch_size=262144
     )
-    agg = partials.groupby(["term", "term_type"]).aggregate(
-        Sum("chunk_count", alias_name="chunk_count")
-    )
-    return agg
+
+    def agg_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby(["term", "term_type"], sort=True)["chunk_count"]
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_apply(partials, ["term", "term_type"], agg_partition,
+                         num_partitions=num_partitions)

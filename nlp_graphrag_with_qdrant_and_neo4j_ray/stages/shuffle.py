@@ -26,9 +26,9 @@ _PART = "__part"
 
 def _stable_part(df: pd.DataFrame, keys: list[str], num_partitions: int) -> pd.Series:
     # hash_pandas_object is deterministic for a fixed hash_key across
-    # processes and runs (no PYTHONHASHSEED dependence)
-    h = pd.util.hash_pandas_object(df[keys].astype(str).agg("\x00".join, axis=1),
-                                   index=False)
+    # processes and runs (no PYTHONHASHSEED dependence) and vectorized;
+    # hashing the key-column DataFrame combines columns per row in C
+    h = pd.util.hash_pandas_object(df[keys], index=False)
     return (h % num_partitions).astype("int64")
 
 

@@ -23,57 +23,91 @@ from ..schemas import TRIPLES
 from ..state.lineage import LineageRecorder, first_fragment
 
 
+# process-global model cache for stateless-task mode
+_MODELS: dict = {}
+
+
+def _model(name: str):
+    if name not in _MODELS:
+        # grammar is the only hermetic model; a T5/PEFT loader would be
+        # keyed here the same way (reference core/triplets.py:96-123)
+        _MODELS[name] = GrammarTripletModel()
+    return _MODELS[name]
+
+
+def _extract_batch(batch: pa.Table, cfg: PipelineConfig,
+                   lineage: LineageRecorder | None) -> pa.Table:
+    t0 = time.perf_counter()
+    frag = first_fragment(batch, "chunk_id")
+    model = _model(cfg.triplet_model)
+    chunk_ids = batch.column("chunk_id").to_pylist()
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+
+    # flatten: one sentence list across the whole batch → one model call
+    sentences: list[str] = []
+    owners: list[tuple[int, int]] = []  # (row_index, sent_index)
+    for ri, text in enumerate(texts):
+        for si, sent in enumerate(sent_tokenize(text)):
+            sentences.append(sent)
+            owners.append((ri, si))
+
+    per_sentence = model.extract(sentences)
+
+    cid, did, sidx, subj, pred, obj = [], [], [], [], [], []
+    for (ri, si), triples in zip(owners, per_sentence):
+        for s, p, o in triples:
+            cid.append(chunk_ids[ri])
+            did.append(doc_ids[ri])
+            sidx.append(si)
+            subj.append(s.lower())
+            pred.append(p.lower())
+            obj.append(o.lower())
+    out = pa.table(
+        {
+            "chunk_id": pa.array(cid, pa.string()),
+            "doc_id": pa.array(did, pa.string()),
+            "sent_index": pa.array(sidx, pa.int32()),
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+        },
+        schema=TRIPLES,
+    )
+    if lineage is not None:
+        lineage.record(
+            frag,
+            batch.num_rows,
+            out.num_rows,
+            out.num_rows,
+            (time.perf_counter() - t0) * 1e3,
+        )
+    return out
+
+
 class ExtractTriples:
-    """Actor-pool stage (model state loaded once per actor)."""
+    """Actor-pool stage (model state loaded once per actor) — for real
+    sequence-to-sequence triplet models (GPU placement, weight load)."""
 
     def __init__(self, cfg: PipelineConfig, lineage: LineageRecorder | None = None):
         self.cfg = cfg
         self.lineage = lineage
-        self.model = GrammarTripletModel()
+        _model(cfg.triplet_model)  # eager load, once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        frag = first_fragment(batch, "chunk_id")
-        chunk_ids = batch.column("chunk_id").to_pylist()
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
+        return _extract_batch(batch, self.cfg, self.lineage)
 
-        # flatten: one sentence list across the whole batch → one model call
-        sentences: list[str] = []
-        owners: list[tuple[int, int]] = []  # (row_index, sent_index)
-        for ri, text in enumerate(texts):
-            for si, sent in enumerate(sent_tokenize(text)):
-                sentences.append(sent)
-                owners.append((ri, si))
 
-        per_sentence = self.model.extract(sentences)
+def make_triplet_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None):
+    """Stateless-task variant for the hermetic grammar model (see
+    stages/embedding.py on actor cold-start cost)."""
 
-        cid, did, sidx, subj, pred, obj = [], [], [], [], [], []
-        for (ri, si), triples in zip(owners, per_sentence):
-            for s, p, o in triples:
-                cid.append(chunk_ids[ri])
-                did.append(doc_ids[ri])
-                sidx.append(si)
-                subj.append(s.lower())
-                pred.append(p.lower())
-                obj.append(o.lower())
-        out = pa.table(
-            {
-                "chunk_id": pa.array(cid, pa.string()),
-                "doc_id": pa.array(did, pa.string()),
-                "sent_index": pa.array(sidx, pa.int32()),
-                "subj": pa.array(subj, pa.string()),
-                "pred": pa.array(pred, pa.string()),
-                "obj": pa.array(obj, pa.string()),
-            },
-            schema=TRIPLES,
-        )
-        if self.lineage is not None:
-            self.lineage.record(
-                frag,
-                batch.num_rows,
-                out.num_rows,
-                out.num_rows,
-                (time.perf_counter() - t0) * 1e3,
-            )
-        return out
+    def extract(batch: pa.Table) -> pa.Table:
+        return _extract_batch(batch, cfg, lineage)
+
+    return extract
+
+
+def wants_actor_pool(cfg: PipelineConfig) -> bool:
+    return cfg.triplet_model != "grammar"
+

@@ -14,7 +14,38 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
+import types
 from collections.abc import Callable
+
+
+def _pin_fsspec_http_module() -> None:
+    """Make ``fsspec.implementations.http`` importable, thread-safely.
+
+    Without aiohttp the module raises ModuleNotFoundError on every import
+    attempt; Ray's ``_is_http_filesystem`` tolerates that — but when two
+    driver threads call ``write_parquet`` concurrently, the failing import
+    races and surfaces as a bare ``ImportError`` ("cannot import name
+    'HTTPFileSystem'") that Ray does NOT catch. Registering a placeholder
+    module with a never-instantiated HTTPFileSystem class makes the import
+    succeed deterministically; Ray's isinstance check then simply returns
+    False, which is the correct semantics here (local filesystem only).
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder; nothing ever instantiates it
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+    except ImportError:
+        pass
+
+
+_pin_fsspec_http_module()
 
 
 SUCCESS = "_SUCCESS"

@@ -1,0 +1,34 @@
+"""CLI surface (python -m nlp_graphrag_with_qdrant_and_neo4j_ray ...)."""
+
+import json
+
+
+def test_cli_ingest_query_reset(ray_session, tmp_path, capsys):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.__main__ import main
+
+    out = str(tmp_path / "kg")
+    assert main(["ingest", "--pages", "synth:40", "--out", out]) == 0
+    ingest_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ingest_out["tables"]["edges"] > 0
+
+    assert main(["query", "Hugging Face", "--out", out, "--top-k", "3"]) == 0
+    q_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(q_out["chunks"]) == 3
+
+    assert main(["query", "Hugging Face", "--out", out, "--with-triplets"]) == 0
+    t_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "triplets" in t_out
+
+    assert main(["reset", "--out", out]) == 0
+    import os
+
+    assert not os.path.exists(out)
+
+
+def test_cli_env_check(ray_session, capsys):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.__main__ import main
+
+    assert main(["env-check"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["fixture_roundtrip"] is True
+    assert info["cluster_cpus"] >= 1

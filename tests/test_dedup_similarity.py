@@ -1,0 +1,168 @@
+"""Dedup + similarity pipelines: correctness against brute-force oracles
+computed driver-side on small synthetic corpora."""
+
+import numpy as np
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.dedup import (
+    MinHasher,
+    char_ngrams,
+    hamming64,
+    jaccard,
+    shingles,
+    simhash64,
+)
+
+
+def _corpus():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under silver moonlight near the old stone bridge"
+    )
+    docs = {
+        0: base,
+        1: base,                                  # exact dup of 0
+        2: base.replace("silver", "golden"),      # near dup of 0
+        3: "completely different text about database query engines and shuffles",
+        4: "completely different text about database query engines and shuffle",
+        5: "unrelated short string",
+    }
+    return [{"doc_id": k, "text": v} for k, v in sorted(docs.items())]
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_items(_corpus())
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(256)
+    a = shingles(_corpus()[0]["text"], 5)
+    b = shingles(_corpus()[2]["text"], 5)
+    est = float(np.mean(mh.signature(a) == mh.signature(b)))
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.15
+    # identical sets → identical signatures
+    assert np.array_equal(mh.signature(a), mh.signature(a))
+
+
+def test_simhash_properties():
+    a = simhash64(_corpus()[0]["text"])
+    b = simhash64(_corpus()[1]["text"])
+    c = simhash64(_corpus()[3]["text"])
+    assert a == b
+    assert hamming64(a, c) > 10
+    assert simhash64("") == 0
+
+
+def test_exact_dedup(docs_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import exact_dedup
+
+    rows = {r["keeper"]: r["dup_count"] for r in exact_dedup(docs_ds).take_all()}
+    assert rows[0] == 2          # docs 0,1 identical → keeper=min id, count 2
+    assert rows[2] == 1 and rows[3] == 1
+    assert 1 not in rows         # dup loses to keeper
+
+
+def test_minhash_lsh_pairs_finds_near_dups(docs_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import minhash_lsh_pairs
+
+    # 32 bands × 4 rows: catch probability at j≈0.58 is ~97% (16×8 would
+    # be ~19% — the band/row split sets the S-curve threshold)
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs_ds, num_bands=32,
+                                        threshold=0.5).take_all()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    assert (3, 4) in pairs
+    assert all(a != 5 and b != 5 for a, b in pairs)
+
+
+def test_simhash_pairs(docs_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import simhash_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_pairs(docs_ds, max_hamming=3).take_all()}
+    assert pairs[(0, 1)] == 0
+    # one word changed in a LONG doc → tiny simhash drift (hamming 2)
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3
+    # one word changed in a 10-word doc flips ~9/64 bits → correctly NOT
+    # a simhash near-dup at max_hamming=3
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard_verify(docs_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        ngram_jaccard_verify,
+    )
+
+    out = ngram_jaccard_verify(docs_ds, [(0, 1), (0, 2), (0, 5)], threshold=0.6)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.to_pylist()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got
+    assert (0, 5) not in got
+    # exact value matches the pure function
+    a = char_ngrams(_corpus()[0]["text"], 3)
+    b = char_ngrams(_corpus()[2]["text"], 3)
+    assert abs(got[(0, 2)] - jaccard(a, b)) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def vectors_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    # 3 well-separated clusters of 30 vectors each
+    centers = rng.standard_normal((3, 32)) * 5
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.standard_normal(32) * 0.05
+        rows.append({"vec_id": i, "embedding": v.astype(np.float64).tolist()})
+    return ray.data.from_items(rows), rows
+
+
+def test_knn_brute_matches_numpy_oracle(vectors_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import knn_brute
+
+    ds, rows = vectors_ds
+    q = np.asarray(rows[0]["embedding"])
+    got = [r["vec_id"] for r in knn_brute(ds, q, k=10).take_all()]
+    m = np.stack([np.asarray(r["embedding"]) for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = m @ qn
+    want = list(np.lexsort((np.arange(len(rows)), -scores))[:10])
+    assert got == [int(w) for w in want]
+
+
+def test_knn_lsh_recall_on_clustered_data(vectors_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_brute,
+        knn_lsh,
+    )
+
+    ds, rows = vectors_ds
+    q = np.asarray(rows[0]["embedding"])
+    exact = {r["vec_id"] for r in knn_brute(ds, q, k=10).take_all()}
+    approx = {r["vec_id"] for r in knn_lsh(ds, q, dim=32, k=10).take_all()}
+    # clustered data: same-cluster vectors share bucket codes → high recall
+    assert len(exact & approx) >= 8
+
+
+def test_cosine_near_dup_pairs(vectors_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    ds, rows = vectors_ds
+    pairs = cosine_near_dup_pairs(ds, dim=32, threshold=0.999).take_all()
+    assert len(pairs) > 0
+    ids = np.stack([np.asarray(r["embedding"]) for r in rows])
+    ids = ids / np.linalg.norm(ids, axis=1, keepdims=True)
+    for r in pairs[:20]:
+        a, b = r["id_a"], r["id_b"]
+        assert a % 3 == b % 3  # same cluster
+        assert abs(float(ids[a] @ ids[b]) - r["cosine"]) < 1e-9

@@ -1,0 +1,111 @@
+"""Query-layer semantics over a small built KG."""
+
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.config import PipelineConfig
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def kg(ray_session, tmp_path_factory):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.kg import build_kg
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.pages import pages_dataset
+
+    out = str(tmp_path_factory.mktemp("qkg"))
+    return build_kg(lambda: pages_dataset(80, "qtest"), out, CFG, resume=False,
+                    lineage=False)
+
+
+def test_vector_topk_is_exact_cosine(kg):
+    import numpy as np
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        embed_query,
+        vector_topk,
+    )
+
+    hits = vector_topk(kg["chunk_vectors"], "Hugging Face company", k=5,
+                       cfg=CFG).take_all()
+    assert len(hits) == 5
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    # oracle: driver-side exact computation
+    qv = embed_query("Hugging Face company", CFG)
+    rows = kg["chunk_vectors"].take_all()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+    best = float(np.max(mat @ qv))
+    assert abs(best - hits[0]["score"]) < 1e-5
+
+
+def test_term_search_scores(kg):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import term_search
+
+    hits = term_search(kg["terms"], "galaxy patrol", k=5, cfg=CFG).take_all()
+    assert hits
+    # bigram "galaxy patrol" scores 2.0 + unigrams 1.0 each → top chunks
+    # containing the bigram must outrank unigram-only chunks
+    assert hits[0]["score"] >= 4.0
+
+
+def test_term_search_empty_query(kg):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import term_search
+
+    assert term_search(kg["terms"], "!!!", k=5, cfg=CFG).count() == 0
+
+
+def test_hybrid_combines_and_normalizes(kg):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import hybrid_retrieve
+
+    hits = hybrid_retrieve(kg["chunk_vectors"], kg["terms"],
+                           "Hugging Face company", k=5, cfg=CFG)
+    assert len(hits) == 5
+    assert all(0.0 <= h["score"] <= 1.0 + 1e-9 for h in hits)
+    assert hits == sorted(hits, key=lambda h: (-h["score"], h["chunk_id"]))
+
+
+def test_context_windows(kg):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        graph_retrieve,
+        with_context,
+    )
+
+    hits = graph_retrieve(kg["terms"], "mecha designs", k=3, cfg=CFG)
+    rows = with_context(kg["chunks"], hits, context_size=1)
+    assert rows
+    match_ids = {h["chunk_id"] for h in hits}
+    got_ids = {r["chunk_id"] for r in rows}
+    assert match_ids <= got_ids
+    # matches sort first; context rows have score 0 and is_match False
+    n_match = sum(r["is_match"] for r in rows)
+    assert all(r["is_match"] for r in rows[:n_match])
+    assert all(not r["is_match"] and r["score"] == 0.0 for r in rows[n_match:])
+
+
+def test_relationship_search_provenance(kg):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        relationship_search,
+    )
+
+    rows = relationship_search(kg["edges"], "The Vision of Escaflowne", None, k=5)
+    assert rows
+    assert all(r["src_entity_id"] == "e:vision of escaflowne" for r in rows)
+    assert all(r["chunk_id"] for r in rows)  # provenance never null
+    filtered = relationship_search(kg["edges"], "The Vision of Escaflowne",
+                                   "directed", k=5)
+    assert all("directed" in r["pred"] for r in filtered)
+
+
+def test_query_entities_heuristic():
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import query_entities
+
+    # the reference regex (retrieval.py:332)
+    assert query_entities("Who founded Hugging Face in New York?") == [
+        "Who", "Hugging Face", "New York",
+    ]
+
+
+def test_entity_search_dead_path():
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import entity_search
+
+    assert entity_search("anything") == []
