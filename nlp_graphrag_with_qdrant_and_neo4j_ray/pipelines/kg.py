@@ -60,33 +60,57 @@ def build_kg(
     def rec(stage: str) -> LineageRecorder | None:
         return LineageRecorder(out_dir, stage, cfg.versioned(stage)) if lineage else None
 
-    documents = checkpointed(
-        out_dir,
-        "documents",
-        lambda: pages_ds_factory().map_batches(
-            make_extract_fn(cfg, rec("extract")),
-            batch_format="pyarrow",
-            batch_size=cfg.chunk_batch_size,
-        ),
-        resume=resume,
-    )
+    # slot A: the documents table and the chunks table both derive from
+    # extract(pages); running them as parallel branches (chunks re-runs
+    # the cheap extract instead of reading the documents checkpoint back)
+    # costs a little recompute and removes one sequential barrier
+    def _documents_branch():
+        return checkpointed(
+            out_dir,
+            "documents",
+            lambda: pages_ds_factory().map_batches(
+                make_extract_fn(cfg, rec("extract")),
+                batch_format="pyarrow",
+                batch_size=cfg.chunk_batch_size,
+            ),
+            resume=resume,
+        )
 
-    chunks = checkpointed(
-        out_dir,
-        "chunks",
-        lambda: documents.map_batches(
-            make_chunk_fn(cfg, rec("chunk")),
-            batch_format="pyarrow",
-            batch_size=cfg.chunk_batch_size,
-        ),
-        resume=resume,
-    )
+    def _chunks_branch():
+        return checkpointed(
+            out_dir,
+            "chunks",
+            lambda: pages_ds_factory()
+            .map_batches(
+                make_extract_fn(cfg, None),
+                batch_format="pyarrow",
+                batch_size=cfg.chunk_batch_size,
+            )
+            .map_batches(
+                make_chunk_fn(cfg, rec("chunk")),
+                batch_format="pyarrow",
+                batch_size=cfg.chunk_batch_size,
+            ),
+            resume=resume,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if parallel_branches:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_docs = pool.submit(_documents_branch)
+            f_chunks = pool.submit(_chunks_branch)
+            documents = f_docs.result()
+            chunks = f_chunks.result()
+    else:
+        documents = _documents_branch()
+        chunks = _chunks_branch()
 
     # the three chunk-fed branches are independent: run them on separate
     # driver threads so the streaming executors overlap (the n-gram task
     # stage fills CPUs the actor pools leave idle)
     def _terms_branch():
-        t = checkpointed(
+        return checkpointed(
             out_dir,
             "terms",
             lambda: chunks.map_batches(
@@ -96,10 +120,6 @@ def build_kg(
             ),
             resume=resume,
         )
-        tn = checkpointed(
-            out_dir, "term_nodes", lambda: term_nodes(t, cfg), resume=resume
-        )
-        return t, tn
 
     # stage compute mode: heavy models (weights / GPU) → actor pool with
     # state in __init__; cheap deterministic doubles → stateless tasks on
@@ -139,18 +159,16 @@ def build_kg(
             )
         return checkpointed(out_dir, "triples", mk, resume=resume)
 
-    from concurrent.futures import ThreadPoolExecutor
-
     if parallel_branches:
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_terms = pool.submit(_terms_branch)
             f_vectors = pool.submit(_vectors_branch)
             f_triples = pool.submit(_triples_branch)
-            terms, term_nodes_ds = f_terms.result()
+            terms = f_terms.result()
             chunk_vectors = f_vectors.result()
             triples = f_triples.result()
     else:
-        terms, term_nodes_ds = _terms_branch()
+        terms = _terms_branch()
         chunk_vectors = _vectors_branch()
         triples = _triples_branch()
 
@@ -161,27 +179,44 @@ def build_kg(
             make_linker_fn(alias, cfg), batch_format="pyarrow", batch_size=65536
         )
 
-    linked_ds = checkpointed(out_dir, "linked_triples", linked, resume=resume)
-
-    if parallel_branches:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ents = pool.submit(
-                checkpointed, out_dir, "entity_nodes",
-                lambda: entity_nodes(linked_ds, cfg), resume,
-            )
-            f_edges = pool.submit(
-                checkpointed, out_dir, "edges", lambda: edges(linked_ds, cfg), resume
-            )
-            entity_nodes_ds = f_ents.result()
-            edges_ds = f_edges.result()
-    else:
-        entity_nodes_ds = checkpointed(
+    # tail: the term-node aggregate only needs the terms table, so it
+    # runs concurrently with the whole linking chain
+    def _link_chain():
+        linked_ds = checkpointed(out_dir, "linked_triples", linked, resume=resume)
+        if parallel_branches:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_ents = pool.submit(
+                    checkpointed, out_dir, "entity_nodes",
+                    lambda: entity_nodes(linked_ds, cfg), resume,
+                )
+                f_edges = pool.submit(
+                    checkpointed, out_dir, "edges",
+                    lambda: edges(linked_ds, cfg), resume,
+                )
+                return linked_ds, f_ents.result(), f_edges.result()
+        ents = checkpointed(
             out_dir, "entity_nodes", lambda: entity_nodes(linked_ds, cfg),
             resume=resume,
         )
-        edges_ds = checkpointed(
+        edgs = checkpointed(
             out_dir, "edges", lambda: edges(linked_ds, cfg), resume=resume
         )
+        return linked_ds, ents, edgs
+
+    def _term_nodes_branch():
+        return checkpointed(
+            out_dir, "term_nodes", lambda: term_nodes(terms, cfg), resume=resume
+        )
+
+    if parallel_branches:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_link = pool.submit(_link_chain)
+            f_tn = pool.submit(_term_nodes_branch)
+            linked_ds, entity_nodes_ds, edges_ds = f_link.result()
+            term_nodes_ds = f_tn.result()
+    else:
+        linked_ds, entity_nodes_ds, edges_ds = _link_chain()
+        term_nodes_ds = _term_nodes_branch()
 
     manifest = {
         "engine": "nlp_graphrag_with_qdrant_and_neo4j_ray",

@@ -125,7 +125,7 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000
         distinct.map_batches(keyed, batch_format="pyarrow", batch_size=65536),
         ["bucket"],
         merge_bucket,
-        num_partitions=64,
+        num_partitions=256,
     )
     alias: dict[str, tuple[str, str]] = {}
     for batch in merged.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -257,7 +257,7 @@ def make_final_entity_partition(cfg: PipelineConfig):
     return final
 
 
-def entity_nodes(linked_ds, cfg: PipelineConfig, num_partitions: int = 64):
+def entity_nodes(linked_ds, cfg: PipelineConfig, num_partitions: int = 256):
     """Two-level salted canonicalization → entity_nodes table.
 
     Both levels run partition-wise (stages/shuffle.py): the salt column

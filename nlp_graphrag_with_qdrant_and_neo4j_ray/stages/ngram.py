@@ -72,7 +72,7 @@ def partial_distinct_terms(batch: pa.Table) -> pa.Table:
     )
 
 
-def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 64):
+def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 256):
     """terms edge list → distinct Term node table with chunk_count.
 
     Partition-wise (stages/shuffle.py) rather than
