@@ -139,7 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   "mention_count"])
 
     def kg_edges(sf_dir: str):
-        return _kg_tables(sf_dir)["edges"]
+        return _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
+        )
 
     # ---- query layer (O1-O5, J2-J5, A1-A2, M8) ----
 
@@ -267,6 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = synth_media_dataset(200, "image")
         return decode_images(media, feature_dim=64).select_columns(
             ["media_id", "width", "height", "n_bytes"]
+        )
+
+    def decode_audio_frames(sf_dir: str):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import decode_audio
+
+        media = synth_media_dataset(200, "audio")
+        return decode_audio(media, num_frames=16).select_columns(
+            ["media_id", "sample_rate", "n_samples", "n_bytes"]
         )
 
     # ---- relational operator coverage (A1-A5, O1-O5, J-patterns) ----
@@ -463,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": embedding_near_dups,
         "embedding_label_counts": embedding_label_counts,
         "decode_image_features": decode_image_features,
+        "decode_audio_frames": decode_audio_frames,
         # relational coverage
         "lang_distribution": lang_distribution,
         "docs_by_source": docs_by_source,

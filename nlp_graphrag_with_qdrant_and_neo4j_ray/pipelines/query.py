@@ -78,6 +78,36 @@ def vector_topk(chunk_vectors_ds, query: str, k: int = 10,
     )
 
 
+def resolve_chunk_texts(hits: list[dict], chunks_ds,
+                        payload_max: int = 1000) -> list[dict]:
+    """M9/J2: a payload text of length ≥ payload_max-10 is treated as
+    truncated and re-fetched from the chunks table by id (the reference's
+    `len >= 990 → fetch from Neo4j` rule, retrieval.py:147-154; the id-list
+    fetch is retrieval.py:40-61). Broadcast semi-join on chunk_id."""
+    needs = [
+        h["chunk_id"]
+        for h in hits
+        if len(h.get("payload_text") or "") >= payload_max - 10
+    ]
+    if needs:
+        want = pa.array(needs)
+        full = {
+            r["chunk_id"]: r["text"]
+            for r in chunks_ds.map_batches(
+                lambda b: b.filter(pc.is_in(b.column("chunk_id"), value_set=want)),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+    else:
+        full = {}
+    out = []
+    for h in hits:
+        h = dict(h)
+        h["text"] = full.get(h["chunk_id"], h.get("payload_text"))
+        out.append(h)
+    return out
+
+
 def term_search(terms_ds, query: str, k: int = 10,
                 cfg: PipelineConfig = DEFAULT_CONFIG):
     """Query n-grams ⋈ terms (broadcast semi-join) → SUM(score) per chunk
@@ -224,7 +254,8 @@ def relationship_search(edges_ds, entity_name: str, relation_keyword: str | None
                 pc.match_substring(hit.column("pred"), relation_keyword,
                                    ignore_case=True)
             )
-        return hit
+        keep = [c for c in hit.column_names if c != "pred_embedding"]
+        return hit.select(keep)
 
     rows = edges_ds.map_batches(match, batch_format="pyarrow").take(k)
     return list(rows)

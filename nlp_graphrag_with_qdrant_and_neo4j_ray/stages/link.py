@@ -291,8 +291,12 @@ def partial_edges(batch: pa.Table) -> pa.Table:
     )
 
 
-def edges(linked_ds, cfg: PipelineConfig):
-    """Weighted, provenance-carrying, sorted edge list."""
+def edges(linked_ds, cfg: PipelineConfig, with_pred_embedding: bool = True):
+    """Weighted, provenance-carrying, sorted edge list.
+
+    ``pred_embedding`` mirrors the reference's predicate vector stored on
+    every RELATES_TO edge (core/triplets.py:239-241,363-365); it is
+    computed once per distinct predicate per batch (tiny vocabulary)."""
     from ray.data.aggregate import Min, Sum
 
     partials = linked_ds.map_batches(
@@ -302,7 +306,28 @@ def edges(linked_ds, cfg: PipelineConfig):
         Sum("weight", alias_name="weight"),
         Min("chunk_id", alias_name="chunk_id"),
     )
-    # sorted edge-list materialization (north_star)
-    return agg.sort(["src_entity_id", "dst_entity_id", "pred"]).select_columns(
-        ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
-    )
+    model, dim = cfg.embedding_model, cfg.vector_size
+
+    def add_pred_embedding(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        preds = batch.column("pred").to_pylist()
+        vocab = sorted(set(preds))
+        vecs = _embedder(model, dim).encode(vocab, prefix="passage:")
+        lut = {p: v for p, v in zip(vocab, vecs)}
+        mat = np.stack([lut[p] for p in preds]) if preds else np.zeros((0, dim), "f4")
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.astype(np.float32).reshape(-1), type=pa.float32()), dim
+        )
+        return batch.append_column("pred_embedding", emb)
+
+    if with_pred_embedding:
+        agg = agg.map_batches(add_pred_embedding, batch_format="pyarrow",
+                              batch_size=65536)
+        cols = ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight",
+                "pred_embedding"]
+    else:
+        cols = ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
+    # sorted edge-list materialization (north_star) — sort is the final
+    # exchange before the sink so the written file ranges follow key order
+    return agg.sort(["src_entity_id", "dst_entity_id", "pred"]).select_columns(cols)

@@ -123,6 +123,74 @@ class DecodeImage:
         )
 
 
+class DecodeAudio:
+    """Actor-pool stage: audio decode / frame-sample → (media_id,
+    sample_rate, n_samples, n_bytes, frames:list<float32>). Real decode
+    via soundfile when available; deterministic fake-header parse for the
+    synthetic fixtures; alien payloads raise NotImplementedError."""
+
+    def __init__(self, num_frames: int = 16):
+        self.num_frames = num_frames
+        try:  # pragma: no cover - soundfile not in this container
+            import soundfile  # type: ignore
+
+            self._sf = soundfile
+        except Exception:
+            self._sf = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        rates, counts, nbytes, frames = [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            if payload.startswith(_MAGIC):
+                a, b = struct.unpack(">II", payload[11:19])
+                rate, n = a * 16, b * 64  # deterministic fake rate/length
+                body = np.frombuffer(payload[19:], dtype=np.uint8)
+                # frame-sample: num_frames evenly spaced normalized values
+                idx = np.linspace(0, len(body) - 1, self.num_frames).astype(int)
+                fr = (body[idx].astype(np.float32) - 128.0) / 128.0
+            elif self._sf is not None:  # pragma: no cover
+                import io
+
+                data, rate = self._sf.read(io.BytesIO(payload))
+                n = len(data)
+                idx = np.linspace(0, n - 1, self.num_frames).astype(int)
+                fr = np.asarray(data, dtype=np.float32).reshape(n, -1)[idx, 0]
+            else:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile; payload is not a "
+                    "synthetic fixture"
+                )
+            rates.append(rate)
+            counts.append(n)
+            nbytes.append(len(payload))
+            frames.append(fr)
+        frame_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(frames), type=pa.float32()), self.num_frames
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+                "frames": frame_arr,
+            }
+        )
+
+
+def decode_audio(media_ds, num_frames: int = 16, concurrency=(1, 4),
+                 batch_size: int = 64):
+    """Audio decode/frame-sample as an actor-pool map_batches."""
+    return media_ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"num_frames": num_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_images(media_ds, feature_dim: int = 64, concurrency=(1, 4),
                   batch_size: int = 64):
     """Image decode/feature-extract as an actor-pool map_batches. Small
