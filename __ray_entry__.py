@@ -138,6 +138,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["entity_id", "name", "triplet_part",
                                   "mention_count"])
 
+    def kg_doc_stats(sf_dir: str):
+        """A3: the reference's per-document counters (chunks_count, n-gram
+        counts, triplet counts — cli/main.py:90-113) as one aggregate."""
+        from ray.data.aggregate import Count, Sum
+
+        t = _kg_tables(sf_dir)
+        chunks = t["chunks"].groupby("doc_id").aggregate(
+            Count(alias_name="n_chunks"), Sum("n_tokens", alias_name="n_tokens")
+        ).to_pandas()
+        triples = t["triples"].groupby("doc_id").aggregate(
+            Count(alias_name="n_triples")
+        ).to_pandas()
+        merged = chunks.merge(triples, on="doc_id", how="left")
+        merged["n_triples"] = merged["n_triples"].fillna(0).astype("int64")
+        merged["n_tokens"] = merged["n_tokens"].astype("int64")
+        return merged.sort_values("doc_id").reset_index(drop=True)
+
     def kg_edges(sf_dir: str):
         return _kg_tables(sf_dir)["edges"].select_columns(
             ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
@@ -399,6 +416,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .limit(5)
         )
 
+    def lineitem_filter_pruned(sf_dir: str):
+        """Prune-at-the-read: column projection + row-group filter pushed
+        into read_parquet, then a small aggregate."""
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_discount"],
+            filter=(pc.field("l_discount") > 0.05),
+        )
+        agg = ds.groupby("l_returnflag").aggregate(
+            Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+        )
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_returnflag": b.column("l_returnflag"),
+                    "n": b.column("n"),
+                    "sum_qty": pc.round(b.column("sum_qty"), ndigits=2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def orders_by_priority_month(sf_dir: str):
+        """Timestamp bucketing: per (order month, priority) counts."""
+        from ray.data.aggregate import Count
+
+        ds = _read(sf_dir, "orders")
+
+        def month(batch: pa.Table) -> pa.Table:
+            ts = batch.column("o_orderdate")
+            ym = pc.add(
+                pc.multiply(pc.cast(pc.year(ts), pa.int64()), 100),
+                pc.cast(pc.month(ts), pa.int64()),
+            )
+            return pa.table(
+                {
+                    "ym": ym,
+                    "o_orderpriority": batch.column("o_orderpriority"),
+                }
+            )
+
+        return (
+            ds.map_batches(month, batch_format="pyarrow")
+            .groupby(["ym", "o_orderpriority"])
+            .aggregate(Count(alias_name="n"))
+        )
+
+    def supplier_nation_join(sf_dir: str):
+        """Second broadcast-dim join shape: supplier ⋈ nation → totals."""
+        import ray
+        from ray.data.aggregate import Count, Sum
+
+        nations = {
+            r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()
+        }
+        ref = ray.put(nations)
+
+        def join(batch: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            keys = batch.column("s_nationkey").to_pylist()
+            return batch.append_column(
+                "n_name", pa.array([lut.get(k) for k in keys], pa.string())
+            )
+
+        agg = (
+            _read(sf_dir, "supplier")
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Count(alias_name="n_suppliers"),
+                       Sum("s_acctbal", alias_name="total_acctbal"))
+        )
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "n_name": b.column("n_name"),
+                    "n_suppliers": b.column("n_suppliers"),
+                    "total_acctbal": pc.round(b.column("total_acctbal"), ndigits=2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def events_by_type(sf_dir: str):
         from ray.data.aggregate import Count, Sum
 
@@ -452,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chunk_vectors": kg_chunk_vectors,
         "kg_entity_nodes": kg_entity_nodes,
         "kg_edges": kg_edges,
+        "kg_doc_stats": kg_doc_stats,
         # query layer
         "kg_vector_topk": kg_vector_topk,
         "kg_term_search": kg_term_search,
@@ -481,6 +584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_orders": top_customers_by_orders,
         "nation_region_counts": nation_region_counts,
         "part_topk_price": part_topk_price,
+        "lineitem_filter_pruned": lineitem_filter_pruned,
+        "orders_by_priority_month": orders_by_priority_month,
+        "supplier_nation_join": supplier_nation_join,
         "events_by_type": events_by_type,
         "events_sessionized": events_sessionized,
     }
@@ -566,6 +672,25 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             ORDER BY p_retailprice DESC, p_partkey ASC
             LIMIT 5
+        """,
+        "lineitem_filter_pruned": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_discount > 0.05
+            GROUP BY l_returnflag
+        """,
+        "orders_by_priority_month": """
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+                       AS ym,
+                   o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "supplier_nation_join": """
+            SELECT n.n_name, count(*) AS n_suppliers,
+                   round(sum(s.s_acctbal), 2) AS total_acctbal
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
