@@ -29,16 +29,24 @@ _EDGE_PUNCT = re.compile(r"^[^\w]+|[^\w]+$")
 
 
 def canonical_key(name: str) -> str:
-    """Deterministic canonical key for an entity surface form."""
+    """Deterministic canonical key for an entity surface form.
+
+    Idempotent by construction (hypothesis found the one-shot article
+    strip wasn't: 'the a b' → 'a b' → 'b'): normalization runs to a
+    fixpoint, bounded by the token count."""
     k = _WS.sub(" ", name.lower()).strip()
-    for art in _ARTICLES:
-        if k.startswith(art) and len(k) > len(art):
-            k = k[len(art) :]
-            break
-    toks = [t for t in (_EDGE_PUNCT.sub("", t) for t in k.split(" ")) if t]
-    while len(toks) > 1 and toks[-1] in _SUFFIXES:
-        toks.pop()
-    return " ".join(toks)
+    while True:
+        prev = k
+        for art in _ARTICLES:
+            if k.startswith(art) and len(k) > len(art):
+                k = k[len(art) :]
+                break
+        toks = [t for t in (_EDGE_PUNCT.sub("", t) for t in k.split(" ")) if t]
+        while len(toks) > 1 and toks[-1] in _SUFFIXES:
+            toks.pop()
+        k = " ".join(toks)
+        if k == prev:
+            return k
 
 
 def entity_id_for(key: str) -> str:
