@@ -64,11 +64,12 @@ def run_bench() -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     # headline: pages augmented to realistic Common-Crawl-ish text sizes
-    # (~2.5 KB/page) and replicated to the FIXTURES.md bench corpus scale
-    # (sf0.1: 5000 docs × 10 = 50k pages) so compute dominates fixed
-    # per-stage latency; input split into enough blocks to feed every CPU
+    # (~2.5 KB/page) and replicated to the bench corpus scale (sf0.1:
+    # 5000 docs × 50 = 250k pages — the regime where compute dominates
+    # fixed per-stage latency; matches the BASELINE.md scaling runs);
+    # input split into enough blocks to feed every CPU
     facts = int(os.environ.get("GRAFT_BENCH_FACTS", "24"))
-    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "10"))
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "50"))
     blocks = 128  # same physical plan at every parallelism level
     n_pages = n_docs * replicate
     out_dir = E._kg_dir(sf_dir)

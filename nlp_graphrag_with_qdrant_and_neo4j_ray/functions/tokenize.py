@@ -34,9 +34,10 @@ _BOUNDARY = re.compile(r'([.!?]+[\"\')\]]?)(\s+)(?=[\"\'(\[]?[A-Z0-9])')
 
 # treebank-style word tokens: word cores with internal apostrophes/periods
 # (keeps "U.S." and "don't" whole), numbers with separators, else single
-# punctuation marks.
+# punctuation marks. Unicode word characters ([^\W_] = letters+digits,
+# any script) so "Café"/"François" stay single tokens.
 _WORD = re.compile(
-    r"[A-Za-z0-9]+(?:[.'’&-][A-Za-z0-9]+)*|[^\sA-Za-z0-9]"
+    r"[^\W_]+(?:[.'’&-][^\W_]+)*|[^\w\s]|_"
 )
 
 _LAST_TOKEN = re.compile(r"[A-Za-z][A-Za-z.\-]*$")

@@ -184,6 +184,35 @@ class GrammarTripletModel:
         return [extract_triples_grammar(s) for s in sentences]
 
 
+def render_marker_output(triples: list[Triple]) -> str:
+    """Render triples as T5-adapter-style marker text (the format the
+    reference's model emits and core/triplets.py:153-176 parses)."""
+    if not triples:
+        return "<pad></s>"
+    parts = ["<pad>"]
+    for s, p, o in triples:
+        parts.append(f"<triplet> {s} <relation> {p} <object> {o} </triplet>")
+    parts.append("</s>")
+    return "".join(parts)
+
+
+class MarkerEchoTripletModel:
+    """Exercises the PRODUCTION decode→parse path end-to-end: per
+    sentence it generates marker-format text (like the reference's T5
+    adapter) and the results flow back through
+    :func:`parse_triplet_output` — so the pipeline consumes parsed model
+    TEXT, not structured tuples. A real seq2seq model slots in by
+    replacing ``_generate``."""
+
+    name = "marker-echo-v1"
+
+    def _generate(self, sentence: str) -> str:
+        return render_marker_output(extract_triples_grammar(sentence))
+
+    def extract(self, sentences: list[str]) -> list[list[Triple]]:
+        return [parse_triplet_output(self._generate(s)) for s in sentences]
+
+
 def extract_from_text(text: str) -> list[tuple[int, Triple]]:
     """Sentence fan-out + grammar extraction for one chunk text: returns
     (sent_index, triple) pairs (reference loop at core/triplets.py:419-425)."""

@@ -29,9 +29,14 @@ _MODELS: dict = {}
 
 def _model(name: str):
     if name not in _MODELS:
-        # grammar is the only hermetic model; a T5/PEFT loader would be
-        # keyed here the same way (reference core/triplets.py:96-123)
-        _MODELS[name] = GrammarTripletModel()
+        # hermetic models; a T5/PEFT loader would be keyed here the same
+        # way (reference core/triplets.py:96-123)
+        from ..functions.triples import MarkerEchoTripletModel
+
+        if name == "marker-echo":
+            _MODELS[name] = MarkerEchoTripletModel()
+        else:
+            _MODELS[name] = GrammarTripletModel()
     return _MODELS[name]
 
 
@@ -109,5 +114,6 @@ def make_triplet_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None)
 
 
 def wants_actor_pool(cfg: PipelineConfig) -> bool:
-    return cfg.triplet_model != "grammar"
+    # hermetic models are stateless-cheap → task mode
+    return cfg.triplet_model not in ("grammar", "marker-echo")
 
