@@ -91,6 +91,37 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_interactive(args: argparse.Namespace) -> int:
+    """REPL parity with the reference's interactive mode
+    (cli/main.py:447-500): read a question per line, print hybrid hits."""
+    ray = _ray()
+    import ray.data
+
+    from .pipelines import query as q
+
+    tables = {
+        name: ray.data.read_parquet(f"{args.out}/{name}")
+        for name in ("terms", "chunk_vectors")
+    }
+    print("enter a question per line (blank line or EOF to quit)", flush=True)
+    try:
+        while True:
+            try:
+                line = input("query> ")
+            except EOFError:
+                break
+            if not line.strip():
+                break
+            hits = q.hybrid_retrieve(
+                tables["chunk_vectors"], tables["terms"], line, k=args.top_k
+            )
+            print(json.dumps(hits), flush=True)
+    finally:
+        if getattr(ray, "_cli_owns_session", True):
+            ray.shutdown()
+    return 0
+
+
 def cmd_reset(args: argparse.Namespace) -> int:
     shutil.rmtree(args.out, ignore_errors=True)
     print(json.dumps({"reset": args.out}))
@@ -143,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--with-triplets", action="store_true")
     pq_.add_argument("--context-size", type=int, default=1)
     pq_.set_defaults(fn=cmd_query)
+
+    pit = sub.add_parser("interactive", help="query REPL over a built KG")
+    pit.add_argument("--out", required=True)
+    pit.add_argument("--top-k", type=int, default=10)
+    pit.set_defaults(fn=cmd_interactive)
 
     pr = sub.add_parser("reset", help="delete an output dir (S8 parity)")
     pr.add_argument("--out", required=True)
