@@ -60,12 +60,24 @@ def build_kg(
     def rec(stage: str) -> LineageRecorder | None:
         return LineageRecorder(out_dir, stage, cfg.versioned(stage)) if lineage else None
 
+    # per-stage wall clock (thread-safe: one entry per unique table name),
+    # recorded into the manifest for observability
+    import time as _time
+
+    stage_wall: dict[str, float] = {}
+
+    def checkpointed_timed(out_dir_, name, compute, resume=True):
+        t0 = _time.perf_counter()
+        ds = checkpointed(out_dir_, name, compute, resume=resume)
+        stage_wall[name] = round(_time.perf_counter() - t0, 3)
+        return ds
+
     # slot A: the documents table and the chunks table both derive from
     # extract(pages); running them as parallel branches (chunks re-runs
     # the cheap extract instead of reading the documents checkpoint back)
     # costs a little recompute and removes one sequential barrier
     def _documents_branch():
-        return checkpointed(
+        return checkpointed_timed(
             out_dir,
             "documents",
             lambda: pages_ds_factory().map_batches(
@@ -73,11 +85,11 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),
-            resume=resume,
+            resume,
         )
 
     def _chunks_branch():
-        return checkpointed(
+        return checkpointed_timed(
             out_dir,
             "chunks",
             lambda: pages_ds_factory()
@@ -91,7 +103,7 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),
-            resume=resume,
+            resume,
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -110,7 +122,7 @@ def build_kg(
     # driver threads so the streaming executors overlap (the n-gram task
     # stage fills CPUs the actor pools leave idle)
     def _terms_branch():
-        return checkpointed(
+        return checkpointed_timed(
             out_dir,
             "terms",
             lambda: chunks.map_batches(
@@ -118,7 +130,7 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),
-            resume=resume,
+            resume,
         )
 
     # stage compute mode: heavy models (weights / GPU) → actor pool with
@@ -140,7 +152,7 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.embed_batch_size,
             )
-        return checkpointed(out_dir, "chunk_vectors", mk, resume=resume)
+        return checkpointed_timed(out_dir, "chunk_vectors", mk, resume=resume)
 
     def _triples_branch():
         if tri_stage.wants_actor_pool(cfg):
@@ -157,7 +169,7 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.triplet_batch_size,
             )
-        return checkpointed(out_dir, "triples", mk, resume=resume)
+        return checkpointed_timed(out_dir, "triples", mk, resume=resume)
 
     if parallel_branches:
         with ThreadPoolExecutor(max_workers=3) as pool:
@@ -182,29 +194,29 @@ def build_kg(
     # tail: the term-node aggregate only needs the terms table, so it
     # runs concurrently with the whole linking chain
     def _link_chain():
-        linked_ds = checkpointed(out_dir, "linked_triples", linked, resume=resume)
+        linked_ds = checkpointed_timed(out_dir, "linked_triples", linked, resume)
         if parallel_branches:
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f_ents = pool.submit(
-                    checkpointed, out_dir, "entity_nodes",
+                    checkpointed_timed, out_dir, "entity_nodes",
                     lambda: entity_nodes(linked_ds, cfg), resume,
                 )
                 f_edges = pool.submit(
-                    checkpointed, out_dir, "edges",
+                    checkpointed_timed, out_dir, "edges",
                     lambda: edges(linked_ds, cfg), resume,
                 )
                 return linked_ds, f_ents.result(), f_edges.result()
-        ents = checkpointed(
+        ents = checkpointed_timed(
             out_dir, "entity_nodes", lambda: entity_nodes(linked_ds, cfg),
-            resume=resume,
+            resume,
         )
-        edgs = checkpointed(
+        edgs = checkpointed_timed(
             out_dir, "edges", lambda: edges(linked_ds, cfg), resume=resume
         )
         return linked_ds, ents, edgs
 
     def _term_nodes_branch():
-        return checkpointed(
+        return checkpointed_timed(
             out_dir, "term_nodes", lambda: term_nodes(terms, cfg), resume=resume
         )
 
@@ -240,6 +252,7 @@ def build_kg(
             "entity_nodes",
             "edges",
         ],
+        "stage_wall_s": stage_wall,
         "layout": {
             "edges": "sorted by (src_entity_id, dst_entity_id, pred)",
             "chunks": "chunk chain as prev/next columns; sort key (doc_id, chunk_index)",
