@@ -140,20 +140,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_doc_stats(sf_dir: str):
         """A3: the reference's per-document counters (chunks_count, n-gram
-        counts, triplet counts — cli/main.py:90-113) as one aggregate."""
-        from ray.data.aggregate import Count, Sum
+        counts, triplet counts — cli/main.py:90-113) as one fully
+        distributed aggregate: per-batch combiners on both inputs emit
+        zero-padded partial rows with a shared schema, the union shuffles
+        partials only, and ONE groupby(doc_id) sums everything — no
+        ``.to_pandas()``/driver merge of per-document-cardinality data."""
+        from ray.data.aggregate import Sum
 
         t = _kg_tables(sf_dir)
-        chunks = t["chunks"].groupby("doc_id").aggregate(
-            Count(alias_name="n_chunks"), Sum("n_tokens", alias_name="n_tokens")
-        ).to_pandas()
-        triples = t["triples"].groupby("doc_id").aggregate(
-            Count(alias_name="n_triples")
-        ).to_pandas()
-        merged = chunks.merge(triples, on="doc_id", how="left")
-        merged["n_triples"] = merged["n_triples"].fillna(0).astype("int64")
-        merged["n_tokens"] = merged["n_tokens"].astype("int64")
-        return merged.sort_values("doc_id").reset_index(drop=True)
+
+        def chunk_partials(b: pa.Table) -> pa.Table:
+            agg = (
+                b.select(["doc_id", "n_tokens"])
+                .group_by("doc_id")
+                .aggregate([("doc_id", "count"), ("n_tokens", "sum")])
+                .rename_columns(["doc_id", "n_chunks", "n_tokens"])
+            )
+            return pa.table(
+                {
+                    "doc_id": agg.column("doc_id"),
+                    "n_chunks": pc.cast(agg.column("n_chunks"), pa.int64()),
+                    "n_tokens": pc.cast(agg.column("n_tokens"), pa.int64()),
+                    "n_triples": pa.nulls(agg.num_rows, pa.int64()).fill_null(0),
+                }
+            )
+
+        def triple_partials(b: pa.Table) -> pa.Table:
+            agg = (
+                b.select(["doc_id"])
+                .group_by("doc_id")
+                .aggregate([("doc_id", "count")])
+                .rename_columns(["doc_id", "n_triples"])
+            )
+            zero = pa.nulls(agg.num_rows, pa.int64()).fill_null(0)
+            return pa.table(
+                {
+                    "doc_id": agg.column("doc_id"),
+                    "n_chunks": zero,
+                    "n_tokens": zero,
+                    "n_triples": pc.cast(agg.column("n_triples"), pa.int64()),
+                }
+            )
+
+        partials = t["chunks"].map_batches(
+            chunk_partials, batch_format="pyarrow", batch_size=65536
+        ).union(
+            t["triples"].map_batches(
+                triple_partials, batch_format="pyarrow", batch_size=65536
+            )
+        )
+        return (
+            partials.groupby("doc_id")
+            .aggregate(
+                Sum("n_chunks", alias_name="n_chunks"),
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("n_triples", alias_name="n_triples"),
+            )
+            .sort("doc_id")
+        )
 
     def kg_edges(sf_dir: str):
         return _kg_tables(sf_dir)["edges"].select_columns(
@@ -345,25 +389,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.map_batches(rnd, batch_format="pyarrow")
 
     def top_customers_by_orders(sf_dir: str):
-        """Broadcast hash join (orders ⋈ customer) + groupby + top-k."""
-        import ray
+        """Aggregate-then-join: orders collapse to one row per custkey
+        FIRST (the shuffle carries ints only — no per-order name strings),
+        top-k truncates to 10 rows, and only then is the customer name
+        attached via an id-pruned read of the dimension table. At high SF
+        this never broadcasts the customer table or ships c_name per
+        order row."""
+        import ray.data
         from ray.data.aggregate import Count, Sum
 
-        cust = {
-            r["c_custkey"]: r["c_name"]
-            for r in _read(sf_dir, "customer").take_all()
-        }
-        ref = ray.put(cust)
-
-        def join(batch: pa.Table) -> pa.Table:
-            names = ray.get(ref)
-            keys = batch.column("o_custkey").to_pylist()
-            return batch.append_column(
-                "c_name", pa.array([names.get(k) for k in keys], pa.string())
-            )
-
-        joined = _read(sf_dir, "orders").map_batches(join, batch_format="pyarrow")
-        agg = joined.groupby(["o_custkey", "c_name"]).aggregate(
+        agg = _read(sf_dir, "orders").groupby("o_custkey").aggregate(
             Count(alias_name="n_orders"),
             Sum("o_totalprice", alias_name="total_spent"),
         )
@@ -372,16 +407,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table(
                 {
                     "o_custkey": batch.column("o_custkey"),
-                    "c_name": batch.column("c_name"),
                     "n_orders": batch.column("n_orders"),
                     "total_spent": pc.round(batch.column("total_spent"), ndigits=2),
                 }
             )
 
-        return (
+        top = (
             agg.map_batches(rnd, batch_format="pyarrow")
             .sort(["total_spent", "o_custkey"], descending=[True, False])
             .limit(10)
+            .take_all()
+        )
+        keys = [r["o_custkey"] for r in top]
+        names = {
+            r["c_custkey"]: r["c_name"]
+            for r in ray.data.read_parquet(
+                os.path.join(sf_dir, "customer.parquet"),
+                columns=["c_custkey", "c_name"],
+                filter=pc.field("c_custkey").isin(keys),
+            ).take_all()
+        }
+        return pa.table(
+            {
+                "o_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([names[k] for k in keys], pa.string()),
+                "n_orders": pa.array([r["n_orders"] for r in top], pa.int64()),
+                "total_spent": pa.array(
+                    [r["total_spent"] for r in top], pa.float64()
+                ),
+            }
         )
 
     def nation_region_counts(sf_dir: str):
