@@ -24,7 +24,7 @@ from ..stages import tripletstage as tri_stage
 from ..stages.chunking import make_chunk_fn
 from ..stages.embedding import EmbedChunks
 from ..stages.extract import make_extract_fn
-from ..stages.link import collect_alias_dict, edges, entity_nodes, make_linker_fn
+from ..stages.link import collect_alias_dict, edges, entity_nodes, link_triples
 from ..stages.ngram import make_ngram_fn, term_nodes
 from ..stages.tripletstage import ExtractTriples
 from ..state.checkpoint import checkpointed
@@ -184,12 +184,16 @@ def build_kg(
         chunk_vectors = _vectors_branch()
         triples = _triples_branch()
 
-    # linking: broadcast alias dict (small side) + annotated triples
+    # linking: broadcast alias dict (small side) + annotated triples;
+    # an oversized dict spills to partitioned Parquet and linking becomes
+    # a partition-aligned map-side join (never a silent semantics drop)
     def linked():
-        alias = collect_alias_dict(triples, cfg)
-        return triples.map_batches(
-            make_linker_fn(alias, cfg), batch_format="pyarrow", batch_size=65536
+        alias = collect_alias_dict(
+            triples, cfg,
+            spill_dir=os.path.join(out_dir, "_alias_spill"),
+            lineage=rec("alias"),
         )
+        return link_triples(triples, alias, cfg)
 
     # tail: the term-node aggregate only needs the terms table, so it
     # runs concurrently with the whole linking chain

@@ -21,8 +21,6 @@ Decomposition of the reference's per-triplet ``process_triplet``
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 import pyarrow as pa
 
@@ -50,7 +48,9 @@ def partial_distinct_names(batch: pa.Table) -> pa.Table:
     return pa.table({"name": pa.array(sorted(names), pa.string())})
 
 
-def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000_000):
+def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000_000,
+                       spill_dir: str | None = None, spill_partitions: int = 64,
+                       lineage=None):
     """Distributed alias-dictionary construction → broadcast ref.
 
     Fully distributed (the naive version collected EVERY distinct name to
@@ -67,6 +67,13 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000
 
     The linker falls back to the pure canonical key for any name not in
     the dict, so the dict only needs the REMAPPED names.
+
+    Overflow policy: if the remapped-name table exceeds ``max_aliases``
+    it is NOT silently dropped (that would change the entity graph with
+    corpus size) — it spills to hash-partitioned Parquet under
+    ``spill_dir`` and linking switches to a partition-aligned map-side
+    join (:class:`SpilledAlias`); a lineage row records the dictionary
+    size and mode either way.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -126,49 +133,181 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000
         ["bucket"],
         merge_bucket,
         num_partitions=256,
-    )
+    ).materialize()  # small by construction; read twice below (count + use)
+    n_alias = merged.count()
+
+    import time as _time
+
+    if n_alias > max_aliases and spill_dir is not None:
+        spilled = _spill_alias(merged, spill_dir, spill_partitions)
+        if lineage is not None:
+            lineage.record("alias-dict:spilled", n_alias, n_alias, 0, 0.0)
+        return spilled
+
+    t0 = _time.perf_counter()
     alias: dict[str, tuple[str, str]] = {}
     for batch in merged.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for n, k in zip(
             batch.column("name").to_pylist(), batch.column("merged_key").to_pylist()
         ):
             alias[n] = (entity_id_for(k), k)
-        if len(alias) > max_aliases:
-            alias = {}
-            break
+    if lineage is not None:
+        lineage.record("alias-dict:broadcast", n_alias, len(alias), 0,
+                       (_time.perf_counter() - t0) * 1e3)
     return BroadcastLookup(broadcast(alias or None))
 
 
-def make_linker_fn(alias_lookup: BroadcastLookup, cfg: PipelineConfig):
-    """triples → triples + src/dst entity ids + salt column."""
+class SpilledAlias:
+    """Handle to a hash-partitioned on-disk alias table
+    (``part-<i>.parquet`` with columns ``name, merged_key``; ``i`` is the
+    same ``pd.util.hash_pandas_object % num_partitions`` the shuffle layer
+    uses). Linking against it is a partition-aligned map-side join: the
+    repair stage shuffles triples on the entity-name column with the SAME
+    hash, so each partition function reads exactly one alias part file."""
+
+    def __init__(self, path: str, num_partitions: int):
+        self.path = path
+        self.num_partitions = num_partitions
+
+    def part_file(self, part: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"part-{part}.parquet")
+
+
+def _spill_alias(merged_ds, spill_dir: str, num_partitions: int) -> SpilledAlias:
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from .shuffle import _stable_part, grouped_apply
+
+    os.makedirs(spill_dir, exist_ok=True)
+
+    def write_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype="int64")})
+        part = int(_stable_part(pdf, ["name"], num_partitions).iloc[0])
+        final = os.path.join(spill_dir, f"part-{part}.parquet")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf[["name", "merged_key"]], preserve_index=False
+            ),
+            tmp,
+        )
+        os.replace(tmp, final)  # atomic publish, idempotent on retry
+        return pd.DataFrame({"part": [part]})
+
+    # grouped_apply partitions by the same _stable_part hash the repair
+    # stage will use, so alias rows land in the file their names hash to
+    grouped_apply(merged_ds, ["name"], write_part,
+                  num_partitions=num_partitions).materialize()
+    return SpilledAlias(spill_dir, num_partitions)
+
+
+def make_linker_fn(alias_lookup: BroadcastLookup | None, cfg: PipelineConfig):
+    """triples → triples + src/dst entity ids + salt column.
+
+    Vectorized hot path: ``canonical_key``/dict lookups run once per
+    DISTINCT name in the batch (entity names repeat heavily in web text)
+    and fan back out through a pandas ``Series.map``; the salt comes from
+    one vectorized ``hash_pandas_object`` over chunk_id (the same
+    deterministic hash the shuffle layer uses) instead of a per-row
+    blake2b."""
     salt_buckets = cfg.salt_buckets
 
     def link(batch: pa.Table) -> pa.Table:
-        alias = alias_lookup.get()
+        alias = alias_lookup.get() if alias_lookup is not None else None
 
-        def resolve(name: str) -> str:
-            if alias is not None:
-                hit = alias.get(name)
-                if hit is not None:
-                    return hit[0]
-            return entity_id_for(canonical_key(name))
-
-        src = [resolve(n) for n in batch.column("subj").to_pylist()]
-        dst = [resolve(n) for n in batch.column("obj").to_pylist()]
-        salts = [
-            int.from_bytes(
-                hashlib.blake2b(c.encode(), digest_size=2).digest(), "big"
+        cols = []
+        for name_col in ("subj", "obj"):
+            s = batch.column(name_col).to_pandas()
+            lut: dict[str, str] = {}
+            for n in pd.unique(s):
+                hit = alias.get(n) if alias is not None else None
+                lut[n] = hit[0] if hit is not None else entity_id_for(canonical_key(n))
+            cols.append(pa.array(s.map(lut), pa.string()))
+        salt = (
+            pd.util.hash_pandas_object(
+                batch.column("chunk_id").to_pandas(), index=False
             )
             % salt_buckets
-            for c in batch.column("chunk_id").to_pylist()
-        ]
+        ).astype("int32")
         return (
-            batch.append_column("src_entity_id", pa.array(src, pa.string()))
-            .append_column("dst_entity_id", pa.array(dst, pa.string()))
-            .append_column("salt", pa.array(salts, pa.int32()))
+            batch.append_column("src_entity_id", cols[0])
+            .append_column("dst_entity_id", cols[1])
+            .append_column("salt", pa.array(salt, pa.int32()))
         )
 
     return link
+
+
+def _make_repair_fn(spilled: SpilledAlias, name_col: str, id_col: str):
+    """Partition fn for the spilled-alias map-side join: each partition
+    (keyed on ``name_col`` with the shuffle layer's hash) loads exactly
+    its one alias part file and remaps the already-computed default
+    entity ids for names present in the alias table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .shuffle import _stable_part
+
+    num_partitions = spilled.num_partitions
+
+    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pdf
+        part = int(
+            _stable_part(pdf[[name_col]], [name_col], num_partitions).iloc[0]
+        )
+        path = spilled.part_file(part)
+        if not os.path.exists(path):
+            return pdf
+        tbl = pq.read_table(path)
+        lut = {
+            n: entity_id_for(k)
+            for n, k in zip(
+                tbl.column("name").to_pylist(), tbl.column("merged_key").to_pylist()
+            )
+        }
+        hit = pdf[name_col].map(lut)
+        mask = hit.notna()
+        if mask.any():
+            pdf = pdf.copy()
+            pdf.loc[mask, id_col] = hit[mask]
+        return pdf
+
+    return repair
+
+
+def link_triples(triples_ds, alias, cfg: PipelineConfig):
+    """Annotate triples with src/dst entity ids + salt.
+
+    Broadcast mode (the common case — alias dict fits the object store):
+    one stateless ``map_batches``. Spilled mode: default ids first, then
+    two partition-aligned repair shuffles (one per entity-name column)
+    joining against the on-disk alias partitions — no unbounded driver
+    dict, recall identical to broadcast mode."""
+    linked = triples_ds.map_batches(
+        make_linker_fn(alias if isinstance(alias, BroadcastLookup) else None, cfg),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    if isinstance(alias, SpilledAlias):
+        from .shuffle import grouped_apply
+
+        for name_col, id_col in (("subj", "src_entity_id"),
+                                 ("obj", "dst_entity_id")):
+            linked = grouped_apply(
+                linked,
+                [name_col],
+                _make_repair_fn(alias, name_col, id_col),
+                num_partitions=alias.num_partitions,
+            )
+    return linked
 
 
 # --------------------------- entity_nodes ---------------------------------
