@@ -78,12 +78,48 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup table (numpy<2 has
+    no ``bitwise_count``)."""
+    x = x.astype(np.uint64, copy=False)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in (0, 16, 32, 48):
+        out += _POP16[((x >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     if not a or not b:
         return 0.0
     return len(a & b) / len(a | b)
+
+
+def capped_subgroups(g, id_col: str, max_bucket: int = 512):
+    """Yield deterministic sub-buckets of a (pandas) LSH bucket, each
+    ≤ ~max_bucket rows, by a secondary hash of the id column.
+
+    This is the scale guard missing from r1's bucket verification
+    (VERDICT finding 3; same pattern as ``link.merge_similar_keys``):
+    one degenerate bucket (boilerplate web text, empty docs) can no
+    longer trigger O(n²) pair work — recall degrades predictably (a
+    pair split across sub-buckets is missed in THIS band but can still
+    fire in another band/table) instead of wall-time exploding."""
+    import math
+
+    import pandas as pd
+
+    if len(g) <= max_bucket:
+        yield g
+        return
+    k = math.ceil(len(g) / max_bucket)
+    sub = pd.util.hash_pandas_object(g[id_col], index=False) % k
+    for _, part in g.groupby(sub.values, sort=True):
+        yield part
 
 
 def char_ngrams(text: str, n: int = 3) -> set[str]:

@@ -111,29 +111,49 @@ def knn_lsh(embeddings_ds, query_vec, dim: int, k: int = 10, bits: int = 8,
 
 def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
                           bits: int = 10, seed: int = 42,
-                          id_col: str = "vec_id", emb_col: str = "embedding"):
+                          id_col: str = "vec_id", emb_col: str = "embedding",
+                          max_bucket: int = 512):
     """Embedding near-dup pairs: LSH-bucket, exact cosine within buckets.
     Returns Dataset (id_a, id_b, cosine). Pairs split across buckets are
     missed with probability (1-sim_angle)^bits — raise bits/probes or use
-    band-style multi-tables for tighter recall (documented trade-off)."""
+    band-style multi-tables for tighter recall (documented trade-off).
+    Oversized buckets (near-identical embeddings, e.g. empty docs) are
+    split by a secondary id hash (``capped_subgroups``) so per-bucket
+    work is bounded by max_bucket² instead of going quadratic."""
+    from ..functions.dedup import capped_subgroups
+
     bucketed = lsh_buckets(embeddings_ds, dim, bits, seed, id_col, emb_col)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = group.sort_values(id_col)
-        ids = g[id_col].tolist()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in g[emb_col]])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ m.T
-        a_l, b_l, c_l = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if sims[x, y] >= threshold:
-                    a_l.append(ids[x])
-                    b_l.append(ids[y])
-                    c_l.append(float(sims[x, y]))
-        return pd.DataFrame({"id_a": a_l, "id_b": b_l, "cosine": c_l})
+        frames = []
+        for sub in capped_subgroups(group.sort_values(id_col), id_col,
+                                    max_bucket):
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in sub[emb_col]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ m.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            vals = sims[ai, bi]
+            keep = vals >= threshold
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ai][keep],
+                            "id_b": ids[bi][keep],
+                            "cosine": vals[keep],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     from ..stages.shuffle import grouped_map
 

@@ -99,7 +99,7 @@ def test_ngram_jaccard_verify(docs_ds):
     )
 
     out = ngram_jaccard_verify(docs_ds, [(0, 1), (0, 2), (0, 5)], threshold=0.6)
-    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.to_pylist()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.take_all()}
     assert got[(0, 1)] == 1.0
     assert (0, 2) in got
     assert (0, 5) not in got
@@ -107,6 +107,44 @@ def test_ngram_jaccard_verify(docs_ds):
     a = char_ngrams(_corpus()[0]["text"], 3)
     b = char_ngrams(_corpus()[2]["text"], 3)
     assert abs(got[(0, 2)] - jaccard(a, b)) < 1e-12
+
+
+def test_capped_subgroups_bounds_bucket_size():
+    import pandas as pd
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.dedup import capped_subgroups
+
+    g = pd.DataFrame({"doc_id": range(1000), "x": 0})
+    subs = list(capped_subgroups(g, "doc_id", max_bucket=100))
+    assert sum(len(s) for s in subs) == 1000       # partition, no loss
+    assert max(len(s) for s in subs) <= 250        # ~100 ± hash imbalance
+    # deterministic across calls
+    subs2 = list(capped_subgroups(g, "doc_id", max_bucket=100))
+    assert [list(s["doc_id"]) for s in subs] == [list(s["doc_id"]) for s in subs2]
+
+
+def test_degenerate_hot_bucket_bounded(ray_session):
+    """300 near-identical docs land in ONE LSH bucket in every band; the
+    cap must keep candidate generation sub-quadratic and the pipeline
+    fast (VERDICT r1 finding 3). Without the cap this bucket alone yields
+    C(300,2)=44 850 pairs × 16 bands."""
+    import time
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import minhash_lsh_pairs
+
+    docs = [{"doc_id": i, "text": "the same boilerplate page " * 30}
+            for i in range(300)]
+    ds = ray.data.from_items(docs)
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=32).take_all()
+    wall = time.perf_counter() - t0
+    # identical docs: every surviving pair estimates jaccard 1.0
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+    # sub-bucket split: far fewer than the 44 850 all-pairs
+    assert 0 < len(pairs) < 10_000
+    assert wall < 120  # bounded wall time even with a degenerate bucket
 
 
 @pytest.fixture(scope="module")
