@@ -47,6 +47,9 @@ class PipelineConfig:
                                       # runtime-capped below cluster CPUs)
     triplet_concurrency: int = 16     # triplet actor pool cap
     salt_buckets: int = 16            # salt-key skew split for head entities
+    embed_num_gpus: float = 0.0       # per-actor GPU share for real models
+    triplet_num_gpus: float = 0.0     # (0 = CPU; the T5-XL reference path
+                                      # wants 1.0 per actor)
     stage_version: str = "v1"
 
     # output partitioning: number of hash partitions for partitioned writes

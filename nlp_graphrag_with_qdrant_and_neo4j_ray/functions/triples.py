@@ -213,6 +213,88 @@ class MarkerEchoTripletModel:
         return [parse_triplet_output(self._generate(s)) for s in sentences]
 
 
+class T5TripletModel:
+    """Transformers-backed TripletModel mirroring the reference's loader
+    (/root/reference/graphrag/core/triplets.py:28-132): a PEFT adapter
+    (default ``bew/t5_sentence_to_triplet_xl``) over a seq2seq base
+    (``google/flan-t5-xl``), ``generate(max_length=64)``
+    (triplets.py:146-147), decode with ``skip_special_tokens=False``
+    (triplets.py:150), output fed to :func:`parse_triplet_output`.
+
+    Engine difference: the reference generates ONE sentence per call
+    (triplets.py:421-425); here sentences are batched through
+    ``generate`` in ``gen_batch_size`` groups — the batch boundary is an
+    execution detail, the per-sentence decode→parse contract is
+    unchanged.
+
+    Heavy state → run as an actor-pool stage (``stages.tripletstage``
+    selects actor mode for any non-hermetic model name; ``__init__``
+    loads weights once per actor). ``model``/``tokenizer`` are
+    constructor-injectable so the decode→parse flow is testable without
+    weights; without injection, missing transformers/peft raises at
+    construction (callers fall back to the hermetic marker-echo model).
+    """
+
+    def __init__(
+        self,
+        adapter_name: str = "bew/t5_sentence_to_triplet_xl",
+        base_model: str = "google/flan-t5-xl",
+        device: str | None = None,
+        max_length: int = 64,
+        gen_batch_size: int = 16,
+        model=None,
+        tokenizer=None,
+    ):
+        self.name = f"t5:{adapter_name}"
+        self.max_length = max_length
+        self.gen_batch_size = gen_batch_size
+        if model is not None and tokenizer is not None:
+            self.model, self.tokenizer = model, tokenizer
+            return
+        # pragma: no cover — heavyweight optional dependencies
+        from peft import PeftModel  # type: ignore
+        from transformers import (  # type: ignore
+            AutoModelForSeq2SeqLM,
+            AutoTokenizer,
+        )
+
+        self.tokenizer = AutoTokenizer.from_pretrained(base_model)
+        base = AutoModelForSeq2SeqLM.from_pretrained(base_model)
+        self.model = PeftModel.from_pretrained(base, adapter_name)
+        if device:
+            self.model = self.model.to(device)
+        self.model.eval()
+
+    def _no_grad(self):
+        try:  # torch optional: injected fakes run without it
+            import torch  # type: ignore
+
+            return torch.no_grad()
+        except ImportError:
+            import contextlib
+
+            return contextlib.nullcontext()
+
+    def _generate(self, sentences: list[str]) -> list[str]:
+        outs: list[str] = []
+        for i in range(0, len(sentences), self.gen_batch_size):
+            chunk = sentences[i : i + self.gen_batch_size]
+            enc = self.tokenizer(
+                chunk, return_tensors="pt", padding=True, truncation=True
+            )
+            with self._no_grad():
+                ids = self.model.generate(**enc, max_length=self.max_length)
+            outs.extend(
+                self.tokenizer.batch_decode(ids, skip_special_tokens=False)
+            )
+        return outs
+
+    def extract(self, sentences: list[str]) -> list[list[Triple]]:
+        if not sentences:
+            return []
+        return [parse_triplet_output(t) for t in self._generate(sentences)]
+
+
 def extract_from_text(text: str) -> list[tuple[int, Triple]]:
     """Sentence fan-out + grammar extraction for one chunk text: returns
     (sent_index, triple) pairs (reference loop at core/triplets.py:419-425)."""

@@ -145,6 +145,7 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.embed_batch_size,
                 concurrency=embed_pool,
+                num_gpus=cfg.embed_num_gpus or None,
             )
         else:
             mk = lambda: chunks.map_batches(  # noqa: E731
@@ -162,6 +163,7 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.triplet_batch_size,
                 concurrency=triplet_pool,
+                num_gpus=cfg.triplet_num_gpus or None,
             )
         else:
             mk = lambda: chunks.map_batches(  # noqa: E731

@@ -29,14 +29,22 @@ _MODELS: dict = {}
 
 def _model(name: str):
     if name not in _MODELS:
-        # hermetic models; a T5/PEFT loader would be keyed here the same
-        # way (reference core/triplets.py:96-123)
-        from ..functions.triples import MarkerEchoTripletModel
+        from ..functions.triples import MarkerEchoTripletModel, T5TripletModel
 
         if name == "marker-echo":
             _MODELS[name] = MarkerEchoTripletModel()
-        else:
+        elif name == "grammar":
             _MODELS[name] = GrammarTripletModel()
+        else:
+            # any other name = a HF PEFT adapter id, loaded T5-style like
+            # the reference (core/triplets.py:28-132). Same pattern as the
+            # embedder's sentence-transformers drop-in (functions/embed.py):
+            # missing transformers/peft → deterministic fallback through
+            # the SAME decode→parse path (marker-echo), never a crash.
+            try:
+                _MODELS[name] = T5TripletModel(adapter_name=name)
+            except Exception:
+                _MODELS[name] = MarkerEchoTripletModel()
     return _MODELS[name]
 
 
