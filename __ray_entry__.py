@@ -238,6 +238,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "is_match")} for r in rows]
         )
 
+    def kg_document_chain(sf_dir: str):
+        """Chain walk (reference core/retrieval.py:419-467): ±2 chunks
+        around a deterministic center (smallest chunk_id with index 1 —
+        i.e. some multi-chunk document's second chunk)."""
+        t = _kg_tables(sf_dir)
+        chunks = t["chunks"]
+        center = (
+            chunks.filter(expr="chunk_index == 1")
+            .select_columns(["chunk_id"])
+            .sort("chunk_id")
+            .take(1)
+        )
+        if not center:  # corpus of single-chunk docs: chain of length 1
+            center = (
+                chunks.select_columns(["chunk_id"]).sort("chunk_id").take(1)
+            )
+        rows = q.get_document_chain(chunks, center[0]["chunk_id"],
+                                    max_chunks=2) if center else []
+        return pa.Table.from_pylist(
+            [{k: r[k] for k in ("chunk_id", "doc_id", "chunk_index")}
+             for r in rows]
+        )
+
     def kg_relationship_search(sf_dir: str):
         t = _kg_tables(sf_dir)
         rows = q.relationship_search(t["edges"], "Hugging Face", None, k=10)
@@ -614,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_term_search": kg_term_search,
         "kg_hybrid_retrieve": kg_hybrid_retrieve,
         "kg_context_windows": kg_context_windows,
+        "kg_document_chain": kg_document_chain,
         "kg_relationship_search": kg_relationship_search,
         # training-data ops
         "ws_token_counts": ws_token_counts,

@@ -122,6 +122,26 @@ def cmd_interactive(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_chain(args: argparse.Namespace) -> int:
+    """Document-chain walk (reference CLI chain inspection,
+    core/retrieval.py:419-467): ±max-chunks around a chunk id."""
+    ray = _ray()
+    import ray.data
+
+    from .pipelines import query as q
+
+    chunks = ray.data.read_parquet(f"{args.out}/chunks")
+    rows = q.get_document_chain(chunks, args.chunk_id, args.max_chunks)
+    print(json.dumps(
+        [{k: r[k] for k in ("chunk_id", "doc_id", "chunk_index", "text")}
+         for r in rows],
+        default=str,
+    ))
+    if getattr(ray, "_cli_owns_session", True):
+        ray.shutdown()
+    return 0
+
+
 def cmd_reset(args: argparse.Namespace) -> int:
     shutil.rmtree(args.out, ignore_errors=True)
     print(json.dumps({"reset": args.out}))
@@ -179,6 +199,12 @@ def main(argv: list[str] | None = None) -> int:
     pit.add_argument("--out", required=True)
     pit.add_argument("--top-k", type=int, default=10)
     pit.set_defaults(fn=cmd_interactive)
+
+    pc_ = sub.add_parser("chain", help="document-chain walk around a chunk id")
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--chunk-id", required=True)
+    pc_.add_argument("--max-chunks", type=int, default=5)
+    pc_.set_defaults(fn=cmd_chain)
 
     pr = sub.add_parser("reset", help="delete an output dir (S8 parity)")
     pr.add_argument("--out", required=True)

@@ -241,6 +241,58 @@ def with_context(chunks_ds, hits: list[dict], context_size: int = 1) -> list[dic
     return out
 
 
+def fetch_chunk(chunks_ds, chunk_id: str) -> dict | None:
+    """Single-chunk fetch by id (retrieval.py:40-61 shape, pruned scan)."""
+    rows = chunks_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("chunk_id"), chunk_id)),
+        batch_format="pyarrow",
+    ).take(1)
+    return rows[0] if rows else None
+
+
+def get_next_chunk(chunks_ds, chunk_id: str) -> dict | None:
+    """NEXT-edge hop (/root/reference/graphrag/core/retrieval.py:373-395):
+    the chunk chain is data (``next_chunk_id`` column), so one hop is one
+    id-pruned fetch, no graph store."""
+    row = fetch_chunk(chunks_ds, chunk_id)
+    nxt = row.get("next_chunk_id") if row else None
+    return fetch_chunk(chunks_ds, nxt) if nxt else None
+
+
+def get_prev_chunk(chunks_ds, chunk_id: str) -> dict | None:
+    """PREV-edge hop (retrieval.py:397-418)."""
+    row = fetch_chunk(chunks_ds, chunk_id)
+    prv = row.get("prev_chunk_id") if row else None
+    return fetch_chunk(chunks_ds, prv) if prv else None
+
+
+def get_document_chain(chunks_ds, chunk_id: str, max_chunks: int = 5) -> list[dict]:
+    """Chunk chain ±max_chunks around a center chunk, in sequence order
+    (retrieval.py:419-467). The reference walks one NEXT/PREV Cypher
+    round-trip per hop (up to 2×max_chunks+1 queries); the engine fetches
+    the whole ``(doc_id, chunk_index)`` window in ONE pruned scan —
+    identical result, chain-as-data."""
+    center = fetch_chunk(chunks_ds, chunk_id)
+    if center is None:
+        return []
+    doc_id, idx = center["doc_id"], center["chunk_index"]
+    lo, hi = idx - max_chunks, idx + max_chunks
+
+    def window(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("doc_id"), doc_id),
+            pc.and_(
+                pc.greater_equal(batch.column("chunk_index"), lo),
+                pc.less_equal(batch.column("chunk_index"), hi),
+            ),
+        )
+        return batch.filter(m)
+
+    rows = chunks_ds.map_batches(window, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["chunk_index"])
+    return rows
+
+
 def relationship_search(edges_ds, entity_name: str, relation_keyword: str | None = None,
                         k: int = 10) -> list[dict]:
     """relationship_search (retrieval.py:265-314): edges by subject entity,

@@ -19,6 +19,14 @@ def test_cli_ingest_query_reset(ray_session, tmp_path, capsys):
     t_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "triplets" in t_out
 
+    cid = q_out["chunks"][0]["chunk_id"]
+    assert main(["chain", "--out", out, "--chunk-id", cid,
+                 "--max-chunks", "2"]) == 0
+    c_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any(r["chunk_id"] == cid for r in c_out)
+    idxs = [r["chunk_index"] for r in c_out]
+    assert idxs == sorted(idxs)
+
     assert main(["reset", "--out", out]) == 0
     import os
 

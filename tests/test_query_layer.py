@@ -109,3 +109,41 @@ def test_entity_search_dead_path():
     from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import entity_search
 
     assert entity_search("anything") == []
+
+
+def test_document_chain_apis(kg):
+    """get_next/get_prev/get_document_chain (reference
+    core/retrieval.py:373-467) over the chunk-chain columns."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        fetch_chunk,
+        get_document_chain,
+        get_next_chunk,
+        get_prev_chunk,
+    )
+
+    chunks = kg["chunks"]
+    multi = [r for r in chunks.take_all() if r["chunk_index"] == 1]
+    assert multi, "fixture must contain a multi-chunk document"
+    center = min(multi, key=lambda r: r["chunk_id"])
+
+    prev = get_prev_chunk(chunks, center["chunk_id"])
+    assert prev is not None and prev["chunk_index"] == 0
+    assert prev["doc_id"] == center["doc_id"]
+    assert get_next_chunk(chunks, prev["chunk_id"])["chunk_id"] == center["chunk_id"]
+    # chain start: no PREV
+    assert get_prev_chunk(chunks, prev["chunk_id"]) is None
+
+    chain = get_document_chain(chunks, center["chunk_id"], max_chunks=5)
+    idxs = [r["chunk_index"] for r in chain]
+    assert idxs == sorted(idxs)                      # sequence order
+    assert center["chunk_id"] in {r["chunk_id"] for r in chain}
+    assert all(r["doc_id"] == center["doc_id"] for r in chain)
+    # oracle: every chunk of that doc within ±5 of the center index
+    want = sorted(
+        r["chunk_index"] for r in chunks.take_all()
+        if r["doc_id"] == center["doc_id"] and abs(r["chunk_index"] - 1) <= 5
+    )
+    assert idxs == want
+
+    assert get_document_chain(chunks, "nope_chunk9", 3) == []
+    assert fetch_chunk(chunks, "nope_chunk9") is None
