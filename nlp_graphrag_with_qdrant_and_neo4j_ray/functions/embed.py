@@ -102,7 +102,12 @@ def get_embedder(model_name: str, dim: int):
 
             def encode(self, texts, prefix=None, normalize=True):
                 texts = [apply_e5_prefix(t, model_name, prefix) for t in texts]
-                return self.model.encode(texts, normalize_embeddings=normalize)
+                try:
+                    return self.model.encode(texts, normalize_embeddings=normalize)
+                except Exception:
+                    # reference failure policy: zero vectors, keep going
+                    # (utils/common.py:92-98)
+                    return np.zeros((len(texts), dim), dtype=np.float32)
 
         return _STEmbedder()
     except Exception:

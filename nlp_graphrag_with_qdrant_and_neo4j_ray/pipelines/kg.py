@@ -27,8 +27,10 @@ from ..stages.extract import make_extract_fn
 from ..stages.link import collect_alias_dict, edges, entity_nodes, link_triples
 from ..stages.ngram import make_ngram_fn, term_nodes
 from ..stages.tripletstage import ExtractTriples
+from ..schemas import CHUNKS, DOCUMENTS, TRIPLES
 from ..state.checkpoint import checkpointed
 from ..state.lineage import LineageRecorder
+from ..state.quarantine import QuarantineRecorder, quarantined
 
 
 def build_kg(
@@ -60,6 +62,12 @@ def build_kg(
     def rec(stage: str) -> LineageRecorder | None:
         return LineageRecorder(out_dir, stage, cfg.versioned(stage)) if lineage else None
 
+    # row-failure policy (reference skip-and-continue, cli/main.py:150-154,
+    # at row granularity): poisoned rows are skipped + recorded, never
+    # batch-fatal
+    def qrec(stage: str) -> QuarantineRecorder:
+        return QuarantineRecorder(out_dir, stage)
+
     # per-stage wall clock (thread-safe: one entry per unique table name),
     # recorded into the manifest for observability
     import time as _time
@@ -81,7 +89,8 @@ def build_kg(
             out_dir,
             "documents",
             lambda: pages_ds_factory().map_batches(
-                make_extract_fn(cfg, rec("extract")),
+                quarantined(make_extract_fn(cfg, rec("extract")), "url",
+                            DOCUMENTS, qrec("extract")),
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),
@@ -94,12 +103,14 @@ def build_kg(
             "chunks",
             lambda: pages_ds_factory()
             .map_batches(
-                make_extract_fn(cfg, None),
+                quarantined(make_extract_fn(cfg, None), "url", DOCUMENTS,
+                            qrec("extract")),
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             )
             .map_batches(
-                make_chunk_fn(cfg, rec("chunk")),
+                quarantined(make_chunk_fn(cfg, rec("chunk")), "doc_id",
+                            CHUNKS, qrec("chunk")),
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),
@@ -159,7 +170,8 @@ def build_kg(
         if tri_stage.wants_actor_pool(cfg):
             mk = lambda: chunks.map_batches(  # noqa: E731
                 ExtractTriples,
-                fn_constructor_kwargs={"cfg": cfg, "lineage": rec("triplets")},
+                fn_constructor_kwargs={"cfg": cfg, "lineage": rec("triplets"),
+                                       "quarantine": qrec("triplets")},
                 batch_format="pyarrow",
                 batch_size=cfg.triplet_batch_size,
                 concurrency=triplet_pool,
@@ -167,7 +179,8 @@ def build_kg(
             )
         else:
             mk = lambda: chunks.map_batches(  # noqa: E731
-                tri_stage.make_triplet_fn(cfg, rec("triplets")),
+                quarantined(tri_stage.make_triplet_fn(cfg, rec("triplets")),
+                            "chunk_id", TRIPLES, qrec("triplets")),
                 batch_format="pyarrow",
                 batch_size=cfg.triplet_batch_size,
             )

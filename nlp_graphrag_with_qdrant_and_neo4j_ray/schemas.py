@@ -134,3 +134,11 @@ LINEAGE = pa.schema(
         ("wall_ms", pa.float64()),
     ]
 )
+
+QUARANTINE = pa.schema(
+    [
+        ("stage", pa.string()),
+        ("row_id", pa.string()),
+        ("error", pa.string()),
+    ]
+)

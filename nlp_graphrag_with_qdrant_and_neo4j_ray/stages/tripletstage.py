@@ -100,15 +100,24 @@ def _extract_batch(batch: pa.Table, cfg: PipelineConfig,
 
 class ExtractTriples:
     """Actor-pool stage (model state loaded once per actor) — for real
-    sequence-to-sequence triplet models (GPU placement, weight load)."""
+    sequence-to-sequence triplet models (GPU placement, weight load).
+    ``quarantine`` enables row-level skip-and-record on poisoned input
+    (reference skip-and-continue, cli/main.py:150-154)."""
 
-    def __init__(self, cfg: PipelineConfig, lineage: LineageRecorder | None = None):
+    def __init__(self, cfg: PipelineConfig, lineage: LineageRecorder | None = None,
+                 quarantine=None):
         self.cfg = cfg
         self.lineage = lineage
         _model(cfg.triplet_model)  # eager load, once per actor
+        fn = lambda b: _extract_batch(b, cfg, lineage)  # noqa: E731
+        if quarantine is not None:
+            from ..state.quarantine import quarantined
+
+            fn = quarantined(fn, "chunk_id", TRIPLES, quarantine)
+        self._fn = fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _extract_batch(batch, self.cfg, self.lineage)
+        return self._fn(batch)
 
 
 def make_triplet_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None):
