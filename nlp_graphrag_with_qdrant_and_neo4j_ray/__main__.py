@@ -142,6 +142,32 @@ def cmd_chain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Publish built tables through a Sink (Parquet default; qdrant/neo4j
+    when the client packages are installed — SURVEY.md §2.10 seam)."""
+    ray = _ray()
+    import ray.data
+
+    from .sinks import make_sink
+
+    kwargs = {}
+    if args.sink == "parquet":
+        kwargs["out_dir"] = args.target
+    elif args.sink == "qdrant":
+        kwargs["url"] = args.target
+    else:
+        kwargs["uri"] = args.target
+    sink = make_sink(args.sink, **kwargs)
+    results = [
+        sink.write(name, ray.data.read_parquet(f"{args.out}/{name}"))
+        for name in args.tables.split(",")
+    ]
+    print(json.dumps(results))
+    if getattr(ray, "_cli_owns_session", True):
+        ray.shutdown()
+    return 0
+
+
 def cmd_reset(args: argparse.Namespace) -> int:
     shutil.rmtree(args.out, ignore_errors=True)
     print(json.dumps({"reset": args.out}))
@@ -205,6 +231,15 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--chunk-id", required=True)
     pc_.add_argument("--max-chunks", type=int, default=5)
     pc_.set_defaults(fn=cmd_chain)
+
+    px = sub.add_parser("export", help="publish built tables through a sink")
+    px.add_argument("--out", required=True, help="built KG dir")
+    px.add_argument("--sink", choices=["parquet", "qdrant", "neo4j"],
+                    default="parquet")
+    px.add_argument("--target", required=True,
+                    help="dir (parquet) / url (qdrant) / bolt uri (neo4j)")
+    px.add_argument("--tables", default="chunks,terms,edges")
+    px.set_defaults(fn=cmd_export)
 
     pr = sub.add_parser("reset", help="delete an output dir (S8 parity)")
     pr.add_argument("--out", required=True)
