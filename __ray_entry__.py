@@ -217,13 +217,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "payload_text": pa.array([], pa.string()),
              "score": pa.array([], pa.float64())})
 
-    def kg_term_search(sf_dir: str):
+    def _term_index(sf_dir: str):
+        """Serving-path index (built lazily once per KG dir): terms
+        re-materialized hash-partitioned + sorted by term so a query
+        reads only its terms' bucket files."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.termindex import (
+            ensure_term_index,
+        )
+
         t = _kg_tables(sf_dir)
-        return q.term_search(t["terms"], "galaxy patrol research", k=10, cfg=CFG)
+        return ensure_term_index(_kg_dir(sf_dir), t["terms"])
+
+    def kg_term_search(sf_dir: str):
+        return q.term_search(_term_index(sf_dir), "galaxy patrol research",
+                             k=10, cfg=CFG)
 
     def kg_hybrid_retrieve(sf_dir: str):
         t = _kg_tables(sf_dir)
-        rows = q.hybrid_retrieve(t["chunk_vectors"], t["terms"],
+        rows = q.hybrid_retrieve(t["chunk_vectors"], _term_index(sf_dir),
                                  "Hugging Face company", k=10, cfg=CFG)
         for r in rows:
             r["score"] = round(r["score"], 6)
@@ -231,7 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_context_windows(sf_dir: str):
         t = _kg_tables(sf_dir)
-        hits = q.graph_retrieve(t["terms"], "mecha designs", k=5, cfg=CFG)
+        hits = q.graph_retrieve(_term_index(sf_dir), "mecha designs", k=5,
+                                cfg=CFG)
         rows = q.with_context(t["chunks"], hits, context_size=1)
         return pa.Table.from_pylist(
             [{k: r[k] for k in ("chunk_id", "doc_id", "chunk_index",

@@ -66,19 +66,22 @@ def cmd_query(args: argparse.Namespace) -> int:
     import ray.data
 
     from .pipelines import query as q
+    from .stages.termindex import ensure_term_index
 
     tables = {
         name: ray.data.read_parquet(f"{args.out}/{name}")
         for name in ("chunks", "terms", "chunk_vectors", "edges")
     }
+    # serving path: by-term index built lazily on first query of a KG dir
+    term_index = ensure_term_index(args.out, tables["terms"])
     if args.with_triplets:
         res = q.hybrid_retrieve_with_triplets(
-            tables["chunk_vectors"], tables["terms"], tables["edges"],
+            tables["chunk_vectors"], term_index, tables["edges"],
             args.question, k=args.top_k,
         )
     else:
         hits = q.hybrid_retrieve(
-            tables["chunk_vectors"], tables["terms"], args.question, k=args.top_k
+            tables["chunk_vectors"], term_index, args.question, k=args.top_k
         )
         if args.with_context:
             res = {"chunks": q.with_context(tables["chunks"], hits,
@@ -99,10 +102,13 @@ def cmd_interactive(args: argparse.Namespace) -> int:
 
     from .pipelines import query as q
 
+    from .stages.termindex import ensure_term_index
+
     tables = {
         name: ray.data.read_parquet(f"{args.out}/{name}")
         for name in ("terms", "chunk_vectors")
     }
+    term_index = ensure_term_index(args.out, tables["terms"])
     print("enter a question per line (blank line or EOF to quit)", flush=True)
     try:
         while True:
@@ -113,7 +119,7 @@ def cmd_interactive(args: argparse.Namespace) -> int:
             if not line.strip():
                 break
             hits = q.hybrid_retrieve(
-                tables["chunk_vectors"], tables["terms"], line, k=args.top_k
+                tables["chunk_vectors"], term_index, line, k=args.top_k
             )
             print(json.dumps(hits), flush=True)
     finally:

@@ -111,13 +111,20 @@ def resolve_chunk_texts(hits: list[dict], chunks_ds,
 def term_search(terms_ds, query: str, k: int = 10,
                 cfg: PipelineConfig = DEFAULT_CONFIG):
     """Query n-grams ⋈ terms (broadcast semi-join) → SUM(score) per chunk
-    → top-k. Returns Dataset (chunk_id, score)."""
+    → top-k. Returns Dataset (chunk_id, score).
+
+    ``terms_ds`` may be the raw terms Dataset (full scan — batch-mode
+    semantics) or a ``stages.termindex.TermIndex`` (serving mode: only
+    the query terms' bucket files are read, with the term filter pushed
+    into ``read_parquet`` — the layout-as-index contract, SURVEY.md S7)."""
     from ray.data.aggregate import Sum
 
     uni, bi, tri = extract_ngrams(query, cfg.remove_stopwords)
     wanted = {t: _TYPE_SCORE["unigram"] for t in uni}
     wanted.update({t: _TYPE_SCORE["bigram"] for t in bi})
     wanted.update({t: _TYPE_SCORE["trigram"] for t in tri})
+    if hasattr(terms_ds, "matched"):  # TermIndex handle → pruned read
+        terms_ds = terms_ds.matched(sorted(wanted))
     if not wanted:
         return terms_ds.limit(0).select_columns(["chunk_id"])
     value_set = pa.array(sorted(wanted))

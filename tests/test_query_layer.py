@@ -147,3 +147,40 @@ def test_document_chain_apis(kg):
 
     assert get_document_chain(chunks, "nope_chunk9", 3) == []
     assert fetch_chunk(chunks, "nope_chunk9") is None
+
+
+def test_term_index_matches_full_scan(kg, tmp_path):
+    """The by-term index (pruned bucket reads + filter pushdown) must
+    return IDENTICAL term-search results to the full scan, and the index
+    build must be resumable."""
+    import os
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import term_search
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.termindex import (
+        ensure_term_index,
+        term_buckets,
+    )
+
+    idx = ensure_term_index(str(tmp_path), kg["terms"])
+    for query in ("galaxy patrol research", "Hugging Face company", "mecha"):
+        full = term_search(kg["terms"], query, k=10).take_all()
+        pruned = term_search(idx, query, k=10).take_all()
+        assert [(r["chunk_id"], r["score"]) for r in full] == [
+            (r["chunk_id"], r["score"]) for r in pruned
+        ]
+
+    # pruning is real: matched() reads only the query terms' buckets
+    need = set(term_buckets(["galaxy"], idx.num_buckets))
+    all_files = [f for f in os.listdir(idx.path) if f.endswith(".parquet")]
+    assert len(all_files) > len(need)  # index has more buckets than a query touches
+
+    # resume: second call loads the marker, no rebuild
+    import time
+
+    t0 = time.perf_counter()
+    idx2 = ensure_term_index(str(tmp_path), kg["terms"])
+    assert time.perf_counter() - t0 < 1.0
+    assert idx2.path == idx.path
+
+    # empty query set
+    assert idx.matched([]).count() == 0
