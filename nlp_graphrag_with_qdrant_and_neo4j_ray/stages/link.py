@@ -435,15 +435,30 @@ def edges(linked_ds, cfg: PipelineConfig, with_pred_embedding: bool = True):
 
     ``pred_embedding`` mirrors the reference's predicate vector stored on
     every RELATES_TO edge (core/triplets.py:239-241,363-365); it is
-    computed once per distinct predicate per batch (tiny vocabulary)."""
-    from ray.data.aggregate import Min, Sum
+    computed once per distinct predicate per batch (tiny vocabulary).
+
+    The aggregate runs partition-wise (stages/shuffle.py) instead of
+    ``groupby([3 string cols]).aggregate``: a sort-based exchange keyed
+    on three strings is the same bottleneck the term-node aggregate hit
+    (stages/ngram.py — ~28 s at 8 CPUs); hashing the key triple to an
+    int partition column turns the exchange into an int sort with the
+    string groupby done locally and vectorized."""
+    from .shuffle import grouped_apply
 
     partials = linked_ds.map_batches(
         partial_edges, batch_format="pyarrow", batch_size=65536
     )
-    agg = partials.groupby(["src_entity_id", "dst_entity_id", "pred"]).aggregate(
-        Sum("weight", alias_name="weight"),
-        Min("chunk_id", alias_name="chunk_id"),
+
+    def agg_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby(["src_entity_id", "dst_entity_id", "pred"], sort=True)
+            .agg(weight=("weight", "sum"), chunk_id=("chunk_id", "min"))
+            .reset_index()
+        )
+
+    agg = grouped_apply(
+        partials, ["src_entity_id", "dst_entity_id", "pred"], agg_partition,
+        num_partitions=256,
     )
     model, dim = cfg.embedding_model, cfg.vector_size
 
