@@ -300,7 +300,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             for name in batch.column_names:
                 col = batch.column(name)
                 if pa.types.is_floating(col.type):
-                    col = pc.round(col, ndigits=6)
+                    # ties away from zero — matches DuckDB round() so the
+                    # SQL oracle hashes identically
+                    col = pc.round(col, ndigits=6,
+                                   round_mode="half_towards_infinity")
                 out[name] = col
             return pa.table(out)
 
@@ -686,6 +689,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracles
 # --------------------------------------------------------------------------
 
+def _stopword_list_sql() -> str:
+    """The vendored NLTK stopword list as a DuckDB list literal (the
+    stopword_ratio oracle needs the same vocabulary)."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.tokenize import STOPWORDS
+
+    return "[" + ",".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
+    ) + "]"
+
+
+# quality signals (functions/textstats.py:53-86) in SQL; rounding on both
+# sides is 6 digits, ties away from zero
+_QUALITY_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             regexp_extract_all(text, '[A-Za-z]+') AS words,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), calc AS (
+      SELECT doc_id, n_chars,
+             len(words) AS n_words,
+             CASE WHEN len(words) > 0 THEN n_alpha / len(words) ELSE 0.0 END
+                 AS mean_word_len,
+             CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END
+                 AS alpha_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END
+                 AS punct_ratio,
+             CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END
+                 AS digit_ratio,
+             CASE WHEN len(words) > 0 THEN
+               len(list_filter(words, w -> list_contains({stopwords}, lower(w))))
+                 * 1.0 / len(words)
+             ELSE 0.0 END AS stopword_ratio
+      FROM base
+    )
+    SELECT doc_id, n_chars, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(CASE WHEN n_words >= 5 THEN
+             0.4 * least(1.0, alpha_ratio / 0.8)
+             + 0.3 * least(1.0, stopword_ratio / 0.4)
+             + 0.2 * (1.0 - least(1.0, punct_ratio / 0.3))
+             + 0.1 * (1.0 - least(1.0, digit_ratio / 0.3))
+           ELSE 0.0 END, 6) AS quality
+    FROM calc
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # html→text byte-identity: extracted text must equal the source
@@ -710,6 +767,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        # function-word language heuristic (functions/textstats.py:40-50):
+        # first argmax in alphabetical lang order, >=2 hits else 'und'
+        "language_id": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       regexp_extract_all(text, '[A-Za-z]+'),
+                       x -> lower(x))) AS ws
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     len(list_intersect(ws, ['der','die','das','und','ist',
+                       'von','mit','für','nicht','ein'])) AS h_de,
+                     len(list_intersect(ws, ['the','and','of','to','in','is',
+                       'was','that','for','with'])) AS h_en,
+                     len(list_intersect(ws, ['el','la','los','y','es','de',
+                       'que','en','un','por'])) AS h_es,
+                     len(list_intersect(ws, ['le','la','les','et','est','de',
+                       'des','une','dans','pour'])) AS h_fr
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) >= 2 THEN
+                     CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                          WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                          WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                          ELSE 'fr' END
+                   ELSE 'und' END AS detected_lang
+            FROM h
+        """,
+        "quality_scores": _QUALITY_ORACLE.format(stopwords=_stopword_list_sql()),
         "embedding_knn_top10": """
             SELECT vec_id,
                    round(list_cosine_similarity(
