@@ -488,9 +488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def join(batch: pa.Table) -> pa.Table:
             names = ray.get(ref)
-            keys = batch.column("n_regionkey").to_pylist()
+            keys = batch.column("n_regionkey").to_pandas()
             return batch.append_column(
-                "r_name", pa.array([names.get(k) for k in keys], pa.string())
+                "r_name", pa.array(keys.map(names), pa.string())
             )
 
         return (
@@ -570,9 +570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def join(batch: pa.Table) -> pa.Table:
             lut = ray.get(ref)
-            keys = batch.column("s_nationkey").to_pylist()
+            keys = batch.column("s_nationkey").to_pandas()
             return batch.append_column(
-                "n_name", pa.array([lut.get(k) for k in keys], pa.string())
+                "n_name", pa.array(keys.map(lut), pa.string())
             )
 
         agg = (
