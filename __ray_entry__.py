@@ -351,6 +351,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def embedding_knn_ivf(sf_dir: str):
+        emb = _read(sf_dir, "embeddings")
+        qv = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+        hits = sim.knn_ivf(emb, qv, dim=len(qv), k=10).take_all()
+        return pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in hits], pa.int64()),
+                "score": pa.array([round(r["score"], 6) for r in hits],
+                                  pa.float64()),
+            }
+        )
+
     def embedding_near_dups(sf_dir: str):
         emb = _read(sf_dir, "embeddings")
         dim = len(emb.take(1)[0]["embedding"])
@@ -666,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "embedding_knn_top10": embedding_knn_top10,
         "embedding_knn_lsh": embedding_knn_lsh,
+        "embedding_knn_ivf": embedding_knn_ivf,
         "embedding_near_dups": embedding_near_dups,
         "embedding_label_counts": embedding_label_counts,
         "decode_image_features": decode_image_features,

@@ -109,6 +109,78 @@ def knn_lsh(embeddings_ds, query_vec, dim: int, k: int = 10, bits: int = 8,
     return knn_brute(candidates, q, k, id_col, emb_col)
 
 
+def kmeans_centroids(embeddings_ds, dim: int, nlist: int = 64, iters: int = 5,
+                     id_col: str = "vec_id", emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed k-means (spherical) for the IVF coarse
+    quantizer. Init = the ``nlist`` vectors with smallest ids (stable
+    under any partitioning); each Lloyd iteration is one streaming pass:
+    per-batch partial (sum, count) per cluster → tiny driver reduce
+    (centroid matrix is the broadcast small side, never the data)."""
+    import ray
+
+    init = embeddings_ds.sort(id_col).limit(nlist).take_all()
+    cents = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in init])
+    cents = _normalize(cents)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(c.shape[0]), pa.int32()),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        agg = embeddings_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=8192
+        ).take_all()  # nlist rows per input block — tiny
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for r in agg:
+            sums[r["cluster"]] += np.asarray(r["sum"])
+            counts[r["cluster"]] += r["count"]
+        nonempty = counts > 0
+        cents[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+    return cents
+
+
+def knn_ivf(embeddings_ds, query_vec, dim: int, k: int = 10, nlist: int = 64,
+            nprobe: int = 8, iters: int = 5,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF approximate top-k (the second SURVEY scale path next to LSH):
+    coarse-quantize with k-means lists, probe the query's ``nprobe``
+    nearest lists, exact re-rank inside. List assignment is shuffle-free
+    (a filter per batch against the broadcast centroids)."""
+    import ray
+
+    cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col, emb_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probes = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+    ref = ray.put((cents, probes))
+
+    def in_probed_lists(batch: pa.Table) -> pa.Table:
+        c, pr = ray.get(ref)
+        m = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        assign = np.argmax(m @ c.T, axis=1)
+        keep = np.isin(assign, list(pr))
+        return batch.filter(pa.array(keep))
+
+    candidates = embeddings_ds.map_batches(
+        in_probed_lists, batch_format="pyarrow", batch_size=8192
+    )
+    return knn_brute(candidates, q, k, id_col, emb_col)
+
+
 def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
                           bits: int = 10, seed: int = 42,
                           id_col: str = "vec_id", emb_col: str = "embedding",

@@ -190,6 +190,35 @@ def test_knn_lsh_recall_on_clustered_data(vectors_ds):
     assert len(exact & approx) >= 8
 
 
+def test_knn_ivf_recall_on_clustered_data(vectors_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_brute,
+        knn_ivf,
+    )
+
+    ds, rows = vectors_ds
+    q = np.asarray(rows[0]["embedding"])
+    exact = {r["vec_id"] for r in knn_brute(ds, q, k=10).take_all()}
+    approx = {r["vec_id"] for r in knn_ivf(ds, q, dim=32, k=10, nlist=6,
+                                           nprobe=2).take_all()}
+    # 3 tight clusters, 6 lists: the query's cluster lands in the probed
+    # lists → near-total recall of the exact top-10
+    assert len(exact & approx) >= 9
+
+
+def test_kmeans_centroids_deterministic(vectors_ds):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        kmeans_centroids,
+    )
+
+    ds, _rows = vectors_ds
+    c1 = kmeans_centroids(ds, dim=32, nlist=6, iters=3)
+    c2 = kmeans_centroids(ds, dim=32, nlist=6, iters=3)
+    assert np.allclose(c1, c2)
+    # unit-norm rows (spherical k-means)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_cosine_near_dup_pairs(vectors_ds):
     from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
         cosine_near_dup_pairs,
