@@ -145,8 +145,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         zero-padded partial rows with a shared schema, the union shuffles
         partials only, and ONE groupby(doc_id) sums everything — no
         ``.to_pandas()``/driver merge of per-document-cardinality data."""
-        from ray.data.aggregate import Sum
-
         t = _kg_tables(sf_dir)
 
         def chunk_partials(b: pa.Table) -> pa.Table:
@@ -189,15 +187,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 triple_partials, batch_format="pyarrow", batch_size=65536
             )
         )
-        return (
-            partials.groupby("doc_id")
-            .aggregate(
-                Sum("n_chunks", alias_name="n_chunks"),
-                Sum("n_tokens", alias_name="n_tokens"),
-                Sum("n_triples", alias_name="n_triples"),
-            )
-            .sort("doc_id")
+
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
         )
+
+        def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf.groupby("doc_id", sort=True).sum().reset_index()
+
+        return grouped_apply(partials, ["doc_id"], agg,
+                             num_partitions=64).sort("doc_id")
 
     def kg_edges(sf_dir: str):
         return _kg_tables(sf_dir)["edges"].select_columns(

@@ -196,37 +196,47 @@ def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
 
     bucketed = lsh_buckets(embeddings_ds, dim, bits, seed, id_col, emb_col)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+        if len(pdf) == 0:
+            return empty
+        sizes = pdf.groupby("bucket")[id_col].transform("size")
+        multi = pdf[sizes >= 2]
         frames = []
-        for sub in capped_subgroups(group.sort_values(id_col), id_col,
-                                    max_bucket):
-            if len(sub) < 2:
-                continue
-            ids = sub[id_col].to_numpy()
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in sub[emb_col]])
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ m.T
-            ai, bi = np.triu_indices(len(ids), k=1)
-            vals = sims[ai, bi]
-            keep = vals >= threshold
-            if keep.any():
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[ai][keep],
-                            "id_b": ids[bi][keep],
-                            "cosine": vals[keep],
-                        }
-                    )
+        for _, group in multi.groupby("bucket", sort=True):
+            for sub in capped_subgroups(group.sort_values(id_col), id_col,
+                                        max_bucket):
+                if len(sub) < 2:
+                    continue
+                ids = sub[id_col].to_numpy()
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in sub[emb_col]]
                 )
+                m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                   1e-12)
+                sims = m @ m.T
+                ai, bi = np.triu_indices(len(ids), k=1)
+                vals = sims[ai, bi]
+                keep = vals >= threshold
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[ai][keep],
+                                "id_b": ids[bi][keep],
+                                "cosine": vals[keep],
+                            }
+                        )
+                    )
         if not frames:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "cosine": pd.Series([], dtype="float64")}
-            )
+            return empty
         return pd.concat(frames, ignore_index=True)
 
-    from ..stages.shuffle import grouped_map
+    from ..stages.shuffle import grouped_apply
 
-    return grouped_map(bucketed, ["bucket"], bucket_pairs, num_partitions=64)
+    return grouped_apply(bucketed, ["bucket"], partition_pairs,
+                         num_partitions=64)
