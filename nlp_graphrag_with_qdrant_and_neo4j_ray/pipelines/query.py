@@ -117,8 +117,6 @@ def term_search(terms_ds, query: str, k: int = 10,
     semantics) or a ``stages.termindex.TermIndex`` (serving mode: only
     the query terms' bucket files are read, with the term filter pushed
     into ``read_parquet`` — the layout-as-index contract, SURVEY.md S7)."""
-    from ray.data.aggregate import Sum
-
     uni, bi, tri = extract_ngrams(query, cfg.remove_stopwords)
     wanted = {t: _TYPE_SCORE["unigram"] for t in uni}
     wanted.update({t: _TYPE_SCORE["bigram"] for t in bi})
@@ -131,16 +129,37 @@ def term_search(terms_ds, query: str, k: int = 10,
 
     def match(batch: pa.Table) -> pa.Table:
         hit = batch.filter(pc.is_in(batch.column("term"), value_set=value_set))
+        # per-batch combiner: sum scores per chunk before the exchange
         scores = [wanted[t] for t in hit.column("term").to_pylist()]
-        return pa.table(
-            {"chunk_id": hit.column("chunk_id"), "score": pa.array(scores, pa.float64())}
+        part = (
+            pa.table({"chunk_id": hit.column("chunk_id"),
+                      "score": pa.array(scores, pa.float64())})
+            .group_by("chunk_id")
+            .aggregate([("score", "sum")])
+            .rename_columns(["chunk_id", "score"])
         )
+        return part
+
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    def agg_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-partition final sum + local top-k (per-chunk totals are
+        complete within a hash partition, so the global top-k is the
+        top-k of ≤ num_partitions × k local winners — no full sort of
+        the matched-chunk set)."""
+        s = pdf.groupby("chunk_id", sort=False)["score"].sum().reset_index()
+        return s.sort_values(["score", "chunk_id"],
+                             ascending=[False, True]).head(k)
 
     return (
-        terms_ds.map_batches(match, batch_format="pyarrow", batch_size=65536)
-        .groupby("chunk_id")
-        .aggregate(Sum("score", alias_name="score"))
-        .sort("score", descending=True)
+        grouped_apply(
+            terms_ds.map_batches(match, batch_format="pyarrow",
+                                 batch_size=262144),
+            ["chunk_id"], agg_topk, num_partitions=64,
+        )
+        .sort(["score", "chunk_id"], descending=[True, False])
         .limit(k)
     )
 
