@@ -606,6 +606,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def part_sanitized_names(sf_dir: str):
+        """M6 scalar parity at table scale: the reference's (unused)
+        relation sanitizer applied as a vectorized column transform."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.triples import (
+            sanitize_relation,
+        )
+
+        def fn(batch: pa.Table) -> pa.Table:
+            names = batch.column("p_name").to_pylist()
+            return pa.table(
+                {
+                    "p_partkey": batch.column("p_partkey"),
+                    "sanitized": pa.array(
+                        [sanitize_relation(n) for n in names], pa.string()
+                    ),
+                }
+            )
+
+        return _read(sf_dir, "part").map_batches(
+            fn, batch_format="pyarrow", batch_size=8192
+        )
+
+    def capitalized_phrases(sf_dir: str):
+        """M8 scalar parity at table scale: the query-entity heuristic
+        regex (retrieval.py:332) counted per document."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+            query_entities,
+        )
+
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ents = [query_entities(t) for t in texts]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_phrases": pa.array([len(e) for e in ents], pa.int64()),
+                    "first_phrase": pa.array(
+                        [e[0] if e else None for e in ents], pa.string()
+                    ),
+                }
+            )
+
+        return _read(sf_dir, "documents").map_batches(
+            fn, batch_format="pyarrow", batch_size=8192
+        )
+
+    def supplier_acctbal_minmax(sf_dir: str):
+        """O3 at table scale: min-max normalization as a two-pass
+        distributed op — tiny global (min,max) aggregate broadcast into a
+        vectorized map (the reference normalizes driver-side lists,
+        retrieval.py:550-569)."""
+        import ray
+        from ray.data.aggregate import Max, Min
+
+        ds = _read(sf_dir, "supplier").select_columns(
+            ["s_suppkey", "s_acctbal"]
+        )
+        bounds = ds.aggregate(Min("s_acctbal"), Max("s_acctbal"))
+        lo, hi = bounds["min(s_acctbal)"], bounds["max(s_acctbal)"]
+        ref = ray.put((lo, hi))
+
+        def norm(batch: pa.Table) -> pa.Table:
+            lo_, hi_ = ray.get(ref)
+            v = batch.column("s_acctbal")
+            if hi_ == lo_:
+                normed = pc.multiply(pc.subtract(v, v), 0.0)
+            else:
+                normed = pc.divide(pc.subtract(v, pa.scalar(lo_)),
+                                   pa.scalar(hi_ - lo_))
+            return pa.table(
+                {
+                    "s_suppkey": batch.column("s_suppkey"),
+                    "acctbal_norm": pc.round(
+                        normed, ndigits=6, round_mode="half_towards_infinity"
+                    ),
+                }
+            )
+
+        return ds.map_batches(norm, batch_format="pyarrow", batch_size=8192)
+
     def events_by_type(sf_dir: str):
         from ray.data.aggregate import Count, Sum
 
@@ -691,6 +771,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_orders": top_customers_by_orders,
         "nation_region_counts": nation_region_counts,
         "part_topk_price": part_topk_price,
+        "part_sanitized_names": part_sanitized_names,
+        "capitalized_phrases": capitalized_phrases,
+        "supplier_acctbal_minmax": supplier_acctbal_minmax,
         "lineitem_filter_pruned": lineitem_filter_pruned,
         "orders_by_priority_month": orders_by_priority_month,
         "supplier_nation_join": supplier_nation_join,
@@ -864,6 +947,35 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             ORDER BY p_retailprice DESC, p_partkey ASC
             LIMIT 5
+        """,
+        # M6: strip non-[0-9a-zA-Z_ ], spaces→_, upper (triplets.py:207-218)
+        "part_sanitized_names": """
+            SELECT p_partkey,
+                   upper(replace(regexp_replace(p_name, '[^0-9a-zA-Z_ ]', '',
+                                                'g'), ' ', '_')) AS sanitized
+            FROM part
+        """,
+        # M8: capitalized-phrase heuristic (retrieval.py:332)
+        "capitalized_phrases": """
+            WITH e AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*') AS phrases
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(phrases) AS n_phrases,
+                   CASE WHEN len(phrases) > 0 THEN phrases[1]
+                        ELSE NULL END AS first_phrase
+            FROM e
+        """,
+        # O3: min-max normalize (retrieval.py:550-569) over a column
+        "supplier_acctbal_minmax": """
+            SELECT s_suppkey,
+                   round((s_acctbal - min(s_acctbal) OVER ())
+                         / (max(s_acctbal) OVER () - min(s_acctbal) OVER ()),
+                         6) AS acctbal_norm
+            FROM supplier
         """,
         "lineitem_filter_pruned": """
             SELECT l_returnflag, count(*) AS n,
