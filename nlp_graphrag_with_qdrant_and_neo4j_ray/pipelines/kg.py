@@ -133,11 +133,14 @@ def build_kg(
     # driver threads so the streaming executors overlap (the n-gram task
     # stage fills CPUs the actor pools leave idle)
     def _terms_branch():
+        from ..schemas import TERMS
+
         return checkpointed_timed(
             out_dir,
             "terms",
             lambda: chunks.map_batches(
-                make_ngram_fn(cfg, rec("ngram")),
+                quarantined(make_ngram_fn(cfg, rec("ngram")), "chunk_id",
+                            TERMS, qrec("ngram")),
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),

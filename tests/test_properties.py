@@ -92,3 +92,34 @@ def test_simhash_jaccard_sane(a, b):
     j = jaccard(shingles(a), shingles(b))
     assert 0.0 <= j <= 1.0
     assert jaccard(shingles(a), shingles(a)) == 1.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0,
+                max_size=50))
+def test_popcount64_matches_python(vals):
+    import numpy as np
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.dedup import popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = popcount64(arr)
+    assert list(got) == [bin(v).count("1") for v in vals]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=400), st.integers(min_value=1,
+                                                            max_value=64))
+def test_capped_subgroups_partitions_exactly(n, cap):
+    import pandas as pd
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.dedup import (
+        capped_subgroups,
+    )
+
+    g = pd.DataFrame({"doc_id": range(n)})
+    subs = list(capped_subgroups(g, "doc_id", max_bucket=cap))
+    all_ids = sorted(i for s in subs for i in s["doc_id"])
+    assert all_ids == list(range(n))  # exact partition, no loss/dup
+    if n > cap:
+        assert len(subs) > 1
