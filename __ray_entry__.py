@@ -489,6 +489,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def customer_segment_revenue(sf_dir: str):
+        """Distributed hash join (Ray Data native ``Dataset.join``) for
+        the fact⋈dim case where the dim side is too big to broadcast at
+        scale: orders ⋈ customer on custkey, partitioned exchange, then a
+        small segment aggregate."""
+        from ray.data.aggregate import Count, Sum
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_totalprice"]
+        )
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_mktsegment"]
+        )
+        joined = orders.join(
+            cust, join_type="inner", num_partitions=16,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        agg = joined.groupby("c_mktsegment").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue"),
+        )
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_mktsegment": b.column("c_mktsegment"),
+                    "n_orders": b.column("n_orders"),
+                    "revenue": pc.round(b.column("revenue"), ndigits=2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def nation_region_counts(sf_dir: str):
         """Broadcast dimension join nation ⋈ region → counts per region."""
         import ray
@@ -769,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source": docs_by_source,
         "q1_pricing_summary": q1_pricing_summary,
         "top_customers_by_orders": top_customers_by_orders,
+        "customer_segment_revenue": customer_segment_revenue,
         "nation_region_counts": nation_region_counts,
         "part_topk_price": part_topk_price,
         "part_sanitized_names": part_sanitized_names,
@@ -936,6 +969,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_custkey, c.c_name
             ORDER BY total_spent DESC, o.o_custkey ASC
             LIMIT 10
+        """,
+        "customer_segment_revenue": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "nation_region_counts": """
             SELECT r.r_name, count(*) AS n_nations
