@@ -21,6 +21,16 @@ def chunk_id(doc_id: str, index: int) -> str:
     return f"{doc_id}_chunk{index}"
 
 
+def parse_chunk_id(cid: str) -> tuple[str, int] | None:
+    """Inverse of :func:`chunk_id` — the id scheme is this engine's own
+    stable contract, so serving-path code can recover ``(doc_id, index)``
+    without a table lookup. Returns None for ids not in the scheme."""
+    head, sep, tail = cid.rpartition("_chunk")
+    if not sep or not head or not tail.isdigit():
+        return None
+    return head, int(tail)
+
+
 def doc_id_from_url(url: str) -> str:
     """Reference doc_id = filename without extension (cli/main.py:128);
     for the pages table: last path segment of the url, sans a trailing

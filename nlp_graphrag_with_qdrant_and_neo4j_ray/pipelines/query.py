@@ -223,21 +223,20 @@ def with_context(chunks_ds, hits: list[dict], context_size: int = 1) -> list[dic
     match entry."""
     if not hits:
         return []
-    want_ids = pa.array([h["chunk_id"] for h in hits])
-    hit_rows = chunks_ds.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("chunk_id"), value_set=want_ids)),
-        batch_format="pyarrow",
-    ).take_all()
-    by_id = {r["chunk_id"]: r for r in hit_rows}
+    # the chunk-id scheme encodes (doc_id, index) — parse instead of a
+    # first table scan (one scan total, not two)
+    from ..functions.ids import parse_chunk_id
+
     windows: set[tuple[str, int]] = set()
     for h in hits:
-        r = by_id.get(h["chunk_id"])
-        if r is None:
+        parsed = parse_chunk_id(h["chunk_id"])
+        if parsed is None:
             continue
+        doc, center = parsed
         for d in range(-context_size, context_size + 1):
-            idx = r["chunk_index"] + d
+            idx = center + d
             if idx >= 0:
-                windows.add((r["doc_id"], idx))
+                windows.add((doc, idx))
     keys = pa.array([f"{d}\x00{i}" for d, i in sorted(windows)])
 
     def in_window(batch: pa.Table) -> pa.Table:
@@ -298,10 +297,12 @@ def get_document_chain(chunks_ds, chunk_id: str, max_chunks: int = 5) -> list[di
     round-trip per hop (up to 2×max_chunks+1 queries); the engine fetches
     the whole ``(doc_id, chunk_index)`` window in ONE pruned scan —
     identical result, chain-as-data."""
-    center = fetch_chunk(chunks_ds, chunk_id)
-    if center is None:
+    from ..functions.ids import parse_chunk_id
+
+    parsed = parse_chunk_id(chunk_id)
+    if parsed is None:
         return []
-    doc_id, idx = center["doc_id"], center["chunk_index"]
+    doc_id, idx = parsed
     lo, hi = idx - max_chunks, idx + max_chunks
 
     def window(batch: pa.Table) -> pa.Table:
@@ -315,6 +316,10 @@ def get_document_chain(chunks_ds, chunk_id: str, max_chunks: int = 5) -> list[di
         return batch.filter(m)
 
     rows = chunks_ds.map_batches(window, batch_format="pyarrow").take_all()
+    # reference parity: unknown center chunk → [] (retrieval.py:443-447);
+    # the id parse alone can't prove existence, the window scan does
+    if chunk_id not in {r["chunk_id"] for r in rows}:
+        return []
     rows.sort(key=lambda r: r["chunk_index"])
     return rows
 

@@ -57,3 +57,18 @@ def test_chunk_and_doc_ids():
     assert doc_id_from_url("https://fixture.test/tiny/tiny-0000001") == "tiny-0000001"
     assert doc_id_from_url("https://x.test/a/b/report.txt") == "report"
     assert doc_id_from_url("https://x.test/a/page.html?x=1#frag") == "page"
+
+
+def test_parse_chunk_id_roundtrip():
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.ids import (
+        chunk_id,
+        parse_chunk_id,
+    )
+
+    assert parse_chunk_id(chunk_id("doc1", 0)) == ("doc1", 0)
+    assert parse_chunk_id(chunk_id("a_chunky_doc", 12)) == ("a_chunky_doc", 12)
+    # doc ids containing the separator still round-trip (rpartition)
+    assert parse_chunk_id(chunk_id("x_chunk1", 2)) == ("x_chunk1", 2)
+    assert parse_chunk_id("garbage") is None
+    assert parse_chunk_id("_chunk5") is None
+    assert parse_chunk_id("doc_chunkX") is None
