@@ -1,7 +1,11 @@
 """Deduplication sketches: shingles, MinHash, SimHash, n-gram Jaccard.
 
 Pure deterministic functions; the distributed pipelines around them live
-in ``pipelines/dedup.py``.
+in ``pipelines/dedup.py``. Techniques are the standard public ones:
+MinHash resemblance sketches (Broder 1997, "On the resemblance and
+containment of documents"), banded LSH (Leskovec/Rajaraman/Ullman,
+*Mining of Massive Datasets* ch. 3), SimHash (Charikar STOC 2002) with
+the 16-bit-band near-duplicate trick (Manku/Jain/Das Sarma, WWW 2007).
 """
 
 from __future__ import annotations

@@ -9,6 +9,12 @@
   hamming-1 neighbors), then exact re-rank inside the probed buckets.
 - ``cosine_near_dup_pairs``: embedding near-duplicate detection — bucket
   by LSH code, exact pairwise cosine ≥ threshold within buckets.
+- ``knn_ivf`` / ``kmeans_centroids``: inverted-file ANN (coarse k-means
+  quantizer + nprobe list probing — the standard IVF design of
+  Sivic/Zisserman 2003 and FAISS), with a deterministic distributed
+  Lloyd's iteration.
+
+Random-hyperplane LSH follows Charikar (STOC 2002).
 """
 
 from __future__ import annotations
