@@ -391,6 +391,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "sample_rate", "n_samples", "n_bytes"]
         )
 
+    def sample_video_frames_q(sf_dir: str):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+            sample_video_frames,
+        )
+
+        media = synth_media_dataset(200, "video")
+        return sample_video_frames(media, num_frames=8).select_columns(
+            ["media_id", "width", "height", "n_frames_total", "n_bytes"]
+        )
+
     # ---- relational operator coverage (A1-A5, O1-O5, J-patterns) ----
 
     def lang_distribution(sf_dir: str):
@@ -796,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_counts": embedding_label_counts,
         "decode_image_features": decode_image_features,
         "decode_audio_frames": decode_audio_frames,
+        "sample_video_frames": sample_video_frames_q,
         # relational coverage
         "lang_distribution": lang_distribution,
         "docs_by_source": docs_by_source,

@@ -179,6 +179,89 @@ class DecodeAudio:
         )
 
 
+class SampleVideoFrames:
+    """Actor-pool stage: video frame-sampling → (media_id, width, height,
+    n_frames_total, n_bytes, frame_features:fixed_size_list[num_frames ×
+    feature_dim]). Real decode would use pyav/opencv (absent in this
+    container → NotImplementedError for alien payloads); the synthetic
+    fake-header path treats the payload body as a stream of
+    width-striped frames and samples ``num_frames`` evenly — the
+    plumbing (actor signature, small batch for wide rows, payload
+    dropped post-decode, flattened fixed-size feature layout) is the
+    production shape."""
+
+    def __init__(self, num_frames: int = 8, feature_dim: int = 16):
+        self.num_frames = num_frames
+        self.dim = feature_dim
+        try:  # pragma: no cover - av/opencv not in this container
+            import av  # type: ignore
+
+            self._av = av
+        except Exception:
+            self._av = None
+
+    def _sample(self, payload: bytes):
+        if payload.startswith(_MAGIC):
+            w, h = struct.unpack(">II", payload[11:19])
+            body = np.frombuffer(payload[19:], dtype=np.uint8)
+            frame_len = max(1, w % 64 + 16)
+            total = max(1, len(body) // frame_len)
+            pick = np.linspace(0, total - 1, self.num_frames).astype(int)
+            feats = []
+            for f in pick:
+                frame = body[f * frame_len : (f + 1) * frame_len]
+                hist, _ = np.histogram(frame, bins=self.dim, range=(0, 255))
+                v = hist.astype(np.float32)
+                n = float(np.linalg.norm(v))
+                feats.append(v / n if n else v)
+            return w, h, total, np.concatenate(feats)
+        if self._av is not None:  # pragma: no cover
+            raise NotImplementedError("real container demux not wired yet")
+        raise NotImplementedError(
+            "real video decode requires pyav/opencv; payload is not a "
+            "synthetic fixture"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        widths, heights, totals, nbytes, feats = [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            w, h, total, f = self._sample(payload)
+            widths.append(w)
+            heights.append(h)
+            totals.append(total)
+            nbytes.append(len(payload))
+            feats.append(f)
+        flat_dim = self.num_frames * self.dim
+        feat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), type=pa.float32()), flat_dim
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_frames_total": pa.array(totals, pa.int64()),
+                "n_bytes": pa.array(nbytes, pa.int64()),
+                "frame_features": feat_arr,
+            }
+        )
+
+
+def sample_video_frames(media_ds, num_frames: int = 8, feature_dim: int = 16,
+                        concurrency=(1, 4), batch_size: int = 32):
+    """Video frame-sampling as an actor-pool map_batches (smallest batch
+    of the three media kinds — video rows are the widest)."""
+    return media_ds.map_batches(
+        SampleVideoFrames,
+        fn_constructor_kwargs={"num_frames": num_frames,
+                               "feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_audio(media_ds, num_frames: int = 16, concurrency=(1, 4),
                  batch_size: int = 64):
     """Audio decode/frame-sample as an actor-pool map_batches."""

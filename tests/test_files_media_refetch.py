@@ -49,6 +49,29 @@ def test_decode_audio(ray_session):
         assert all(-1.0 <= v <= 1.0 for v in r["frames"])
 
 
+def test_sample_video_frames(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+        SampleVideoFrames,
+        sample_video_frames,
+        synth_media_dataset,
+    )
+
+    out = sample_video_frames(synth_media_dataset(12, "video"),
+                              num_frames=4, feature_dim=8).take_all()
+    assert len(out) == 12
+    for r in out[:3]:
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert r["n_frames_total"] >= 1
+        assert len(r["frame_features"]) == 4 * 8  # frames × feature_dim
+    # alien payload without a real decoder → honest NotImplementedError
+    import pytest as _pytest
+
+    stage = SampleVideoFrames()
+    if stage._av is None:
+        with _pytest.raises(NotImplementedError):
+            stage._sample(b"\x00\x01realvideobytes")
+
+
 def test_resolve_chunk_texts_refetch(ray_session):
     import ray.data
 
