@@ -43,8 +43,7 @@ def verify_pairs(
     - Returns a Dataset with one row per pair for which ``pair_fn``
       returned a dict (its keys become columns).
     """
-    import ray
-
+    from ..state.broadcast import BroadcastLookup, broadcast
     from .shuffle import grouped_apply
 
     pairs = sorted({(a, b) if a <= b else (b, a) for a, b in pairs})
@@ -53,11 +52,12 @@ def verify_pairs(
         membership.setdefault(a, []).append((pidx, 0))
         membership.setdefault(b, []).append((pidx, 1))
     wanted = pa.array(sorted(membership))
-    ref = ray.put((pairs, membership))
+    # cached per worker process — not re-deserialized per batch
+    lookup = BroadcastLookup(broadcast((pairs, membership)))
 
     def tag(batch: pa.Table) -> pa.Table:
         hit = batch.filter(pc.is_in(batch.column(id_col), value_set=wanted))
-        _, member = ray.get(ref)
+        _, member = lookup.get()
         pidxs, slots, payloads = [], [], []
         for i, payload in zip(
             hit.column(id_col).to_pylist(), hit.column(payload_col).to_pylist()
@@ -79,7 +79,7 @@ def verify_pairs(
     tagged = items_ds.map_batches(tag, batch_format="pyarrow", batch_size=8192)
 
     def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        pair_list, _ = ray.get(ref)
+        pair_list, _ = lookup.get()
         out = []
         for pidx, g in pdf.groupby("pidx", sort=True):
             slots = dict(zip(g["slot"], g[payload_col]))
