@@ -70,22 +70,28 @@ def run_bench() -> dict:
     # input split into enough blocks to feed every CPU
     facts = int(os.environ.get("GRAFT_BENCH_FACTS", "24"))
     replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "50"))
+    # this host shows heavy run-to-run noise (same leg 26.5 s vs 49.4 s
+    # back-to-back): take the best of N full rebuilds
+    trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
     blocks = 128  # same physical plan at every parallelism level
     n_pages = n_docs * replicate
     out_dir = E._kg_dir(sf_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    tables = build_kg(
-        lambda: pages_from_documents(sf_dir, augment=True, facts=facts,
-                                     override_num_blocks=blocks,
-                                     replicate=replicate),
-        out_dir,
-        E.CFG,
-        resume=True,
-        lineage=True,
-    )
-    n_edges = tables["edges"].count()
-    headline = time.perf_counter() - t0
+    trial_times = []
+    for _ in range(trials):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        tables = build_kg(
+            lambda: pages_from_documents(sf_dir, augment=True, facts=facts,
+                                         override_num_blocks=blocks,
+                                         replicate=replicate),
+            out_dir,
+            E.CFG,
+            resume=True,
+            lineage=True,
+        )
+        n_edges = tables["edges"].count()
+        trial_times.append(time.perf_counter() - t0)
+    headline = min(trial_times)
 
     qtimes: dict[str, float] = {}
     q_iter = {} if os.environ.get("GRAFT_SKIP_QUERIES") else E.queries()
@@ -115,6 +121,7 @@ def run_bench() -> dict:
         "docs": n_pages,
         "edges": n_edges,
         "docs_per_sec": round(n_pages / headline, 2),
+        "headline_trials": [round(t, 3) for t in trial_times],
     }
     ray.shutdown()
     return result
@@ -137,6 +144,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_REPLICATE=os.environ.get("GRAFT_BENCH_REPLICATE", "50"),
             GRAFT_SKIP_QUERIES="1",  # scaling compares the headline only
+            GRAFT_BENCH_TRIALS="1",  # outer loop already alternates trials
         )
         out = subprocess.run(
             [sys.executable, "bench.py"],
