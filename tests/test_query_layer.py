@@ -184,3 +184,28 @@ def test_term_index_matches_full_scan(kg, tmp_path):
 
     # empty query set
     assert idx.matched([]).count() == 0
+
+
+def test_hybrid_retrieve_with_triplets(kg, tmp_path):
+    """retrieve_with_triplets (retrieval.py:607-637): hybrid chunks plus
+    per-query-entity relationship hits, truncated per entity and
+    globally (O5) — driven through the term index like the CLI does."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        hybrid_retrieve_with_triplets,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.termindex import (
+        ensure_term_index,
+    )
+
+    idx = ensure_term_index(str(tmp_path), kg["terms"])
+    res = hybrid_retrieve_with_triplets(
+        kg["chunk_vectors"], idx, kg["edges"],
+        "Hugging Face company", k=5, cfg=CFG,
+    )
+    assert set(res) == {"chunks", "triplets"}
+    assert 0 < len(res["chunks"]) <= 5
+    assert len(res["triplets"]) <= 5          # global [:k] truncation
+    for t in res["triplets"]:
+        # the capitalized query entity resolved to its canonical id
+        assert t["src_entity_id"] == "e:hugging face"
+        assert t["chunk_id"]                  # provenance present (ref: null)
