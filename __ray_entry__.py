@@ -328,6 +328,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = [(r["doc_a"], r["doc_b"]) for r in cand]
         return dd.ngram_jaccard_verify(docs, pairs, n=3, threshold=0.6)
 
+    def dup_clusters(sf_dir: str):
+        """Near-dup pairs → duplicate clusters (distributed min-label
+        connected components): the training-data step after LSH pair
+        detection — each cluster keeps its smallest doc as the
+        representative."""
+        docs = _read(sf_dir, "documents")
+        pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+        return dd.connected_components(pairs)
+
     def embedding_knn_top10(sf_dir: str):
         emb = _read(sf_dir, "embeddings")
         qv = emb.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
@@ -799,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
+        "dup_clusters": dup_clusters,
         "embedding_knn_top10": embedding_knn_top10,
         "embedding_knn_lsh": embedding_knn_lsh,
         "embedding_knn_ivf": embedding_knn_ivf,

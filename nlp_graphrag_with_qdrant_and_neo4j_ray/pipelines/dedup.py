@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.dedup import (
     MinHasher,
@@ -317,6 +318,116 @@ def simhash_pairs(docs_ds, max_hamming: int = 3,
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+# ----------------------- duplicate clusters (CC) ---------------------------
+
+def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iters: int = 20, num_partitions: int = 16):
+    """Near-dup pairs → duplicate CLUSTERS via distributed min-label
+    propagation (the step after LSH pair detection in a training-data
+    dedup pipeline: each component keeps one representative). Node ids
+    must be non-negative int64 (the documents-table shape; -1 is the
+    internal row marker).
+
+    Standard iterative connected components: every node's label starts as
+    min(own id, neighbor ids) and each round takes the min over its
+    neighborhood, converging in O(component diameter) rounds — duplicate
+    clusters are near-cliques, so typically 1–3. Each round is one
+    co-partitioned label⋈edge exchange (the ``grouped_apply`` union-join
+    pattern; Ray's native hash join misbehaves on empty hash partitions
+    in 2.49, and this keeps all keyed exchanges on one code path) plus a
+    groupby-min. Convergence via a Sum aggregate: labels only ever
+    decrease, so an unchanged label sum means a fixpoint. Returns a
+    Dataset (node, cluster_id), cluster_id = the component's smallest
+    member id.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import grouped_apply
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).combine_chunks()
+        b = batch.column(b_col).combine_chunks()
+        n = len(a) + len(b)
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+                # -1 marks an edge row; label rows carry cluster_id ≥ 0
+                "cluster_id": pa.array([-1] * n, pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        undirect, batch_format="pyarrow", batch_size=65536
+    ).materialize()  # reused every round
+
+    def min_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.groupby("node", sort=True)["cluster_id"].min().reset_index()
+        )
+
+    # init: label(node) = min(node, neighbors) — straight from the edges
+    labels = grouped_apply(
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("key"),
+                    "cluster_id": pc.min_element_wise(
+                        pc.cast(b.column("key"), pa.int64()),
+                        pc.cast(b.column("dst"), pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"], min_label, num_partitions=num_partitions,
+    ).materialize()
+    prev = labels.aggregate(Sum("cluster_id"))["sum(cluster_id)"]
+
+    def propagate(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One co-partitioned round: label rows (marker dst == -1) carry
+        each key's current cluster; edge rows emit it to their dst."""
+        lab = pdf[pdf["dst"] == -1]
+        lut = dict(zip(lab["key"], lab["cluster_id"]))
+        edge = pdf[pdf["dst"] != -1]
+        out = pd.DataFrame(
+            {
+                "node": pd.concat([lab["key"], edge["dst"]],
+                                  ignore_index=True),
+                "cluster_id": pd.concat(
+                    [lab["cluster_id"],
+                     edge["key"].map(lut).fillna(edge["dst"]).astype("int64")],
+                    ignore_index=True,
+                ),
+            }
+        )
+        return out
+
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("node"),
+                    "dst": pa.array([-1] * b.num_rows, pa.int64()),
+                    "cluster_id": pc.cast(b.column("cluster_id"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        candidates = grouped_apply(
+            edges.union(tagged_labels), ["key"], propagate,
+            num_partitions=num_partitions,
+        )
+        labels = grouped_apply(
+            candidates, ["node"], min_label, num_partitions=num_partitions
+        ).materialize()
+        cur = labels.aggregate(Sum("cluster_id"))["sum(cluster_id)"]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
 
 
 # --------------------------- n-gram Jaccard --------------------------------

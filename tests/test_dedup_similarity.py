@@ -233,3 +233,43 @@ def test_cosine_near_dup_pairs(vectors_ds):
         a, b = r["id_a"], r["id_b"]
         assert a % 3 == b % 3  # same cluster
         assert abs(float(ids[a] @ ids[b]) - r["cosine"]) < 1e-9
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Distributed min-label CC must match a driver-side union-find
+    oracle on an arbitrary pair graph (chains force multi-round
+    propagation)."""
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        connected_components,
+    )
+
+    rng = np.random.RandomState(3)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 80, size=(60, 2))
+             if a != b]
+    pairs += [(i, i + 1) for i in range(100, 120)]  # a 21-node chain
+    ds = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(ds).take_all()}
+
+    # oracle: plain union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(members) for root, members in comp.items()
+            for n in members}
+    assert got == want
