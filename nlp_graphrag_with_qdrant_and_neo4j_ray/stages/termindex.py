@@ -34,27 +34,29 @@ def term_buckets(terms: list[str], num_buckets: int) -> list[int]:
 class TermIndex:
     """Handle to a built index directory; ``matched(terms)`` returns a
     Dataset of exactly the edge rows whose term is in the query set,
-    reading only the needed bucket files."""
+    reading only the needed bucket directories."""
 
     def __init__(self, path: str, num_buckets: int):
         self.path = path
         self.num_buckets = num_buckets
 
-    def bucket_file(self, bucket: int) -> str:
-        return os.path.join(self.path, f"bucket-{bucket}.parquet")
+    def bucket_dir(self, bucket: int) -> str:
+        return os.path.join(self.path, f"bucket-{bucket}")
 
     def matched(self, terms: list[str]):
         import pyarrow.compute as pc
         import ray.data
 
         terms = sorted(set(terms))
-        files = [
-            f
-            for f in (self.bucket_file(b)
-                      for b in sorted(set(term_buckets(terms,
-                                                       self.num_buckets))))
-            if os.path.exists(f)
-        ]
+        files: list[str] = []
+        for b in sorted(set(term_buckets(terms, self.num_buckets))):
+            d = self.bucket_dir(b)
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
         if not terms or not files:
             from ..schemas import TERMS
 
@@ -66,47 +68,94 @@ class TermIndex:
 
 def ensure_term_index(out_dir: str, terms_ds, num_buckets: int = 64,
                       resume: bool = True) -> TermIndex:
-    """Build (or load) the by-term index for a KG dir."""
+    """Build (or load) the by-term index for a KG dir.
+
+    SHUFFLE-FREE partitioned write: every map task splits its batch by
+    term-hash bucket and writes one sorted file per (batch, bucket)
+    directly into the bucket directory — the r1→r2 interim design moved
+    the whole 68 M-row terms table through a grouped exchange first
+    (~70-84 s at 32 CPUs); a single streaming pass builds the same
+    pruned-read layout. File names are content-derived so task retries
+    overwrite idempotently; the directory publishes atomically and
+    ``_SUCCESS`` gates resume."""
     path = os.path.join(out_dir, "terms_by_term")
     marker = os.path.join(path, SUCCESS)
     if resume and os.path.exists(marker):
         return TermIndex(path, num_buckets)
 
-    from .shuffle import grouped_map
+    import hashlib
 
     tmp = path + ".__tmp__"
     for stale in (tmp, path):
         if os.path.exists(stale):
             shutil.rmtree(stale)
-    os.makedirs(tmp, exist_ok=True)
+    for b in range(num_buckets):
+        os.makedirs(os.path.join(tmp, f"bucket-{b}"), exist_ok=True)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            df["bucket"] = pd.Series([], dtype="int64")
-            return df
-        df = df.copy()
-        df["bucket"] = (
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "rows": pd.Series([], dtype="int64")})
+        buckets = (
             pd.util.hash_pandas_object(df["term"], index=False) % num_buckets
         ).astype("int64")
-        return df
+        counts = []
+        for b, g in df.groupby(buckets.values, sort=True):
+            out = g.sort_values(["term", "chunk_id"])
+            tag = hashlib.blake2b(
+                ("|".join((str(out["chunk_id"].iloc[0]),
+                           str(out["term"].iloc[0]),
+                           str(len(out)))) + f"#{b}").encode(),
+                digest_size=10,
+            ).hexdigest()
+            final = os.path.join(tmp, f"bucket-{int(b)}",
+                                 f"part-{tag}.parquet")
+            tmp_file = f"{final}.tmp-{os.getpid()}"
+            pq.write_table(
+                pa.Table.from_pandas(out, preserve_index=False),
+                tmp_file,
+                row_group_size=32768,  # sorted → row-group min/max prune
+            )
+            os.replace(tmp_file, final)  # idempotent on task retry
+            counts.append({"bucket": int(b), "rows": len(out)})
+        return pd.DataFrame(counts)
 
-    def write_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(pdf["bucket"].iloc[0])
-        out = pdf.sort_values(["term", "chunk_id"]).drop(columns=["bucket"])
-        pq.write_table(
-            pa.Table.from_pandas(out, preserve_index=False),
-            os.path.join(tmp, f"bucket-{b}.parquet"),
-            row_group_size=32768,  # sorted → per-row-group min/max prune
-        )
-        return pd.DataFrame({"bucket": [b], "rows": [len(out)]})
-
-    grouped_map(
-        terms_ds.map_batches(add_bucket, batch_format="pandas",
-                             batch_size=262144),
-        ["bucket"],
-        write_bucket,
-        num_partitions=num_buckets,
+    terms_ds.map_batches(
+        write_batch, batch_format="pandas", batch_size=262144
     ).materialize()
+
+    # compaction: one sorted file per bucket (queries open ≤1 file per
+    # probed bucket instead of one per input batch). Still shuffle-free —
+    # rows are already bucket-partitioned on disk; this is parallel
+    # sequential I/O over ~the table's compressed size.
+    import ray.data
+
+    def compact(batch: pa.Table) -> pa.Table:
+        rows_out = []
+        for b in batch.column("id").to_pylist():
+            d = os.path.join(tmp, f"bucket-{int(b)}")
+            parts = sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            if not parts:
+                rows_out.append({"bucket": int(b), "rows": 0})
+                continue
+            tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+            tbl = tbl.sort_by([("term", "ascending"), ("chunk_id", "ascending")])
+            final = os.path.join(d, "compact.parquet")
+            tmp_file = f"{final}.tmp-{os.getpid()}"
+            pq.write_table(tbl, tmp_file, row_group_size=32768)
+            os.replace(tmp_file, final)
+            for p in parts:
+                os.remove(p)
+            rows_out.append({"bucket": int(b), "rows": tbl.num_rows})
+        return pa.Table.from_pylist(rows_out)
+
+    ray.data.range(num_buckets).map_batches(
+        compact, batch_format="pyarrow", batch_size=1
+    ).materialize()
+
     os.rename(tmp, path)
     with open(marker, "w") as f:
         f.write("ok")

@@ -171,8 +171,9 @@ def test_term_index_matches_full_scan(kg, tmp_path):
 
     # pruning is real: matched() reads only the query terms' buckets
     need = set(term_buckets(["galaxy"], idx.num_buckets))
-    all_files = [f for f in os.listdir(idx.path) if f.endswith(".parquet")]
-    assert len(all_files) > len(need)  # index has more buckets than a query touches
+    all_buckets = [d for d in os.listdir(idx.path) if d.startswith("bucket-")
+                   and os.listdir(os.path.join(idx.path, d))]
+    assert len(all_buckets) > len(need)  # more populated buckets than a query touches
 
     # resume: second call loads the marker, no rebuild
     import time
