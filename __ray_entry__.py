@@ -323,10 +323,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dd.simhash_pairs(_read(sf_dir, "documents"), max_hamming=3)
 
     def ngram_jaccard_dups(sf_dir: str):
+        """LSH candidates verified by exact char-n-gram Jaccard; the
+        candidate-pair set stays a Dataset end-to-end (co-partitioned
+        pairs ⋈ texts exchange — no driver pair list)."""
         docs = _read(sf_dir, "documents")
-        cand = dd.minhash_lsh_pairs(docs, threshold=0.5).take_all()
-        pairs = [(r["doc_a"], r["doc_b"]) for r in cand]
-        return dd.ngram_jaccard_verify(docs, pairs, n=3, threshold=0.6)
+        cand = dd.minhash_lsh_pairs(docs, threshold=0.5).select_columns(
+            ["doc_a", "doc_b"]
+        )
+        return dd.ngram_jaccard_verify(docs, cand, n=3, threshold=0.6)
 
     def dup_clusters(sf_dir: str):
         """Near-dup pairs → duplicate clusters (distributed min-label

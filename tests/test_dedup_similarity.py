@@ -273,3 +273,51 @@ def test_connected_components_vs_union_find(ray_session):
     want = {n: min(members) for root, members in comp.items()
             for n in members}
     assert got == want
+
+
+def test_verify_pairs_huge_candidate_set_stays_distributed(ray_session):
+    """VERDICT r2 finding 1: candidate pairs must stay a Dataset — this
+    drives ~20k candidate pairs (all-pairs of 200 docs) through the
+    co-partitioned pairs ⋈ texts exchange. 20 groups of 10 identical
+    texts → exactly the 900 within-group pairs survive jaccard=1.0."""
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        ngram_jaccard_verify,
+    )
+
+    docs = [
+        {"doc_id": i, "text": f"group {i % 20} boilerplate body text"}
+        for i in range(200)
+    ]
+    ds = ray.data.from_items(docs)
+    ai, bi = np.triu_indices(200, k=1)
+    cand = ray.data.from_items(
+        [{"doc_a": int(a), "doc_b": int(b)} for a, b in zip(ai, bi)]
+    )
+    got = ngram_jaccard_verify(ds, cand, n=3, threshold=0.999).take_all()
+    assert len(got) == 20 * 45
+    assert all(r["doc_a"] % 20 == r["doc_b"] % 20 for r in got)
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_verify_pairs_empty_and_duplicate_candidates(docs_ds, ray_session):
+    """Empty candidate Dataset → empty result; duplicate candidate rows
+    (multi-band LSH fires) → ONE output row per distinct pair."""
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        ngram_jaccard_verify,
+    )
+
+    empty = ray.data.from_items([{"doc_a": 0, "doc_b": 1}]).filter(
+        lambda r: False
+    )
+    assert ngram_jaccard_verify(docs_ds, empty).take_all() == []
+
+    dup = ray.data.from_items(
+        [{"doc_a": 0, "doc_b": 1}, {"doc_a": 1, "doc_b": 0},
+         {"doc_a": 0, "doc_b": 1}]
+    )
+    rows = ngram_jaccard_verify(docs_ds, dup, threshold=0.5).take_all()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
