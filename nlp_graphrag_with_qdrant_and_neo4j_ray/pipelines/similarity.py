@@ -115,16 +115,30 @@ def knn_lsh(embeddings_ds, query_vec, dim: int, k: int = 10, bits: int = 8,
     return knn_brute(candidates, q, k, id_col, emb_col)
 
 
+def _min_k_rows(ds, k: int, id_col: str, emb_col: str) -> list[dict]:
+    """The k rows with smallest ids — a per-batch combiner (each batch
+    keeps only its k smallest) then a tiny global sort over ≤ blocks × k
+    rows, instead of a full-dataset sort (VERDICT r2 finding 2)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, emb_col]).sort_by(id_col).slice(0, k)
+
+    reduced = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=8192)
+    return reduced.sort(id_col).limit(k).take_all()
+
+
 def kmeans_centroids(embeddings_ds, dim: int, nlist: int = 64, iters: int = 5,
                      id_col: str = "vec_id", emb_col: str = "embedding") -> np.ndarray:
     """Deterministic distributed k-means (spherical) for the IVF coarse
     quantizer. Init = the ``nlist`` vectors with smallest ids (stable
-    under any partitioning); each Lloyd iteration is one streaming pass:
-    per-batch partial (sum, count) per cluster → tiny driver reduce
-    (centroid matrix is the broadcast small side, never the data)."""
+    under any partitioning, found by a min-k combiner — no global sort);
+    each Lloyd iteration is one streaming pass: per-batch partial
+    (sum, count) per cluster → tiny driver reduce (centroid matrix is the
+    broadcast small side, never the data)."""
     import ray
 
-    init = embeddings_ds.sort(id_col).limit(nlist).take_all()
+    init = _min_k_rows(embeddings_ds, nlist, id_col, emb_col)
     cents = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in init])
     cents = _normalize(cents)
 
@@ -159,16 +173,63 @@ def kmeans_centroids(embeddings_ds, dim: int, nlist: int = 64, iters: int = 5,
     return cents
 
 
+def ensure_ivf_centroids(index_dir: str, embeddings_ds, dim: int,
+                         nlist: int = 64, iters: int = 5,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         fingerprint: str = "", resume: bool = True) -> np.ndarray:
+    """Build-once/serve-many IVF quantizer: the centroid matrix is
+    persisted under ``index_dir`` with the same atomic-publish +
+    ``_SUCCESS`` pattern as the term index (VERDICT r2 finding 2: k-means
+    must NOT retrain inside every query). The marker records the source
+    table ``fingerprint`` (e.g. parquet mtime+size) and the quantizer
+    params — a rebuilt source table invalidates the cached quantizer
+    instead of silently serving stale lists."""
+    import json
+    import os
+
+    tag = f"ivf-d{dim}-n{nlist}-i{iters}"
+    path = os.path.join(index_dir, tag)
+    marker = os.path.join(path, "_SUCCESS")
+    want = json.dumps({"fingerprint": fingerprint, "tag": tag})
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return np.load(os.path.join(path, "centroids.npy"))
+
+    cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
+                             emb_col)
+    import shutil
+    import tempfile
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=index_dir, prefix=tag + ".__tmp__")
+    np.save(os.path.join(tmp, "centroids.npy"), cents)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(want)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return cents
+
+
 def knn_ivf(embeddings_ds, query_vec, dim: int, k: int = 10, nlist: int = 64,
             nprobe: int = 8, iters: int = 5,
-            id_col: str = "vec_id", emb_col: str = "embedding"):
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            index_dir: str | None = None, fingerprint: str = ""):
     """IVF approximate top-k (the second SURVEY scale path next to LSH):
     coarse-quantize with k-means lists, probe the query's ``nprobe``
     nearest lists, exact re-rank inside. List assignment is shuffle-free
-    (a filter per batch against the broadcast centroids)."""
+    (a filter per batch against the broadcast centroids). Pass
+    ``index_dir`` to load/persist the quantizer (serving mode — queries
+    only probe); without it the quantizer trains in-process (batch mode)."""
     import ray
 
-    cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col, emb_col)
+    if index_dir is not None:
+        cents = ensure_ivf_centroids(index_dir, embeddings_ds, dim, nlist,
+                                     iters, id_col, emb_col, fingerprint)
+    else:
+        cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
+                                 emb_col)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     probes = set(np.argsort(-(cents @ q))[:nprobe].tolist())

@@ -321,3 +321,29 @@ def test_verify_pairs_empty_and_duplicate_candidates(docs_ds, ray_session):
     )
     rows = ngram_jaccard_verify(docs_ds, dup, threshold=0.5).take_all()
     assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_ivf_centroids_persist_and_invalidate(vectors_ds, tmp_path):
+    """Serving-mode quantizer: built once, reloaded from disk on the next
+    call (byte-identical), rebuilt when the source fingerprint changes."""
+    import os
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        ensure_ivf_centroids,
+    )
+
+    ds, _rows = vectors_ds
+    d = str(tmp_path / "idx")
+    c1 = ensure_ivf_centroids(d, ds, dim=32, nlist=6, iters=2,
+                              fingerprint="v1")
+    npy = os.path.join(d, "ivf-d32-n6-i2", "centroids.npy")
+    assert os.path.exists(npy)
+    mtime = os.stat(npy).st_mtime_ns
+    c2 = ensure_ivf_centroids(d, ds, dim=32, nlist=6, iters=2,
+                              fingerprint="v1")
+    assert np.array_equal(c1, c2)
+    assert os.stat(npy).st_mtime_ns == mtime          # loaded, not rebuilt
+    c3 = ensure_ivf_centroids(d, ds, dim=32, nlist=6, iters=2,
+                              fingerprint="v2")       # stale → rebuild
+    assert np.array_equal(c1, c3)
+    assert os.stat(npy).st_mtime_ns != mtime
