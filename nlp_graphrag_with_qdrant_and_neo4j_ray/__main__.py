@@ -73,7 +73,10 @@ def cmd_query(args: argparse.Namespace) -> int:
         for name in ("chunks", "terms", "chunk_vectors", "edges")
     }
     # serving path: by-term index built lazily on first query of a KG dir
-    term_index = ensure_term_index(args.out, tables["terms"])
+    term_index = ensure_term_index(
+        args.out, tables["terms"],
+        total_chunks=lambda: tables["chunks"].count(),
+    )
     if args.with_triplets:
         res = q.hybrid_retrieve_with_triplets(
             tables["chunk_vectors"], term_index, tables["edges"],
@@ -108,7 +111,11 @@ def cmd_interactive(args: argparse.Namespace) -> int:
         name: ray.data.read_parquet(f"{args.out}/{name}")
         for name in ("terms", "chunk_vectors")
     }
-    term_index = ensure_term_index(args.out, tables["terms"])
+    term_index = ensure_term_index(
+        args.out, tables["terms"],
+        # 1 vector row per chunk → chunk_vectors.count() is N for idf
+        total_chunks=lambda: tables["chunk_vectors"].count(),
+    )
     print("enter a question per line (blank line or EOF to quit)", flush=True)
     try:
         while True:

@@ -103,26 +103,45 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
-def capped_subgroups(g, id_col: str, max_bucket: int = 512):
+def group_salt(key) -> int:
+    """Deterministic 64-bit salt from a bucket's group key (an int or a
+    tuple of ints) — FNV-1a over the parts, no PYTHONHASHSEED
+    dependence."""
+    parts = key if isinstance(key, tuple) else (key,)
+    s = 1469598103934665603
+    for p in parts:
+        s = ((s ^ (int(p) & 0xFFFFFFFFFFFFFFFF)) * 1099511628211) \
+            & 0xFFFFFFFFFFFFFFFF
+    return s
+
+
+def capped_subgroups(g, id_col: str, max_bucket: int = 512, salt: int = 0):
     """Yield deterministic sub-buckets of a (pandas) LSH bucket, each
-    ≤ ~max_bucket rows, by a secondary hash of the id column.
+    ≤ ~max_bucket rows, by a secondary hash of the id column salted with
+    the BUCKET key (pass ``salt=group_salt(bucket_key)``).
 
     This is the scale guard missing from r1's bucket verification
     (VERDICT finding 3; same pattern as ``link.merge_similar_keys``):
     one degenerate bucket (boilerplate web text, empty docs) can no
     longer trigger O(n²) pair work — recall degrades predictably (a
     pair split across sub-buckets is missed in THIS band but can still
-    fire in another band/table) instead of wall-time exploding."""
+    fire in another band) instead of wall-time exploding. The salt makes
+    the split independent across bands: identical-text duplicates
+    produce same-size buckets (same k) in EVERY band, so an unsalted
+    split would miss the same pairs deterministically in all of them
+    (ADVICE r2)."""
     import math
 
+    import numpy as np
     import pandas as pd
 
     if len(g) <= max_bucket:
         yield g
         return
     k = math.ceil(len(g) / max_bucket)
-    sub = pd.util.hash_pandas_object(g[id_col], index=False) % k
-    for _, part in g.groupby(sub.values, sort=True):
+    h = pd.util.hash_pandas_object(g[id_col], index=False).to_numpy()
+    sub = np.bitwise_xor(h.astype(np.uint64), np.uint64(salt)) % np.uint64(k)
+    for _, part in g.groupby(sub, sort=True):
         yield part
 
 

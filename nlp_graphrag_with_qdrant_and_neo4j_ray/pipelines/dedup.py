@@ -33,6 +33,7 @@ from ..functions.dedup import (
     MinHasher,
     capped_subgroups,
     char_ngrams,
+    group_salt,
     jaccard,
     popcount64,
     shingles,
@@ -127,9 +128,9 @@ def _pair_candidates(keyed_ds, key_cols: list[str], id_col: str,
             return empty
         a_l: list = []
         b_l: list = []
-        for _, g in multi.groupby(key_cols, sort=True):
+        for key, g in multi.groupby(key_cols, sort=True):
             for sub in capped_subgroups(g.sort_values(id_col), id_col,
-                                        max_bucket):
+                                        max_bucket, salt=group_salt(key)):
                 ids = sub[id_col].to_numpy()
                 if len(ids) < 2:
                     continue
@@ -275,9 +276,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3,
         sizes = pdf.groupby(["band", "key"])[id_col].transform("size")
         multi = pdf[sizes >= 2]
         frames = []
-        for _, g in multi.groupby(["band", "key"], sort=True):
+        for key, g in multi.groupby(["band", "key"], sort=True):
             for sub in capped_subgroups(g.sort_values(id_col), id_col,
-                                        max_bucket):
+                                        max_bucket, salt=group_salt(key)):
                 if len(sub) < 2:
                     continue
                 ids = sub[id_col].to_numpy()

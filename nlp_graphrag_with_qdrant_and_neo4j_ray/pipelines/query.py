@@ -9,9 +9,14 @@ operations over the Parquet tables build_kg materializes:
 - term search    (GraphRetriever.term_search, retrieval.py:193-229):
   query n-grams matched against the ``terms`` edge list, SUM(score) per
   chunk (A1). Divergence (documented): Lucene fulltext scores are not
-  reproducible without Lucene; the engine scores a matched term by its
-  n-gram order (unigram 1.0 / bigram 2.0 / trigram 3.0) — deterministic
-  and monotone in specificity.
+  reproducible without Lucene; in serving mode (a ``TermIndex``) the
+  engine scores with deterministic BM25 postings precomputed at index
+  build (idf·tf saturation, k1=1.2, b=0 — see stages/termindex.py for
+  the full derivation and the remaining divergence from Lucene's
+  BM25(b=0.75)); a raw terms Dataset falls back to the n-gram-order
+  weight (unigram 1.0 / bigram 2.0 / trigram 3.0), which is also
+  available on the index as ``score="ngram_order"`` for exact
+  full-scan parity checks.
 - entity search  (retrieval.py:231-263): reads MENTIONS_ENTITY edges that
   NOTHING ever writes in the reference (SURVEY.md §1.1) — a dead path
   that always returns empty; reproduced faithfully as an empty result.
@@ -109,31 +114,51 @@ def resolve_chunk_texts(hits: list[dict], chunks_ds,
 
 
 def term_search(terms_ds, query: str, k: int = 10,
-                cfg: PipelineConfig = DEFAULT_CONFIG):
+                cfg: PipelineConfig = DEFAULT_CONFIG,
+                score: str | None = None):
     """Query n-grams ⋈ terms (broadcast semi-join) → SUM(score) per chunk
     → top-k. Returns Dataset (chunk_id, score).
 
     ``terms_ds`` may be the raw terms Dataset (full scan — batch-mode
     semantics) or a ``stages.termindex.TermIndex`` (serving mode: only
     the query terms' bucket files are read, with the term filter pushed
-    into ``read_parquet`` — the layout-as-index contract, SURVEY.md S7)."""
+    into ``read_parquet`` — the layout-as-index contract, SURVEY.md S7).
+    ``score``: ``"bm25"`` (default on a TermIndex — sums the postings'
+    precomputed BM25) or ``"ngram_order"`` (the 1/2/3 weights; default
+    and only mode on a raw Dataset, where it counts occurrence rows —
+    on the index it multiplies the weight by the aggregated ``tf``,
+    which is exactly equivalent)."""
     uni, bi, tri = extract_ngrams(query, cfg.remove_stopwords)
     wanted = {t: _TYPE_SCORE["unigram"] for t in uni}
     wanted.update({t: _TYPE_SCORE["bigram"] for t in bi})
     wanted.update({t: _TYPE_SCORE["trigram"] for t in tri})
-    if hasattr(terms_ds, "matched"):  # TermIndex handle → pruned read
+    is_index = hasattr(terms_ds, "matched")
+    if score is None:
+        score = "bm25" if is_index else "ngram_order"
+    if is_index:  # TermIndex handle → pruned read
         terms_ds = terms_ds.matched(sorted(wanted))
+    elif score == "bm25":
+        raise ValueError("bm25 scoring needs a TermIndex (postings carry "
+                         "the precomputed statistics); raw terms Datasets "
+                         "score by ngram_order")
     if not wanted:
         return terms_ds.limit(0).select_columns(["chunk_id"])
     value_set = pa.array(sorted(wanted))
 
     def match(batch: pa.Table) -> pa.Table:
         hit = batch.filter(pc.is_in(batch.column("term"), value_set=value_set))
+        if score == "bm25":
+            vals = pc.cast(hit.column("bm25"), pa.float64())
+        elif is_index:  # ngram_order over aggregated postings: weight × tf
+            w = [wanted[t] for t in hit.column("term").to_pylist()]
+            vals = pc.multiply(pa.array(w, pa.float64()),
+                               pc.cast(hit.column("tf"), pa.float64()))
+        else:  # raw edge list: weight per occurrence row
+            vals = pa.array([wanted[t] for t in
+                             hit.column("term").to_pylist()], pa.float64())
         # per-batch combiner: sum scores per chunk before the exchange
-        scores = [wanted[t] for t in hit.column("term").to_pylist()]
         part = (
-            pa.table({"chunk_id": hit.column("chunk_id"),
-                      "score": pa.array(scores, pa.float64())})
+            pa.table({"chunk_id": hit.column("chunk_id"), "score": vals})
             .group_by("chunk_id")
             .aggregate([("score", "sum")])
             .rename_columns(["chunk_id", "score"])

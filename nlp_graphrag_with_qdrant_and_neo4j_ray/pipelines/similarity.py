@@ -259,7 +259,7 @@ def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
     Oversized buckets (near-identical embeddings, e.g. empty docs) are
     split by a secondary id hash (``capped_subgroups``) so per-bucket
     work is bounded by max_bucket² instead of going quadratic."""
-    from ..functions.dedup import capped_subgroups
+    from ..functions.dedup import capped_subgroups, group_salt
 
     bucketed = lsh_buckets(embeddings_ds, dim, bits, seed, id_col, emb_col)
 
@@ -274,9 +274,9 @@ def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
         sizes = pdf.groupby("bucket")[id_col].transform("size")
         multi = pdf[sizes >= 2]
         frames = []
-        for _, group in multi.groupby("bucket", sort=True):
+        for key, group in multi.groupby("bucket", sort=True):
             for sub in capped_subgroups(group.sort_values(id_col), id_col,
-                                        max_bucket):
+                                        max_bucket, salt=group_salt(key)):
                 if len(sub) < 2:
                     continue
                 ids = sub[id_col].to_numpy()

@@ -138,7 +138,16 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000
 
     import time as _time
 
-    if n_alias > max_aliases and spill_dir is not None:
+    if n_alias > max_aliases:
+        if spill_dir is None:
+            # never silently build an oversized driver dict (ADVICE r2):
+            # a caller that opted out of spilling must fail fast, not OOM
+            raise ValueError(
+                f"alias dictionary has {n_alias} remapped names "
+                f"(> max_aliases={max_aliases}) and no spill_dir was "
+                "given; pass spill_dir to switch to the partitioned "
+                "map-side join, or raise max_aliases explicitly"
+            )
         spilled = _spill_alias(merged, spill_dir, spill_partitions)
         if lineage is not None:
             lineage.record("alias-dict:spilled", n_alias, n_alias, 0, 0.0)

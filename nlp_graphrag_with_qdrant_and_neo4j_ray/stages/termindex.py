@@ -1,5 +1,6 @@
 """Serving-path term index: the terms edge list re-materialized
-hash-partitioned by ``term``, each bucket file sorted by term.
+hash-partitioned by ``term``, each bucket aggregated to per-(term, chunk)
+postings with BM25 statistics and sorted by term.
 
 r1's ``term_search`` scanned the ENTIRE terms table per query (16.7 s at
 sf0.1 — VERDICT finding 7) because the build-order layout (partitioned by
@@ -9,18 +10,49 @@ second materialization: a query hashes its few terms to buckets, reads
 ONLY those bucket files, and pushes a ``term IN (...)`` filter into
 ``read_parquet`` so row-group statistics (sorted by term) prune within
 the bucket. Built once per KG dir, lazily, checkpoint-style (atomic
-publish + _SUCCESS, resume skips)."""
+publish + ``_SUCCESS``, resume skips).
+
+Scoring (VERDICT r2 task 4): the reference scores term hits with Lucene's
+fulltext relevance (``/root/reference/graphrag/core/retrieval.py:206-216``);
+bit-exact Lucene scores are not reproducible without Lucene, so the index
+precomputes a deterministic **BM25** posting score at build time —
+``idf(t)·tf·(k1+1)/(tf+k1)`` with the Lucene/ATIRE idf
+``ln(1+(N−df+0.5)/(df+0.5))``, k1=1.2 and **b=0** (no length
+normalization: a chunk's total term count lives across term-hash buckets,
+and the chunker already bounds chunk length, so the dl/avgdl factor is
+nearly constant — the documented remaining divergence from Lucene's
+BM25(b=0.75) and from its query-coordination factors). df is exact and
+local by construction: a term's complete posting list lives in exactly
+one hash bucket, so compaction sees every chunk of every term it owns.
+
+Scale/robustness (VERDICT r2 task 5, ADVICE r2):
+- ``num_buckets`` auto-sizes to a rows-per-bucket target (fixed 64 made a
+  100 TB bucket ~1.5 TB; compaction memory is bounded by the target);
+  the bucket count is recorded in the ``_SUCCESS`` marker and the query
+  side always reads it from there.
+- the marker also records a source-table fingerprint (the terms
+  checkpoint's ``_SUCCESS`` mtime by default) — rebuilding the KG in
+  place invalidates the index instead of silently serving stale scores.
+- part-file names hash the FULL batch content, so two distinct
+  concurrent batches can never collide (retries still overwrite
+  idempotently).
+"""
 
 from __future__ import annotations
 
+import json
+import math
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 SUCCESS = "_SUCCESS"
+BM25_K1 = 1.2
+INDEX_VERSION = 2
 
 
 def term_buckets(terms: list[str], num_buckets: int) -> list[int]:
@@ -33,15 +65,39 @@ def term_buckets(terms: list[str], num_buckets: int) -> list[int]:
 
 class TermIndex:
     """Handle to a built index directory; ``matched(terms)`` returns a
-    Dataset of exactly the edge rows whose term is in the query set,
-    reading only the needed bucket directories."""
+    Dataset of exactly the posting rows whose term is in the query set
+    (columns ``term, term_type, chunk_id, tf, df, bm25``), reading only
+    the needed bucket directories."""
 
-    def __init__(self, path: str, num_buckets: int):
+    def __init__(self, path: str, num_buckets: int, total_chunks: int = 0):
         self.path = path
         self.num_buckets = num_buckets
+        self.total_chunks = total_chunks
+
+    @classmethod
+    def load(cls, path: str) -> "TermIndex":
+        with open(os.path.join(path, SUCCESS)) as f:
+            meta = json.load(f)
+        return cls(path, meta["num_buckets"], meta.get("total_chunks", 0))
 
     def bucket_dir(self, bucket: int) -> str:
         return os.path.join(self.path, f"bucket-{bucket}")
+
+    def _empty(self):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "term_type": pa.array([], pa.string()),
+                    "chunk_id": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "bm25": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def matched(self, terms: list[str]):
         import pyarrow.compute as pc
@@ -58,32 +114,92 @@ class TermIndex:
                     if f.endswith(".parquet")
                 )
         if not terms or not files:
-            from ..schemas import TERMS
-
-            return ray.data.from_arrow(TERMS.empty_table())
+            return self._empty()
         return ray.data.read_parquet(
             files, filter=pc.field("term").isin(terms)
         )
 
+    def manifest(self):
+        """Per-bucket build manifest (bucket, rows, n_terms) — the
+        index-build receipt (one row per bucket)."""
+        import ray.data
 
-def ensure_term_index(out_dir: str, terms_ds, num_buckets: int = 64,
-                      resume: bool = True) -> TermIndex:
-    """Build (or load) the by-term index for a KG dir.
+        return ray.data.read_parquet(os.path.join(self.path,
+                                                  "manifest.parquet"))
+
+
+def kg_fingerprint(out_dir: str) -> str:
+    """Default staleness fingerprint: the terms checkpoint's _SUCCESS
+    mtime (a KG rebuild rewrites it → index invalidates)."""
+    p = os.path.join(out_dir, "terms", SUCCESS)
+    try:
+        return str(os.stat(p).st_mtime_ns)
+    except OSError:
+        return ""
+
+
+def _distinct_chunks(terms_ds) -> int:
+    """Fallback N for BM25 when the caller has no chunks table: exact
+    distinct chunk count via per-batch partial distinct + one groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["chunk_id"]).group_by("chunk_id").aggregate([])
+
+    return (
+        terms_ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=262144)
+        .groupby("chunk_id")
+        .count()
+        .count()
+    )
+
+
+def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
+                      resume: bool = True, rows_per_bucket: int = 4_000_000,
+                      fingerprint: str | None = None,
+                      total_chunks=None) -> TermIndex:
+    """Build (or load) the by-term BM25 posting index for a KG dir.
 
     SHUFFLE-FREE partitioned write: every map task splits its batch by
     term-hash bucket and writes one sorted file per (batch, bucket)
     directly into the bucket directory — the r1→r2 interim design moved
     the whole 68 M-row terms table through a grouped exchange first
     (~70-84 s at 32 CPUs); a single streaming pass builds the same
-    pruned-read layout. File names are content-derived so task retries
-    overwrite idempotently; the directory publishes atomically and
-    ``_SUCCESS`` gates resume."""
+    pruned-read layout. Compaction then aggregates each bucket to
+    per-(term, term_type, chunk_id) postings with exact tf/df and the
+    precomputed BM25 score (see module docstring), one sorted file per
+    bucket. ``total_chunks`` may be an int, a zero-arg callable (resolved
+    only on an actual build), or None (exact distinct-chunk fallback)."""
     path = os.path.join(out_dir, "terms_by_term")
     marker = os.path.join(path, SUCCESS)
+    if fingerprint is None:
+        fingerprint = kg_fingerprint(out_dir)
     if resume and os.path.exists(marker):
-        return TermIndex(path, num_buckets)
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            meta = {}
+        if (meta.get("version") == INDEX_VERSION
+                and meta.get("fingerprint") == fingerprint
+                and (num_buckets is None
+                     or meta.get("num_buckets") == num_buckets)):
+            return TermIndex(path, meta["num_buckets"],
+                             meta.get("total_chunks", 0))
 
     import hashlib
+
+    import ray.data
+
+    if num_buckets is None:
+        n_rows = terms_ds.count()
+        num_buckets = int(max(8, min(65536,
+                                     math.ceil(n_rows / rows_per_bucket))))
+    if callable(total_chunks):
+        total_chunks = int(total_chunks())
+    if total_chunks is None:
+        total_chunks = _distinct_chunks(terms_ds)
+    n_chunks = int(total_chunks)
 
     tmp = path + ".__tmp__"
     for stale in (tmp, path):
@@ -102,11 +218,16 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int = 64,
         counts = []
         for b, g in df.groupby(buckets.values, sort=True):
             out = g.sort_values(["term", "chunk_id"])
+            # content hash of the FULL batch-bucket slice: distinct
+            # concurrent batches can never collide (ADVICE r2 — first/
+            # last-row names collided when equal-count duplicate rows
+            # split across batch boundaries); true task retries still
+            # produce the same name, keeping os.replace idempotent
+            h = pd.util.hash_pandas_object(
+                out[["term", "chunk_id"]], index=False
+            ).to_numpy()
             tag = hashlib.blake2b(
-                ("|".join((str(out["chunk_id"].iloc[0]),
-                           str(out["term"].iloc[0]),
-                           str(len(out)))) + f"#{b}").encode(),
-                digest_size=10,
+                h.tobytes() + f"#{b}#{len(out)}".encode(), digest_size=10
             ).hexdigest()
             final = os.path.join(tmp, f"bucket-{int(b)}",
                                  f"part-{tag}.parquet")
@@ -124,12 +245,12 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int = 64,
         write_batch, batch_format="pandas", batch_size=262144
     ).materialize()
 
-    # compaction: one sorted file per bucket (queries open ≤1 file per
-    # probed bucket instead of one per input batch). Still shuffle-free —
-    # rows are already bucket-partitioned on disk; this is parallel
-    # sequential I/O over ~the table's compressed size.
-    import ray.data
-
+    # compaction: aggregate each bucket's raw occurrence rows to postings
+    # (term, term_type, chunk_id, tf) + exact df + BM25, one sorted file
+    # per bucket (queries open ≤1 file per probed bucket). Still
+    # shuffle-free — rows are already bucket-partitioned on disk; bucket
+    # size (and therefore compaction memory) is bounded by the
+    # rows-per-bucket target via the auto-sized bucket count.
     def compact(batch: pa.Table) -> pa.Table:
         rows_out = []
         for b in batch.column("id").to_pylist():
@@ -139,24 +260,63 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int = 64,
                 if f.endswith(".parquet")
             )
             if not parts:
-                rows_out.append({"bucket": int(b), "rows": 0})
+                rows_out.append({"bucket": int(b), "rows": 0, "n_terms": 0})
                 continue
-            tbl = pa.concat_tables([pq.read_table(p) for p in parts])
-            tbl = tbl.sort_by([("term", "ascending"), ("chunk_id", "ascending")])
+            raw = pa.concat_tables(
+                [pq.read_table(p, columns=["term", "term_type", "chunk_id"])
+                 for p in parts]
+            ).to_pandas()
+            agg = (
+                raw.groupby(["term", "term_type", "chunk_id"], sort=True)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+            dfc = agg.groupby(["term", "term_type"])["chunk_id"] \
+                .transform("size").astype("int64")
+            agg["tf"] = agg["tf"].astype("int64")
+            agg["df"] = dfc
+            idf = np.log1p(
+                (np.maximum(n_chunks - dfc.to_numpy(), 0) + 0.5)
+                / (dfc.to_numpy() + 0.5)
+            )
+            tf = agg["tf"].to_numpy()
+            agg["bm25"] = idf * (tf * (BM25_K1 + 1.0) / (tf + BM25_K1))
+            tbl = pa.Table.from_pandas(agg, preserve_index=False)
             final = os.path.join(d, "compact.parquet")
             tmp_file = f"{final}.tmp-{os.getpid()}"
             pq.write_table(tbl, tmp_file, row_group_size=32768)
             os.replace(tmp_file, final)
             for p in parts:
                 os.remove(p)
-            rows_out.append({"bucket": int(b), "rows": tbl.num_rows})
-        return pa.Table.from_pylist(rows_out)
+            rows_out.append({"bucket": int(b), "rows": tbl.num_rows,
+                             "n_terms": int(agg["term"].nunique())})
+        return pa.Table.from_pylist(
+            rows_out,
+            schema=pa.schema([("bucket", pa.int64()), ("rows", pa.int64()),
+                              ("n_terms", pa.int64())]),
+        )
 
-    ray.data.range(num_buckets).map_batches(
-        compact, batch_format="pyarrow", batch_size=1
-    ).materialize()
+    manifest_rows = (
+        ray.data.range(num_buckets)
+        .map_batches(compact, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )  # one row per bucket — small by construction
+    pq.write_table(
+        pa.Table.from_pylist(
+            manifest_rows,
+            schema=pa.schema([("bucket", pa.int64()), ("rows", pa.int64()),
+                              ("n_terms", pa.int64())]),
+        ),
+        os.path.join(tmp, "manifest.parquet"),
+    )
 
     os.rename(tmp, path)
     with open(marker, "w") as f:
-        f.write("ok")
-    return TermIndex(path, num_buckets)
+        json.dump(
+            {"version": INDEX_VERSION, "num_buckets": num_buckets,
+             "total_chunks": n_chunks, "fingerprint": fingerprint,
+             "scoring": f"bm25(k1={BM25_K1},b=0)"},
+            f,
+        )
+    return TermIndex(path, num_buckets, n_chunks)
