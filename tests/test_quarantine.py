@@ -110,3 +110,43 @@ def test_build_kg_survives_poisoned_page(tmp_path):
     q = ray.data.read_parquet(f"{out}/quarantine").take_all()
     assert any(r["row_id"] == "bad://page" and r["stage"] == "extract"
                for r in q)
+
+
+def test_quarantined_systemic_failure_raises(tmp_path):
+    """ADVICE r2: a failure rate above the guard (bad config / missing
+    dep) must FAIL the stage with the original error, not quarantine its
+    way to an empty-but-successful checkpoint."""
+    rec = QuarantineRecorder(str(tmp_path), "sys")
+    safe = quarantined(_fn, "row_id", OUT, rec)
+    n = 1000
+    vals = [None if i % 3 == 0 else i for i in range(n)]  # ~33% poisoned
+    batch = pa.table(
+        {"row_id": pa.array([f"r{i}" for i in range(n)]),
+         "v": pa.array(vals, pa.int64())}
+    )
+    with pytest.raises(RuntimeError, match="systemic stage failure"):
+        safe(batch)
+
+
+def test_quarantine_one_file_per_batch(tmp_path):
+    """ADVICE r2: failures buffer into ONE parquet file per batch, not
+    one per row."""
+    import os
+
+    rec = QuarantineRecorder(str(tmp_path), "buf")
+    safe = quarantined(_fn, "row_id", OUT, rec, max_failure_rate=0.5)
+    n = 40
+    vals = [None if i % 4 == 0 else i for i in range(n)]  # 10 of 40 fail
+    batch = pa.table(
+        {"row_id": pa.array([f"r{i}" for i in range(n)]),
+         "v": pa.array(vals, pa.int64())}
+    )
+    out = safe(batch)
+    assert out.num_rows == 30
+    files = os.listdir(str(tmp_path / "quarantine"))
+    assert len(files) == 1
+
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(str(tmp_path / "quarantine"))
+    assert q.num_rows == 10
