@@ -321,6 +321,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(rnd, batch_format="pyarrow")
 
     def doc_fingerprints(sf_dir: str):
+        """SQL-expressible fingerprint (md5 of ws-normalized text) — the
+        oracled variant (VERDICT r2 task 7)."""
+        return ts.md5_fingerprints(_read(sf_dir, "documents"))
+
+    def doc_fingerprints_rolling(sf_dir: str):
+        """Order-sensitive rolling-hash fingerprint (blake2b window XOR;
+        not SQL-expressible — pinned by unit tests)."""
         return ts.fingerprints(_read(sf_dir, "documents"))
 
     def exact_dedup_docs(sf_dir: str):
@@ -349,6 +356,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         representative."""
         docs = _read(sf_dir, "documents")
         pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+        return dd.connected_components(pairs)
+
+    def dup_clusters_chain(sf_dir: str):
+        """Distributed connected components against a hard SQL oracle:
+        docs chain consecutively within (n_chars % 50) buckets — chains
+        force multi-round min-label propagation (the worst case for the
+        CC loop), and the expected cluster of every chained node is its
+        bucket's min doc_id, which DuckDB computes directly."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "n_chars"]
+        )
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            n = b.column("n_chars").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array((n % 50).astype("int64")),
+                    "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                }
+            )
+
+        def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["bucket", "doc_id"])
+            nxt = pdf.groupby("bucket")["doc_id"].shift(-1)
+            m = nxt.notna()
+            return pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_id"][m].to_numpy(),
+                    "doc_b": nxt[m].astype("int64").to_numpy(),
+                }
+            )
+
+        pairs = grouped_apply(
+            docs.map_batches(bucketize, batch_format="pyarrow",
+                             batch_size=65536),
+            ["bucket"], chain, num_partitions=16,
+        )
         return dd.connected_components(pairs)
 
     def _query_vec(sf_dir: str):
@@ -841,11 +891,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": language_id,
         "quality_scores": quality_scores,
         "doc_fingerprints": doc_fingerprints,
+        "doc_fingerprints_rolling": doc_fingerprints_rolling,
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "dup_clusters": dup_clusters,
+        "dup_clusters_chain": dup_clusters_chain,
         "embedding_knn_top10": embedding_knn_top10,
         "embedding_knn_lsh": embedding_knn_lsh,
         "embedding_knn_ivf": embedding_knn_ivf,
@@ -954,6 +1006,40 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keeper, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "token_counts_full": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+                   )) AS bpe_ish_tokens
+            FROM documents
+        """,
+        # md5 of whitespace-normalized text (same normalization as
+        # `" ".join(text.split())`)
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(coalesce(array_to_string(list_filter(
+                       regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                       ' '), '')) AS fingerprint
+            FROM documents
+        """,
+        # connected components over the deterministic chain graph:
+        # every doc in a (n_chars % 50) bucket with >=2 members is
+        # chained, so its component's min label is the bucket min
+        "dup_clusters_chain": """
+            WITH b AS (
+              SELECT doc_id, CAST(n_chars % 50 AS BIGINT) AS bucket
+              FROM documents
+            ), m AS (
+              SELECT bucket, count(*) AS c, min(doc_id) AS mn
+              FROM b GROUP BY bucket
+            )
+            SELECT b.doc_id AS node, m.mn AS cluster_id
+            FROM b JOIN m USING (bucket)
+            WHERE m.c >= 2
         """,
         # function-word language heuristic (functions/textstats.py:40-50):
         # first argmax in alphabetical lang order, >=2 hits else 'und'

@@ -11,9 +11,14 @@ from .tokenize import STOPWORDS
 
 _WS_SPLIT = re.compile(r"\s+")
 _WORD = re.compile(r"[a-zA-Z]+")
-# a BPE-ish pre-tokenizer: GPT-2-style contraction/word/number/punct pieces
+# a BPE-ish pre-tokenizer: GPT-2-style contraction/word/number/punct
+# pieces. Deliberately NO lookahead (GPT-2 uses `\s+(?!\S)` to peel the
+# last space off a run): the lookahead-free form yields the same TOKEN
+# COUNT except inside mixed-whitespace runs, and keeps the pattern
+# RE2-compatible so the DuckDB oracle computes the identical count by
+# construction.
 _BPE_ISH = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 )
 
 # tiny per-language function-word profiles (public common-word lists)

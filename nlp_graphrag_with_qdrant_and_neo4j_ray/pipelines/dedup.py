@@ -322,17 +322,20 @@ def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
     must be non-negative int64 (the documents-table shape; -1 is the
     internal row marker).
 
-    Standard iterative connected components: every node's label starts as
-    min(own id, neighbor ids) and each round takes the min over its
-    neighborhood, converging in O(component diameter) rounds — duplicate
-    clusters are near-cliques, so typically 1–3. Each round is one
-    co-partitioned label⋈edge exchange (the ``grouped_apply`` union-join
-    pattern; Ray's native hash join misbehaves on empty hash partitions
-    in 2.49, and this keeps all keyed exchanges on one code path) plus a
-    groupby-min. Convergence via a Sum aggregate: labels only ever
-    decrease, so an unchanged label sum means a fixpoint. Returns a
-    Dataset (node, cluster_id), cluster_id = the component's smallest
-    member id.
+    Iterative connected components with POINTER JUMPING: every node's
+    label starts as min(own id, neighbor ids); each round takes the min
+    over (a) its neighborhood's labels and (b) its label's label
+    (label-doubling — the Shiloach-Vishkin shortcut), so convergence is
+    O(log diameter) rounds, not O(diameter): duplicate clusters are
+    near-cliques (1–3 rounds), but long CHAINS (e.g. consecutive-doc
+    graphs) would otherwise need diameter rounds and silently hit
+    max_iters. Each round is two co-partitioned exchanges (the
+    ``grouped_apply`` union-join pattern; Ray's native hash join
+    misbehaves on empty hash partitions in 2.49, and this keeps all
+    keyed exchanges on one code path) plus a groupby-min. Convergence
+    via a Sum aggregate: labels only ever decrease, so an unchanged
+    label sum means a fixpoint. Returns a Dataset (node, cluster_id),
+    cluster_id = the component's smallest member id.
     """
     from ray.data.aggregate import Sum
 
@@ -397,6 +400,35 @@ def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
         )
         return out
 
+    def jump_rows(b: pa.Table) -> pa.Table:
+        """Pointer-jump exchange input: label rows (who=-1) keyed by
+        node carry the node's label; request rows (who=1) keyed by the
+        LABEL ask for that label's own label."""
+        n = pc.cast(b.column("node"), pa.int64()).combine_chunks()
+        c = pc.cast(b.column("cluster_id"), pa.int64()).combine_chunks()
+        ln = len(n)
+        return pa.table(
+            {
+                "key": pa.concat_arrays([n, c]),
+                "val": pa.concat_arrays([c, n]),
+                "who": pa.array([-1] * ln + [1] * ln, pa.int8()),
+            }
+        )
+
+    def jump_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        lab = pdf[pdf["who"] == -1]
+        req = pdf[pdf["who"] == 1]
+        lut = dict(zip(lab["key"], lab["val"]))
+        # label(label(node)): request key IS the node's current label,
+        # val is the node; a label with no own row keeps itself
+        return pd.DataFrame(
+            {
+                "node": req["val"].to_numpy(),
+                "cluster_id": req["key"].map(lut).fillna(req["key"])
+                .astype("int64").to_numpy(),
+            }
+        )
+
     for _ in range(max_iters):
         tagged_labels = labels.map_batches(
             lambda b: pa.table(
@@ -412,8 +444,13 @@ def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
             edges.union(tagged_labels), ["key"], propagate,
             num_partitions=num_partitions,
         )
+        shortcuts = grouped_apply(
+            labels.map_batches(jump_rows, batch_format="pyarrow"),
+            ["key"], jump_partition, num_partitions=num_partitions,
+        )
         labels = grouped_apply(
-            candidates, ["node"], min_label, num_partitions=num_partitions
+            candidates.union(shortcuts), ["node"], min_label,
+            num_partitions=num_partitions,
         ).materialize()
         cur = labels.aggregate(Sum("cluster_id"))["sum(cluster_id)"]
         if cur == prev:

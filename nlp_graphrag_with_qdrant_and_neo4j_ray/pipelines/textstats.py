@@ -66,6 +66,26 @@ def quality(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
 
 
+def md5_fingerprints(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, fingerprint:string) — md5 hex of the whitespace-normalized
+    text. The SQL-expressible content fingerprint (oracled in DuckDB as
+    md5 over the same normalization); the order-sensitive rolling
+    fingerprint stays in :func:`fingerprints`."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [
+            hashlib.md5(" ".join(t.split()).encode("utf-8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "fingerprint": pa.array(vals, pa.string())}
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
 def fingerprints(docs_ds, window: int = 8,
                  id_col: str = "doc_id", text_col: str = "text"):
     """(id, fingerprint:int64 bit-view) rolling-hash document fingerprint."""

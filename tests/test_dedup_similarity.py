@@ -347,3 +347,21 @@ def test_ivf_centroids_persist_and_invalidate(vectors_ds, tmp_path):
                               fingerprint="v2")       # stale → rebuild
     assert np.array_equal(c1, c3)
     assert os.stat(npy).st_mtime_ns != mtime
+
+
+def test_connected_components_long_chain_pointer_jumping(ray_session):
+    """A 300-node chain converges within O(log n) rounds (pointer
+    jumping) — plain min-label propagation would need ~300 rounds and
+    silently hit max_iters."""
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        connected_components,
+    )
+
+    pairs = [(i, i + 1) for i in range(1000, 1300)]
+    ds = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(ds, max_iters=12,
+                                         num_partitions=8).take_all()}
+    assert got == {n: 1000 for n in range(1000, 1301)}
