@@ -72,7 +72,7 @@ def run_bench() -> dict:
     replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "50"))
     # this host shows heavy run-to-run noise (same leg 26.5 s vs 49.4 s
     # back-to-back): take the best of N full rebuilds
-    trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
     blocks = 128  # same physical plan at every parallelism level
     n_pages = n_docs * replicate
     out_dir = E._kg_dir(sf_dir)

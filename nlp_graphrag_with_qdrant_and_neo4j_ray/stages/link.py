@@ -451,23 +451,27 @@ def edges(linked_ds, cfg: PipelineConfig, with_pred_embedding: bool = True):
     on three strings is the same bottleneck the term-node aggregate hit
     (stages/ngram.py — ~28 s at 8 CPUs); hashing the key triple to an
     int partition column turns the exchange into an int sort with the
-    string groupby done locally and vectorized."""
+    string groupby done locally, Arrow-native on both sides (VERDICT r2
+    finding 6; pandas-vs-arrow measurement in BASELINE.md)."""
     from .shuffle import grouped_apply
 
     partials = linked_ds.map_batches(
         partial_edges, batch_format="pyarrow", batch_size=65536
     )
 
-    def agg_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    def agg_partition(batch: pa.Table) -> pa.Table:
         return (
-            pdf.groupby(["src_entity_id", "dst_entity_id", "pred"], sort=True)
-            .agg(weight=("weight", "sum"), chunk_id=("chunk_id", "min"))
-            .reset_index()
+            batch.group_by(["src_entity_id", "dst_entity_id", "pred"])
+            .aggregate([("weight", "sum"), ("chunk_id", "min")])
+            .rename_columns(
+                ["src_entity_id", "dst_entity_id", "pred", "weight",
+                 "chunk_id"]
+            )
         )
 
     agg = grouped_apply(
         partials, ["src_entity_id", "dst_entity_id", "pred"], agg_partition,
-        num_partitions=256,
+        num_partitions=256, batch_format="pyarrow",
     )
     model, dim = cfg.embedding_model, cfg.vector_size
 
@@ -484,13 +488,17 @@ def edges(linked_ds, cfg: PipelineConfig, with_pred_embedding: bool = True):
         )
         return batch.append_column("pred_embedding", emb)
 
+    # sorted edge-list materialization (north_star) — sort is the final
+    # exchange before the sink so the written file ranges follow key
+    # order. The 768-dim pred_embedding attaches AFTER the sort (a
+    # per-block map preserves block order) so the all-to-all ships a few
+    # MB of strings+ints, not ~230 MB of vectors (3 kB/row × edge count).
+    out = agg.sort(["src_entity_id", "dst_entity_id", "pred"])
     if with_pred_embedding:
-        agg = agg.map_batches(add_pred_embedding, batch_format="pyarrow",
+        out = out.map_batches(add_pred_embedding, batch_format="pyarrow",
                               batch_size=65536)
         cols = ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight",
                 "pred_embedding"]
     else:
         cols = ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
-    # sorted edge-list materialization (north_star) — sort is the final
-    # exchange before the sink so the written file ranges follow key order
-    return agg.sort(["src_entity_id", "dst_entity_id", "pred"]).select_columns(cols)
+    return out.select_columns(cols)

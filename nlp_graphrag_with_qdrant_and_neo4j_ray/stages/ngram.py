@@ -79,21 +79,23 @@ def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 256):
     ``groupby([term, term_type]).aggregate``: a sort-based shuffle keyed on
     ~10M short STRINGS is the pipeline's most expensive exchange (~28 s at
     8 CPUs); hashing keys to an int partition column and doing the string
-    groupby locally per partition cuts the exchange to an int sort."""
-    import pandas as pd
-
+    groupby locally per partition cuts the exchange to an int sort. Both
+    sides of the exchange stay Arrow (zero-copy from the object store;
+    the local aggregate is ``pa.Table.group_by`` — measured against the
+    pandas round-trip in BASELINE.md, VERDICT r2 finding 6)."""
     from .shuffle import grouped_apply
 
     partials = terms_ds.map_batches(
         partial_distinct_terms, batch_format="pyarrow", batch_size=262144
     )
 
-    def agg_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+    def agg_partition(batch: pa.Table) -> pa.Table:
         return (
-            pdf.groupby(["term", "term_type"], sort=True)["chunk_count"]
-            .sum()
-            .reset_index()
+            batch.group_by(["term", "term_type"])
+            .aggregate([("chunk_count", "sum")])
+            .rename_columns(["term", "term_type", "chunk_count"])
         )
 
     return grouped_apply(partials, ["term", "term_type"], agg_partition,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

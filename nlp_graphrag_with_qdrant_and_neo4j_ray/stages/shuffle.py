@@ -66,10 +66,38 @@ def grouped_map(ds, keys: list[str], group_fn, num_partitions: int = 64,
 
 
 def grouped_apply(ds, keys: list[str], partition_fn, num_partitions: int = 64,
-                  batch_size: int = 65536):
-    """Like :func:`grouped_map` but hands the WHOLE partition DataFrame to
-    ``partition_fn`` (which does its own ``pdf.groupby(keys)``) — for
-    logic that vectorizes across groups (aggregations, windowing)."""
+                  batch_size: int = 65536, batch_format: str = "pandas"):
+    """Like :func:`grouped_map` but hands the WHOLE partition to
+    ``partition_fn`` (which does its own local groupby over ``keys``) —
+    for logic that vectorizes across groups (aggregations, windowing).
+
+    ``batch_format="pyarrow"`` keeps BOTH sides of the exchange
+    zero-copy Arrow: the partition column is computed from a pandas view
+    of the KEY columns only (same ``hash_pandas_object`` everywhere) and
+    appended to the Arrow batch, and ``partition_fn`` receives/returns a
+    ``pa.Table`` — no full-table Arrow→pandas→Arrow round-trip for
+    string-heavy tables (VERDICT r2 finding 6; measurement in
+    BASELINE.md)."""
+
+    if batch_format == "pyarrow":
+        def add_part_arrow(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    _PART, pa.array([], pa.int64())
+                )
+            part = _stable_part(batch.select(keys).to_pandas(), keys,
+                                num_partitions)
+            return batch.append_column(_PART, pa.array(part.to_numpy()))
+
+        def per_partition_arrow(batch: pa.Table) -> pa.Table:
+            return partition_fn(batch.drop_columns([_PART]))
+
+        return (
+            ds.map_batches(add_part_arrow, batch_format="pyarrow",
+                           batch_size=batch_size)
+            .groupby(_PART)
+            .map_groups(per_partition_arrow, batch_format="pyarrow")
+        )
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
