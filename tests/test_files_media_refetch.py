@@ -111,3 +111,135 @@ def test_edges_pred_embedding(ray_session, tmp_path):
         v = np.asarray(r["pred_embedding"], dtype=np.float32)
         want = emb.encode([r["pred"]], prefix="passage:")[0]
         assert np.allclose(v, want, atol=1e-6)
+
+
+def test_vendored_png_roundtrip_all_filters():
+    """encode→decode identity for grey/RGB/RGBA, plus decode of rows
+    written with every PNG scanline filter type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7), (6, 4, 3), (3, 3, 4)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        w, h, back = decode_png(encode_png(arr))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(back, arr.reshape(back.shape))
+
+    # hand-build a greyscale PNG using filters 1..4 (one per row)
+    rows = rng.randint(0, 256, size=(4, 8), dtype=np.uint8)
+    stride = 8
+
+    def flt(ftype, cur, prev):
+        out = np.zeros(stride, np.int64)
+        for i in range(stride):
+            a = int(cur[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i >= 1 else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+            out[i] = (int(cur[i]) - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    raw = b""
+    prev = np.zeros(stride, np.uint8)
+    for y, ftype in enumerate((1, 2, 3, 4)):
+        raw += bytes([ftype]) + flt(ftype, rows[y], prev).tobytes()
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", 8, 4, 8, 0, 0, 0, 0)
+    payload = (PNG_SIG + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    w, h, back = decode_png(payload)
+    assert (w, h) == (8, 4)
+    assert np.array_equal(back, rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_image_real_png_branch():
+    """The non-synthetic branch of DecodeImage runs hermetically on real
+    PNG payloads (VERDICT r2 task 10) and matches a numpy oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import encode_png
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images,
+    )
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, size=(12 + i, 9 + i, 3), dtype=np.uint8)
+            for i in range(6)]
+    rows = [
+        {"media_id": f"png-{i}", "kind": "image",
+         "payload": encode_png(img), "mime": "image/png",
+         "source_url": f"https://fixture.test/png-{i}"}
+        for i, img in enumerate(imgs)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    got = {r["media_id"]: r
+           for r in decode_images(ds, feature_dim=16,
+                                  concurrency=(1, 2)).take_all()}
+    assert len(got) == 6
+    for i, img in enumerate(imgs):
+        r = got[f"png-{i}"]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        hist, _ = np.histogram(img.astype(np.float32).reshape(-1),
+                               bins=16, range=(0, 255))
+        feat = hist.astype(np.float32)
+        feat = feat / (np.linalg.norm(feat) or 1.0)
+        assert np.allclose(np.asarray(r["feature"]), feat, atol=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_audio_real_wav_branch():
+    """The non-synthetic branch of DecodeAudio runs hermetically on real
+    PCM16 WAV payloads and matches the sampled-frames oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+        decode_wav,
+        encode_wav,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+    )
+
+    t = np.linspace(0, 1, 8000, dtype=np.float32)
+    wave_f = 0.5 * np.sin(2 * np.pi * 440 * t)
+    payload = encode_wav(16000, wave_f)
+    rate, back = decode_wav(payload)
+    assert rate == 16000 and len(back) == 8000
+    assert np.max(np.abs(back - wave_f)) < 1e-3  # PCM16 quantization
+
+    rows = [{"media_id": "wav-0", "kind": "audio", "payload": payload,
+             "mime": "audio/wav", "source_url": "https://fixture.test/w"}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = decode_audio(ds, num_frames=8, concurrency=(1, 1)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["sample_rate"] == 16000 and r["n_samples"] == 8000
+    idx = np.linspace(0, 7999, 8).astype(int)
+    assert np.allclose(np.asarray(r["frames"]), back[idx], atol=1e-6)
