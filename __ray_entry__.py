@@ -188,22 +188,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
-        import pandas as pd
-
         from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
             grouped_apply,
         )
 
-        def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pdf.groupby("doc_id", sort=True).sum().reset_index()
+        def agg(batch: pa.Table) -> pa.Table:
+            return (
+                batch.group_by("doc_id")
+                .aggregate([("n_chunks", "sum"), ("n_tokens", "sum"),
+                            ("n_triples", "sum")])
+                .rename_columns(["doc_id", "n_chunks", "n_tokens",
+                                 "n_triples"])
+            )
 
-        return grouped_apply(partials, ["doc_id"], agg,
-                             num_partitions=64).sort("doc_id")
+        return grouped_apply(partials, ["doc_id"], agg, num_partitions=64,
+                             batch_format="pyarrow").sort("doc_id")
 
     def kg_edges(sf_dir: str):
         return _kg_tables(sf_dir)["edges"].select_columns(
             ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
         )
+
+    def kg_edges_fanout(sf_dir: str):
+        """Reference-parity edge multiplicity (core/triplets.py:372-398
+        UNWIND×3): every canonical edge fanned out across its endpoints'
+        alias sets — the optional materialization for users who need the
+        reference's similar-node cross-product edges."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.link import (
+            edges_alias_fanout,
+        )
+
+        t = _kg_tables(sf_dir)
+        return edges_alias_fanout(t["edges"], t["entity_nodes"])
 
     # ---- query layer (O1-O5, J2-J5, A1-A2, M8) ----
 
@@ -876,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chunk_vectors": kg_chunk_vectors,
         "kg_entity_nodes": kg_entity_nodes,
         "kg_edges": kg_edges,
+        "kg_edges_fanout": kg_edges_fanout,
         "kg_doc_stats": kg_doc_stats,
         # query layer
         "kg_vector_topk": kg_vector_topk,

@@ -488,6 +488,14 @@ def edges(linked_ds, cfg: PipelineConfig, with_pred_embedding: bool = True):
         )
         return batch.append_column("pred_embedding", emb)
 
+    # Parity note (reference core/triplets.py:372-398): the reference
+    # UNWINDs every ≥0.96-similar entity per triplet endpoint, creating
+    # |sim(src)| × |sim(dst)| RELATES_TO edges; this engine stores ONE
+    # edge between CANONICAL entities (alias surface forms live on the
+    # node) — deliberate and order-independent. A reference user who
+    # needs the original edge multiplicity materializes it with
+    # :func:`edges_alias_fanout` below.
+    #
     # sorted edge-list materialization (north_star) — sort is the final
     # exchange before the sink so the written file ranges follow key
     # order. The 768-dim pred_embedding attaches AFTER the sort (a
@@ -502,3 +510,66 @@ def edges(linked_ds, cfg: PipelineConfig, with_pred_embedding: bool = True):
     else:
         cols = ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
     return out.select_columns(cols)
+
+
+def edges_alias_fanout(edges_ds, entity_nodes_ds):
+    """Reference-parity fan-out materialization (core/triplets.py:372-398,
+    the ``UNWIND×3`` cross-product): reconstruct the reference's edge
+    multiplicity from the canonical graph — each canonical edge fans out
+    to every (src_alias, dst_alias) pair, alias ids being the entity ids
+    the merged surface forms would have had unmerged.
+
+    The fan-out map covers only entities with >1 alias (the linker's
+    remapped-name set, small by construction and bounded by the
+    max_aliases guard), broadcast once via ``ray.put``; the edge list
+    streams past in one map. Returns (src_entity_id, dst_entity_id,
+    pred, chunk_id, weight) with reference multiplicity."""
+    import ray
+
+    from ..functions.link import canonical_key, entity_id_for
+
+    import pyarrow.compute as pc
+
+    multi = entity_nodes_ds.map_batches(
+        lambda b: b.filter(
+            pc.greater(pc.list_value_length(b.column("aliases")), 1)
+        ).select(["entity_id", "aliases"]),
+        batch_format="pyarrow",
+    )
+    amap = {
+        r["entity_id"]: sorted(
+            {entity_id_for(canonical_key(a)) for a in r["aliases"]}
+        )
+        for r in multi.take_all()  # merged entities only — tiny
+    }
+    ref = ray.put(amap)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        cols = {c: batch.column(c).to_pylist()
+                for c in ("src_entity_id", "dst_entity_id", "pred",
+                          "chunk_id", "weight")}
+        out: dict[str, list] = {c: [] for c in cols}
+        for s, d, p, c_, w in zip(cols["src_entity_id"],
+                                  cols["dst_entity_id"], cols["pred"],
+                                  cols["chunk_id"], cols["weight"]):
+            for sa in m.get(s, (s,)):
+                for da in m.get(d, (d,)):
+                    out["src_entity_id"].append(sa)
+                    out["dst_entity_id"].append(da)
+                    out["pred"].append(p)
+                    out["chunk_id"].append(c_)
+                    out["weight"].append(w)
+        return pa.table(
+            {
+                "src_entity_id": pa.array(out["src_entity_id"], pa.string()),
+                "dst_entity_id": pa.array(out["dst_entity_id"], pa.string()),
+                "pred": pa.array(out["pred"], pa.string()),
+                "chunk_id": pa.array(out["chunk_id"], pa.string()),
+                "weight": pa.array(out["weight"], pa.int64()),
+            }
+        )
+
+    return edges_ds.select_columns(
+        ["src_entity_id", "dst_entity_id", "pred", "chunk_id", "weight"]
+    ).map_batches(fanout, batch_format="pyarrow", batch_size=65536)

@@ -61,3 +61,39 @@ def test_edge_weights_exact(skew_kg):
         for r in tables["edges"].take_all()
     }
     assert got == naive
+
+
+def test_edges_alias_fanout_reference_multiplicity(ray_session):
+    """Optional reference-parity fan-out (core/triplets.py:372-398): a
+    canonical edge between entities with |aliases| 2 and 1 materializes
+    2x1 = 2 edges whose ids are the unmerged per-alias entity ids."""
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.link import (
+        canonical_key,
+        entity_id_for,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.link import (
+        edges_alias_fanout,
+    )
+
+    nodes = ray.data.from_arrow(pa.table({
+        "entity_id": ["e:acme corp", "e:bob"],
+        "aliases": pa.array([["acme corp", "acme corporation"], ["bob"]],
+                            pa.list_(pa.string())),
+    }))
+    edges = ray.data.from_arrow(pa.table({
+        "src_entity_id": ["e:acme corp"],
+        "dst_entity_id": ["e:bob"],
+        "pred": ["EMPLOYS"],
+        "chunk_id": ["c1"],
+        "weight": pa.array([3], pa.int64()),
+    }))
+    rows = edges_alias_fanout(edges, nodes).take_all()
+    assert len(rows) == 2
+    want_src = {entity_id_for(canonical_key("acme corp")),
+                entity_id_for(canonical_key("acme corporation"))}
+    assert {r["src_entity_id"] for r in rows} == want_src
+    assert all(r["dst_entity_id"] == "e:bob" and r["weight"] == 3
+               and r["pred"] == "EMPLOYS" for r in rows)
