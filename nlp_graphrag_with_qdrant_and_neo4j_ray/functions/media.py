@@ -143,3 +143,133 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         data = np.frombuffer(f.readframes(n), dtype="<i2")
     ch0 = data.reshape(-1, nch)[:, 0] if nch > 1 else data
     return rate, (ch0.astype(np.float32) / 32768.0)
+
+
+# --------------------------- minimal PDF ------------------------------------
+# Just enough of ISO 32000 to round-trip fixture documents hermetically:
+# the builder emits a valid single-font PDF with Flate-compressed content
+# streams; the extractor pulls show-text operators (Tj / ' / TJ) out of
+# every stream in document order. Real deployments use PyMuPDF (which
+# takes precedence in sources/files.py when importable).
+
+import re as _re
+
+_STREAM_RE = _re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream",
+                         _re.DOTALL)
+_TEXT_OP_RE = _re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')"   # (string) Tj   (string) '
+    rb"|\[((?:\\.|[^\]])*)\]\s*TJ"        # [ (s1) -120 (s2) ] TJ
+    rb"|(T\*)",                           # next-line operator
+    _re.DOTALL,
+)
+_TJ_STR_RE = _re.compile(rb"\(((?:\\.|[^\\()])*)\)", _re.DOTALL)
+_PDF_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i:i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt.isdigit():  # octal escape \ddd
+                j = i + 1
+                while j < min(i + 4, len(raw)) and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            out += _PDF_ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def extract_pdf_text(payload: bytes) -> str:
+    """Show-text extraction from a simple PDF: every stream object is
+    FlateDecoded when marked, and Tj / ' / TJ operands concatenate in
+    stream order, one newline per text block (ET)."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    pieces: list[str] = []
+    for mdict, body in _STREAM_RE.findall(payload):
+        if b"FlateDecode" in mdict:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        block: list[str] = []
+        for m in _TEXT_OP_RE.finditer(body):
+            if m.group(4) is not None:  # T* → line break
+                block.append("\n")
+            elif m.group(1) is not None:
+                if m.group(2) == b"'":  # ' shows on the NEXT line
+                    block.append("\n")
+                block.append(_pdf_unescape(m.group(1)))
+            else:
+                block.extend(_pdf_unescape(s)
+                             for s in _TJ_STR_RE.findall(m.group(3)))
+        if block:
+            pieces.append("".join(block))
+    if not pieces:
+        # a real-world PDF with compressed xref streams / CID fonts lands
+        # here — refuse rather than silently returning empty text
+        raise NotImplementedError(
+            "no extractable show-text operators; PDF too complex for the "
+            "vendored extractor (use PyMuPDF)"
+        )
+    return "\n".join(pieces) + "\n"
+
+
+def build_simple_pdf(pages: list[str]) -> bytes:
+    """A minimal valid PDF (one Helvetica font, Flate-compressed content
+    streams, xref table) for hermetic fixtures."""
+    objs: list[bytes] = []
+
+    def esc(s: str) -> bytes:
+        return (s.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)").encode("latin-1", "replace"))
+
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    font_num = 3 + 2 * n_pages
+    for i, text in enumerate(pages):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Contents {content_num} 0 R /Resources << /Font "
+             f"<< /F1 {font_num} 0 R >> >> >>").encode()
+        )
+        lines = text.split("\n")
+        ops = b"BT /F1 12 Tf 72 720 Td 14 TL\n"
+        for j, line in enumerate(lines):
+            ops += (b"(" + esc(line) + (b") Tj\n" if j == len(lines) - 1
+                                        else b") Tj T*\n"))
+        ops += b"ET"
+        stream = zlib.compress(ops)
+        objs.append(
+            (f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n"
+             ).encode() + stream + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)

@@ -7,9 +7,11 @@ concat, core/ingest.py:38-63). The engine's equivalent maps a directory
 of files into the canonical ``pages`` table with
 ``ray.data.read_binary_files`` so the rest of the pipeline is unchanged.
 
-PDF extraction is STUBBED behind an import-try (PyMuPDF is not in this
-container): a ``.pdf`` payload raises ``NotImplementedError`` unless
-``fitz`` is importable — the Ray-side plumbing (paths → pages rows) is
+PDF extraction prefers PyMuPDF when importable; without it (this
+container) the vendored minimal extractor (``functions/media.py``:
+FlateDecode streams + Tj/'/TJ/T* show-text operators) handles simple
+PDFs hermetically, and anything it cannot parse raises an honest
+``NotImplementedError`` — the Ray-side plumbing (paths → pages rows) is
 real either way.
 """
 
@@ -39,8 +41,16 @@ def _pdf_text(payload: bytes) -> str:
         doc = fitz.open(stream=payload, filetype="pdf")
         return "".join(page.get_text() for page in doc)
     except ImportError:
+        pass
+    try:
+        # vendored minimal extractor — the hermetic real-format branch
+        from ..functions.media import extract_pdf_text
+
+        return extract_pdf_text(payload)
+    except Exception as e:
         raise NotImplementedError(
-            "PDF extraction requires PyMuPDF (fitz), which is not installed"
+            "PDF extraction requires PyMuPDF (fitz) for anything beyond "
+            f"simple Flate/Tj PDFs; vendored extractor said: {e!r}"
         ) from None
 
 

@@ -243,3 +243,29 @@ def test_decode_audio_real_wav_branch():
     assert r["sample_rate"] == 16000 and r["n_samples"] == 8000
     idx = np.linspace(0, 7999, 8).astype(int)
     assert np.allclose(np.asarray(r["frames"]), back[idx], atol=1e-6)
+
+
+def test_vendored_pdf_roundtrip_and_ingest(ray_session, tmp_path):
+    """build_simple_pdf → extract_pdf_text round-trip (incl. escapes and
+    multi-page), and the .pdf ingestion branch runs hermetically through
+    read_files_as_pages without PyMuPDF."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+        build_simple_pdf,
+        extract_pdf_text,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.files import (
+        read_files_as_pages,
+    )
+
+    pages = ["Alice founded Acme.\nBob (CEO) leads Acme.",
+             "Second page \\ with escapes ()."]
+    payload = build_simple_pdf(pages)
+    assert extract_pdf_text(payload) == "\n".join(pages) + "\n"
+
+    (tmp_path / "report.pdf").write_bytes(payload)
+    rows = read_files_as_pages(str(tmp_path)).take_all()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "\n".join(pages) + "\n"
+
+    with pytest.raises(Exception):
+        extract_pdf_text(b"not a pdf")
