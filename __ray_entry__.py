@@ -882,6 +882,134 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events"), ["user_id"], windows, num_partitions=32
         )
 
+    def customers_without_urgent_orders(sf_dir: str):
+        """Distributed anti-join (NOT EXISTS): customers with no
+        1-URGENT order. Right side is pruned at the read to the key
+        column + pushed filter."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import anti_join
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name", "c_acctbal"]
+        )
+        urgent = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderpriority"],
+            filter=(pc.field("o_orderpriority") == "1-URGENT"),
+        )
+        return anti_join(cust, urgent, "c_custkey", "o_custkey",
+                         num_partitions=32)
+
+    def events_asof_purchase_view(sf_dir: str):
+        """As-of join: each purchase matched to the user's most recent
+        strictly-earlier view (ties on ts break toward the larger
+        event_id). Co-partitioned on user_id, per-partition sorted
+        merge_asof."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import asof_join
+
+        path = os.path.join(sf_dir, "events.parquet")
+        purchases = ray.data.read_parquet(
+            path, columns=["event_id", "user_id", "ts", "event_type"],
+            filter=(pc.field("event_type") == "purchase"),
+        ).select_columns(["event_id", "user_id", "ts"])
+        views = ray.data.read_parquet(
+            path, columns=["event_id", "user_id", "ts", "value",
+                           "event_type"],
+            filter=(pc.field("event_type") == "view"),
+        ).select_columns(["event_id", "user_id", "ts", "value"])
+        joined = asof_join(
+            purchases, views, by="user_id", right_by="user_id", on="ts",
+            right_cols=["event_id", "value"], tie_col="event_id",
+            num_partitions=32,
+        )
+
+        def project(batch: pa.Table) -> pa.Table:
+            gap = pc.subtract(
+                pc.cast(batch.column("ts"), pa.int64()),
+                pc.cast(batch.column("ts_r"), pa.int64()),
+            )
+            return pa.table(
+                {
+                    "purchase_id": batch.column("event_id"),
+                    "view_id": batch.column("event_id_r"),
+                    "view_value": batch.column("value"),
+                    "gap_us": gap,
+                }
+            )
+
+        return joined.map_batches(project, batch_format="pyarrow")
+
+    def top3_orders_per_customer(sf_dir: str):
+        """Windowed rank (ROW_NUMBER() <= 3 per customer by price desc):
+        per-batch combiner truncation, one exchange, partition-wise
+        vectorized top-k."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import window_topk
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderkey", "o_totalprice"]
+        )
+        return window_topk(orders, ["o_custkey"], "o_totalprice", 3,
+                           tie_col="o_orderkey", num_partitions=32)
+
+    def supplier_distinct_parts(sf_dir: str):
+        """COUNT(DISTINCT l_partkey) per supplier: per-batch arrow
+        distinct combiner, deduped pairs through one exchange."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import distinct_count
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_partkey"],
+        )
+        return distinct_count(li, ["l_suppkey"], "l_partkey", "n_parts",
+                              num_partitions=32)
+
+    def lineitem_qty_median(sf_dir: str):
+        """Exact grouped median (SQL median() semantics): values-only
+        exchange keyed by group."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import grouped_median
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity"],
+        )
+        return grouped_median(li, ["l_returnflag"], "l_quantity",
+                              "median_qty", num_partitions=8)
+
+    def order_price_histogram(sf_dir: str):
+        """Fixed-width histogram: vectorized binning + native count
+        aggregate (binning is the combiner's key)."""
+        import ray.data
+        from ray.data.aggregate import Count
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_totalprice"],
+        )
+
+        def binning(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "price_bin": pc.cast(
+                        pc.floor(pc.divide(batch.column("o_totalprice"),
+                                           50000.0)),
+                        pa.int64(),
+                    )
+                }
+            )
+
+        return (
+            ds.map_batches(binning, batch_format="pyarrow")
+            .groupby("price_bin")
+            .aggregate(Count(alias_name="n"))
+        )
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -939,6 +1067,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_join": supplier_nation_join,
         "events_by_type": events_by_type,
         "events_sessionized": events_sessionized,
+        # distributed relational operators (pipelines/relational.py)
+        "customers_without_urgent_orders": customers_without_urgent_orders,
+        "events_asof_purchase_view": events_asof_purchase_view,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "supplier_distinct_parts": supplier_distinct_parts,
+        "lineitem_qty_median": lineitem_qty_median,
+        "order_price_histogram": order_price_histogram,
     }
 
 
@@ -1208,5 +1343,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_start_h
             FROM events
             GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+        """,
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "events_asof_purchase_view": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT * FROM events WHERE event_type = 'view')
+            SELECT p.event_id AS purchase_id,
+                   v.event_id AS view_id,
+                   v.value AS view_value,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+            FROM p JOIN v
+              ON v.user_id = p.user_id AND v.ts < p.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY p.event_id
+              ORDER BY v.ts DESC, v.event_id DESC) = 1
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+        """,
+        "supplier_distinct_parts": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "lineitem_qty_median": """
+            SELECT l_returnflag,
+                   round(median(l_quantity), 6) AS median_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "order_price_histogram": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bin,
+                   count(*) AS n
+            FROM orders GROUP BY 1
         """,
     }

@@ -1,0 +1,267 @@
+"""Distributed relational operators Ray Data lacks natively.
+
+The engine brief calls out as-of joins, range joins, windowed aggregates
+and anti-joins as operators to express "as a composition of map_batches +
+groupby().map_groups + sort if semantics allow".  All operators here are
+exactly that composition, built on the engine's one shuffle primitive
+(:func:`stages.shuffle.grouped_apply`): hash-partition on the join/group
+key, then ONE vectorized pandas/pyarrow pass per partition.  Ray 2.49's
+native ``Dataset.join`` misbehaves on empty hash partitions (see
+``stages/pairjoin.py``), so two-input operators co-partition through a
+typed-null-padded union — the same union-join exchange ``pairjoin`` and
+``dedup.connected_components`` use.
+
+Partitioning assumptions (the 100-TB contract, documented per operator):
+
+- ``anti_join`` / ``asof_join``: both sides hash-exchange once on the
+  join key; per-key payload must fit a partition (keys here are
+  customer/user ids — bounded fan-in).  The right side ships ONLY the
+  columns the probe needs.
+- ``window_topk``: per-key top-k runs inside each partition after one
+  exchange; combiner-style pre-truncation per input batch caps what the
+  exchange ships (each batch contributes at most k rows per key it
+  contains).
+- ``distinct_count``: per-batch local distinct (arrow ``group_by``) is
+  the combiner; the exchange ships already-deduped (key, value) pairs.
+- ``grouped_median``: exact median needs a group's full value column in
+  one place — values (8 bytes/row) exchange once, keyed by group.  At
+  petabyte group sizes the approximate path is a t-digest/histogram
+  sketch; exact is the correct default at "many groups × bounded group"
+  shape, which is what web-corpus per-domain stats look like.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.shuffle import grouped_apply
+
+_SIDE = "__side"
+
+
+def _pad_to(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Reshape ``batch`` to ``schema``: missing columns become typed
+    nulls, present ones are cast — so both sides of a union exchange
+    share one schema."""
+    cols = []
+    for field in schema:
+        if field.name in batch.column_names:
+            cols.append(pc.cast(batch.column(field.name), field.type))
+        else:
+            cols.append(pa.nulls(batch.num_rows, field.type))
+    return pa.table(dict(zip(schema.names, cols)))
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """The dataset's schema as pyarrow — pandas-block datasets (e.g.
+    ``from_pandas``) report a PandasBlockSchema, which we map through
+    numpy dtypes (object → string)."""
+    s = ds.schema()
+    if s is None:
+        return None  # empty dataset: Ray reports no schema at all
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, dtype in zip(base.names, base.types):
+        try:
+            typ = pa.from_numpy_dtype(dtype)
+        except (pa.ArrowNotImplementedError, TypeError):
+            typ = pa.string()
+        fields.append(pa.field(name, typ))
+    return pa.schema(fields)
+
+
+def _copartition(left, right, key: str, right_key: str, right_cols: list[str],
+                 partition_fn, num_partitions: int):
+    """Union-join co-partition: rename the right side's key to the left's,
+    pad both sides to the combined schema, tag with ``__side``, exchange
+    once on the key, and hand each partition's (left_tbl, right_tbl) to
+    ``partition_fn`` (pyarrow in, pyarrow out)."""
+    left_schema = _arrow_schema(left)
+    right_schema = _arrow_schema(right)
+    if right_schema is None:
+        # empty right side: no right batch will ever flow, so types only
+        # seed the union schema — the key takes the left's key type
+        right_schema = pa.schema(
+            [
+                pa.field(n, left_schema.field(key).type if n == right_key
+                         else pa.string())
+                for n in right_cols
+            ]
+        )
+
+    fields = [pa.field(_SIDE, pa.int8())]
+    fields += [left_schema.field(n) for n in left_schema.names]
+    for n in right_cols:
+        f = right_schema.field(n)
+        out_name = key if n == right_key else n
+        if out_name not in left_schema.names:
+            fields.append(pa.field(out_name, f.type))
+    union_schema = pa.schema(fields)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        out = _pad_to(batch, union_schema)
+        return out.set_column(
+            0, _SIDE, pa.array(np.zeros(batch.num_rows, np.int8))
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.select(right_cols).rename_columns(
+            [key if n == right_key else n for n in right_cols]
+        )
+        out = _pad_to(batch, union_schema)
+        return out.set_column(
+            0, _SIDE, pa.array(np.ones(batch.num_rows, np.int8))
+        )
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        side = tbl.column(_SIDE)
+        lt = tbl.filter(pc.equal(side, 0)).select(left_schema.names)
+        rt = tbl.filter(pc.equal(side, 1)).select(
+            [key if n == right_key else n for n in right_cols]
+        )
+        return partition_fn(lt, rt)
+
+    return grouped_apply(unioned, [key], per_partition,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
+
+
+def anti_join(left, right, left_key: str, right_key: str,
+              num_partitions: int = 64):
+    """Rows of ``left`` whose ``left_key`` appears nowhere in
+    ``right[right_key]`` — a distributed NOT EXISTS.  One hash exchange;
+    the right side ships only its key column."""
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if rt.num_rows == 0:
+            return lt
+        mask = pc.invert(
+            pc.is_in(lt.column(left_key),
+                     value_set=rt.column(left_key).combine_chunks())
+        )
+        return lt.filter(mask)
+
+    return _copartition(left, right, left_key, right_key, [right_key],
+                        probe, num_partitions)
+
+
+def asof_join(left, right, by: str, right_by: str, on: str,
+              right_cols: list[str], tie_col: str,
+              suffix: str = "_r", num_partitions: int = 64):
+    """For every left row, the most recent right row of the same ``by``
+    key with ``right.on`` STRICTLY before ``left.on`` (inner semantics:
+    left rows with no prior right row are dropped).  Ties on ``on`` in
+    the right table break toward the largest ``tie_col`` — pinned by
+    sorting the right side by (on, tie_col) so ``merge_asof`` keeps the
+    last.  One hash exchange on ``by``; each partition runs one sorted
+    pandas ``merge_asof``."""
+    keep = [c for c in right_cols if c != right_by]
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lpdf = lt.to_pandas()
+        rpdf = rt.to_pandas()
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            out = lpdf.iloc[0:0].copy()
+            out[on + suffix] = pd.Series([], dtype=rpdf[on].dtype)
+            for c in keep:
+                suffixed = c + suffix if c in lpdf.columns else c
+                out[suffixed] = pd.Series([], dtype=rpdf[c].dtype)
+            return pa.Table.from_pandas(out, preserve_index=False)
+        rpdf = rpdf.rename(
+            columns={c: c + suffix for c in keep if c in lpdf.columns}
+        )
+        rkeep = [c + suffix if c in lpdf.columns else c for c in keep]
+        joined = pd.merge_asof(
+            lpdf.sort_values([on], kind="stable"),
+            rpdf.sort_values([on, (tie_col + suffix)
+                              if tie_col in lpdf.columns else tie_col],
+                             kind="stable")[[by, on] + rkeep].rename(
+                columns={on: on + suffix}),
+            left_on=on, right_on=on + suffix, by=by,
+            allow_exact_matches=False, direction="backward",
+        )
+        joined = joined[joined[rkeep[0]].notna()]
+        # restore integer dtypes merge_asof floated via NaN padding
+        for c in rkeep:
+            base = c[: -len(suffix)] if c.endswith(suffix) else c
+            ftype = rt.schema.field(base).type if base in rt.column_names \
+                else None
+            if ftype is not None and pa.types.is_integer(ftype):
+                joined[c] = joined[c].astype("int64")
+        return pa.Table.from_pandas(joined, preserve_index=False)
+
+    return _copartition(left, right, by, right_by, [right_by, on] + keep,
+                        probe, num_partitions)
+
+
+def window_topk(ds, keys: list[str], order_col: str, k: int,
+                tie_col: str, ascending: bool = False,
+                num_partitions: int = 64):
+    """Top-``k`` rows per distinct ``keys`` by ``order_col`` (ties break
+    toward ascending ``tie_col``) — ROW_NUMBER() <= k as data movement.
+    A per-batch combiner truncates each input batch to its own local
+    top-k per key before the exchange, so the shuffle ships at most
+    k rows per (batch, key)."""
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col, tie_col],
+                              ascending=[ascending, True], kind="stable")
+        return pdf.groupby(keys, sort=False, dropna=False).head(k)
+
+    combined = ds.map_batches(local_topk, batch_format="pandas")
+    return grouped_apply(combined, keys, local_topk,
+                         num_partitions=num_partitions)
+
+
+def distinct_count(ds, keys: list[str], value_col: str, out_col: str,
+                   num_partitions: int = 64):
+    """COUNT(DISTINCT value) per ``keys``.  Per-batch arrow ``group_by``
+    over (keys, value) is the combiner — the exchange ships only deduped
+    pairs — then each partition counts distinct values per key."""
+    cols = keys + [value_col]
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def count_partition(batch: pa.Table) -> pa.Table:
+        dedup = batch.group_by(cols).aggregate([])
+        counted = dedup.group_by(keys).aggregate(
+            [(value_col, "count_distinct")]
+        )
+        return counted.rename_columns(keys + [out_col])
+
+    combined = ds.map_batches(local_distinct, batch_format="pyarrow")
+    return grouped_apply(combined, keys, count_partition,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
+
+
+def grouped_median(ds, keys: list[str], value_col: str, out_col: str,
+                   ndigits: int = 6, num_partitions: int = 64):
+    """Exact per-group median (linear-interpolated on even counts, the
+    SQL ``median()`` convention).  Ships only (keys, value) through one
+    exchange; see the module docstring for the sketch-based path at
+    unbounded group sizes."""
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(keys, sort=True, dropna=False)[value_col]
+            .median()
+            .reset_index(name=out_col)
+        )
+        out[out_col] = np.round(out[out_col].to_numpy(), ndigits)
+        return out
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    return grouped_apply(slim, keys, med, num_partitions=num_partitions)
