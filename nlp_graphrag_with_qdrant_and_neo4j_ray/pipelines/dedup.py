@@ -382,74 +382,61 @@ def connected_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b",
     prev = labels.aggregate(Sum("cluster_id"))["sum(cluster_id)"]
 
     def propagate(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One co-partitioned round: label rows (marker dst == -1) carry
-        each key's current cluster; edge rows emit it to their dst."""
+        """One fused co-partitioned round (propagate + pointer jump in a
+        single exchange). Row kinds share the (key, dst, cluster_id)
+        schema:
+        - label rows (dst == -1): key = node, cluster_id = its label;
+        - edge rows (dst >= 0): key = src, dst = neighbor;
+        - jump-request rows (dst == -2): key = the node's LABEL,
+          cluster_id = the node — answered by the label row of the
+          label itself, giving label(label(node)) (Shiloach-Vishkin
+          label doubling) without a second exchange.
+        """
         lab = pdf[pdf["dst"] == -1]
         lut = dict(zip(lab["key"], lab["cluster_id"]))
-        edge = pdf[pdf["dst"] != -1]
+        edge = pdf[pdf["dst"] >= 0]
+        jump = pdf[pdf["dst"] == -2]
         out = pd.DataFrame(
             {
-                "node": pd.concat([lab["key"], edge["dst"]],
-                                  ignore_index=True),
+                "node": pd.concat(
+                    [lab["key"], edge["dst"], jump["cluster_id"]],
+                    ignore_index=True,
+                ),
                 "cluster_id": pd.concat(
                     [lab["cluster_id"],
-                     edge["key"].map(lut).fillna(edge["dst"]).astype("int64")],
+                     edge["key"].map(lut).fillna(edge["dst"]).astype("int64"),
+                     # a label with no own row keeps itself
+                     jump["key"].map(lut).fillna(jump["key"]).astype("int64")],
                     ignore_index=True,
                 ),
             }
         )
         return out
 
-    def jump_rows(b: pa.Table) -> pa.Table:
-        """Pointer-jump exchange input: label rows (who=-1) keyed by
-        node carry the node's label; request rows (who=1) keyed by the
-        LABEL ask for that label's own label."""
+    def label_and_jump_rows(b: pa.Table) -> pa.Table:
+        """Each label row becomes two exchange rows: its own label row
+        (keyed by node) and a jump request (keyed by the label)."""
         n = pc.cast(b.column("node"), pa.int64()).combine_chunks()
         c = pc.cast(b.column("cluster_id"), pa.int64()).combine_chunks()
         ln = len(n)
         return pa.table(
             {
                 "key": pa.concat_arrays([n, c]),
-                "val": pa.concat_arrays([c, n]),
-                "who": pa.array([-1] * ln + [1] * ln, pa.int8()),
-            }
-        )
-
-    def jump_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        lab = pdf[pdf["who"] == -1]
-        req = pdf[pdf["who"] == 1]
-        lut = dict(zip(lab["key"], lab["val"]))
-        # label(label(node)): request key IS the node's current label,
-        # val is the node; a label with no own row keeps itself
-        return pd.DataFrame(
-            {
-                "node": req["val"].to_numpy(),
-                "cluster_id": req["key"].map(lut).fillna(req["key"])
-                .astype("int64").to_numpy(),
+                "dst": pa.array([-1] * ln + [-2] * ln, pa.int64()),
+                "cluster_id": pa.concat_arrays([c, n]),
             }
         )
 
     for _ in range(max_iters):
-        tagged_labels = labels.map_batches(
-            lambda b: pa.table(
-                {
-                    "key": b.column("node"),
-                    "dst": pa.array([-1] * b.num_rows, pa.int64()),
-                    "cluster_id": pc.cast(b.column("cluster_id"), pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+        tagged = labels.map_batches(
+            label_and_jump_rows, batch_format="pyarrow"
         )
         candidates = grouped_apply(
-            edges.union(tagged_labels), ["key"], propagate,
+            edges.union(tagged), ["key"], propagate,
             num_partitions=num_partitions,
         )
-        shortcuts = grouped_apply(
-            labels.map_batches(jump_rows, batch_format="pyarrow"),
-            ["key"], jump_partition, num_partitions=num_partitions,
-        )
         labels = grouped_apply(
-            candidates.union(shortcuts), ["node"], min_label,
+            candidates, ["node"], min_label,
             num_partitions=num_partitions,
         ).materialize()
         cur = labels.aggregate(Sum("cluster_id"))["sum(cluster_id)"]
