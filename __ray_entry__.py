@@ -982,6 +982,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_median(li, ["l_returnflag"], "l_quantity",
                               "median_qty", num_partitions=8)
 
+    def orders_price_band_join(sf_dir: str):
+        """Broadcast range join: orders against a small OVERLAPPING
+        interval table ('all' contains every other band, so rows
+        multi-match), then a native aggregate per band."""
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            broadcast_range_join,
+        )
+
+        bands = pa.table(
+            {
+                "band": ["low", "mid", "high", "all"],
+                "lo": [0.0, 150000.0, 300000.0, 0.0],
+                "hi": [150000.0, 300000.0, 600000.0, 600000.0],
+            }
+        )
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_totalprice"],
+        )
+        joined = broadcast_range_join(ds, bands, "o_totalprice")
+        agg = joined.groupby("band").aggregate(
+            Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price")
+        )
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "band": b.column("band"),
+                    "n": b.column("n"),
+                    "sum_price": pc.round(b.column("sum_price"), ndigits=2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def order_price_histogram(sf_dir: str):
         """Fixed-width histogram: vectorized binning + native count
         aggregate (binning is the combiner's key)."""
@@ -1073,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_customer": top3_orders_per_customer,
         "supplier_distinct_parts": supplier_distinct_parts,
         "lineitem_qty_median": lineitem_qty_median,
+        "orders_price_band_join": orders_price_band_join,
         "order_price_histogram": order_price_histogram,
     }
 
@@ -1385,5 +1423,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bin,
                    count(*) AS n
             FROM orders GROUP BY 1
+        """,
+        "orders_price_band_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+              ('low', 0.0, 150000.0), ('mid', 150000.0, 300000.0),
+              ('high', 300000.0, 600000.0), ('all', 0.0, 600000.0))
+            SELECT band, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
         """,
     }

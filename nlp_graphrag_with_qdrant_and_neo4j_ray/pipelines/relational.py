@@ -245,6 +245,66 @@ def distinct_count(ds, keys: list[str], value_col: str, out_col: str,
                          batch_format="pyarrow")
 
 
+def broadcast_range_join(ds, intervals: pa.Table, value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         closed: str = "left"):
+    """Range (interval) join against a SMALL interval table: every input
+    row pairs with every interval containing ``value_col`` (intervals
+    may overlap — a row can match several).  The interval side is
+    broadcast via ``ray.put`` once and read inside every task — never
+    shuffled, never re-shipped per batch; work per batch is one
+    vectorized mask per interval (k masks × n rows, k small by
+    contract).  For a large interval side this becomes a co-partitioned
+    join on a coarse bucketing of the value domain — out of scope here
+    and documented as the scale path."""
+    import ray
+
+    if intervals.num_rows > 10_000:
+        raise ValueError(
+            "broadcast_range_join is for small interval tables "
+            f"(got {intervals.num_rows} rows); use a bucketed exchange"
+        )
+    ref = ray.put(intervals)
+    if closed == "left":
+        lo_ok, hi_ok = pc.greater_equal, pc.less
+    elif closed == "both":
+        lo_ok, hi_ok = pc.greater_equal, pc.less_equal
+    else:
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+
+    def probe(batch: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        outs = []
+        for i in range(iv.num_rows):
+            lo = iv.column(lo_col)[i].as_py()
+            hi = iv.column(hi_col)[i].as_py()
+            mask = pc.and_(
+                lo_ok(batch.column(value_col), lo),
+                hi_ok(batch.column(value_col), hi),
+            )
+            hit = batch.filter(mask)
+            if hit.num_rows == 0:
+                continue
+            for name in iv.column_names:
+                hit = hit.append_column(
+                    name,
+                    pa.nulls(hit.num_rows, iv.field(name).type).fill_null(
+                        iv.column(name)[i].as_py()
+                    ),
+                )
+            outs.append(hit)
+        if not outs:
+            empty = batch.slice(0, 0)
+            for name in iv.column_names:
+                empty = empty.append_column(
+                    name, pa.nulls(0, iv.field(name).type)
+                )
+            return empty
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def grouped_median(ds, keys: list[str], value_col: str, out_col: str,
                    ndigits: int = 6, num_partitions: int = 64):
     """Exact per-group median (linear-interpolated on even counts, the

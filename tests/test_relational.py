@@ -6,9 +6,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
+import pyarrow as pa
+
 from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
     anti_join,
     asof_join,
+    broadcast_range_join,
     distinct_count,
     grouped_median,
     window_topk,
@@ -104,6 +107,23 @@ def test_distinct_count_cross_batch(ray_session):
                          num_partitions=4).to_pandas()
     got = out.set_index("k")["n"].to_dict()
     assert got == {1: 10, 2: 1}
+
+
+def test_broadcast_range_join_overlapping_and_boundaries(ray_session):
+    df = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                       "x": [0.0, 9.9, 10.0, 15.0, 20.0, 25.0]})
+    iv = pa.table({"band": ["a", "b", "wide"],
+                   "lo": [0.0, 10.0, 0.0],
+                   "hi": [10.0, 20.0, 30.0]})
+    out = broadcast_range_join(_ds(ray_session, df, 3), iv, "x") \
+        .to_pandas()
+    got = sorted(zip(out["id"], out["band"]))
+    # [lo, hi): x=10 joins b not a; x=20 joins neither a nor b; every
+    # row also joins the overlapping 'wide' band
+    assert got == sorted(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")] +
+        [(i, "wide") for i in range(6)]
+    )
 
 
 def test_grouped_median_interpolates_even_counts(ray_session):
