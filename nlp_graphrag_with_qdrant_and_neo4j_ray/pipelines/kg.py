@@ -28,7 +28,7 @@ from ..stages.link import collect_alias_dict, edges, entity_nodes, link_triples
 from ..stages.ngram import make_ngram_fn, term_nodes
 from ..stages.tripletstage import ExtractTriples
 from ..schemas import CHUNKS, DOCUMENTS, TRIPLES
-from ..state.checkpoint import checkpointed
+from ..state.checkpoint import checkpointed, checkpointed_passthrough
 from ..state.lineage import LineageRecorder
 from ..state.quarantine import QuarantineRecorder, quarantined
 
@@ -80,6 +80,25 @@ def build_kg(
         stage_wall[name] = round(_time.perf_counter() - t0, 3)
         return ds
 
+    # interior stages (consumed downstream in the same run) hand their
+    # object-store blocks straight to consumers and publish the Parquet
+    # checkpoint on a background thread — the write/read-back round-trip
+    # leaves the critical path (VERDICT r2 task 2). finalizers are
+    # joined before build_kg returns; the returned tables are the
+    # disk-backed reads so no object-store pin outlives the build.
+    finalizers: dict = {}
+    handoff_on = os.environ.get("GRAFT_CHECKPOINT_HANDOFF", "1") != "0"
+
+    def checkpointed_handoff(name, compute):
+        if not handoff_on:
+            return checkpointed_timed(out_dir, name, compute, resume=resume)
+        t0 = _time.perf_counter()
+        ds, fin = checkpointed_passthrough(out_dir, name, compute,
+                                           resume=resume)
+        stage_wall[name] = round(_time.perf_counter() - t0, 3)
+        finalizers[name] = fin
+        return ds
+
     # slot A: the documents table and the chunks table both derive from
     # extract(pages); running them as parallel branches (chunks re-runs
     # the cheap extract instead of reading the documents checkpoint back)
@@ -98,8 +117,7 @@ def build_kg(
         )
 
     def _chunks_branch():
-        return checkpointed_timed(
-            out_dir,
+        return checkpointed_handoff(
             "chunks",
             lambda: pages_ds_factory()
             .map_batches(
@@ -114,7 +132,6 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),
-            resume,
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -135,8 +152,7 @@ def build_kg(
     def _terms_branch():
         from ..schemas import TERMS
 
-        return checkpointed_timed(
-            out_dir,
+        return checkpointed_handoff(
             "terms",
             lambda: chunks.map_batches(
                 quarantined(make_ngram_fn(cfg, rec("ngram")), "chunk_id",
@@ -144,7 +160,6 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),
-            resume,
         )
 
     # stage compute mode: heavy models (weights / GPU) → actor pool with
@@ -187,7 +202,7 @@ def build_kg(
                 batch_format="pyarrow",
                 batch_size=cfg.triplet_batch_size,
             )
-        return checkpointed_timed(out_dir, "triples", mk, resume=resume)
+        return checkpointed_handoff("triples", mk)
 
     if parallel_branches:
         with ThreadPoolExecutor(max_workers=3) as pool:
@@ -216,7 +231,7 @@ def build_kg(
     # tail: the term-node aggregate only needs the terms table, so it
     # runs concurrently with the whole linking chain
     def _link_chain():
-        linked_ds = checkpointed_timed(out_dir, "linked_triples", linked, resume)
+        linked_ds = checkpointed_handoff("linked_triples", linked)
         if parallel_branches:
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f_ents = pool.submit(
@@ -251,6 +266,15 @@ def build_kg(
     else:
         linked_ds, entity_nodes_ds, edges_ds = _link_chain()
         term_nodes_ds = _term_nodes_branch()
+
+    # join the background checkpoint publishes (re-raises any publish
+    # failure) and swap the in-memory handoff datasets for their
+    # disk-backed reads so no object-store pin outlives the build
+    published = {name: fin() for name, fin in finalizers.items()}
+    chunks = published.get("chunks", chunks)
+    terms = published.get("terms", terms)
+    triples = published.get("triples", triples)
+    linked_ds = published.get("linked_triples", linked_ds)
 
     manifest = {
         "engine": "nlp_graphrag_with_qdrant_and_neo4j_ray",
