@@ -882,6 +882,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events"), ["user_id"], windows, num_partitions=32
         )
 
+    def docs_hash_sample(sf_dir: str):
+        """Deterministic hash sampling (the scale-correct way to sample
+        a corpus: no shuffle, no RNG state, reproducible across runs and
+        partitionings) — keep doc_id where md5(doc_id) ends in '0'
+        (mod-16 == 0, 1/16 ≈ 6.25%)."""
+        import hashlib
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "n_chars"]
+        )
+
+        def sample(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            keep = [
+                hashlib.md5(str(i).encode()).hexdigest()[-1] == "0"
+                for i in ids
+            ]
+            return batch.filter(pa.array(keep))
+
+        return docs.map_batches(sample, batch_format="pyarrow")
+
+    def events_rolling_mean(sf_dir: str):
+        """Ordered sliding-window aggregate: per-user rolling mean of
+        the last 3 events by (ts, event_id). One hash exchange on
+        user_id; the window itself is a vectorized pandas rolling pass
+        per partition — the ordered-window complement of the tumbling
+        windows in events_sessionized."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import grouped_apply
+
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+
+        def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                                  kind="stable")
+            rm = (
+                pdf.groupby("user_id", sort=False)["value"]
+                .rolling(3, min_periods=1).mean()
+                .reset_index(level=0, drop=True)
+            )
+            return pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "rolling_mean_3": np.round(rm.to_numpy(), 6),
+                }
+            )
+
+        return grouped_apply(ev, ["user_id"], roll, num_partitions=32)
+
     def customers_without_urgent_orders(sf_dir: str):
         """Distributed anti-join (NOT EXISTS): customers with no
         1-URGENT order. Right side is pruned at the read to the key
@@ -1105,6 +1160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": events_by_type,
         "events_sessionized": events_sessionized,
         # distributed relational operators (pipelines/relational.py)
+        "docs_hash_sample": docs_hash_sample,
+        "events_rolling_mean": events_rolling_mean,
         "customers_without_urgent_orders": customers_without_urgent_orders,
         "events_asof_purchase_view": events_asof_purchase_view,
         "top3_orders_per_customer": top3_orders_per_customer,
@@ -1381,6 +1438,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_start_h
             FROM events
             GROUP BY user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE right(md5(CAST(doc_id AS VARCHAR)), 1) = '0'
+        """,
+        "events_rolling_mean": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_mean_3
+            FROM events
         """,
         "customers_without_urgent_orders": """
             SELECT c_custkey, c_name, c_acctbal

@@ -160,25 +160,33 @@ def run_scaling() -> dict:
     # 26.5s and 49.4s back to back); alternate trials and take the best
     # per level so the ratio reflects the pipeline, not neighbor noise
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-    levels = [2, 8, 32]
+    # GRAFT_SCALING_LEVELS="8,32" restricts to one N→4N pair (used for
+    # the large-corpus amortization run, where the 2-CPU leg would take
+    # ~15 min/trial); with two levels the headline pair is that pair
+    levels = [int(x) for x in os.environ.get(
+        "GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
     runs: dict[int, list[dict]] = {n: [] for n in levels}
     for _ in range(trials):
         for n in levels:
             runs[n].append(run(n))
     best = {n: min(rs, key=lambda r: r["value"]) for n, rs in runs.items()}
-    eff_2_8 = (best[2]["value"] / best[8]["value"]) / 4
-    eff_8_32 = (best[8]["value"] / best[32]["value"]) / 4
+    effs = {
+        f"eff_{a}_{b}": round((best[a]["value"] / best[b]["value"])
+                              / (b / a), 3)
+        for a, b in zip(levels, levels[1:])
+    }
+    head = list(effs)[0]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff_2_8, 3),
+        "value": effs[head],
         "unit": "ratio",
-        "pair": "2->8 cpus (N->4N)",
-        "eff_8_32": round(eff_8_32, 3),
+        "pair": f"{levels[0]}->{levels[1]} cpus (N->{levels[1]//levels[0]}N)",
+        **{k: v for k, v in effs.items() if k != head},
         "sec": {str(n): best[n]["value"] for n in levels},
         "sec_trials": {str(n): [r["value"] for r in runs[n]] for n in levels},
         "docs_per_sec": {str(n): best[n]["docs_per_sec"] for n in levels},
-        "docs": best[8]["docs"],
-        "sf": best[8]["sf"],
+        "docs": best[levels[0]]["docs"],
+        "sf": best[levels[0]]["sf"],
     }
 
 

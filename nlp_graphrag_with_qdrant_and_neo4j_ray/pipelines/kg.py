@@ -87,10 +87,18 @@ def build_kg(
     # joined before build_kg returns; the returned tables are the
     # disk-backed reads so no object-store pin outlives the build.
     finalizers: dict = {}
-    handoff_on = os.environ.get("GRAFT_CHECKPOINT_HANDOFF", "1") != "0"
+    # "0" = synchronous everywhere; "1" (default) = handoff for the
+    # bounded interior tables; "all" = also handoff the terms table.
+    # terms is the n-gram explosion (~15 rows per chunk, the largest
+    # table in the build): pinning it in the object store pushes the
+    # store into spill at large corpus sizes (measured at 1 M pages:
+    # 32-CPU wall 76 s streaming vs 122 s pinned), and its consumer
+    # (term_nodes) is off the critical path, so it streams by default.
+    handoff_mode = os.environ.get("GRAFT_CHECKPOINT_HANDOFF", "1")
 
     def checkpointed_handoff(name, compute):
-        if not handoff_on:
+        if handoff_mode == "0" or (name == "terms"
+                                   and handoff_mode != "all"):
             return checkpointed_timed(out_dir, name, compute, resume=resume)
         t0 = _time.perf_counter()
         ds, fin = checkpointed_passthrough(out_dir, name, compute,
