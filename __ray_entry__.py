@@ -886,7 +886,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
         partitionings) — keep doc_id where md5(doc_id) ends in '0'
-        (mod-16 == 0, 1/16 ≈ 6.25%)."""
+        (mod-16 == 0, 1/16 ≈ 6.25%). md5 is per-row Python here ONLY
+        because the oracle needs DuckDB's md5(); the production sampler
+        is the vectorized hash_pandas_object path the shuffle layer
+        uses."""
         import hashlib
 
         docs = _read(sf_dir, "documents").select_columns(
