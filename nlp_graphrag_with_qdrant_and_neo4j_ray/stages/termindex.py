@@ -45,10 +45,15 @@ import math
 import os
 import shutil
 
+import time as _time
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+_now = _time.perf_counter
 
 SUCCESS = "_SUCCESS"
 BM25_K1 = 1.2
@@ -208,42 +213,74 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
     for b in range(num_buckets):
         os.makedirs(os.path.join(tmp, f"bucket-{b}"), exist_ok=True)
 
-    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
-                                 "rows": pd.Series([], dtype="int64")})
-        buckets = (
-            pd.util.hash_pandas_object(df["term"], index=False) % num_buckets
-        ).astype("int64")
+    def write_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "rows": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        # per-batch tf combiner: terms arrive chunk-grouped, so the same
+        # (term, chunk) repeats within a batch — aggregating tf here
+        # shrinks what hits disk AND what compaction re-reads
+        agg = (
+            batch.select(["term", "term_type", "chunk_id"])
+            .group_by(["term", "term_type", "chunk_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "term_type", "chunk_id", "tf"])
+        )
+        tser = agg.column("term").to_pandas()
+        buckets = pa.array(
+            (pd.util.hash_pandas_object(tser, index=False)
+             % num_buckets).astype("int64")
+        )
+        agg = agg.append_column("bucket", buckets)
+        # ONE sort (bucket, term, chunk_id), then zero-copy slices at
+        # bucket boundaries — not a filter pass per bucket
+        agg = agg.sort_by([("bucket", "ascending"), ("term", "ascending"),
+                           ("chunk_id", "ascending")])
+        bvals = agg.column("bucket").to_numpy()
+        bounds = np.flatnonzero(np.diff(bvals)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(bvals)]])
         counts = []
-        for b, g in df.groupby(buckets.values, sort=True):
-            out = g.sort_values(["term", "chunk_id"])
+        for s, e in zip(starts, ends):
+            b = int(bvals[s])
+            out = agg.slice(int(s), int(e - s)).drop_columns(["bucket"])
             # content hash of the FULL batch-bucket slice: distinct
             # concurrent batches can never collide (ADVICE r2 — first/
             # last-row names collided when equal-count duplicate rows
             # split across batch boundaries); true task retries still
             # produce the same name, keeping os.replace idempotent
             h = pd.util.hash_pandas_object(
-                out[["term", "chunk_id"]], index=False
+                out.select(["term", "chunk_id"]).to_pandas(), index=False
             ).to_numpy()
             tag = hashlib.blake2b(
-                h.tobytes() + f"#{b}#{len(out)}".encode(), digest_size=10
+                h.tobytes() + f"#{b}#{out.num_rows}".encode(), digest_size=10
             ).hexdigest()
-            final = os.path.join(tmp, f"bucket-{int(b)}",
+            final = os.path.join(tmp, f"bucket-{b}",
                                  f"part-{tag}.parquet")
             tmp_file = f"{final}.tmp-{os.getpid()}"
             pq.write_table(
-                pa.Table.from_pandas(out, preserve_index=False),
-                tmp_file,
+                out, tmp_file,
                 row_group_size=32768,  # sorted → row-group min/max prune
             )
             os.replace(tmp_file, final)  # idempotent on task retry
-            counts.append({"bucket": int(b), "rows": len(out)})
-        return pd.DataFrame(counts)
+            counts.append({"bucket": b, "rows": out.num_rows})
+        if not counts:
+            return empty
+        return pa.Table.from_pylist(
+            counts, schema=pa.schema([("bucket", pa.int64()),
+                                      ("rows", pa.int64())])
+        )
 
+    t_write0 = _now()
+    # large batches bound the part-file count: each batch writes ≤1 file
+    # per bucket it touches, so files ≈ (rows / batch_size) × buckets —
+    # at 262k batches over 272 M rows that was 142k files; 2 M-row
+    # batches (~150 MB of slim posting rows) cut it ~8×; 4 M was measured slower (tail imbalance)
     terms_ds.map_batches(
-        write_batch, batch_format="pandas", batch_size=262144
+        write_batch, batch_format="pyarrow", batch_size=2_097_152
     ).materialize()
+    write_s = round(_now() - t_write0, 3)
 
     # compaction: aggregate each bucket's raw occurrence rows to postings
     # (term, term_type, chunk_id, tf) + exact df + BM25, one sorted file
@@ -263,15 +300,17 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
                 rows_out.append({"bucket": int(b), "rows": 0, "n_terms": 0})
                 continue
             raw = pa.concat_tables(
-                [pq.read_table(p, columns=["term", "term_type", "chunk_id"])
+                [pq.read_table(
+                    p, columns=["term", "term_type", "chunk_id", "tf"])
                  for p in parts]
             )
             # Arrow-native aggregation (the pandas version of this local
             # groupby was the index build's hot loop — 28 s → ~10 s):
-            # tf per posting, then df per term joined back
+            # tf partials (pre-combined per write batch) sum per posting,
+            # then df per term joined back
             agg = (
                 raw.group_by(["term", "term_type", "chunk_id"])
-                .aggregate([([], "count_all")])
+                .aggregate([("tf", "sum")])
                 .rename_columns(["term", "term_type", "chunk_id", "tf"])
             )
             dfs = (
@@ -303,11 +342,13 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
                               ("n_terms", pa.int64())]),
         )
 
+    t_compact0 = _now()
     manifest_rows = (
         ray.data.range(num_buckets)
         .map_batches(compact, batch_format="pyarrow", batch_size=1)
         .take_all()
     )  # one row per bucket — small by construction
+    compact_s = round(_now() - t_compact0, 3)
     pq.write_table(
         pa.Table.from_pylist(
             manifest_rows,
@@ -322,7 +363,8 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
         json.dump(
             {"version": INDEX_VERSION, "num_buckets": num_buckets,
              "total_chunks": n_chunks, "fingerprint": fingerprint,
-             "scoring": f"bm25(k1={BM25_K1},b=0)"},
+             "scoring": f"bm25(k1={BM25_K1},b=0)",
+             "build_wall_s": {"write": write_s, "compact": compact_s}},
             f,
         )
     return TermIndex(path, num_buckets, n_chunks)
