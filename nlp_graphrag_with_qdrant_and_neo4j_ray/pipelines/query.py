@@ -59,22 +59,28 @@ def embed_query(query: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> np.ndarray:
 
 def vector_topk(chunk_vectors_ds, query: str, k: int = 10,
                 cfg: PipelineConfig = DEFAULT_CONFIG):
-    """Exact cosine top-k: per-batch matmul against the query vector →
-    global sort desc → limit k. Returns a Dataset
-    (chunk_id, payload_text, score)."""
+    """Exact cosine top-k: per-batch matmul against the query vector,
+    per-batch top-k COMBINER (each batch forwards only its k best rows,
+    so payload strings never ride an all-to-all), then one tiny sort
+    over ≤ blocks × k survivors. Global top-k == top-k of per-batch
+    top-ks, exactly. Returns a Dataset (chunk_id, payload_text, score)."""
     qv = embed_query(query, cfg)
 
     def score(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch.column("embedding").combine_chunks().flatten()
                          ).reshape(batch.num_rows, cfg.vector_size)
         s = mat.astype(np.float32) @ qv  # unit-norm rows → dot = cosine
-        return pa.table(
+        scored = pa.table(
             {
                 "chunk_id": batch.column("chunk_id"),
                 "payload_text": batch.column("payload_text"),
                 "score": pa.array(s.astype(np.float64)),
             }
         )
+        if scored.num_rows <= k:
+            return scored
+        top = np.argpartition(-s, k - 1)[:k]
+        return scored.take(pa.array(np.sort(top)))
 
     return (
         chunk_vectors_ds.map_batches(score, batch_format="pyarrow", batch_size=4096)

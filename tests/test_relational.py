@@ -109,6 +109,44 @@ def test_distinct_count_cross_batch(ray_session):
     assert got == {1: 10, 2: 1}
 
 
+def test_asof_join_random_vs_quadratic_reference(ray_session):
+    """Seeded random streams, duplicate timestamps included: the
+    distributed as-of join must equal the O(n²) definition (latest
+    strictly-prior right row per (user, left row), ties → max id)."""
+    rng = np.random.RandomState(11)
+    n_l, n_r = 300, 400
+    base = pd.Timestamp("2024-01-01").value // 1000
+    left = pd.DataFrame({
+        "user": rng.randint(0, 8, n_l).astype(np.int64),
+        "ts": pd.to_datetime(
+            base + rng.randint(0, 50, n_l) * 60_000_000, unit="us"),
+        "event_id": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "user": rng.randint(0, 8, n_r).astype(np.int64),
+        "ts": pd.to_datetime(
+            base + rng.randint(0, 50, n_r) * 60_000_000, unit="us"),
+        "event_id": np.arange(1000, 1000 + n_r, dtype=np.int64),
+        "value": rng.rand(n_r).round(6),
+    })
+    out = asof_join(
+        _ds(ray_session, left, 4), _ds(ray_session, right, 5),
+        by="user", right_by="user", on="ts",
+        right_cols=["event_id", "value"], tie_col="event_id",
+        num_partitions=4,
+    ).to_pandas()
+    got = out.set_index("event_id")["event_id_r"].to_dict()
+
+    expected = {}
+    for _, lrow in left.iterrows():
+        prior = right[(right["user"] == lrow["user"])
+                      & (right["ts"] < lrow["ts"])]
+        if len(prior):
+            best = prior.sort_values(["ts", "event_id"]).iloc[-1]
+            expected[lrow["event_id"]] = best["event_id"]
+    assert got == expected
+
+
 def test_broadcast_range_join_overlapping_and_boundaries(ray_session):
     df = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
                        "x": [0.0, 9.9, 10.0, 15.0, 20.0, 25.0]})
