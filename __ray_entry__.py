@@ -462,9 +462,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qv = _query_vec(sf_dir)
         src = os.path.join(sf_dir, "embeddings.parquet")
         st = os.stat(src)
+        # the quantizer indexes embeddings.parquet, NOT the KG build —
+        # it lives in its own cache dir so KG rebuilds (which wipe
+        # _kg_dir) don't force a needless k-means retrain; staleness is
+        # covered by the source-table fingerprint in the marker
+        tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
         hits = sim.knn_ivf(
             emb, qv, dim=len(qv), k=10,
-            index_dir=_kg_dir(sf_dir),
+            index_dir=os.path.join(tempfile.gettempdir(), f"ivfcache-{tag}"),
             fingerprint=f"{st.st_mtime_ns}:{st.st_size}",
         ).take_all()
         return pa.table(
@@ -1105,6 +1110,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n"))
         )
 
+    def embedding_exact_near_dups(sf_dir: str):
+        """EXACT all-pairs cosine ≥ 0.35 over the embeddings table via
+        triangle blocking (pipelines/similarity.exact_cosine_pairs) —
+        the recall-1.0 baseline next to the LSH-bucketed
+        embedding_near_dups; every unordered pair scored exactly once,
+        bounded per-partition memory."""
+        emb = _read(sf_dir, "embeddings")
+        return sim.exact_cosine_pairs(emb, threshold=0.35, num_blocks=8)
+
+    def orders_price_p90_by_priority(sf_dir: str):
+        """Exact grouped 90th percentile (quantile_cont semantics):
+        values-only exchange keyed by group, linear interpolation."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_quantile,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_totalprice"],
+        )
+        return grouped_quantile(orders, ["o_orderpriority"], "o_totalprice",
+                                0.9, "p90_price", ndigits=4,
+                                num_partitions=8)
+
+    def orders_rollup(sf_dir: str):
+        """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): the raw
+        table aggregates once; coarser levels cascade over the previous
+        level's (tiny) result, never re-reading the input."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            rollup_sum,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        return rollup_sum(orders, ["o_orderpriority", "o_orderstatus"],
+                          "o_totalprice", count_col="n",
+                          sum_col="sum_price", num_partitions=16)
+
+    def urgent_high_value_custkeys(sf_dir: str):
+        """Distinct-set INTERSECT: customers with a 1-URGENT order AND
+        some order over 350k — deduped keys on both sides before the
+        one co-partitioned exchange."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            distinct_set_op,
+        )
+
+        path = os.path.join(sf_dir, "orders.parquet")
+        urgent = ray.data.read_parquet(
+            path, columns=["o_custkey", "o_orderpriority"],
+            filter=(pc.field("o_orderpriority") == "1-URGENT"),
+        ).select_columns(["o_custkey"])
+        high = ray.data.read_parquet(
+            path, columns=["o_custkey", "o_totalprice"],
+            filter=(pc.field("o_totalprice") > 350000.0),
+        ).select_columns(["o_custkey"])
+        return distinct_set_op(urgent, high, "o_custkey", "o_custkey",
+                               mode="intersect", num_partitions=16)
+
+    def custkeys_never_urgent(sf_dir: str):
+        """Distinct-set EXCEPT: customers who ordered but never at
+        1-URGENT priority (set semantics — contrast with the row-level
+        anti-join customers_without_urgent_orders)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            distinct_set_op,
+        )
+
+        path = os.path.join(sf_dir, "orders.parquet")
+        all_ck = ray.data.read_parquet(
+            path, columns=["o_custkey"])
+        urgent = ray.data.read_parquet(
+            path, columns=["o_custkey", "o_orderpriority"],
+            filter=(pc.field("o_orderpriority") == "1-URGENT"),
+        ).select_columns(["o_custkey"])
+        return distinct_set_op(all_ck, urgent, "o_custkey", "o_custkey",
+                               mode="except", num_partitions=16)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -1172,6 +1263,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_median": lineitem_qty_median,
         "orders_price_band_join": orders_price_band_join,
         "order_price_histogram": order_price_histogram,
+        "embedding_exact_near_dups": embedding_exact_near_dups,
+        "orders_price_p90_by_priority": orders_price_p90_by_priority,
+        "orders_rollup": orders_rollup,
+        "urgent_high_value_custkeys": urgent_high_value_custkeys,
+        "custkeys_never_urgent": custkeys_never_urgent,
     }
 
 
@@ -1506,5 +1602,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY band
+        """,
+        "embedding_exact_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "orders_price_p90_by_priority": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "orders_rollup": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "urgent_high_value_custkeys": """
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 350000.0
+        """,
+        "custkeys_never_urgent": """
+            SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         """,
     }

@@ -305,6 +305,154 @@ def broadcast_range_join(ds, intervals: pa.Table, value_col: str,
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def grouped_quantile(ds, keys: list[str], value_col: str, q: float,
+                     out_col: str, ndigits: int = 6,
+                     num_partitions: int = 64):
+    """Exact per-group quantile with linear interpolation (the SQL
+    ``quantile_cont`` convention; ``q=0.5`` reduces to
+    :func:`grouped_median`).  Same exchange shape as the median: only
+    (keys, value) ship, keyed by group; the sketch path (t-digest) is the
+    documented alternative at unbounded group sizes."""
+
+    def quant(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pdf.groupby(keys, sort=True, dropna=False)[value_col]
+            .quantile(q)
+            .reset_index(name=out_col)
+        )
+        out[out_col] = np.round(out[out_col].to_numpy(), ndigits)
+        return out
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    return grouped_apply(slim, keys, quant, num_partitions=num_partitions)
+
+
+def rollup_sum(ds, keys: list[str], value_col: str,
+               sentinel: str = "ALL", count_col: str = "n",
+               sum_col: str = "sum_value", ndigits: int = 2,
+               num_partitions: int = 64):
+    """GROUP BY ROLLUP(keys): count + sum at every prefix level of
+    ``keys`` (finest → … → grand total), rolled-up key columns filled
+    with ``sentinel``.
+
+    Scale shape: the RAW data is aggregated exactly once (one exchange,
+    per-batch combiner inside ``grouped_apply``'s partitions) into the
+    finest level; every coarser level re-aggregates the PREVIOUS level's
+    result — a cascade over already-tiny aggregate tables, never a
+    second pass over the input.  The grand total is a driver-side fold
+    of the coarsest table (scalar output)."""
+
+    def finest(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(keys).aggregate(
+            [([], "count_all"), (value_col, "sum")]
+        )
+        return agg.rename_columns(keys + [count_col, sum_col])
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    levels = [
+        grouped_apply(slim, keys, finest, num_partitions=num_partitions,
+                      batch_format="pyarrow")
+    ]
+    for depth in range(len(keys) - 1, -1, -1):
+        prev = levels[-1]
+        sub = keys[:depth]
+
+        def coarsen(tbl: pa.Table, _sub=tuple(sub)) -> pa.Table:
+            cols = list(_sub)
+            if cols:
+                agg = tbl.group_by(cols).aggregate(
+                    [(count_col, "sum"), (sum_col, "sum")]
+                )
+            else:
+                agg = tbl.group_by([]).aggregate(
+                    [(count_col, "sum"), (sum_col, "sum")]
+                )
+            return agg.rename_columns(cols + [count_col, sum_col])
+
+        if sub:
+            levels.append(
+                grouped_apply(prev, sub, coarsen, num_partitions=8,
+                              batch_format="pyarrow")
+            )
+        else:
+            # grand total: fold the coarsest level on the driver (scalar)
+            rows = prev.map_batches(coarsen, batch_format="pyarrow").take_all()
+            import ray.data
+
+            total = pa.table(
+                {
+                    count_col: pa.array(
+                        [sum(r[count_col] for r in rows)], pa.int64()
+                    ),
+                    sum_col: pa.array(
+                        [float(sum(r[sum_col] for r in rows))], pa.float64()
+                    ),
+                }
+            )
+            levels.append(ray.data.from_arrow(total))
+
+    def pad(level_keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = pc.cast(batch.column(k), pa.string())
+                else:
+                    cols[k] = pa.array([sentinel] * batch.num_rows,
+                                       pa.string())
+            cols[count_col] = pc.cast(batch.column(count_col), pa.int64())
+            cols[sum_col] = pc.round(
+                pc.cast(batch.column(sum_col), pa.float64()), ndigits=ndigits
+            )
+            return pa.table(cols)
+
+        return fn
+
+    out = levels[0].map_batches(pad(keys), batch_format="pyarrow")
+    for depth, lvl in zip(range(len(keys) - 1, -1, -1), levels[1:]):
+        out = out.union(
+            lvl.map_batches(pad(keys[:depth]), batch_format="pyarrow")
+        )
+    return out
+
+
+def distinct_set_op(left, right, left_key: str, right_key: str,
+                    mode: str = "intersect", num_partitions: int = 64):
+    """Distinct-set INTERSECT / EXCEPT on a key column (SQL bag-free set
+    semantics).  Per-batch arrow distinct is the combiner on both sides,
+    so the exchange ships deduped keys only; each partition then keeps
+    the left-distinct keys present (intersect) or absent (except) on the
+    right — the same union-join co-partition as ``anti_join``, but
+    set-valued on both sides."""
+    if mode not in ("intersect", "except"):
+        raise ValueError(f"mode must be intersect|except, got {mode!r}")
+
+    def local_distinct_l(batch: pa.Table) -> pa.Table:
+        return batch.select([left_key]).group_by([left_key]).aggregate([])
+
+    def local_distinct_r(batch: pa.Table) -> pa.Table:
+        return batch.select([right_key]).group_by([right_key]).aggregate([])
+
+    left_d = left.map_batches(local_distinct_l, batch_format="pyarrow")
+    right_d = right.map_batches(local_distinct_r, batch_format="pyarrow")
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ld = lt.group_by([left_key]).aggregate([])
+        present = pc.is_in(
+            ld.column(left_key),
+            value_set=rt.column(left_key).combine_chunks(),
+        )
+        mask = present if mode == "intersect" else pc.invert(present)
+        return ld.filter(mask)
+
+    return _copartition(left_d, right_d, left_key, right_key, [right_key],
+                        probe, num_partitions)
+
+
 def grouped_median(ds, keys: list[str], value_col: str, out_col: str,
                    ndigits: int = 6, num_partitions: int = 64):
     """Exact per-group median (linear-interpolated on even counts, the

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _as_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -246,6 +247,118 @@ def knn_ivf(embeddings_ds, query_vec, dim: int, k: int = 10, nlist: int = 64,
         in_probed_lists, batch_format="pyarrow", batch_size=8192
     )
     return knn_brute(candidates, q, k, id_col, emb_col)
+
+
+def exact_cosine_pairs(embeddings_ds, threshold: float,
+                       num_blocks: int = 8,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       ndigits: int = 6):
+    """EXACT all-pairs cosine ≥ ``threshold`` — the recall-1.0 baseline
+    next to :func:`cosine_near_dup_pairs` (whose LSH bucketing trades
+    recall for work). Returns Dataset (id_a, id_b, cosine) with
+    ``id_a < id_b``.
+
+    Distribution is triangle blocking (the standard block decomposition
+    of all-pairs similarity): rows hash into ``num_blocks`` blocks; each
+    unordered block pair (i ≤ j) is one partition of the exchange, and a
+    row in block b replicates to the ``num_blocks`` pairs containing b.
+    Per-partition memory is O(2·n/num_blocks) rows and every unordered
+    row pair is scored exactly once (block i × block j cross product, or
+    the in-block upper triangle when i == j), as one numpy matmul.
+
+    Scale contract: all-pairs is inherently O(n²) compute no matter how
+    it is partitioned — this operator exists as the exact
+    baseline/verifier; at corpus scale run it AFTER a candidate
+    generator (LSH buckets, dedup bands) has cut n, and size
+    ``num_blocks`` ~ sqrt(cluster parallelism) so the B(B+1)/2
+    partitions cover the cluster while replication stays ×B."""
+    B = int(num_blocks)
+    if B < 1:
+        raise ValueError(f"num_blocks must be >= 1, got {num_blocks}")
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        slim = batch.select([id_col, emb_col])
+        ids = slim.column(id_col).to_pandas()
+        blk = (pd.util.hash_pandas_object(ids, index=False) % B).to_numpy(
+        ).astype(np.int64)
+        outs = []
+        for other in range(B):
+            i = np.minimum(blk, other)
+            j = np.maximum(blk, other)
+            outs.append(
+                slim.append_column("__blk", pa.array(blk, pa.int64()))
+                .append_column("__pair", pa.array(i * B + j, pa.int64()))
+            )
+        return pa.concat_tables(outs)
+
+    def score_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        frames = []
+        # the exchange partitions by hash(__pair): one partition may hold
+        # several block pairs — resolve each locally
+        pair_ids = tbl.column("__pair").to_numpy()
+        for pid in np.unique(pair_ids):
+            grp = tbl.filter(pc.equal(tbl.column("__pair"), pid))
+            i, j = divmod(int(pid), B)
+            blks = grp.column("__blk").to_numpy()
+            if i == j:
+                sub = grp.sort_by(id_col)
+                ids = sub.column(id_col).to_numpy()
+                m = _normalize(_as_matrix(sub, emb_col).astype(np.float64))
+                sims = m @ m.T
+                ai, bi = np.triu_indices(len(ids), k=1)
+                vals = sims[ai, bi]
+                ida, idb = ids[ai], ids[bi]
+            else:
+                a = grp.filter(pa.array(blks == i)).sort_by(id_col)
+                b = grp.filter(pa.array(blks == j)).sort_by(id_col)
+                if a.num_rows == 0 or b.num_rows == 0:
+                    continue
+                ma = _normalize(_as_matrix(a, emb_col).astype(np.float64))
+                mb = _normalize(_as_matrix(b, emb_col).astype(np.float64))
+                sims = ma @ mb.T
+                ai, bi = np.nonzero(np.ones_like(sims, dtype=bool))
+                vals = sims[ai, bi]
+                ida = a.column(id_col).to_numpy()[ai]
+                idb = b.column(id_col).to_numpy()[bi]
+            keep = vals >= threshold
+            if not keep.any():
+                continue
+            ida, idb, vals = ida[keep], idb[keep], vals[keep]
+            lo = np.minimum(ida, idb)
+            hi = np.maximum(ida, idb)
+            frames.append(
+                pa.table(
+                    {
+                        "id_a": pa.array(lo, pa.int64()),
+                        "id_b": pa.array(hi, pa.int64()),
+                        "cosine": pa.array(np.round(vals, ndigits),
+                                           pa.float64()),
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        return pa.concat_tables(frames)
+
+    from ..stages.shuffle import grouped_apply
+
+    replicated = embeddings_ds.map_batches(
+        replicate, batch_format="pyarrow", batch_size=8192
+    )
+    return grouped_apply(
+        replicated, ["__pair"], score_partition,
+        num_partitions=max(32, B * (B + 1) // 2),
+        batch_format="pyarrow",
+    ).sort(["id_a", "id_b"])
 
 
 def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,

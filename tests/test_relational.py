@@ -173,3 +173,111 @@ def test_grouped_median_interpolates_even_counts(ray_session):
                          num_partitions=4).to_pandas()
     got = out.set_index("g")["m"].to_dict()
     assert got == pytest.approx({"a": 3.0, "b": 3.0})
+
+
+def test_grouped_quantile_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import grouped_quantile
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcd"), 200),
+        "x": np.round(rng.uniform(0, 100, 200), 3),
+    })
+    out = grouped_quantile(_ds(ray_session, df, 4), ["g"], "x", 0.9, "p90",
+                           num_partitions=4).to_pandas()
+    expected = df.groupby("g")["x"].quantile(0.9)
+    got = out.set_index("g")["p90"].to_dict()
+    assert got == pytest.approx({k: round(v, 6) for k, v in expected.items()})
+
+
+def test_rollup_sum_all_levels(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import rollup_sum
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q"], 50),
+        "b": rng.choice(["u", "v", "w"], 50),
+        "x": np.round(rng.uniform(0, 10, 50), 2),
+    })
+    out = rollup_sum(_ds(ray_session, df, 3), ["a", "b"], "x",
+                     count_col="n", sum_col="s", num_partitions=4).to_pandas()
+
+    finest = df.groupby(["a", "b"]).agg(n=("x", "size"), s=("x", "sum"))
+    lvl1 = df.groupby("a").agg(n=("x", "size"), s=("x", "sum"))
+    rows = {}
+    for (a, b), r in finest.iterrows():
+        rows[(a, b)] = (int(r["n"]), round(float(r["s"]), 2))
+    for a, r in lvl1.iterrows():
+        rows[(a, "ALL")] = (int(r["n"]), round(float(r["s"]), 2))
+    rows[("ALL", "ALL")] = (len(df), round(float(df["x"].sum()), 2))
+
+    got = {
+        (r["a"], r["b"]): (int(r["n"]), round(float(r["s"]), 2))
+        for _, r in out.iterrows()
+    }
+    assert got == rows
+
+
+def test_distinct_set_ops(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import distinct_set_op
+
+    left = pd.DataFrame({"k": np.array([1, 1, 2, 3, 4, 5, 5], dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([2, 2, 4, 6], dtype=np.int64)})
+    inter = distinct_set_op(_ds(ray_session, left, 3),
+                            _ds(ray_session, right, 2), "k", "rk",
+                            mode="intersect", num_partitions=4).to_pandas()
+    assert sorted(inter["k"]) == [2, 4]
+    exc = distinct_set_op(_ds(ray_session, left, 3),
+                          _ds(ray_session, right, 2), "k", "rk",
+                          mode="except", num_partitions=4).to_pandas()
+    assert sorted(exc["k"]) == [1, 3, 5]
+    with pytest.raises(ValueError):
+        distinct_set_op(_ds(ray_session, left), _ds(ray_session, right),
+                        "k", "rk", mode="union")
+
+
+def test_exact_cosine_pairs_vs_brute_and_blocking_independence(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        exact_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 120, 16
+    m = rng.standard_normal((n, dim))
+    # plant a few near-duplicate pairs
+    m[7] = m[3] + 0.01 * rng.standard_normal(dim)
+    m[50] = m[40] + 0.02 * rng.standard_normal(dim)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(n, 1)
+    thr = 0.6
+    expected = {
+        (int(a), int(b)): round(float(sims[a, b]), 6)
+        for a, b in zip(*iu)
+        if sims[a, b] >= thr
+    }
+    assert expected, "fixture must contain pairs above threshold"
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    results = {}
+    for blocks in (1, 3, 8):
+        out = exact_cosine_pairs(ds, threshold=thr, num_blocks=blocks
+                                 ).to_pandas()
+        got = {
+            (int(r["id_a"]), int(r["id_b"])): round(float(r["cosine"]), 6)
+            for _, r in out.iterrows()
+        }
+        # float32 storage: compare pair sets exactly, values loosely
+        assert set(got) == set(expected), f"blocks={blocks}"
+        for k in expected:
+            assert abs(got[k] - expected[k]) < 1e-5, (blocks, k)
+        results[blocks] = got
+    # blocking level must not change the answer at all
+    assert results[1] == results[3] == results[8]
