@@ -1196,6 +1196,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return distinct_set_op(all_ck, urgent, "o_custkey", "o_custkey",
                                mode="except", num_partitions=16)
 
+    def orders_status_pivot(sf_dir: str):
+        """Wide pivot (SUM(CASE WHEN) conditional aggregation): revenue
+        per priority × order-status, columns declared up front; per-batch
+        arrow partials are the combiner so the exchange ships one partial
+        sum per (batch, key, category)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import pivot_sum
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        return pivot_sum(orders, "o_orderpriority", "o_orderstatus",
+                         "o_totalprice", categories=["F", "O", "P"],
+                         out_cols=["status_f", "status_o", "status_p"],
+                         num_partitions=8)
+
+    def events_user_approx_distinct(sf_dir: str):
+        """HyperLogLog approximate distinct users per event type (p=12,
+        ~1.6% standard error): the sketch path next to the exact
+        supplier_distinct_parts — registers, never values, ride the
+        exchange. Deterministic under any partitioning (unit-tested
+        against the exact count)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_approx_distinct,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        return grouped_approx_distinct(ev, ["event_type"], "user_id",
+                                       "approx_users", num_partitions=8)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -1268,6 +1305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": orders_rollup,
         "urgent_high_value_custkeys": urgent_high_value_custkeys,
         "custkeys_never_urgent": custkeys_never_urgent,
+        "orders_status_pivot": orders_status_pivot,
+        "events_user_approx_distinct": events_user_approx_distinct,
     }
 
 
@@ -1636,5 +1675,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "orders_status_pivot": """
+            SELECT o_orderpriority,
+                   round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                                      THEN o_totalprice END), 0), 2) AS status_f,
+                   round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                                      THEN o_totalprice END), 0), 2) AS status_o,
+                   round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                                      THEN o_totalprice END), 0), 2) AS status_p
+            FROM orders GROUP BY o_orderpriority
         """,
     }

@@ -453,6 +453,158 @@ def distinct_set_op(left, right, left_key: str, right_key: str,
                         probe, num_partitions)
 
 
+def pivot_sum(ds, key: str, pivot_col: str, value_col: str,
+              categories: list[str], out_cols: list[str] | None = None,
+              ndigits: int = 2, num_partitions: int = 64):
+    """Wide pivot: one output row per ``key``, one column per category
+    holding ``sum(value_col) where pivot_col == category`` (SQL's
+    SUM(CASE WHEN …) conditional-aggregation shape).  ``categories`` is
+    the fixed output vocabulary — a pivot at scale must DECLARE its
+    columns; discovering them from data would need an extra pass and an
+    unbounded schema.  Per-batch arrow partial aggregation on
+    (key, pivot) is the combiner, so the exchange ships one partial sum
+    per (batch, key, category), never raw rows."""
+    out_cols = out_cols or categories
+    if len(out_cols) != len(categories):
+        raise ValueError("out_cols must match categories 1:1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select([key, pivot_col, value_col])
+            .group_by([key, pivot_col])
+            .aggregate([(value_col, "sum")])
+        )
+        return agg.rename_columns([key, pivot_col, "__psum"])
+
+    def widen(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        wide = pdf.pivot_table(index=key, columns=pivot_col,
+                               values="__psum", aggfunc="sum", fill_value=0.0)
+        wide = wide.reindex(columns=categories, fill_value=0.0)
+        out = pd.DataFrame({key: wide.index.to_numpy()})
+        for cat, name in zip(categories, out_cols):
+            out[name] = np.round(wide[cat].astype(float).to_numpy(), ndigits)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    combined = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(combined, [key], widen,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_registers(values: pd.Series, codes: np.ndarray, n_keys: int,
+                   p: int) -> np.ndarray:
+    """(n_keys, 2^p) uint8 register matrix for hashed ``values`` grouped
+    by ``codes`` — fully vectorized (one hash pass + np.maximum.at)."""
+    m = 1 << p
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy(
+    ).astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # rank = leading zeros of the remaining bits + 1; the OR above seeds
+    # a sentinel bit so rank is bounded by (64-p)+1 and rest is never 0.
+    # floor(log2) must be EXACT — full-width uint64→float64 rounds near
+    # 2^64 — so split into 32-bit halves (float64 represents uint32
+    # exactly, and log2 rounding cannot cross an integer boundary there)
+    hi32 = (rest >> np.uint64(32)).astype(np.float64)
+    lo32 = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        high = np.where(
+            hi32 > 0,
+            32 + np.floor(np.log2(np.maximum(hi32, 1.0))),
+            np.floor(np.log2(np.maximum(lo32, 1.0))),
+        ).astype(np.int64)
+    rank = (64 - high).astype(np.uint8)
+    regs = np.zeros((n_keys, m), dtype=np.uint8)
+    np.maximum.at(regs, (codes, idx), rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> np.ndarray:
+    """Distinct-count estimates for each row of a register matrix, with
+    the standard small-range linear-counting correction."""
+    m = regs.shape[1]
+    est = _hll_alpha(m) * m * m / np.sum(
+        np.power(2.0, -regs.astype(np.float64)), axis=1
+    )
+    zeros = np.sum(regs == 0, axis=1)
+    small = est <= 2.5 * m
+    with np.errstate(divide="ignore"):
+        linear = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+    use_linear = small & (zeros > 0)
+    est = np.where(use_linear, linear, est)
+    return est
+
+
+def grouped_approx_distinct(ds, keys: list[str], value_col: str,
+                            out_col: str, precision: int = 12,
+                            num_partitions: int = 64):
+    """Approximate COUNT(DISTINCT value) per group via HyperLogLog —
+    the sketch path next to the exact :func:`distinct_count`.  Standard
+    error ≈ 1.04/sqrt(2^precision) (~1.6% at p=12).  Deterministic: the
+    value hash is the engine-wide ``hash_pandas_object``, registers are
+    an order-independent max — the estimate is identical under any
+    partitioning or block order.
+
+    Scale shape: each input batch reduces to one 2^p-byte register row
+    per key it contains (the mergeable combiner); the exchange ships
+    registers, never values — per-key cost is O(2^p) bytes total,
+    versus the exact operator's O(distinct values).  This is the right
+    operator when per-key distinct cardinality is unbounded (e.g.
+    distinct visitors per domain over a web corpus)."""
+    p = int(precision)
+    if not 4 <= p <= 16:
+        raise ValueError(f"precision must be in [4,16], got {precision}")
+    m = 1 << p
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            out = pdf[keys].iloc[0:0].copy()
+            out["__regs"] = pd.Series([], dtype=object)
+            return out
+        grp = pdf.groupby(keys, sort=True, dropna=False)
+        codes = grp.ngroup().to_numpy()
+        regs = _hll_registers(pdf[value_col], codes, grp.ngroups, p)
+        heads = grp.head(1).sort_values(keys, kind="stable")
+        out = heads[keys].reset_index(drop=True)
+        out["__regs"] = [regs[i].tobytes() for i in range(grp.ngroups)]
+        return out
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf.groupby(keys, sort=True, dropna=False)
+        rows = []
+        for kv, g in grp:
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in g["__regs"]]
+            )
+            merged = stack.max(axis=0)
+            est = float(_hll_estimate(merged[None, :])[0])
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows.append((*kv, int(round(est))))
+        return pd.DataFrame(rows, columns=keys + [out_col])
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    combined = slim.map_batches(partial, batch_format="pandas")
+    return grouped_apply(combined, keys, merge,
+                         num_partitions=num_partitions)
+
+
 def grouped_median(ds, keys: list[str], value_col: str, out_col: str,
                    ndigits: int = 6, num_partitions: int = 64):
     """Exact per-group median (linear-interpolated on even counts, the

@@ -281,3 +281,59 @@ def test_exact_cosine_pairs_vs_brute_and_blocking_independence(ray_session):
         results[blocks] = got
     # blocking level must not change the answer at all
     assert results[1] == results[3] == results[8]
+
+
+def test_pivot_sum_matches_conditional_aggregation(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import pivot_sum
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 100),
+        "cat": rng.choice(["x", "y", "z"], 100),
+        "v": np.round(rng.uniform(0, 10, 100), 2),
+    })
+    out = pivot_sum(_ds(ray_session, df, 4), "k", "cat", "v",
+                    categories=["x", "y", "z"],
+                    out_cols=["sum_x", "sum_y", "sum_z"],
+                    num_partitions=4).to_pandas()
+    for _, r in out.iterrows():
+        for cat, col in zip("xyz", ["sum_x", "sum_y", "sum_z"]):
+            want = df[(df["k"] == r["k"]) & (df["cat"] == cat)]["v"].sum()
+            assert r[col] == pytest.approx(round(float(want), 2)), (r["k"], cat)
+    assert sorted(out["k"]) == ["a", "b", "c"]
+    # a category absent from the data still yields its (zero) column
+    out2 = pivot_sum(_ds(ray_session, df, 2), "k", "cat", "v",
+                     categories=["x", "missing"],
+                     num_partitions=2).to_pandas()
+    assert (out2["missing"] == 0.0).all()
+    with pytest.raises(ValueError):
+        pivot_sum(_ds(ray_session, df, 2), "k", "cat", "v",
+                  categories=["x"], out_cols=["a", "b"])
+
+
+def test_grouped_approx_distinct_accuracy_and_partition_independence(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_approx_distinct,
+    )
+
+    rng = np.random.RandomState(13)
+    # two groups with very different cardinalities + heavy repetition
+    n_small, n_big = 200, 5000
+    df = pd.DataFrame({
+        "g": ["s"] * 4000 + ["b"] * 20000,
+        "u": ([f"u{i}" for i in rng.randint(0, n_small, 4000)]
+              + [f"u{i}" for i in rng.randint(0, n_big, 20000)]),
+    })
+    exact = df.groupby("g")["u"].nunique().to_dict()
+    results = []
+    for blocks in (2, 7):
+        out = grouped_approx_distinct(
+            _ds(ray_session, df.sample(frac=1.0, random_state=blocks), blocks),
+            ["g"], "u", "approx", num_partitions=4,
+        ).to_pandas()
+        got = out.set_index("g")["approx"].to_dict()
+        for g, n in exact.items():
+            assert abs(got[g] - n) / n < 0.05, (blocks, g, got[g], n)
+        results.append(got)
+    # same estimate regardless of row order / block structure
+    assert results[0] == results[1]
