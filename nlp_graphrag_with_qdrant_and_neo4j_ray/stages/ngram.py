@@ -15,13 +15,141 @@ high-cardinality, roughly uniform keys, plain hash shuffle (SURVEY.md §7.4).
 from __future__ import annotations
 
 import time
+from itertools import chain
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import PipelineConfig
-from ..functions.chunk import extract_ngrams
+from ..functions.tokenize import STOPWORDS, word_tokenize
 from ..schemas import TERMS
 from ..state.lineage import LineageRecorder, first_fragment
+
+_TYPE_NAMES = pa.array(["unigram", "bigram", "trigram"], pa.string())
+
+
+def _positions_within(rows: np.ndarray, n_chunks: int) -> np.ndarray:
+    """0-based occurrence index within each contiguous ascending group."""
+    if len(rows) == 0:
+        return np.array([], dtype=np.int64)
+    counts = np.bincount(rows, minlength=n_chunks)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    return np.arange(len(rows), dtype=np.int64) - cum[rows]
+
+
+def ngram_table(chunk_ids: list[str], texts: list[str],
+                remove_stopwords: bool = True) -> pa.Table:
+    """Vectorized chunk→terms explode, byte-identical to the scalar
+    ``extract_ngrams`` loop (same row order: per chunk, unigrams then
+    bigrams then trigrams, each position-ascending).
+
+    The Python-semantics parts (``str.lower``, ``str.isalnum``, stopword
+    membership) run once per UNIQUE token in the batch (factorize), not
+    per occurrence; the n-gram joins are Arrow
+    ``binary_join_element_wise`` kernels; order restoration is one
+    ``np.lexsort`` over int keys."""
+    n = len(texts)
+    tok_lists = [word_tokenize(t) for t in texts]
+    lengths = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
+    total = int(lengths.sum())
+    empty = pa.table(
+        {
+            "chunk_id": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "term_type": pa.array([], pa.string()),
+            "position": pa.array([], pa.int32()),
+        },
+        schema=TERMS,
+    )
+    if total == 0:
+        return empty
+    import pandas as pd
+
+    flat = np.asarray(list(chain.from_iterable(tok_lists)), dtype=object)
+    codes, uniques = pd.factorize(flat)
+    # Python string semantics evaluated once per unique token — exact
+    # parity with the scalar path on every corner of unicode
+    lower_u = np.asarray([u.lower() for u in uniques], dtype=object)
+    alnum_u = np.fromiter((u.isalnum() for u in uniques), bool,
+                          count=len(uniques))
+    stop_u = np.fromiter((u in STOPWORDS for u in lower_u), bool,
+                         count=len(uniques))
+
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    keep = alnum_u[codes]
+    rows = rows_all[keep]
+    kept_codes = codes[keep]
+    toks = pc.take(pa.array(lower_u, pa.string()),
+                   pa.array(kept_codes, pa.int64()))
+
+    # unigrams (stopword-filtered when enabled)
+    if remove_stopwords:
+        uni_mask = ~stop_u[kept_codes]
+    else:
+        uni_mask = np.ones(len(kept_codes), dtype=bool)
+    uni_rows = rows[uni_mask]
+    uni_terms = toks.filter(pa.array(uni_mask))
+
+    # bigrams/trigrams from the UNFILTERED (alnum, lowered) token list
+    if len(rows) >= 2:
+        bi_valid = rows[:-1] == rows[1:]
+        bi_all = pc.binary_join_element_wise(
+            toks.slice(0, len(rows) - 1), toks.slice(1), " "
+        )
+        bi_terms = bi_all.filter(pa.array(bi_valid))
+        bi_rows = rows[:-1][bi_valid]
+    else:
+        bi_terms = pa.array([], pa.string())
+        bi_rows = np.array([], dtype=np.int64)
+    if len(rows) >= 3:
+        tri_valid = rows[:-2] == rows[2:]
+        tri_all = pc.binary_join_element_wise(
+            toks.slice(0, len(rows) - 2), toks.slice(1, len(rows) - 2),
+            toks.slice(2), " "
+        )
+        tri_terms = tri_all.filter(pa.array(tri_valid))
+        tri_rows = rows[:-2][tri_valid]
+    else:
+        tri_terms = pa.array([], pa.string())
+        tri_rows = np.array([], dtype=np.int64)
+
+    all_rows = np.concatenate([uni_rows, bi_rows, tri_rows])
+    if len(all_rows) == 0:
+        return empty
+    rank = np.concatenate([
+        np.zeros(len(uni_rows), np.int8),
+        np.ones(len(bi_rows), np.int8),
+        np.full(len(tri_rows), 2, np.int8),
+    ])
+    pos = np.concatenate([
+        _positions_within(uni_rows, n),
+        _positions_within(bi_rows, n),
+        _positions_within(tri_rows, n),
+    ])
+    terms = pa.concat_arrays([
+        uni_terms.combine_chunks() if isinstance(uni_terms, pa.ChunkedArray)
+        else uni_terms,
+        bi_terms.combine_chunks() if isinstance(bi_terms, pa.ChunkedArray)
+        else bi_terms,
+        tri_terms.combine_chunks() if isinstance(tri_terms, pa.ChunkedArray)
+        else tri_terms,
+    ])
+    # reference row order: per chunk — unigram block, bigram block,
+    # trigram block, positions ascending
+    order = np.lexsort((pos, rank, all_rows))
+    order_pa = pa.array(order, pa.int64())
+    return pa.table(
+        {
+            "chunk_id": pc.take(pa.array(chunk_ids, pa.string()),
+                                pa.array(all_rows[order], pa.int64())),
+            "term": pc.take(terms, order_pa),
+            "term_type": pc.take(_TYPE_NAMES,
+                                 pa.array(rank[order], pa.int8())),
+            "position": pa.array(pos[order].astype(np.int32), pa.int32()),
+        },
+        schema=TERMS,
+    )
 
 
 def make_ngram_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None):
@@ -30,24 +158,10 @@ def make_ngram_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None):
     def ngram(batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         frag = first_fragment(batch, "chunk_id")
-        cid, term, ttype, pos = [], [], [], []
-        for chunk_id_, text in zip(
-            batch.column("chunk_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            uni, bi, tri = extract_ngrams(text, remove_stopwords)
-            for type_name, grams in (("unigram", uni), ("bigram", bi), ("trigram", tri)):
-                cid.extend([chunk_id_] * len(grams))
-                term.extend(grams)
-                ttype.extend([type_name] * len(grams))
-                pos.extend(range(len(grams)))
-        out = pa.table(
-            {
-                "chunk_id": pa.array(cid, pa.string()),
-                "term": pa.array(term, pa.string()),
-                "term_type": pa.array(ttype, pa.string()),
-                "position": pa.array(pos, pa.int32()),
-            },
-            schema=TERMS,
+        out = ngram_table(
+            batch.column("chunk_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            remove_stopwords,
         )
         if lineage is not None:
             lineage.record(
