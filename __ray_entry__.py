@@ -1233,6 +1233,193 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_approx_distinct(ev, ["event_type"], "user_id",
                                        "approx_users", num_partitions=8)
 
+    def urgent_lineitem_qty_by_flag(sf_dir: str):
+        """Bloom-pruned EXACT semi-join (lineitem ⋉ urgent orders): the
+        urgent-order keys reduce to one broadcast bit mask that filters
+        lineitem BEFORE the exchange; the co-partitioned is_in probe
+        removes bloom false positives, then a native aggregate."""
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            bloom_semi_join,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag", "l_quantity"],
+        )
+        urgent = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey"],
+            filter=(pc.field("o_orderpriority") == "1-URGENT"),
+        )
+        hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                               num_partitions=32)
+        agg = hits.groupby("l_returnflag").aggregate(
+            Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+        )
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_returnflag": b.column("l_returnflag"),
+                    "n": b.column("n"),
+                    "sum_qty": pc.round(b.column("sum_qty"), ndigits=2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def region_nation_list(sf_dir: str):
+        """Per-group ORDERED string_agg: nations per region name, the
+        region dim broadcast into the map side, concat pinned by a full
+        per-group sort after one exchange."""
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_concat,
+        )
+
+        regions = {
+            r["r_regionkey"]: r["r_name"]
+            for r in _read(sf_dir, "region").take_all()
+        }
+        ref = ray.put(regions)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            rmap = ray.get(ref)
+            return pa.table(
+                {
+                    "r_name": pa.array(
+                        [rmap[k] for k in
+                         batch.column("n_regionkey").to_pylist()],
+                        pa.string(),
+                    ),
+                    "n_name": batch.column("n_name"),
+                }
+            )
+
+        nat = _read(sf_dir, "nation").map_batches(
+            attach, batch_format="pyarrow"
+        )
+        return grouped_concat(nat, ["r_name"], "n_name", "n_name",
+                              "nations")
+
+    def top_tokens_exact(sf_dir: str):
+        """Exact global heavy hitters: top-20 whitespace tokens over the
+        documents corpus. Per-batch arrow count combiner → one exchange
+        of (token, partial count) → per-partition top-k → driver merge
+        of num_partitions×k candidates."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            heavy_hitters,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+
+        def explode(batch: pa.Table) -> pa.Table:
+            toks = pc.list_flatten(
+                pc.split_pattern(batch.column("text"), " ")
+            )
+            return pa.table({"tok": toks.filter(pc.not_equal(toks, ""))})
+
+        return heavy_hitters(
+            docs.map_batches(explode, batch_format="pyarrow"),
+            "tok", 20, num_partitions=16,
+        )
+
+    def lineitem_qty_price_corr(sf_dir: str):
+        """Exact grouped Pearson correlation via the sufficient-statistics
+        combiner — (n, Σx, Σy, Σx², Σy², Σxy) per key per batch, merged
+        by addition after one exchange."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_corr,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        return grouped_corr(li, ["l_returnflag"], "l_quantity",
+                            "l_extendedprice", "r", num_partitions=8)
+
+    def q3_shipping_priority(sf_dir: str):
+        """TPC-H Q3 shape — three-table pipeline from the new building
+        blocks: BUILDING customers bloom-prune+semi-join the date-filtered
+        orders (big-big, one exchange); shipdate-filtered lineitem
+        pre-aggregates revenue per orderkey per batch and meets orders in
+        ONE fused co-partition aggregate⋈join exchange; global top-10 by
+        revenue rides a sort over one small row per qualifying order."""
+        import datetime
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            bloom_semi_join,
+            copartition_agg_join,
+        )
+
+        cut = datetime.datetime(1998, 6, 1)
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey"],
+            filter=(pc.field("c_mktsegment") == "BUILDING"),
+        )
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"],
+            filter=(pc.field("o_orderdate") < cut),
+        )
+        orders_b = bloom_semi_join(orders, cust, "o_custkey", "c_custkey",
+                                   num_partitions=32).drop_columns(
+                                       ["o_custkey"])
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=(pc.field("l_shipdate") > cut),
+        )
+
+        def revenue(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "rev": pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                }
+            )
+
+        joined = copartition_agg_join(
+            li.map_batches(revenue, batch_format="pyarrow"), orders_b,
+            "l_orderkey", "o_orderkey",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            "rev", "revenue", num_partitions=32,
+        )
+        top = joined.sort(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            descending=[True, False, False],
+        ).limit(10)
+        return top.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "revenue": pc.round(b.column("revenue"), ndigits=2),
+                    "o_orderdate": b.column("o_orderdate"),
+                    "o_orderpriority": b.column("o_orderpriority"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -1307,6 +1494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_never_urgent": custkeys_never_urgent,
         "orders_status_pivot": orders_status_pivot,
         "events_user_approx_distinct": events_user_approx_distinct,
+        "urgent_lineitem_qty_by_flag": urgent_lineitem_qty_by_flag,
+        "region_nation_list": region_nation_list,
+        "top_tokens_exact": top_tokens_exact,
+        "lineitem_qty_price_corr": lineitem_qty_price_corr,
+        "q3_shipping_priority": q3_shipping_priority,
     }
 
 
@@ -1685,5 +1877,48 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
                                       THEN o_totalprice END), 0), 2) AS status_p
             FROM orders GROUP BY o_orderpriority
+        """,
+        "urgent_lineitem_qty_by_flag": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "region_nation_list": """
+            SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_tokens_exact": """
+            SELECT t AS tok, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''
+            GROUP BY t
+            ORDER BY n DESC, t
+            LIMIT 20
+        """,
+        "lineitem_qty_price_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS r
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
         """,
     }

@@ -625,3 +625,240 @@ def grouped_median(ds, keys: list[str], value_col: str, out_col: str,
         lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
     )
     return grouped_apply(slim, keys, med, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (Bloom 1970) — broadcast-pruned big-big semi-join
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(series: pd.Series, nbits: int, nhashes: int):
+    """k bit positions per value via double hashing (Kirsch & Mitzenmacher
+    2006): two independent ``hash_pandas_object`` passes, ``h1 + i*h2``.
+    Deterministic across processes (fixed hash keys), fully vectorized."""
+    h1 = pd.util.hash_pandas_object(
+        series, index=False, hash_key="graftbloomhash0a"
+    ).to_numpy().astype(np.uint64)
+    h2 = pd.util.hash_pandas_object(
+        series, index=False, hash_key="graftbloomhash0b"
+    ).to_numpy().astype(np.uint64) | np.uint64(1)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(nbits)).astype(np.int64)
+        for i in range(nhashes)
+    ]
+
+
+def bloom_semi_join(left, right, left_key: str, right_key: str,
+                    nbits: int = 1 << 23, nhashes: int = 4,
+                    num_partitions: int = 64):
+    """EXACT semi-join (rows of ``left`` whose key exists in ``right``)
+    with a broadcast Bloom filter as the shuffle pruner.
+
+    Scale shape: the right side reduces to one ``nbits``-bit mask — each
+    right batch emits its own packed mask (one row, nbits/8 bytes) and
+    the driver ORs them (a tree-reduce at very large batch counts; the
+    masks, not the keys, are what crosses the wire).  The mask is
+    ``ray.put`` once and read in every probe task: left rows failing any
+    of the k bits are dropped BEFORE the exchange — at web scale this is
+    the difference between shuffling all of ``left`` and shuffling only
+    the ~matching fraction (false-positive rate (1-e^{-kn/m})^k, ~0.6%
+    at the defaults with 1M distinct right keys).  Survivors then pass
+    through the exact co-partitioned ``is_in`` probe, so the result has
+    no false positives."""
+    import ray
+
+    def build_mask(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbits, dtype=bool)
+        if batch.num_rows:
+            s = batch.column(right_key).to_pandas()
+            for pos in _bloom_positions(s, nbits, nhashes):
+                bits[pos] = True
+        return pa.table({"__mask": pa.array([np.packbits(bits).tobytes()],
+                                            pa.binary())})
+
+    parts = right.map_batches(build_mask, batch_format="pyarrow").take_all()
+    mask = np.bitwise_or.reduce(
+        np.stack([np.frombuffer(r["__mask"], dtype=np.uint8) for r in parts])
+    )
+    mask_ref = ray.put(mask)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        m = ray.get(mask_ref)
+        s = batch.column(left_key).to_pandas()
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for pos in _bloom_positions(s, nbits, nhashes):
+            # np.packbits is MSB-first within each byte
+            keep &= (m[pos >> 3] >> (7 - (pos & 7)).astype(np.int64)) & 1 > 0
+        return batch.filter(pa.array(keep))
+
+    pruned = left.map_batches(prefilter, batch_format="pyarrow")
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if rt.num_rows == 0:
+            return lt.slice(0, 0)
+        return lt.filter(
+            pc.is_in(lt.column(left_key),
+                     value_set=rt.column(left_key).combine_chunks())
+        )
+
+    return _copartition(pruned, right, left_key, right_key, [right_key],
+                        probe, num_partitions)
+
+
+def grouped_concat(ds, keys: list[str], value_col: str, order_col: str,
+                   out_col: str, sep: str = ","):
+    """Per-group ordered string concatenation — SQL
+    ``string_agg(value, sep ORDER BY order_col)``.  Ordering across the
+    whole group pins the result, so (keys, value, order) rows exchange
+    once and each partition sorts locally then joins; there is no
+    order-preserving pre-concat combiner by construction (concatenating
+    partial strings from different batches would interleave).  Per-key
+    output is a string proportional to the group's values — the same
+    "bounded group" contract as the exact median."""
+    cols = list(dict.fromkeys(keys + [value_col, order_col]))
+
+    def concat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + [order_col], kind="stable")
+        out = (
+            pdf.groupby(keys, sort=True, dropna=False)[value_col]
+            .agg(lambda s: sep.join(s.astype(str)))
+            .reset_index(name=out_col)
+        )
+        return out
+
+    slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    return grouped_apply(slim, keys, concat)
+
+
+def heavy_hitters(ds, value_col: str, k: int, count_col: str = "n",
+                  num_partitions: int = 64) -> pa.Table:
+    """EXACT global top-``k`` most frequent values (ties break toward the
+    smaller value).  Per-batch arrow ``group_by`` count is the combiner —
+    the exchange ships one (value, partial count) per batch per distinct
+    value — then each partition sums its values' counts and keeps its own
+    local top-k; the driver merges ``num_partitions × k`` candidate rows
+    (correct because a value's total count lives entirely in one
+    partition).  Returns a pyarrow Table (small by construction).  The
+    sketch path at unbounded vocabularies is Misra-Gries/Space-Saving;
+    exact is right whenever the combined per-partition distinct set fits
+    a worker, which holds for word-like vocabularies."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([value_col]).group_by([value_col]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns([value_col, count_col])
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        summed = tbl.group_by([value_col]).aggregate([(count_col, "sum")])
+        summed = summed.rename_columns([value_col, count_col])
+        order = pc.sort_indices(
+            summed,
+            sort_keys=[(count_col, "descending"), (value_col, "ascending")],
+        )
+        return summed.take(order.slice(0, k))
+
+    combined = ds.map_batches(partial, batch_format="pyarrow")
+    candidates = grouped_apply(combined, [value_col], local_topk,
+                               num_partitions=num_partitions,
+                               batch_format="pyarrow").take_all()
+    tbl = pa.Table.from_pylist(candidates) if candidates else pa.table(
+        {value_col: pa.array([], pa.string()),
+         count_col: pa.array([], pa.int64())}
+    )
+    order = pc.sort_indices(
+        tbl, sort_keys=[(count_col, "descending"), (value_col, "ascending")]
+    )
+    top = tbl.take(order.slice(0, k)).select([value_col, count_col])
+    return top.set_column(
+        1, count_col, pc.cast(top.column(count_col), pa.int64())
+    )
+
+
+def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
+                 out_col: str, ndigits: int = 6,
+                 num_partitions: int = 64):
+    """Exact per-group Pearson correlation via the sufficient-statistics
+    combiner: each batch reduces to (n, Σx, Σy, Σx², Σy², Σxy) per key,
+    partials merge by addition after one exchange — the textbook
+    algebraic-aggregate shape, O(groups) shuffle bytes regardless of
+    input size.  Matches SQL ``corr()`` to float64 precision (both are
+    the same closed form; results rounded to ``ndigits``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.float64())
+        y = pc.cast(batch.column(y_col), pa.float64())
+        t = pa.table({
+            **{kc: batch.column(kc) for kc in keys},
+            "__x": x, "__y": y,
+            "__xx": pc.multiply(x, x), "__yy": pc.multiply(y, y),
+            "__xy": pc.multiply(x, y),
+        })
+        agg = t.group_by(keys).aggregate(
+            [([], "count_all")] + [(c, "sum")
+                                   for c in ("__x", "__y", "__xx", "__yy",
+                                             "__xy")]
+        )
+        return agg.rename_columns(keys + ["__n", "__x", "__y", "__xx",
+                                          "__yy", "__xy"])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        g = pdf.groupby(keys, sort=True, dropna=False).sum().reset_index()
+        n = g["__n"].to_numpy(dtype=np.float64)
+        sx, sy = g["__x"].to_numpy(), g["__y"].to_numpy()
+        sxx, syy, sxy = (g["__xx"].to_numpy(), g["__yy"].to_numpy(),
+                         g["__xy"].to_numpy())
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        denom = np.sqrt(varx * vary)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(denom > 0, cov / denom, np.nan)
+        out = g[keys].copy()
+        out[out_col] = np.round(r, ndigits)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [x_col, y_col]), batch_format="pyarrow"
+    )
+    combined = slim.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(combined, keys, finish,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
+
+
+def copartition_agg_join(fact, dim, key: str, dim_key: str,
+                         dim_cols: list[str], value_col: str,
+                         sum_col: str, num_partitions: int = 64):
+    """Fused big-big aggregate⋈join on one key: the fact side is
+    pre-aggregated per batch (combiner), both sides co-partition in ONE
+    union exchange, and each partition sums fact partials per key and
+    inner-joins the dim rows that landed in the same partition — the
+    multi-way-join building block (TPC-H Q3 shape: lineitem revenue per
+    orderkey ⋈ orders).  One exchange total; only (key, partial sum)
+    and the dim's needed columns ship."""
+    keep = [c for c in dim_cols if c != dim_key]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key, value_col]).group_by([key]).aggregate(
+            [(value_col, "sum")]
+        )
+        return agg.rename_columns([key, sum_col])
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            empty = lt.slice(0, 0)
+            for c in keep:
+                empty = empty.append_column(
+                    c, pa.nulls(0, rt.schema.field(c).type)
+                )
+            return empty
+        summed = lt.group_by([key]).aggregate([(sum_col, "sum")])
+        summed = summed.rename_columns([key, sum_col])
+        return summed.join(rt, keys=[key], join_type="inner")
+
+    combined = fact.map_batches(partial, batch_format="pyarrow")
+    return _copartition(combined, dim, key, dim_key, [dim_key] + keep,
+                        probe, num_partitions)

@@ -337,3 +337,114 @@ def test_grouped_approx_distinct_accuracy_and_partition_independence(ray_session
         results.append(got)
     # same estimate regardless of row order / block structure
     assert results[0] == results[1]
+
+
+def test_bloom_semi_join_exact_and_no_false_positives(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5000, 4000).astype(np.int64),
+        "v": rng.normal(size=4000),
+    })
+    right = pd.DataFrame({"rk": rng.integers(0, 500, 300).astype(np.int64)})
+    out = bloom_semi_join(_ds(ray_session, left, 4),
+                          _ds(ray_session, right, 2), "k", "rk",
+                          num_partitions=8).to_pandas()
+    expected = left[left["k"].isin(right["rk"])]
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(expected))
+    # a tiny, saturating mask still gives EXACT results (the co-partition
+    # probe removes every bloom false positive)
+    out_tiny = bloom_semi_join(_ds(ray_session, left, 4),
+                               _ds(ray_session, right, 2), "k", "rk",
+                               nbits=64, nhashes=2,
+                               num_partitions=8).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(out_tiny), _sorted(expected))
+
+
+def test_bloom_semi_join_string_keys_empty_result(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    left = pd.DataFrame({"k": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"rk": ["x", "y"]})
+    out = bloom_semi_join(_ds(ray_session, left, 2),
+                          _ds(ray_session, right, 1), "k", "rk",
+                          num_partitions=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_grouped_concat_ordered(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_concat,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a", "b", "a", "a", "b"],
+        "val": ["z", "m", "x", "y", "n"],
+        "ord": np.int64([3, 2, 1, 2, 1]),
+    })
+    out = grouped_concat(_ds(ray_session, df, 3), ["g"], "val", "ord",
+                         "joined").to_pandas()
+    got = dict(zip(out["g"], out["joined"]))
+    assert got == {"a": "x,y,z", "b": "n,m"}
+
+
+def test_heavy_hitters_exact_counts_and_ties(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        heavy_hitters,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: value i appears (40 - i) times; ties at equal counts
+    vals = [f"w{i:02d}" for i in range(40) for _ in range(40 - i)]
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"tok": vals})).repartition(5)
+    top = heavy_hitters(ds, "tok", 7, num_partitions=6)
+    assert top.column("tok").to_pylist() == [f"w{i:02d}" for i in range(7)]
+    assert top.column("n").to_pylist() == [40 - i for i in range(7)]
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_corr,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    g = rng.choice(["p", "q", "r"], n)
+    x = rng.normal(size=n) * 100
+    y = 3 * x + rng.normal(size=n) * 50
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    out = grouped_corr(_ds(ray_session, df, 4), ["g"], "x", "y", "r",
+                       num_partitions=4).to_pandas()
+    got = dict(zip(out["g"], out["r"]))
+    for key, grp in df.groupby("g"):
+        want = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        assert abs(got[key] - round(want, 6)) <= 1e-6
+
+
+def test_copartition_agg_join_q3_shape(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        copartition_agg_join,
+    )
+
+    fact = pd.DataFrame({
+        "ok": np.int64([1, 1, 2, 3, 3, 3, 9]),
+        "rev": [10.0, 5.0, 7.0, 1.0, 2.0, 3.0, 99.0],
+    })
+    dim = pd.DataFrame({
+        "o_ok": np.int64([1, 2, 3, 4]),
+        "prio": ["a", "b", "c", "d"],
+    })
+    out = copartition_agg_join(
+        _ds(ray_session, fact, 3), _ds(ray_session, dim, 2),
+        "ok", "o_ok", ["o_ok", "prio"], "rev", "revenue",
+        num_partitions=4,
+    ).to_pandas()
+    got = {r.ok: (r.revenue, r.prio) for r in out.itertuples()}
+    assert got == {1: (15.0, "a"), 2: (7.0, "b"), 3: (6.0, "c")}
