@@ -1420,6 +1420,146 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def events_user_cumsum(sf_dir: str):
+        """Per-user running total (SUM OVER ... ROWS UNBOUNDED
+        PRECEDING): one exchange keyed by user, per-partition sort +
+        vectorized cumsum."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            windowed_cumsum,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        out = windowed_cumsum(ev, ["user_id"], "ts", "value", "cum_value",
+                              tie_col="event_id", num_partitions=16)
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    "user_id": b.column("user_id"),
+                    "cum_value": b.column("cum_value"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q5_nation_volume(sf_dir: str):
+        """TPC-H Q5 shape — six tables: region/nation/supplier/customer
+        are broadcast maps built from column-pruned reads (each ≤ the
+        supplier table, orders of magnitude under the fact tables; the
+        co-partitioned path takes over when a dim outgrows a broadcast,
+        as q3 demonstrates for customer); lineitem and orders are pruned
+        to ASIA rows BEFORE the single big-big co-partition exchange on
+        orderkey, where the partition probe joins, applies the
+        c_nationkey = s_nationkey condition, and pre-aggregates revenue
+        per nation — the final groupby sums a handful of partials."""
+        import datetime
+
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            _copartition,
+        )
+
+        lo = datetime.datetime(1996, 1, 1)
+        hi = datetime.datetime(1999, 1, 1)
+        nations = _read(sf_dir, "nation").take_all()
+        regions = {r["r_regionkey"]: r["r_name"]
+                   for r in _read(sf_dir, "region").take_all()}
+        asia = {n["n_nationkey"] for n in nations
+                if regions[n["n_regionkey"]] == "ASIA"}
+        names = {n["n_nationkey"]: n["n_name"] for n in nations}
+        supp = {
+            r["s_suppkey"]: r["s_nationkey"]
+            for r in ray.data.read_parquet(
+                os.path.join(sf_dir, "supplier.parquet"),
+                columns=["s_suppkey", "s_nationkey"],
+            ).take_all()
+            if r["s_nationkey"] in asia
+        }
+        cust = {
+            r["c_custkey"]: r["c_nationkey"]
+            for r in ray.data.read_parquet(
+                os.path.join(sf_dir, "customer.parquet"),
+                columns=["c_custkey", "c_nationkey"],
+            ).take_all()
+            if r["c_nationkey"] in asia
+        }
+        supp_ref, cust_ref = ray.put(supp), ray.put(cust)
+
+        def li_slim(pdf):
+            smap = ray.get(supp_ref)
+            nat = pdf["l_suppkey"].map(smap)
+            keep = nat.notna()
+            import pandas as pd2
+
+            return pd2.DataFrame({
+                "l_orderkey": pdf["l_orderkey"][keep],
+                "s_nat": nat[keep].astype("int64"),
+                "rev": (pdf["l_extendedprice"][keep]
+                        * (1.0 - pdf["l_discount"][keep])),
+            })
+
+        def ord_slim(pdf):
+            cmap = ray.get(cust_ref)
+            nat = pdf["o_custkey"].map(cmap)
+            keep = nat.notna()
+            import pandas as pd2
+
+            return pd2.DataFrame({
+                "o_orderkey": pdf["o_orderkey"][keep],
+                "c_nat": nat[keep].astype("int64"),
+            })
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(li_slim, batch_format="pandas")
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=((pc.field("o_orderdate") >= lo)
+                    & (pc.field("o_orderdate") < hi)),
+        ).map_batches(ord_slim, batch_format="pandas")
+
+        def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "rev": pa.array([], pa.float64())})
+            joined = lt.join(rt, keys=["l_orderkey"], join_type="inner")
+            joined = joined.filter(
+                pc.equal(joined.column("s_nat"), joined.column("c_nat"))
+            )
+            agg = joined.group_by(["s_nat"]).aggregate([("rev", "sum")])
+            return agg.rename_columns(["n_nationkey", "rev"])
+
+        partials = _copartition(li, orders, "l_orderkey", "o_orderkey",
+                                ["o_orderkey", "c_nat"], probe, 32)
+        final = partials.groupby("n_nationkey").aggregate(
+            Sum("rev", alias_name="revenue")
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [names[k] for k in
+                         b.column("n_nationkey").to_pylist()],
+                        pa.string(),
+                    ),
+                    "revenue": pc.round(b.column("revenue"), ndigits=2),
+                }
+            )
+
+        return final.map_batches(finish, batch_format="pyarrow")
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -1499,6 +1639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_exact": top_tokens_exact,
         "lineitem_qty_price_corr": lineitem_qty_price_corr,
         "q3_shipping_priority": q3_shipping_priority,
+        "events_user_cumsum": events_user_cumsum,
+        "q5_nation_volume": q5_nation_volume,
     }
 
 
@@ -1920,5 +2062,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
                      o_orderdate, l_orderkey
             LIMIT 10
+        """,
+        "events_user_cumsum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+            FROM events
+        """,
+        "q5_nation_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name
         """,
     }

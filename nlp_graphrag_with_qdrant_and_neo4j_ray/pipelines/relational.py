@@ -862,3 +862,30 @@ def copartition_agg_join(fact, dim, key: str, dim_key: str,
     combined = fact.map_batches(partial, batch_format="pyarrow")
     return _copartition(combined, dim, key, dim_key, [dim_key] + keep,
                         probe, num_partitions)
+
+
+def windowed_cumsum(ds, keys: list[str], order_col: str, value_col: str,
+                    out_col: str, tie_col: str, ndigits: int = 6,
+                    num_partitions: int = 64):
+    """Per-key running total — SQL ``SUM(value) OVER (PARTITION BY keys
+    ORDER BY order_col, tie_col ROWS UNBOUNDED PRECEDING)``.  A window
+    that orders the WHOLE group needs the group in one place: (keys,
+    order, tie, value) exchange once, each partition sorts locally and
+    runs one vectorized pandas ``groupby().cumsum()``.  Same bounded-
+    group contract as the exact median; the streaming alternative for
+    time-ordered logs is a per-key stateful actor over an
+    already-time-bucketed layout."""
+    cols = list(dict.fromkeys(keys + [order_col, tie_col, value_col]))
+
+    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + [order_col, tie_col], kind="stable")
+        out = pdf.copy()
+        out[out_col] = np.round(
+            pdf.groupby(keys, sort=False, dropna=False)[value_col]
+            .cumsum().to_numpy(),
+            ndigits,
+        )
+        return out
+
+    slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    return grouped_apply(slim, keys, cumsum, num_partitions=num_partitions)

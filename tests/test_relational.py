@@ -448,3 +448,25 @@ def test_copartition_agg_join_q3_shape(ray_session):
     ).to_pandas()
     got = {r.ok: (r.revenue, r.prio) for r in out.itertuples()}
     assert got == {1: (15.0, "a"), 2: (7.0, "b"), 3: (6.0, "c")}
+
+
+def test_windowed_cumsum_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        windowed_cumsum,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, n).astype(np.int64),
+        "t": rng.integers(0, 50, n).astype(np.int64),  # ties on (u, t)
+        "i": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n),
+    })
+    out = windowed_cumsum(_ds(ray_session, df, 4), ["u"], "t", "v", "cum",
+                          tie_col="i", num_partitions=4).to_pandas()
+    ref = df.sort_values(["u", "t", "i"], kind="stable").copy()
+    ref["cum"] = np.round(ref.groupby("u")["v"].cumsum().to_numpy(), 6)
+    got = out.sort_values(["u", "t", "i"]).reset_index(drop=True)
+    ref = ref.sort_values(["u", "t", "i"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["u", "t", "i", "v", "cum"]], ref)
