@@ -213,26 +213,103 @@ def ensure_ivf_centroids(index_dir: str, embeddings_ds, dim: int,
     return cents
 
 
+def ensure_ivf_index(index_dir: str, embeddings_ds, dim: int,
+                     nlist: int = 64, iters: int = 5,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     fingerprint: str = "", resume: bool = True):
+    """Full serving-mode IVF index: the quantizer PLUS the vectors
+    themselves written as parquet partitioned by list assignment
+    (``lists/list_id=<i>/``).  A query then reads ONLY its ``nprobe``
+    probed lists' partitions — the inverted-file read-pruning that makes
+    IVF sublinear — instead of re-scanning (and re-assigning) the whole
+    embeddings table per query, which is what the centroids-only cache
+    still did.  Same atomic-publish + fingerprint invalidation as the
+    term index.  Returns ``(centroids, lists_path)``."""
+    import json
+    import os
+
+    import ray
+
+    tag = f"ivfx-d{dim}-n{nlist}-i{iters}"
+    path = os.path.join(index_dir, tag)
+    marker = os.path.join(path, "_SUCCESS")
+    want = json.dumps({"fingerprint": fingerprint, "tag": tag})
+    lists_path = os.path.join(path, "lists")
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return (np.load(os.path.join(path, "centroids.npy")),
+                        lists_path)
+
+    cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
+                             emb_col)
+    import shutil
+    import tempfile
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=index_dir, prefix=tag + ".__tmp__")
+    np.save(os.path.join(tmp, "centroids.npy"), cents)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        lists = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lists, pa.int64()))
+
+    embeddings_ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=8192
+    ).write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"])
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(want)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return np.load(os.path.join(path, "centroids.npy")), lists_path
+
+
 def knn_ivf(embeddings_ds, query_vec, dim: int, k: int = 10, nlist: int = 64,
             nprobe: int = 8, iters: int = 5,
             id_col: str = "vec_id", emb_col: str = "embedding",
             index_dir: str | None = None, fingerprint: str = ""):
     """IVF approximate top-k (the second SURVEY scale path next to LSH):
     coarse-quantize with k-means lists, probe the query's ``nprobe``
-    nearest lists, exact re-rank inside. List assignment is shuffle-free
-    (a filter per batch against the broadcast centroids). Pass
-    ``index_dir`` to load/persist the quantizer (serving mode — queries
-    only probe); without it the quantizer trains in-process (batch mode)."""
+    nearest lists, exact re-rank inside. Pass ``index_dir`` for serving
+    mode: the quantizer AND the list-partitioned vectors persist once
+    (:func:`ensure_ivf_index`) and a query READS ONLY its probed lists'
+    parquet partitions — sublinear serving, no full scan, no per-query
+    assignment pass. Without ``index_dir`` the quantizer trains
+    in-process and assignment is a shuffle-free per-batch filter
+    (batch mode)."""
+    import os
+
     import ray
 
-    if index_dir is not None:
-        cents = ensure_ivf_centroids(index_dir, embeddings_ds, dim, nlist,
-                                     iters, id_col, emb_col, fingerprint)
-    else:
-        cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
-                                 emb_col)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
+
+    if index_dir is not None:
+        cents, lists_path = ensure_ivf_index(
+            index_dir, embeddings_ds, dim, nlist, iters, id_col, emb_col,
+            fingerprint,
+        )
+        probes = np.argsort(-(cents @ q))[:nprobe].tolist()
+        import glob
+
+        paths = [
+            f for i in probes
+            for f in sorted(glob.glob(
+                os.path.join(lists_path, f"list_id={i}", "*.parquet")))
+        ]
+        if not paths:  # pragma: no cover - defensive
+            return knn_brute(embeddings_ds, q, k, id_col, emb_col)
+        import ray.data
+
+        candidates = ray.data.read_parquet(paths, columns=[id_col, emb_col])
+        return knn_brute(candidates, q, k, id_col, emb_col)
+
+    cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
+                             emb_col)
     probes = set(np.argsort(-(cents @ q))[:nprobe].tolist())
     ref = ray.put((cents, probes))
 

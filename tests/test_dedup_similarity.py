@@ -369,3 +369,40 @@ def test_connected_components_long_chain_pointer_jumping(ray_session):
            for r in connected_components(ds, max_iters=12,
                                          num_partitions=8).take_all()}
     assert got == {n: 1000 for n in range(1000, 1301)}
+
+
+def test_ensure_ivf_index_partitioned_serving(vectors_ds, tmp_path):
+    """Serving mode must read ONLY probed list partitions and still
+    agree with batch-mode IVF; a changed fingerprint rebuilds."""
+    import os
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        ensure_ivf_index,
+        knn_ivf,
+    )
+
+    ds, rows = vectors_ds
+    d = str(tmp_path / "ivfx")
+    cents, lists_path = ensure_ivf_index(d, ds, dim=32, nlist=6, iters=2,
+                                         fingerprint="fp1")
+    parts = [p for p in os.listdir(lists_path) if p.startswith("list_id=")]
+    assert 1 < len(parts) <= 6
+    # every input row landed in exactly one list partition
+    import pyarrow.dataset as pads
+    total = sum(
+        pads.dataset(os.path.join(lists_path, p)).count_rows() for p in parts
+    )
+    assert total == len(rows)
+
+    q = np.asarray(rows[0]["embedding"])
+    served = {r["vec_id"] for r in
+              knn_ivf(ds, q, dim=32, k=10, nlist=6, nprobe=2, iters=2,
+                      index_dir=d, fingerprint="fp1").take_all()}
+    batch = {r["vec_id"] for r in
+             knn_ivf(ds, q, dim=32, k=10, nlist=6, nprobe=2,
+                     iters=2).take_all()}
+    assert served == batch
+    # cache hit: same fingerprint returns identical centroids, no rebuild
+    cents2, _ = ensure_ivf_index(d, ds, dim=32, nlist=6, iters=2,
+                                 fingerprint="fp1")
+    assert np.array_equal(cents, cents2)
