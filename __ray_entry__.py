@@ -911,6 +911,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(sample, batch_format="pyarrow")
 
+    def docs_decontaminated(sf_dir: str):
+        """Benchmark decontamination over the documents corpus: docs
+        with doc_id % 97 == 0 stand in for the benchmark/eval set; every
+        other doc is dropped if any of its 8-token shingles collides
+        with the benchmark bloom mask (max_overlap=0). Rows-only —
+        shingle hashing isn't SQL-expressible; semantics pinned by
+        tests/test_dedup_similarity.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            ngram_decontaminate,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def split(want_bench: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id")
+                mod = pc.subtract(
+                    ids, pc.multiply(pc.divide(ids, 97), 97)
+                )  # doc_id % 97 (ids are non-negative)
+                is_bench = pc.equal(mod, 0)
+                return b.filter(is_bench if want_bench
+                                else pc.invert(is_bench))
+
+            return fn
+
+        bench = docs.map_batches(split(True), batch_format="pyarrow")
+        corpus = docs.map_batches(split(False), batch_format="pyarrow")
+        out = ngram_decontaminate(corpus, bench, n=8)
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "bench_overlap": b.column("bench_overlap"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def docs_stratified_sample(sf_dir: str):
+        """Stratified deterministic sampling: per-group rates out of 16
+        hash slots (en 4/16 = 25%, other languages 1/16) keyed on the
+        same md5 slot as docs_hash_sample — shuffle-free, reproducible
+        under any partitioning, and the per-stratum rate is data, not
+        RNG state. The production path uses the vectorized
+        hash_pandas_object; md5 here is solely for DuckDB oracle
+        parity."""
+        import hashlib
+
+        rates = {"en": 4}  # hex-digit threshold per lang; default 1
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "lang", "source"]
+        )
+
+        def sample(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            keep = [
+                int(hashlib.md5(str(i).encode()).hexdigest()[-1], 16)
+                < rates.get(lang, 1)
+                for i, lang in zip(ids, langs)
+            ]
+            return batch.filter(pa.array(keep))
+
+        return docs.map_batches(sample, batch_format="pyarrow")
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -1331,6 +1396,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tok", 20, num_partitions=16,
         )
 
+    def top_tokens_sketch(sf_dir: str):
+        """Misra-Gries top-20 tokens with exact recount — the sketch
+        path next to top_tokens_exact for unbounded vocabularies.
+        Shares top_tokens_exact's SQL oracle: the recount pass makes
+        counts exact, and capacity=4096 ≫ 20 guarantees the true top-20
+        survive pass 1 on any remotely zipfian corpus (their frequency
+        far exceeds N/4097; equality to the exact operator is also
+        pinned by tests/test_relational.py)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            approx_heavy_hitters,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+
+        def explode(batch: pa.Table) -> pa.Table:
+            toks = pc.list_flatten(
+                pc.split_pattern(batch.column("text"), " ")
+            )
+            return pa.table({"tok": toks.filter(pc.not_equal(toks, ""))})
+
+        return approx_heavy_hitters(
+            docs.map_batches(explode, batch_format="pyarrow"),
+            "tok", 20, capacity=4096, num_partitions=16,
+        )
+
     def lineitem_qty_price_corr(sf_dir: str):
         """Exact grouped Pearson correlation via the sufficient-statistics
         combiner — (n, Σx, Σy, Σx², Σy², Σxy) per key per batch, merged
@@ -1637,10 +1731,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_lineitem_qty_by_flag": urgent_lineitem_qty_by_flag,
         "region_nation_list": region_nation_list,
         "top_tokens_exact": top_tokens_exact,
+        "top_tokens_sketch": top_tokens_sketch,
         "lineitem_qty_price_corr": lineitem_qty_price_corr,
         "q3_shipping_priority": q3_shipping_priority,
         "events_user_cumsum": events_user_cumsum,
         "q5_nation_volume": q5_nation_volume,
+        "docs_stratified_sample": docs_stratified_sample,
+        "docs_decontaminated": docs_decontaminated,
     }
 
 
@@ -2042,6 +2139,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, t
             LIMIT 20
         """,
+        "top_tokens_sketch": """
+            SELECT t AS tok, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''
+            GROUP BY t
+            ORDER BY n DESC, t
+            LIMIT 20
+        """,
         "lineitem_qty_price_corr": """
             SELECT l_returnflag,
                    round(corr(l_quantity, l_extendedprice), 6) AS r
@@ -2082,5 +2188,12 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n_name
+        """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE strpos('0123456789abcdef',
+                         right(md5(CAST(doc_id AS VARCHAR)), 1)) - 1
+                  < CASE WHEN lang = 'en' THEN 4 ELSE 1 END
         """,
     }

@@ -472,3 +472,92 @@ def ngram_jaccard_verify(docs_ds, candidate_pairs, n: int = 3,
         {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
         id_col=id_col, payload_col=text_col, payload_type=pa.string(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram bloom overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_A = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constants
+_DECON_B = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _shingle_bloom_positions(h: np.ndarray, nbits: int, nhashes: int):
+    """k bit positions per already-64-bit shingle hash via multiplicative
+    double hashing — pure uint64 arithmetic, no per-shingle Python."""
+    h = h.astype(np.uint64)
+    h2 = (h * _DECON_A + _DECON_B) | np.uint64(1)
+    return [
+        ((h + np.uint64(i) * h2) % np.uint64(nbits)).astype(np.int64)
+        for i in range(nhashes)
+    ]
+
+
+def ngram_decontaminate(docs_ds, benchmark_ds, id_col: str = "doc_id",
+                        text_col: str = "text", bench_text_col: str = "text",
+                        n: int = 8, nbits: int = 1 << 22, nhashes: int = 3,
+                        max_overlap: float = 0.0,
+                        overlap_col: str = "bench_overlap"):
+    """Benchmark decontamination — the training-data hygiene step next to
+    dedup: drop corpus documents whose token ``n``-gram overlap with a
+    benchmark/eval set exceeds ``max_overlap`` (the GPT-3/Llama-style
+    n-gram collision rule).
+
+    Scale shape: the benchmark reduces to ONE ``nbits``-bit Bloom mask —
+    each benchmark batch emits its own packed mask (nbits/8 bytes) and
+    the driver ORs them; the mask broadcasts via ``ray.put`` and every
+    probe task tests its documents' shingles against it vectorized
+    (k uint64-arithmetic positions per shingle, one unpacked-bit gather).
+    The corpus is never shuffled and the benchmark never leaves the mask.
+    Bloom false positives can only RAISE a document's apparent overlap
+    (conservative for hygiene: ~(1-e^{-kn/m})^k of clean shingles, <0.1%
+    at defaults with 1M benchmark shingles); a doc with fewer than ``n``
+    tokens contributes its whole text as one shingle.
+
+    Returns the surviving documents with ``overlap_col`` (fraction of the
+    doc's shingles found in the benchmark, rounded to 6 digits) appended.
+    """
+    import ray
+
+    def build_mask(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbits, dtype=bool)
+        for text in batch.column(bench_text_col).to_pylist():
+            sh = shingles(text or "", n)
+            if not sh:
+                continue
+            hv = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+            for pos in _shingle_bloom_positions(hv, nbits, nhashes):
+                bits[pos] = True
+        return pa.table({"__mask": pa.array([np.packbits(bits).tobytes()],
+                                            pa.binary())})
+
+    parts = benchmark_ds.map_batches(
+        build_mask, batch_format="pyarrow"
+    ).take_all()
+    if parts:
+        mask = np.bitwise_or.reduce(
+            np.stack([np.frombuffer(r["__mask"], dtype=np.uint8)
+                      for r in parts])
+        )
+    else:
+        mask = np.zeros(nbits // 8, dtype=np.uint8)
+    mask_ref = ray.put(mask)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = np.unpackbits(ray.get(mask_ref))
+        fracs = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, text in enumerate(batch.column(text_col).to_pylist()):
+            sh = shingles(text or "", n)
+            if not sh:
+                continue
+            hv = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+            hit = np.ones(len(hv), dtype=bool)
+            for pos in _shingle_bloom_positions(hv, nbits, nhashes):
+                hit &= bits[pos] > 0
+            fracs[i] = hit.mean()
+        out = batch.append_column(
+            overlap_col, pa.array(np.round(fracs, 6), pa.float64())
+        )
+        return out.filter(pa.array(fracs <= max_overlap))
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow")

@@ -889,3 +889,75 @@ def windowed_cumsum(ds, keys: list[str], order_col: str, value_col: str,
 
     slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
     return grouped_apply(slim, keys, cumsum, num_partitions=num_partitions)
+
+
+def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
+                         count_col: str = "n",
+                         num_partitions: int = 64) -> pa.Table:
+    """Misra-Gries/Space-Saving heavy hitters with an exact recount —
+    the sketch path next to the exact :func:`heavy_hitters` for
+    UNBOUNDED vocabularies (URLs, n-grams) where shipping every distinct
+    value through an exchange is the bottleneck.
+
+    Pass 1: each batch compresses to a Misra-Gries summary of at most
+    ``capacity`` counters (exact local counts decremented by the
+    (capacity+1)-th largest — the classic FREQUENT compress); summaries
+    merge by counter addition + re-compress on the driver (each summary
+    is ≤ capacity rows — the merged guarantee ε·N, ε = 1/(capacity+1),
+    is preserved under this merge, Agarwal et al. 2013).  Any value with
+    true frequency > N/(capacity+1) is guaranteed to survive.
+
+    Pass 2: the ≤ capacity surviving candidates broadcast as a filter
+    set and are recounted EXACTLY (per-batch count combiner + one tiny
+    exchange) — so reported counts carry no sketch error, and the
+    result equals the exact top-k whenever the k-th true frequency
+    clears the ε·N survival bound (true for any power-law-ish corpus
+    with capacity ≫ k)."""
+    import ray
+
+    def mg_compress(counts: pd.Series, cap: int) -> pd.Series:
+        if len(counts) <= cap:
+            return counts
+        counts = counts.sort_values(ascending=False, kind="stable")
+        dec = counts.iloc[cap]
+        out = counts.iloc[:cap] - dec
+        return out[out > 0]
+
+    def sketch(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = mg_compress(pdf[value_col].value_counts(), capacity)
+        return pd.DataFrame({value_col: c.index.to_numpy(),
+                             "__c": c.to_numpy()})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").take_all()
+    if not parts:
+        return pa.table({value_col: pa.array([], pa.string()),
+                         count_col: pa.array([], pa.int64())})
+    merged = pd.DataFrame(parts).groupby(value_col)["__c"].sum()
+    candidates = set(mg_compress(merged, capacity).index)
+    cand_ref = ray.put(candidates)
+
+    def recount(pdf: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        c = pdf[value_col][pdf[value_col].isin(cand)].value_counts()
+        return pd.DataFrame({value_col: c.index.to_numpy(),
+                             "__c": c.to_numpy()})
+
+    def total(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(value_col, sort=True)["__c"].sum().reset_index()
+        return g
+
+    exact = grouped_apply(ds.map_batches(recount, batch_format="pandas"),
+                          [value_col], total,
+                          num_partitions=num_partitions).take_all()
+    tbl = pa.Table.from_pylist(exact) if exact else pa.table(
+        {value_col: pa.array([], pa.string()),
+         "__c": pa.array([], pa.int64())}
+    )
+    order = pc.sort_indices(
+        tbl, sort_keys=[("__c", "descending"), (value_col, "ascending")]
+    )
+    top = tbl.take(order.slice(0, k)).select([value_col, "__c"])
+    return pa.table({
+        value_col: top.column(value_col),
+        count_col: pc.cast(top.column("__c"), pa.int64()),
+    })

@@ -2,6 +2,7 @@
 computed driver-side on small synthetic corpora."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.dedup import (
@@ -406,3 +407,68 @@ def test_ensure_ivf_index_partitioned_serving(vectors_ds, tmp_path):
     cents2, _ = ensure_ivf_index(d, ds, dim=32, nlist=6, iters=2,
                                  fingerprint="fp1")
     assert np.array_equal(cents, cents2)
+
+
+def test_ngram_decontaminate_removes_contaminated(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        ngram_decontaminate,
+    )
+
+    bench_sent = ("the quick brown fox jumps over the lazy dog near the "
+                  "riverbank every sunny morning")
+    clean = [
+        f"document {i} talks about entirely different topic number {i} "
+        f"with original phrasing and unique vocabulary item{i}"
+        for i in range(20)
+    ]
+    contaminated = f"intro text then {bench_sent} and some trailing words"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(21, dtype=np.int64),
+        "text": clean + [contaminated],
+    })
+    bench = pd.DataFrame({"text": [bench_sent, "another benchmark item"]})
+    out = ngram_decontaminate(
+        ray.data.from_pandas(docs).repartition(3),
+        ray.data.from_pandas(bench).repartition(2),
+        n=8,
+    ).to_pandas()
+    assert 20 not in set(out["doc_id"])          # contaminated dropped
+    assert set(out["doc_id"]) == set(range(20))  # all clean docs kept
+    assert (out["bench_overlap"] == 0.0).all()
+
+    # overlap fraction is reported when the threshold admits the doc
+    out2 = ngram_decontaminate(
+        ray.data.from_pandas(docs).repartition(4),
+        ray.data.from_pandas(bench).repartition(1),
+        n=8, max_overlap=1.0,
+    ).to_pandas()
+    row = out2[out2["doc_id"] == 20].iloc[0]
+    assert 0.0 < row["bench_overlap"] <= 1.0
+    # partitioning-independent
+    out3 = ngram_decontaminate(
+        ray.data.from_pandas(docs).repartition(1),
+        ray.data.from_pandas(bench).repartition(2),
+        n=8, max_overlap=1.0,
+    ).to_pandas()
+    a = out2.sort_values("doc_id").reset_index(drop=True)
+    b = out3.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ngram_decontaminate_empty_benchmark(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        ngram_decontaminate,
+    )
+
+    docs = pd.DataFrame({"doc_id": np.int64([0, 1]),
+                         "text": ["some words here", ""]})
+    bench = pd.DataFrame({"text": pd.Series([], dtype="string")})
+    out = ngram_decontaminate(
+        ray.data.from_pandas(docs),
+        ray.data.from_pandas(bench),
+    ).to_pandas()
+    assert set(out["doc_id"]) == {0, 1}

@@ -470,3 +470,36 @@ def test_windowed_cumsum_matches_pandas(ray_session):
     got = out.sort_values(["u", "t", "i"]).reset_index(drop=True)
     ref = ref.sort_values(["u", "t", "i"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["u", "t", "i", "v", "cum"]], ref)
+
+
+def test_approx_heavy_hitters_matches_exact_when_bound_holds(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        approx_heavy_hitters,
+        heavy_hitters,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    # zipf head over a large tail vocabulary
+    head = [f"h{i:02d}" for i in range(30) for _ in range(500 - 12 * i)]
+    tail = [f"t{i:05d}" for i in rng.integers(0, 20000, 8000)]
+    vals = head + tail
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+    exact = heavy_hitters(ds, "v", 10, num_partitions=8)
+    approx = approx_heavy_hitters(ds, "v", 10, capacity=256,
+                                  num_partitions=8)
+    assert approx.equals(exact)   # identical values AND exact counts
+
+
+def test_approx_heavy_hitters_small_capacity_still_counts_exactly(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        approx_heavy_hitters,
+    )
+    import ray.data
+
+    vals = ["a"] * 100 + ["b"] * 60 + ["c"] * 30 + [f"x{i}" for i in range(50)]
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+    top = approx_heavy_hitters(ds, "v", 2, capacity=8, num_partitions=4)
+    assert top.column("v").to_pylist() == ["a", "b"]
+    assert top.column("n").to_pylist() == [100, 60]  # recount is exact
