@@ -976,6 +976,217 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(sample, batch_format="pyarrow")
 
+    def docs_pii_redacted(sf_dir: str):
+        """PII redaction with byte-exact RE2 oracle parity: the corpus
+        has no PII, so deterministic synthetic PII (email, IP, phone
+        derived from doc_id) is appended identically on the Ray and SQL
+        sides, then the engine's vectorized redaction chain
+        (pipelines/clean.redact_pii_array) must byte-match DuckDB's
+        regexp_replace — both are RE2."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            redact_pii_array,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def redact(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            s = pc.cast(ids, pa.string())
+            ip_oct = pc.cast(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 200), 200)),
+                pa.string(),
+            )
+            phone = pc.cast(
+                pc.add(
+                    pc.subtract(ids, pc.multiply(pc.divide(ids, 9000), 9000)),
+                    1000,
+                ),
+                pa.string(),
+            )
+            injected = pc.binary_join_element_wise(
+                batch.column("text"), " contact user", s,
+                "@example.com from 10.0.", ip_oct, ".1 call 415-555-",
+                phone, "",
+            )
+            return pa.table({
+                "doc_id": ids,
+                "clean_text": redact_pii_array(injected),
+            })
+
+        return docs.map_batches(redact, batch_format="pyarrow")
+
+    def docs_repetition_scores(sf_dir: str):
+        """Gopher-style repetition signals per document (token count,
+        distinct fraction, top-token share, top-bigram share) — a pure
+        map stage, one flatten + two vectorized groupbys per batch."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            repetition_scores,
+        )
+
+        return repetition_scores(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        )
+
+    def docs_packed_sequences(sf_dir: str):
+        """GPT-style concat-and-chunk sequence packing into 256-token
+        training sequences: docs shard by md5(doc_id)%4 (md5 solely for
+        oracle parity; production uses the vectorized pandas hash), lay
+        end-to-end in doc_id order per shard, and the token stream cuts
+        every 256 tokens — one segment row per (doc, pack) with offsets.
+        One hash exchange; layout fully vectorized per partition."""
+        import hashlib as _hl
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            pack_sequences,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            split = pc.split_pattern(batch.column("text"), " ")
+            lens = pc.list_value_length(split).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            toks = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+            empty = toks == ""
+            if empty.any():
+                doc_idx = np.repeat(np.arange(len(lens)), lens)
+                lens = lens - np.bincount(
+                    doc_idx[empty], minlength=len(lens)
+                )
+            shard = [
+                int(_hl.md5(str(i).encode()).hexdigest()[-1], 16) % 4
+                for i in batch.column("doc_id").to_pylist()
+            ]
+            return pa.table({
+                "shard": pa.array(shard, pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pa.array(lens),
+            })
+
+        return pack_sequences(
+            docs.map_batches(prep, batch_format="pyarrow"),
+            "shard", "n_tok", max_len=256, num_partitions=8,
+        )
+
+    def docs_per_source_cap(sf_dir: str):
+        """Per-domain document cap — the web-corpus balance step (keep
+        at most 10 docs per source, smallest doc_id first), expressed as
+        the existing window_topk operator (combiner truncates each batch
+        before the exchange)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_topk,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source"]
+        )
+        return window_topk(docs, ["source"], "doc_id", 10,
+                           tie_col="doc_id", ascending=True,
+                           num_partitions=16)
+
+    def customer_order_totals_outer(sf_dir: str):
+        """Distributed FULL OUTER JOIN: per-customer order totals vs
+        high-balance customers — unmatched rows survive from BOTH sides
+        (customers with no orders; order totals whose customer fails the
+        balance filter). Totals pre-aggregate per batch before the one
+        co-partitioned exchange."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            full_outer_join,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("o_custkey").aggregate(
+                [("o_totalprice", "sum"), ([], "count_all")]
+            )
+            return pa.table({
+                "custkey": g.column("o_custkey"),
+                "__sum": g.column("o_totalprice_sum"),
+                "__cnt": g.column("count_all"),
+            })
+
+        def final(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("custkey").aggregate(
+                [("__sum", "sum"), ("__cnt", "sum")]
+            )
+            return pa.table({
+                "custkey": g.column("custkey"),
+                "order_cnt": pc.cast(g.column("__cnt_sum"), pa.int64()),
+                "total_price": pc.round(
+                    g.column("__sum_sum"), 2,
+                    round_mode="half_towards_infinity",
+                ),
+            })
+
+        totals = grouped_apply(
+            orders.map_batches(partial, batch_format="pyarrow"),
+            ["custkey"], final, num_partitions=16,
+            batch_format="pyarrow",
+        )
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_acctbal"],
+            filter=(pc.field("c_acctbal") > 5000.0),
+        ).select_columns(["c_custkey", "c_name"])
+        return full_outer_join(totals, cust, "custkey", "c_custkey",
+                               ["c_custkey", "c_name"],
+                               num_partitions=16)
+
+    def events_prev_gap(sf_dir: str):
+        """LAG window: microseconds since the same user's previous
+        event (null for each user's first) — ts carried as epoch-us
+        int64 through the exchange for exact integer oracle parity."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_lag,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts"],
+        )
+
+        def to_us(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            })
+
+        lagged = window_lag(
+            ev.map_batches(to_us, batch_format="pyarrow"),
+            ["user_id"], "ts_us", "ts_us", "prev_us",
+            tie_col="event_id", num_partitions=32,
+        )
+
+        def gap(pdf):
+            import pandas as pd
+
+            # shift() degraded prev_us to float64+NaN; both epoch-us
+            # values sit far below 2^53 so the difference is exact —
+            # restore a nullable int64 for integer oracle parity
+            return pd.DataFrame({
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "gap_us": pd.array(
+                    (pdf["ts_us"] - pdf["prev_us"]).to_numpy(),
+                    dtype="Int64",
+                ),
+            })
+
+        return lagged.map_batches(gap, batch_format="pandas")
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -1738,6 +1949,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_volume": q5_nation_volume,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_decontaminated": docs_decontaminated,
+        "docs_pii_redacted": docs_pii_redacted,
+        "docs_repetition_scores": docs_repetition_scores,
+        "docs_packed_sequences": docs_packed_sequences,
+        "docs_per_source_cap": docs_per_source_cap,
+        "customer_order_totals_outer": customer_order_totals_outer,
+        "events_prev_gap": events_prev_gap,
     }
 
 
@@ -1800,6 +2017,10 @@ _QUALITY_ORACLE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        PII_PATTERNS as _pii,
+    )
+
     return {
         # html→text byte-identity: extracted text must equal the source
         # text column exactly (the north_rule per-row invariant in SQL)
@@ -2195,5 +2416,112 @@ def oracle_sql() -> dict[str, str]:
             WHERE strpos('0123456789abcdef',
                          right(md5(CAST(doc_id AS VARCHAR)), 1)) - 1
                   < CASE WHEN lang = 'en' THEN 4 ELSE 1 END
+        """,
+        # Same RE2 patterns as the engine (pipelines/clean.PII_PATTERNS)
+        # applied in the same order over identically-derived input text;
+        # both sides are RE2, so equality is byte-exact.
+        "docs_pii_redacted": (lambda p=_pii: f"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com from 10.0.'
+                              || CAST(doc_id % 200 AS VARCHAR)
+                              || '.1 call 415-555-'
+                              || CAST(1000 + doc_id % 9000 AS VARCHAR),
+                         '{p[0][0]}', '{p[0][1]}', 'g'),
+                       '{p[1][0]}', '{p[1][1]}', 'g'),
+                     '{p[2][0]}', '{p[2][1]}', 'g') AS clean_text
+            FROM documents
+        """)(),
+        "docs_repetition_scores": """
+            WITH toks AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       unnest(range(1, len(l) + 1)) AS ord
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents)
+            ),
+            ftoks AS (SELECT * FROM toks WHERE tok <> ''),
+            tc AS (SELECT doc_id, tok, count(*) AS c
+                   FROM ftoks GROUP BY doc_id, tok),
+            base AS (SELECT doc_id, sum(c) AS n, count(*) AS nun,
+                            max(c) AS top
+                     FROM tc GROUP BY doc_id),
+            bg AS (SELECT doc_id,
+                          tok || ' ' || lead(tok) OVER (
+                              PARTITION BY doc_id ORDER BY ord) AS b
+                   FROM ftoks),
+            bgc AS (SELECT doc_id, max(c) AS topbg
+                    FROM (SELECT doc_id, b, count(*) AS c FROM bg
+                          WHERE b IS NOT NULL GROUP BY doc_id, b)
+                    GROUP BY doc_id)
+            SELECT base.doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   round(nun * 1.0 / n, 6) AS distinct_frac,
+                   round(top * 1.0 / n, 6) AS top_token_frac,
+                   round(coalesce(topbg, 0) * 1.0
+                         / greatest(n - 1, 1), 6) AS top_bigram_frac
+            FROM base LEFT JOIN bgc ON base.doc_id = bgc.doc_id
+        """,
+        "docs_packed_sequences": """
+            WITH base AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef',
+                               right(md5(CAST(doc_id AS VARCHAR)), 1))
+                        - 1) % 4 AS shard,
+                       len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS n_tok
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, shard, n_tok,
+                       CAST(sum(n_tok) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok
+                            AS BIGINT) AS start
+                FROM base WHERE n_tok > 0
+            ),
+            seg AS (
+                SELECT shard, doc_id, start, n_tok,
+                       unnest(generate_series(
+                           start // 256,
+                           (start + n_tok - 1) // 256)) AS pack_id
+                FROM pos
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(pack_id AS BIGINT) AS pack_id,
+                   doc_id,
+                   CAST(greatest(start, pack_id * 256) - start
+                        AS BIGINT) AS seg_start,
+                   CAST(least(start + n_tok, (pack_id + 1) * 256)
+                        - greatest(start, pack_id * 256)
+                        AS BIGINT) AS seg_len,
+                   CAST(greatest(start, pack_id * 256) - pack_id * 256
+                        AS BIGINT) AS pack_offset
+            FROM seg
+        """,
+        "docs_per_source_cap": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) <= 10
+        """,
+        "customer_order_totals_outer": """
+            SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+                   o.order_cnt, o.total_price, c.c_name
+            FROM (SELECT o_custkey, count(*) AS order_cnt,
+                         round(sum(o_totalprice), 2) AS total_price
+                  FROM orders GROUP BY o_custkey) o
+            FULL OUTER JOIN
+                 (SELECT c_custkey, c_name FROM customer
+                  WHERE c_acctbal > 5000) c
+            ON o.o_custkey = c.c_custkey
+        """,
+        "events_prev_gap": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS gap_us
+            FROM events
         """,
     }

@@ -1,0 +1,201 @@
+"""Web-corpus cleaning operators for training-data preparation — the
+hygiene stages (PII redaction, repetition/quality scoring, sequence
+packing) that sit between raw extracted text and a tokenized training
+set.  None of these exist in the reference (which stops at KG
+construction, /root/reference/graphrag/core/ingest.py); they are the
+beyond-reference training-data surface the brief asks for, built on the
+same engine primitives (`map_batches` over Arrow, `grouped_apply`
+exchanges).
+
+Scale shape: PII redaction and repetition scoring are per-document —
+pure map stages, no exchange, RE2 / vectorized-pandas kernels per
+batch.  Sequence packing is per-shard-sequential by construction
+(greedy concatenation order matters), so it runs as ONE hash exchange
+on a caller-chosen shard key and a fully vectorized per-partition
+layout computation — parallelism across shards, exact GPT-style
+concat-and-chunk semantics within a shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.shuffle import grouped_apply
+
+# RE2-compatible patterns (no lookahead/backrefs) — pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace both run RE2, so
+# an oracle can assert byte-exact parity.  Order matters: emails first
+# (their local parts contain dots/digits), then IPs (which the phone
+# pattern would otherwise eat), then phones.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii_array(strings: pa.Array | pa.ChunkedArray):
+    """Apply the PII pattern chain to an Arrow string array — all
+    occurrences, vectorized in RE2."""
+    for pattern, repl in PII_PATTERNS:
+        strings = pc.replace_substring_regex(
+            strings, pattern=pattern, replacement=repl
+        )
+    return strings
+
+
+def pii_redact(docs_ds, text_col: str = "text",
+               out_col: str | None = None):
+    """Mask emails / IPv4 addresses / phone numbers in ``text_col``
+    (written to ``out_col``, default in-place) — a pure map stage: no
+    exchange, no state, byte-deterministic."""
+    dest = out_col or text_col
+
+    def redact(batch: pa.Table) -> pa.Table:
+        red = redact_pii_array(batch.column(text_col))
+        if dest in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index(dest), dest, red
+            )
+        return batch.append_column(dest, red)
+
+    return docs_ds.map_batches(redact, batch_format="pyarrow")
+
+
+def repetition_scores(docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Gopher-style repetition signals per document over whitespace
+    tokens: ``n_tokens``, ``distinct_frac`` (distinct/total),
+    ``top_token_frac`` (most frequent token's share) and
+    ``top_bigram_frac`` (most frequent adjacent bigram's share of the
+    n-1 bigrams; 0.0 for single-token docs).  Documents with no tokens
+    are dropped (no signal).  Per-document ⇒ pure map stage; the batch
+    kernel is one flatten + two pandas groupbys, no per-row Python.
+    Fractions round half-away-from-zero to 6 digits for DuckDB oracle
+    parity."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        toks = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        mask = toks != ""
+        doc_idx, toks = doc_idx[mask], toks[mask]
+        if len(toks) == 0:
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "n_tokens": pa.array([], pa.int64()),
+                "distinct_frac": pa.array([], pa.float64()),
+                "top_token_frac": pa.array([], pa.float64()),
+                "top_bigram_frac": pa.array([], pa.float64()),
+            })
+        df = pd.DataFrame({"d": doc_idx, "t": toks})
+        grp = df.groupby("d", sort=True)["t"]
+        n = grp.size()
+        nun = grp.nunique()
+        top = df.groupby(["d", "t"], sort=False).size().groupby(
+            level=0
+        ).max()
+        # adjacent pairs that stay within one document
+        same = doc_idx[1:] == doc_idx[:-1]
+        tser = pd.Series(toks)
+        bg = pd.DataFrame({
+            "d": doc_idx[:-1][same],
+            "b": (tser.iloc[:-1].reset_index(drop=True)[same] + " "
+                  + tser.iloc[1:].reset_index(drop=True)[same]),
+        })
+        if len(bg):
+            topbg = bg.groupby(["d", "b"], sort=False).size().groupby(
+                level=0
+            ).max()
+        else:
+            topbg = pd.Series(dtype="int64")
+        topbg = topbg.reindex(n.index)
+
+        docs = n.index.to_numpy()
+        n_np = n.to_numpy(np.float64)
+        nbig = np.maximum(n_np - 1.0, 1.0)  # divisor; n==1 → frac 0/1
+        frac = lambda num, den: pc.round(  # noqa: E731
+            pa.array(num / den, pa.float64()), 6,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(docs)),
+            "n_tokens": pa.array(n.to_numpy(np.int64)),
+            "distinct_frac": frac(nun.to_numpy(np.float64), n_np),
+            "top_token_frac": frac(top.to_numpy(np.float64), n_np),
+            "top_bigram_frac": frac(
+                topbg.fillna(0.0).to_numpy(np.float64), nbig
+            ),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def pack_sequences(ds, shard_col: str, count_col: str,
+                   id_col: str = "doc_id", max_len: int = 256,
+                   num_partitions: int = 64):
+    """GPT-style concat-and-chunk sequence packing: within each shard,
+    documents are laid end-to-end in ``id_col`` order and the token
+    stream is cut every ``max_len`` tokens.  Emits one row per document
+    SEGMENT — ``(shard, pack_id, doc_id, seg_start, seg_len,
+    pack_offset)`` — from which a tokenizing consumer can assemble each
+    fixed-length training sequence and its document-boundary (EOD/loss
+    mask) positions.  Zero-count documents contribute nothing.
+
+    Packing is inherently sequential in the concatenation order, so the
+    shard key IS the parallelism: one hash exchange on ``shard_col``,
+    then a fully vectorized per-partition layout (cumsum + boundary
+    explode via ``np.repeat`` — no per-row Python).  At 100 TB the
+    caller sizes shards so one shard's doc COUNT rows fit a worker
+    (the token payloads never move — only (id, count) pairs ride the
+    exchange); determinism is independent of input partitioning.
+    """
+
+    def pack(batch: pa.Table) -> pa.Table:
+        pdf = batch.select([shard_col, id_col, count_col]).to_pandas()
+        pdf = pdf[pdf[count_col] > 0].sort_values(
+            [shard_col, id_col], kind="stable"
+        )
+        if len(pdf) == 0:
+            return pa.table({
+                shard_col: pa.array([], batch.schema.field(shard_col).type),
+                "pack_id": pa.array([], pa.int64()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "seg_start": pa.array([], pa.int64()),
+                "seg_len": pa.array([], pa.int64()),
+                "pack_offset": pa.array([], pa.int64()),
+            })
+        n = pdf[count_col].to_numpy(np.int64)
+        end = pdf.groupby(shard_col, sort=False)[count_col].cumsum() \
+                 .to_numpy(np.int64)
+        start = end - n
+        first = start // max_len
+        last = (end - 1) // max_len
+        nseg = last - first + 1
+        ridx = np.repeat(np.arange(len(pdf)), nseg)
+        seg_no = np.arange(len(ridx)) - np.repeat(
+            np.cumsum(nseg) - nseg, nseg
+        )
+        pack_id = first[ridx] + seg_no
+        lo = np.maximum(start[ridx], pack_id * max_len)
+        hi = np.minimum(end[ridx], (pack_id + 1) * max_len)
+        return pa.table({
+            shard_col: pa.array(pdf[shard_col].to_numpy()[ridx]),
+            "pack_id": pa.array(pack_id),
+            id_col: pa.array(pdf[id_col].to_numpy()[ridx]),
+            "seg_start": pa.array(lo - start[ridx]),
+            "seg_len": pa.array(hi - lo),
+            "pack_offset": pa.array(lo - pack_id * max_len),
+        })
+
+    slim = ds.map_batches(
+        lambda b: b.select([shard_col, id_col, count_col]),
+        batch_format="pyarrow",
+    )
+    return grouped_apply(slim, [shard_col], pack,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

@@ -891,6 +891,50 @@ def windowed_cumsum(ds, keys: list[str], order_col: str, value_col: str,
     return grouped_apply(slim, keys, cumsum, num_partitions=num_partitions)
 
 
+def full_outer_join(left, right, left_key: str, right_key: str,
+                    right_cols: list[str], num_partitions: int = 64):
+    """Distributed FULL OUTER JOIN — both sides hash-co-partition on
+    the key (one exchange, the union-join pattern), each partition runs
+    Arrow's hash join locally with ``join_type="full outer"`` (key
+    columns coalesced).  Unmatched left rows carry typed-null right
+    columns and vice versa; the output key column is never null.
+    Non-key column names must be disjoint across sides."""
+    left_names = _arrow_schema(left).names
+    out_right = [c for c in right_cols if c != right_key]
+    clash = set(left_names) & set(out_right)
+    if clash:
+        raise ValueError(f"column name collision across sides: {clash}")
+    out_names = left_names + out_right
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        joined = lt.join(rt, keys=[left_key], join_type="full outer")
+        return joined.select(out_names)
+
+    return _copartition(left, right, left_key, right_key,
+                        [right_key] + out_right, probe, num_partitions)
+
+
+def window_lag(ds, keys: list[str], order_col: str, value_col: str,
+               out_col: str, tie_col: str, periods: int = 1,
+               num_partitions: int = 64):
+    """SQL ``LAG(value, periods) OVER (PARTITION BY keys ORDER BY
+    order_col, tie_col)`` — null for each key's first ``periods`` rows.
+    Same shape as :func:`windowed_cumsum`: one exchange on the keys,
+    per-partition stable sort + one vectorized ``groupby().shift()``."""
+    cols = list(dict.fromkeys(keys + [order_col, tie_col, value_col]))
+
+    def lag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + [order_col, tie_col], kind="stable")
+        out = pdf.copy()
+        out[out_col] = pdf.groupby(keys, sort=False, dropna=False)[
+            value_col
+        ].shift(periods)
+        return out
+
+    slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    return grouped_apply(slim, keys, lag, num_partitions=num_partitions)
+
+
 def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
                          count_col: str = "n",
                          num_partitions: int = 64) -> pa.Table:

@@ -1,0 +1,145 @@
+"""Cleaning operators: PII redaction, repetition scores, sequence
+packing — driver-side references on small synthetic corpora."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+    pack_sequences,
+    pii_redact,
+    redact_pii_array,
+    repetition_scores,
+)
+
+
+def test_redact_pii_array_cases():
+    cases = {
+        "mail bob.smith+x@sub.example.co.uk now": "mail <EMAIL> now",
+        "ip 10.0.3.1 and 255.255.255.0 end": "ip <IP> and <IP> end",
+        "call 415-555-1234 or +1 (650) 555 9999": "call <PHONE> or <PHONE>",
+        "dotted 1.2.3.4 then a@b.io then 555.123.4567":
+            "dotted <IP> then <EMAIL> then <PHONE>",
+        "no pii here at all": "no pii here at all",
+    }
+    got = redact_pii_array(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_pii_redact_dataset_roundtrip(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({
+        "doc_id": np.int64([0, 1]),
+        "text": ["write a@b.com", "clean"],
+    })
+    out = pii_redact(ray.data.from_pandas(df)).to_pandas()
+    assert sorted(out["text"]) == ["clean", "write <EMAIL>"]
+    # out-of-place column
+    out2 = pii_redact(ray.data.from_pandas(df), out_col="clean_text") \
+        .to_pandas().sort_values("doc_id")
+    assert out2["text"].tolist() == df["text"].tolist()
+    assert out2["clean_text"].tolist() == ["write <EMAIL>", "clean"]
+
+
+def _ref_scores(texts):
+    rows = []
+    for i, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        if not toks:
+            continue
+        n = len(toks)
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top_bg = max((bigs.count(b) for b in set(bigs)), default=0)
+        rows.append({
+            "doc_id": i,
+            "n_tokens": n,
+            "distinct_frac": round(len(set(toks)) / n, 6),
+            "top_token_frac": round(
+                max(toks.count(x) for x in set(toks)) / n, 6
+            ),
+            "top_bigram_frac": round(top_bg / max(n - 1, 1), 6),
+        })
+    return pd.DataFrame(rows)
+
+
+def test_repetition_scores_matches_reference(ray_session):
+    import ray.data
+
+    texts = [
+        "a b c d e",
+        "a a a a",
+        "x y x y x y",
+        "solo",
+        "",
+        "p q  r",          # double space → empty token filtered
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = repetition_scores(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = _ref_scores(texts).astype({"doc_id": "int64"})
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # spot values
+    r = out.set_index("doc_id")
+    assert r.loc[1, "top_token_frac"] == 1.0
+    assert r.loc[2, "top_bigram_frac"] == round(3 / 5, 6)
+    assert 4 not in r.index          # empty doc dropped
+    assert r.loc[5, "n_tokens"] == 3
+
+
+def test_pack_sequences_layout(ray_session):
+    import ray.data
+
+    # one shard: docs 0..4 with counts 100, 300, 50, 256, 6
+    df = pd.DataFrame({
+        "shard": np.int64([0] * 5),
+        "doc_id": np.arange(5, dtype=np.int64),
+        "n_tok": np.int64([100, 300, 50, 256, 6]),
+    })
+    out = pack_sequences(ray.data.from_pandas(df).repartition(3),
+                         "shard", "n_tok", max_len=256,
+                         num_partitions=4).to_pandas()
+    out = out.sort_values(["doc_id", "pack_id"]).reset_index(drop=True)
+    # token conservation per doc
+    per_doc = out.groupby("doc_id")["seg_len"].sum()
+    assert per_doc.tolist() == [100, 300, 50, 256, 6]
+    # doc 1 spans packs 0 and 1: 156 then 144
+    d1 = out[out["doc_id"] == 1]
+    assert d1[["pack_id", "seg_start", "seg_len", "pack_offset"]] \
+        .values.tolist() == [[0, 0, 156, 100], [1, 156, 144, 0]]
+    # every pack except the last is exactly full
+    packs = out.groupby("pack_id")["seg_len"].sum()
+    assert packs.iloc[:-1].eq(256).all() and packs.iloc[-1] <= 256
+    # offsets tile each pack without gaps
+    for _, p in out.sort_values(["pack_id", "pack_offset"]) \
+                   .groupby("pack_id"):
+        ends = (p["pack_offset"] + p["seg_len"]).tolist()
+        assert p["pack_offset"].tolist() == [0] + ends[:-1]
+
+
+def test_pack_sequences_partitioning_independent(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "shard": rng.integers(0, 5, 200).astype(np.int64),
+        "doc_id": np.arange(200, dtype=np.int64),
+        "n_tok": rng.integers(0, 400, 200).astype(np.int64),
+    })
+    outs = []
+    for parts in (1, 7):
+        out = pack_sequences(ray.data.from_pandas(df).repartition(parts),
+                             "shard", "n_tok", max_len=128,
+                             num_partitions=3).to_pandas()
+        outs.append(out.sort_values(["shard", "pack_id", "doc_id",
+                                     "seg_start"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # zero-count docs contribute nothing; all others conserved
+    kept = df[df["n_tok"] > 0]
+    assert outs[0].groupby("doc_id")["seg_len"].sum().sum() \
+        == kept["n_tok"].sum()
+    assert set(outs[0]["doc_id"]) == set(kept["doc_id"])
+    assert (outs[0]["seg_len"] > 0).all()
+    assert (outs[0]["pack_offset"] + outs[0]["seg_len"] <= 128).all()

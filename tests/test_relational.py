@@ -503,3 +503,73 @@ def test_approx_heavy_hitters_small_capacity_still_counts_exactly(ray_session):
     top = approx_heavy_hitters(ds, "v", 2, capacity=8, num_partitions=4)
     assert top.column("v").to_pylist() == ["a", "b"]
     assert top.column("n").to_pylist() == [100, 60]  # recount is exact
+
+
+def test_full_outer_join_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        full_outer_join,
+    )
+    import ray.data
+
+    left = pd.DataFrame({
+        "k": np.int64([1, 2, 3, 5, 5]),
+        "lv": ["a", "b", "c", "d", "e"],
+    })
+    right = pd.DataFrame({
+        "rk": np.int64([2, 3, 3, 9]),
+        "rv": np.float64([20.0, 30.0, 31.0, 90.0]),
+    })
+    out = full_outer_join(
+        ray.data.from_pandas(left).repartition(3),
+        ray.data.from_pandas(right).repartition(2),
+        "k", "rk", ["rk", "rv"], num_partitions=4,
+    ).to_pandas()
+    ref = left.merge(right.rename(columns={"rk": "k"}), on="k",
+                     how="outer")
+    got = out.sort_values(["k", "lv", "rv"], na_position="first") \
+        .reset_index(drop=True)
+    ref = ref.sort_values(["k", "lv", "rv"], na_position="first") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert set(got["k"]) == {1, 2, 3, 5, 9}       # both unmatched sides
+    assert got["k"].notna().all()                 # key never null
+
+
+def test_full_outer_join_name_collision_raises(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        full_outer_join,
+    )
+    import ray.data
+    import pytest
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
+    right = ray.data.from_pandas(pd.DataFrame({"rk": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="collision"):
+        full_outer_join(left, right, "k", "rk", ["rk", "v"])
+
+
+def test_window_lag_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        window_lag,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 6, 80).astype(np.int64),
+        "t": rng.integers(0, 50, 80).astype(np.int64),
+        "i": np.arange(80, dtype=np.int64),
+        "v": rng.normal(size=80),
+    })
+    out = window_lag(ray.data.from_pandas(df).repartition(5),
+                     ["u"], "t", "v", "prev_v", tie_col="i",
+                     num_partitions=4).to_pandas()
+    ref = df.sort_values(["u", "t", "i"], kind="stable")
+    ref = ref.assign(prev_v=ref.groupby("u")["v"].shift(1))
+    got = out.sort_values(["u", "t", "i"]).reset_index(drop=True)
+    ref = ref.sort_values(["u", "t", "i"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["u", "t", "i", "v", "prev_v"]],
+                                  ref)
+    # each key's first row has a null lag (nth keeps nulls; first() skips)
+    firsts = got.groupby("u").nth(0)
+    assert firsts["prev_v"].isna().all()
