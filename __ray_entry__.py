@@ -1187,6 +1187,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lagged.map_batches(gap, batch_format="pandas")
 
+    def orders_priority_mode(sf_dir: str):
+        """Per-group MODE (most frequent o_orderpriority per status,
+        ties toward the smaller value) — per-batch count combiner, one
+        exchange of distinct triples."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_mode,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderstatus", "o_orderpriority"],
+        )
+        return grouped_mode(orders, ["o_orderstatus"], "o_orderpriority",
+                            num_partitions=8)
+
+    def lineitem_cube_qty(sf_dir: str):
+        """GROUP BY CUBE over (returnflag, linestatus): all four
+        grouping sets from ONE pass over the raw data — coarser levels
+        cascade off the finest aggregate."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            cube_sum,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity"],
+        )
+        return cube_sum(li, ["l_returnflag", "l_linestatus"],
+                        "l_quantity", num_partitions=16)
+
+    def lineitem_qty_quantile_sketch(sf_dir: str):
+        """t-digest per-group quantiles (p50/p95) — the mergeable-sketch
+        scale path for unbounded groups; semantics pinned by
+        tests/test_tdigest.py (rank-error bound vs the exact operator),
+        not SQL-expressible."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_quantile_sketch,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity"],
+        )
+        return grouped_quantile_sketch(li, ["l_returnflag"],
+                                       "l_quantity", [0.5, 0.95],
+                                       num_partitions=8)
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -1955,6 +2008,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_source_cap": docs_per_source_cap,
         "customer_order_totals_outer": customer_order_totals_outer,
         "events_prev_gap": events_prev_gap,
+        "orders_priority_mode": orders_priority_mode,
+        "lineitem_cube_qty": lineitem_cube_qty,
+        "lineitem_qty_quantile_sketch": lineitem_qty_quantile_sketch,
     }
 
 
@@ -2523,5 +2579,22 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id) AS gap_us
             FROM events
+        """,
+        "orders_priority_mode": """
+            SELECT o_orderstatus, o_orderpriority, n
+            FROM (SELECT o_orderstatus, o_orderpriority,
+                         count(*) AS n
+                  FROM orders GROUP BY 1, 2)
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY n DESC, o_orderpriority) = 1
+        """,
+        "lineitem_cube_qty": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS sum_value
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
     }

@@ -1,0 +1,95 @@
+"""Merging t-digest — a mergeable quantile sketch (Dunning & Ertl,
+"Computing extremely accurate quantiles using t-digests", 2019; public
+algorithm).  The scale path for per-group quantiles over UNBOUNDED
+groups, where the exact operator's contract (a whole group fits one
+partition) breaks: each batch compresses its values into a bounded
+centroid list, centroid lists merge associatively through the exchange,
+and the final digest answers any quantile with rank error O(1/δ)
+concentrated at the tails.
+
+Pure numpy, deterministic for a given sequence of merges: centroids are
+(mean, weight) pairs kept sorted by mean; compression walks them in
+order and greedily merges while the k1 scale-function width
+k(q_right) − k(q_left) ≤ 1, with k(q) = δ/(2π)·asin(2q−1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["compress", "merge", "quantile", "from_values"]
+
+
+def _k_scale(q: np.ndarray, delta: float) -> np.ndarray:
+    return delta / (2.0 * np.pi) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0)
+                                             - 1.0)
+
+
+def compress(means: np.ndarray, weights: np.ndarray,
+             delta: float = 200.0) -> tuple[np.ndarray, np.ndarray]:
+    """Merge adjacent centroids (sorted by mean) while the k1 width
+    constraint allows — the sequential greedy pass of the merging
+    digest.  Output size is bounded by ~2δ regardless of input."""
+    if len(means) == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.argsort(means, kind="stable")
+    means = np.asarray(means, np.float64)[order]
+    weights = np.asarray(weights, np.float64)[order]
+    total = weights.sum()
+
+    out_m: list[float] = [means[0]]
+    out_w: list[float] = [weights[0]]
+    w_before = 0.0  # weight strictly left of the current cluster
+    k_lo = _k_scale(np.array([0.0]), delta)[0]
+    for m, w in zip(means[1:], weights[1:]):
+        q_hi = (w_before + out_w[-1] + w) / total
+        if _k_scale(np.array([q_hi]), delta)[0] - k_lo <= 1.0:
+            # merge into the current cluster (weighted mean)
+            nw = out_w[-1] + w
+            out_m[-1] += (m - out_m[-1]) * (w / nw)
+            out_w[-1] = nw
+        else:
+            w_before += out_w[-1]
+            k_lo = _k_scale(np.array([w_before / total]), delta)[0]
+            out_m.append(m)
+            out_w.append(w)
+    return np.array(out_m), np.array(out_w)
+
+
+def from_values(values: np.ndarray,
+                delta: float = 200.0) -> tuple[np.ndarray, np.ndarray]:
+    v = np.asarray(values, np.float64)
+    v = v[~np.isnan(v)]
+    return compress(v, np.ones(len(v)), delta)
+
+
+def merge(digests: list[tuple[np.ndarray, np.ndarray]],
+          delta: float = 200.0) -> tuple[np.ndarray, np.ndarray]:
+    """Associatively merge centroid lists: concatenate, re-sort,
+    re-compress."""
+    if not digests:
+        return np.array([]), np.array([])
+    means = np.concatenate([d[0] for d in digests])
+    weights = np.concatenate([d[1] for d in digests])
+    return compress(means, weights, delta)
+
+
+def quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Estimate the q-quantile by linear interpolation between centroid
+    means at their midpoint ranks (the standard t-digest estimator)."""
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    total = weights.sum()
+    # midpoint cumulative rank of each centroid
+    cum = np.cumsum(weights) - weights / 2.0
+    target = q * total
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    idx = np.searchsorted(cum, target) - 1
+    span = cum[idx + 1] - cum[idx]
+    frac = 0.0 if span == 0 else (target - cum[idx]) / span
+    return float(means[idx] + frac * (means[idx + 1] - means[idx]))

@@ -891,6 +891,165 @@ def windowed_cumsum(ds, keys: list[str], order_col: str, value_col: str,
     return grouped_apply(slim, keys, cumsum, num_partitions=num_partitions)
 
 
+def grouped_mode(ds, keys: list[str], value_col: str,
+                 count_col: str = "n", num_partitions: int = 64):
+    """Per-group modal value (ties break toward the smallest value) with
+    its count.  Per-batch partial counts combine before the one exchange
+    — only distinct (keys, value, count) triples ship, so a hot value
+    costs one row per batch, not one per occurrence."""
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys + [value_col], sort=False, dropna=False) \
+            .size().reset_index(name="__c")
+        return g
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys + [value_col], sort=False, dropna=False)[
+            "__c"
+        ].sum().reset_index()
+        g = g.sort_values(keys + ["__c", value_col],
+                          ascending=[True] * len(keys) + [False, True],
+                          kind="stable")
+        top = g.drop_duplicates(subset=keys, keep="first")
+        return top.rename(columns={"__c": count_col})
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    combined = slim.map_batches(partial, batch_format="pandas")
+    return grouped_apply(combined, keys, final,
+                         num_partitions=num_partitions)
+
+
+def cube_sum(ds, keys: list[str], value_col: str, sentinel: str = "ALL",
+             count_col: str = "n", sum_col: str = "sum_value",
+             ndigits: int = 2, num_partitions: int = 64):
+    """GROUP BY CUBE(keys): count + sum for EVERY subset of ``keys``
+    (2^len levels), absent key columns filled with ``sentinel``.  Like
+    :func:`rollup_sum`, the raw data is aggregated exactly once into the
+    finest level; every other subset re-aggregates that already-tiny
+    table — never a second pass over the input."""
+    from itertools import combinations
+
+    def finest(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(keys).aggregate(
+            [([], "count_all"), (value_col, "sum")]
+        )
+        return agg.rename_columns(keys + [count_col, sum_col])
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    finest_ds = grouped_apply(slim, keys, finest,
+                              num_partitions=num_partitions,
+                              batch_format="pyarrow")
+
+    def pad(level_keys: tuple[str, ...]):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = pc.cast(batch.column(k), pa.string())
+                else:
+                    cols[k] = pa.array([sentinel] * batch.num_rows,
+                                       pa.string())
+            cols[count_col] = pc.cast(batch.column(count_col), pa.int64())
+            cols[sum_col] = pc.round(
+                pc.cast(batch.column(sum_col), pa.float64()),
+                ndigits=ndigits, round_mode="half_towards_infinity",
+            )
+            return pa.table(cols)
+
+        return fn
+
+    out = finest_ds.map_batches(pad(tuple(keys)), batch_format="pyarrow")
+    subsets = [
+        sub
+        for r in range(len(keys) - 1, -1, -1)
+        for sub in combinations(keys, r)
+    ]
+    for sub in subsets:
+        def coarsen(tbl: pa.Table, _sub=sub) -> pa.Table:
+            agg = tbl.group_by(list(_sub)).aggregate(
+                [(count_col, "sum"), (sum_col, "sum")]
+            )
+            return agg.rename_columns(list(_sub) + [count_col, sum_col])
+
+        if sub:
+            lvl = grouped_apply(finest_ds, list(sub), coarsen,
+                                num_partitions=8, batch_format="pyarrow")
+        else:
+            rows = finest_ds.map_batches(
+                coarsen, batch_format="pyarrow"
+            ).take_all()
+            import ray.data
+
+            lvl = ray.data.from_arrow(pa.table({
+                count_col: pa.array(
+                    [sum(r[count_col] for r in rows)], pa.int64()
+                ),
+                sum_col: pa.array(
+                    [float(sum(r[sum_col] for r in rows))], pa.float64()
+                ),
+            }))
+        out = out.union(lvl.map_batches(pad(sub), batch_format="pyarrow"))
+    return out
+
+
+def grouped_quantile_sketch(ds, keys: list[str], value_col: str,
+                            qs: list[float], delta: float = 200.0,
+                            num_partitions: int = 64):
+    """Per-group quantiles via the merging t-digest
+    (functions/tdigest.py) — the scale path :func:`grouped_quantile`'s
+    contract points to: a group never needs to fit anywhere.  Each batch
+    compresses its values into ≤ ~2δ centroids per key (shipped as two
+    ``list<double>`` columns), centroid lists merge associatively in the
+    one exchange, and the final digest answers every requested quantile.
+    Rank error is O(1/δ), tightest at the tails; like any sketch the
+    exact estimate depends on batching, so results are reproducible for
+    a fixed partitioning but only error-bounded across partitionings.
+    Output columns: keys + ``q{q}`` per requested quantile."""
+    from ..functions import tdigest as td
+
+    def sketch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            m, w = td.from_values(g[value_col].to_numpy(), delta)
+            rows.append(
+                dict(zip(keys, kv))
+                | {"__m": list(m), "__w": list(w)}
+            )
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 keys + ["__m", "__w"]}
+            )
+        return pd.DataFrame(rows)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=True, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            m, w = td.merge(
+                [(np.asarray(r["__m"]), np.asarray(r["__w"]))
+                 for _, r in g.iterrows()],
+                delta,
+            )
+            rows.append(
+                dict(zip(keys, kv))
+                | {f"q{q}": td.quantile(m, w, q) for q in qs}
+            )
+        return pd.DataFrame(rows)
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    sketched = slim.map_batches(sketch, batch_format="pandas")
+    return grouped_apply(sketched, keys, finalize,
+                         num_partitions=num_partitions)
+
+
 def full_outer_join(left, right, left_key: str, right_key: str,
                     right_cols: list[str], num_partitions: int = 64):
     """Distributed FULL OUTER JOIN — both sides hash-co-partition on

@@ -573,3 +573,56 @@ def test_window_lag_matches_pandas(ray_session):
     # each key's first row has a null lag (nth keeps nulls; first() skips)
     firsts = got.groupby("u").nth(0)
     assert firsts["prev_v"].isna().all()
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_mode,
+    )
+    import ray.data
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4,
+        "v": ["x", "x", "y", "y", "z", "w", "q", "p", "q", "p"],
+    })
+    out = grouped_mode(ray.data.from_pandas(df).repartition(4),
+                       ["k"], "v", num_partitions=3).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # a: x and y tie at 2 -> smaller value 'x'; b: p/q tie -> 'p'
+    assert out.values.tolist() == [["a", "x", 2], ["b", "p", 2]]
+
+
+def test_cube_sum_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        cube_sum,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.choice(["r", "s"], 300),
+        "b": rng.choice(["u", "v", "w"], 300),
+        "x": rng.integers(1, 50, 300).astype(np.float64),
+    })
+    out = cube_sum(ray.data.from_pandas(df).repartition(5), ["a", "b"],
+                   "x", num_partitions=4).to_pandas()
+    # 2x3 finest + 2 (a) + 3 (b) + 1 total = 12 rows
+    assert len(out) == 12
+    ref = {}
+    for sub in [("a", "b"), ("a",), ("b",), ()]:
+        if sub:
+            g = df.groupby(list(sub))["x"].agg(["count", "sum"])
+            for kv, row in g.iterrows():
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                key = tuple(
+                    kv[sub.index(c)] if c in sub else "ALL"
+                    for c in ("a", "b")
+                )
+                ref[key] = (int(row["count"]), round(row["sum"], 2))
+        else:
+            ref[("ALL", "ALL")] = (len(df), round(df["x"].sum(), 2))
+    got = {
+        (r["a"], r["b"]): (r["n"], r["sum_value"])
+        for _, r in out.iterrows()
+    }
+    assert got == ref
