@@ -1240,6 +1240,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        "l_quantity", [0.5, 0.95],
                                        num_partitions=8)
 
+    def docs_pagerank(sf_dir: str):
+        """Distributed 5-iteration PageRank on a deterministic synthetic
+        graph over the documents table (two pseudo-random out-edges per
+        doc, both sides derive the identical edge list) — pins the
+        iterative scatter/gather exchanges against an unrolled SQL
+        oracle, like dup_clusters_chain does for CC."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            pagerank,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(mult: int, add: int):
+                x = pc.add(pc.multiply(ids, mult), add)
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500), 500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(7, 3).combine_chunks(),
+                mod500(13, 101).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        return pagerank(docs.map_batches(edges, batch_format="pyarrow"),
+                        iters=5, num_partitions=8)
+
+    def kg_entity_pagerank(sf_dir: str):
+        """Entity importance over the real KG edge list (string node
+        ids) — the GraphRAG analysis layer the reference lacks. Rows
+        only: iterative, not SQL-expressible at reasonable cost over
+        the KG tables; semantics pinned by tests/test_graph.py vs a
+        driver-side power iteration."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            pagerank,
+        )
+
+        edges = _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id"]
+        )
+        return pagerank(edges, src_col="src_entity_id",
+                        dst_col="dst_entity_id", iters=5,
+                        num_partitions=8)
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2011,6 +2057,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_mode": orders_priority_mode,
         "lineitem_cube_qty": lineitem_cube_qty,
         "lineitem_qty_quantile_sketch": lineitem_qty_quantile_sketch,
+        "docs_pagerank": docs_pagerank,
+        "kg_entity_pagerank": kg_entity_pagerank,
     }
 
 
@@ -2597,4 +2645,36 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
+        # 5 unrolled PageRank iterations over the same deterministic
+        # synthetic edge list the Ray query derives from doc_id
+        "docs_pagerank": (
+            """
+            WITH edges AS (
+                SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 101) % 500 FROM documents
+            ),
+            outdeg AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes)
+            """
+            + "".join(
+                f""",
+            r{i} AS (
+                SELECT n.node,
+                       0.15 + 0.85 * coalesce(sum(p.r / d.c), 0.0) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r{i - 1} p ON p.node = e.src
+                LEFT JOIN outdeg d ON d.src = e.src
+                GROUP BY n.node
+            )"""
+                for i in range(1, 6)
+            )
+            + """
+            SELECT node, round(r, 6) AS pr FROM r5
+            """
+        ),
     }

@@ -1,0 +1,79 @@
+"""Graph operators (pipelines/graph.py): out-degrees and fixed-iteration
+PageRank vs a driver-side dense power iteration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+    out_degrees,
+    pagerank,
+)
+
+
+def _ref_pagerank(edges: list[tuple], iters: int = 5,
+                  d: float = 0.85) -> dict:
+    nodes = sorted({x for e in edges for x in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        nxt = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            nxt[t] += r[s] / outdeg[s]
+        r = {n: (1 - d) + d * nxt[n] for n in nodes}
+    return {n: round(v, 6) for n, v in r.items()}
+
+
+def _edges_ds(ray_session, edges, blocks=3, cols=("src", "dst")):
+    import ray.data
+
+    df = pd.DataFrame(edges, columns=list(cols))
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def test_out_degrees(ray_session):
+    edges = [(0, 1), (0, 2), (0, 1), (3, 0)]
+    out = out_degrees(_edges_ds(ray_session, edges), num_partitions=4) \
+        .to_pandas()
+    assert out.set_index("src")["out_degree"].to_dict() == {0: 3, 3: 1}
+
+
+def test_pagerank_int_graph_matches_power_iteration(ray_session):
+    rng = np.random.default_rng(23)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 40, (300, 2))]
+    out = pagerank(_edges_ds(ray_session, edges, 5), iters=5,
+                   num_partitions=4).to_pandas()
+    ref = _ref_pagerank(edges)
+    got = out.set_index("node")["pr"].to_dict()
+    assert set(got) == set(ref)
+    for n in ref:
+        assert got[n] == pytest.approx(ref[n], abs=2e-6), n
+
+
+def test_pagerank_string_nodes_and_sinks(ray_session):
+    # 'd' is a dangling sink (no out-edges); 'x' has no in-edges
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+             ("x", "a")]
+    out = pagerank(_edges_ds(ray_session, edges, 2), iters=5,
+                   num_partitions=3).to_pandas()
+    ref = _ref_pagerank(edges)
+    got = out.set_index("node")["pr"].to_dict()
+    assert got == {n: pytest.approx(v, abs=2e-6) for n, v in ref.items()}
+    assert got["x"] == 0.15          # in-degree 0 -> base only
+    assert len(got) == 5
+
+
+def test_pagerank_partitioning_independent(ray_session):
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 25, (120, 2))]
+    outs = []
+    for blocks, parts in ((1, 2), (6, 5)):
+        out = pagerank(_edges_ds(ray_session, edges, blocks), iters=4,
+                       num_partitions=parts).to_pandas()
+        outs.append(out.sort_values("node").reset_index(drop=True))
+    # deterministic to the rounding digit regardless of partitioning
+    pd.testing.assert_frame_equal(outs[0], outs[1])
