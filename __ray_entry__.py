@@ -1280,11 +1280,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         edges = _kg_tables(sf_dir)["edges"].select_columns(
-            ["src_entity_id", "dst_entity_id"]
+            ["src_entity_id", "dst_entity_id", "weight"]
         )
         return pagerank(edges, src_col="src_entity_id",
-                        dst_col="dst_entity_id", iters=5,
-                        num_partitions=8)
+                        dst_col="dst_entity_id", weight_col="weight",
+                        iters=5, num_partitions=8)
 
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of

@@ -531,16 +531,15 @@ def ngram_decontaminate(docs_ds, benchmark_ds, id_col: str = "doc_id",
         return pa.table({"__mask": pa.array([np.packbits(bits).tobytes()],
                                             pa.binary())})
 
-    parts = benchmark_ds.map_batches(
+    # stream the per-batch masks and OR them incrementally — driver
+    # memory stays ONE mask (nbits/8 bytes) regardless of benchmark
+    # batch count
+    mask = np.zeros(nbits // 8, dtype=np.uint8)
+    for part in benchmark_ds.map_batches(
         build_mask, batch_format="pyarrow"
-    ).take_all()
-    if parts:
-        mask = np.bitwise_or.reduce(
-            np.stack([np.frombuffer(r["__mask"], dtype=np.uint8)
-                      for r in parts])
-        )
-    else:
-        mask = np.zeros(nbits // 8, dtype=np.uint8)
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in part.column("__mask").to_pylist():
+            mask |= np.frombuffer(buf, dtype=np.uint8)
     mask_ref = ray.put(mask)
 
     def probe(batch: pa.Table) -> pa.Table:

@@ -46,6 +46,7 @@ def out_degrees(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
 
 def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
+             weight_col: str | None = None,
              iters: int = 5, damping: float = 0.85,
              rank_col: str = "pr", ndigits: int = 6,
              num_partitions: int = 16):
@@ -54,6 +55,17 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     1.0, dangling mass dropped — Page et al. 1999's original per-node
     form).  A FIXED iteration count keeps the result deterministic and
     SQL-oracle-able (the oracle unrolls the same ``iters`` joins).
+    With ``weight_col``, a source's rank splits proportionally to edge
+    weight (``w(u→v)/Σ_w(u→·)``) instead of uniformly — the natural
+    mode for KG edges whose weight is mention count.
+
+    Skew note: the scatter exchange keys by src, so a hub node's entire
+    out-edge list lands in one partition; per-row work there is linear
+    and the contribution rows pre-aggregate by dst before the gather,
+    but a node with ~10^8 out-edges would need salted rank-row
+    replication (split its edges across salt sub-keys, copy the rank
+    row to each) — the same head-key treatment stages/link.py applies
+    to entity canonicalization.
 
     Node ids may be any hashable Arrow type (int ids, entity-name
     strings).  Shape per round: one exchange keyed by src co-locates
@@ -64,10 +76,12 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     state is one float per node.
     """
     def to_edges(b: pa.Table) -> pa.Table:
+        w = (pc.cast(b.column(weight_col), pa.float64()) if weight_col
+             else pa.array(np.ones(b.num_rows), pa.float64()))
         return pa.table({
             "key": b.column(src_col),
             "dst": b.column(dst_col),
-            "val": pa.nulls(b.num_rows, pa.float64()),
+            "val": w,
             "kind": pa.array(
                 np.full(b.num_rows, _EDGE, np.int8)
             ),
@@ -75,12 +89,13 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     raw = edges_ds.map_batches(to_edges, batch_format="pyarrow")
 
-    # attach 1/outdeg to every edge: one exchange on src — edge rows and
-    # nothing else, the degree is computed inside the partition
+    # normalize each edge to its source's share (w/Σw; uniform 1/outdeg
+    # when unweighted): one exchange on src, share computed in-partition
     def inv_deg(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
-        pdf["val"] = 1.0 / pdf.groupby("key", sort=False)["key"] \
-            .transform("size").to_numpy()
+        pdf["val"] = pdf["val"].to_numpy() / pdf.groupby(
+            "key", sort=False
+        )["val"].transform("sum").to_numpy()
         return pdf
 
     edges = grouped_apply(raw, ["key"], inv_deg,

@@ -1104,16 +1104,22 @@ def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
 
     Pass 1: each batch compresses to a Misra-Gries summary of at most
     ``capacity`` counters (exact local counts decremented by the
-    (capacity+1)-th largest — the classic FREQUENT compress); summaries
-    merge by counter addition + re-compress on the driver (each summary
-    is ≤ capacity rows — the merged guarantee ε·N, ε = 1/(capacity+1),
-    is preserved under this merge, Agarwal et al. 2013).  Any value with
-    true frequency > N/(capacity+1) is guaranteed to survive.
+    (capacity+1)-th largest — the classic FREQUENT compress; the merged
+    guarantee ε·N, ε = 1/(capacity+1), is preserved under counter
+    addition, Agarwal et al. 2013).  Summaries merge DISTRIBUTED: one
+    exchange keyed by value sums each surviving value to a single row
+    and truncates per partition to its local top-``capacity``, so the
+    driver folds at most partitions × capacity rows — never a row per
+    batch.  Survival guarantee: a value's merged count understates its
+    true frequency by at most ε·N, and fewer than capacity+1 values can
+    exceed ε·N in any partition, so any value with true frequency
+    > 2·ε·N is guaranteed to survive the per-partition truncation into
+    the candidate set (the classic ε·N bound, one doubling weaker).
 
-    Pass 2: the ≤ capacity surviving candidates broadcast as a filter
-    set and are recounted EXACTLY (per-batch count combiner + one tiny
-    exchange) — so reported counts carry no sketch error, and the
-    result equals the exact top-k whenever the k-th true frequency
+    Pass 2: the ≤ partitions·capacity surviving candidates broadcast as
+    a filter set and are recounted EXACTLY (per-batch count combiner +
+    one tiny exchange) — so reported counts carry no sketch error, and
+    the result equals the exact top-k whenever the k-th true frequency
     clears the ε·N survival bound (true for any power-law-ish corpus
     with capacity ≫ k)."""
     import ray
@@ -1131,11 +1137,19 @@ def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
         return pd.DataFrame({value_col: c.index.to_numpy(),
                              "__c": c.to_numpy()})
 
-    parts = ds.map_batches(sketch, batch_format="pandas").take_all()
+    def merge_truncate(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(value_col, sort=False)["__c"].sum() \
+            .sort_values(ascending=False, kind="stable")
+        return g.iloc[:capacity].reset_index()
+
+    parts = grouped_apply(
+        ds.map_batches(sketch, batch_format="pandas"),
+        [value_col], merge_truncate, num_partitions=num_partitions,
+    ).take_all()
     if not parts:
         return pa.table({value_col: pa.array([], pa.string()),
                          count_col: pa.array([], pa.int64())})
-    merged = pd.DataFrame(parts).groupby(value_col)["__c"].sum()
+    merged = pd.DataFrame(parts).set_index(value_col)["__c"]
     candidates = set(mg_compress(merged, capacity).index)
     cand_ref = ray.put(candidates)
 

@@ -77,3 +77,28 @@ def test_pagerank_partitioning_independent(ray_session):
         outs.append(out.sort_values("node").reset_index(drop=True))
     # deterministic to the rounding digit regardless of partitioning
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_pagerank_weighted_matches_reference(ray_session):
+    # rank splits by weight share, not uniformly
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+             ("c", "a", 2.0)]
+    out = pagerank(
+        _edges_ds(ray_session, edges, 2, cols=("src", "dst", "w")),
+        weight_col="w", iters=5, num_partitions=3,
+    ).to_pandas()
+    nodes = sorted({x for s, t, _ in edges for x in (s, t)})
+    wsum = {}
+    for s, _, w in edges:
+        wsum[s] = wsum.get(s, 0.0) + w
+    r = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        nxt = {n: 0.0 for n in nodes}
+        for s, t, w in edges:
+            nxt[t] += r[s] * w / wsum[s]
+        r = {n: 0.15 + 0.85 * nxt[n] for n in nodes}
+    got = out.set_index("node")["pr"].to_dict()
+    assert got == {n: pytest.approx(round(v, 6), abs=2e-6)
+                   for n, v in r.items()}
+    # b gets 3x the share c does from a
+    assert got["b"] > got["c"]
