@@ -4,9 +4,8 @@ degree structure).  The reference stops at writing edges
 (/root/reference/graphrag/core/triplets.py); these are beyond-reference
 operators in the same iterative-exchange style as
 ``pipelines/dedup.connected_components``: edges materialize once, each
-round is a constant number of co-partitioned ``grouped_apply``
-exchanges, and per-round state (the rank vector) is one row per node —
-never the edge payload.
+round is ONE fused co-partitioned ``grouped_apply`` exchange, and
+per-round state is one row per node — never the edge payload.
 """
 
 from __future__ import annotations
@@ -19,8 +18,8 @@ import pyarrow.compute as pc
 from ..stages.shuffle import grouped_apply
 
 # row kinds on the shared exchange schema (key, dst, val, kind)
-_EDGE = 0    # key = src, dst = neighbor, val = 1/outdeg(src)
-_RANK = 1    # key = node, val = current rank
+_EDGE = 0     # key = src, dst = neighbor, val = src's weight share
+_CONTRIB = 1  # key = node, val = an incoming rank contribution
 
 
 def out_degrees(edges_ds, src_col: str = "src", dst_col: str = "dst",
@@ -51,29 +50,34 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
              rank_col: str = "pr", ndigits: int = 6,
              num_partitions: int = 16):
     """Fixed-iteration PageRank (the standard simplified recurrence
-    ``r(v) = (1-d) + d·Σ_{u→v} r(u)/outdeg(u)``, ranks initialized to
+    ``r(v) = (1-d) + d·Σ_{u→v} r(u)·share(u→v)``, ranks initialized to
     1.0, dangling mass dropped — Page et al. 1999's original per-node
     form).  A FIXED iteration count keeps the result deterministic and
     SQL-oracle-able (the oracle unrolls the same ``iters`` joins).
-    With ``weight_col``, a source's rank splits proportionally to edge
-    weight (``w(u→v)/Σ_w(u→·)``) instead of uniformly — the natural
-    mode for KG edges whose weight is mention count.
+    ``share(u→v)`` is ``1/outdeg(u)``, or ``w(u→v)/Σ_w(u→·)`` with
+    ``weight_col`` — the natural mode for KG edges whose weight is
+    mention count.
 
-    Skew note: the scatter exchange keys by src, so a hub node's entire
-    out-edge list lands in one partition; per-row work there is linear
-    and the contribution rows pre-aggregate by dst before the gather,
-    but a node with ~10^8 out-edges would need salted rank-row
-    replication (split its edges across salt sub-keys, copy the rank
-    row to each) — the same head-key treatment stages/link.py applies
-    to entity canonicalization.
+    Fused round: the gather key (contribution's destination node) and
+    the next scatter key (edge source) are the SAME key, so each round
+    is ONE exchange — a partition sums its nodes' incoming
+    contributions into ranks, then immediately multiplies its
+    co-located out-edges by those ranks, emitting next-round
+    contribution rows (pre-aggregated by destination) plus a zero
+    keep-alive row per node.  Seeding each node with one contribution
+    of 1.0 makes round one reproduce rank 1.0 under the same formula
+    (``(1-d) + d·1 = 1``).  ``iters`` rounds + one final gather =
+    ``iters+1`` exchanges total; rounds chain LAZILY into one streaming
+    execution (no per-round convergence check to materialize for,
+    unlike the CC loop) — only the reused edge table is pinned.
 
     Node ids may be any hashable Arrow type (int ids, entity-name
-    strings).  Shape per round: one exchange keyed by src co-locates
-    edges with their source's rank row (contribution scatter), one
-    exchange keyed by node sums contributions (gather) — rank rows ride
-    both so every node, even in-degree-0, gets the (1-d) base.  Edges
-    carry ``1/outdeg`` precomputed once and materialized; per-round
-    state is one float per node.
+    strings).  Skew note: a hub's out-edges co-locate on its partition;
+    per-row work is linear and contributions pre-aggregate before the
+    exchange, but a node with ~10^8 out-edges would need salted
+    rank replication (split its edges across salt sub-keys, copy the
+    rank row to each) — the same head-key treatment stages/link.py
+    applies to entity canonicalization.
     """
     def to_edges(b: pa.Table) -> pa.Table:
         w = (pc.cast(b.column(weight_col), pa.float64()) if weight_col
@@ -101,7 +105,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     edges = grouped_apply(raw, ["key"], inv_deg,
                           num_partitions=num_partitions).materialize()
 
-    # rank rows: every distinct node (src ∪ dst), rank 1.0
+    # seed: every distinct node (src ∪ dst) gets one 1.0 contribution
     def node_rows(b: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays([
             b.column("key").combine_chunks().cast(
@@ -113,61 +117,53 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
             "key": nodes,
             "dst": nodes,
             "val": pa.array(np.ones(len(nodes)), pa.float64()),
-            "kind": pa.array(np.full(len(nodes), _RANK, np.int8)),
+            "kind": pa.array(np.full(len(nodes), _CONTRIB, np.int8)),
         })
 
     def distinct_nodes(pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf.drop_duplicates(subset=["key"])
 
-    ranks = grouped_apply(
+    state = grouped_apply(
         edges.map_batches(node_rows, batch_format="pyarrow"),
         ["key"], distinct_nodes, num_partitions=num_partitions,
-    ).materialize()
+    )
 
-    def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Partition keyed by src: edge contribution rows
-        (dst, rank(src)·inv_deg) plus zero rows keeping every node
-        alive for the gather."""
-        rank = pdf[pdf["kind"] == _RANK]
-        lut = dict(zip(rank["key"], rank["val"]))
+    def ranks_of(pdf: pd.DataFrame) -> pd.Series:
+        c = pdf[pdf["kind"] == _CONTRIB]
+        r = c.groupby("key", sort=False)["val"].sum()
+        return (1.0 - damping) + damping * r
+
+    def fused_round(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ranks_of(pdf)
         edge = pdf[pdf["kind"] == _EDGE]
         contrib = edge["val"].to_numpy() \
-            * edge["key"].map(lut).to_numpy(np.float64)
+            * edge["key"].map(r).to_numpy(np.float64)
         out = pd.DataFrame({
-            "node": pd.concat([edge["dst"], rank["key"]],
-                              ignore_index=True),
-            "c": np.concatenate([contrib, np.zeros(len(rank))]),
+            "key": pd.concat(
+                [edge["dst"], pd.Series(r.index)], ignore_index=True
+            ),
+            "val": np.concatenate([contrib, np.zeros(len(r))]),
         })
-        # pre-aggregate before the gather exchange
-        return out.groupby("node", sort=False, as_index=False)["c"].sum()
-
-    def gather(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby("node", sort=False, as_index=False)["c"].sum()
-        g["c"] = (1.0 - damping) + damping * g["c"]
-        return g
+        agg = out.groupby("key", sort=False, as_index=False)["val"].sum()
+        agg["dst"] = agg["key"]
+        agg["kind"] = np.full(len(agg), _CONTRIB, np.int8)
+        return agg[["key", "dst", "val", "kind"]]
 
     for _ in range(iters):
-        contribs = grouped_apply(ranks.union(edges), ["key"], scatter,
-                                 num_partitions=num_partitions)
-        new_ranks = grouped_apply(contribs, ["node"], gather,
-                                  num_partitions=num_partitions)
+        state = grouped_apply(state.union(edges), ["key"], fused_round,
+                              num_partitions=num_partitions)
 
-        def as_rank_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "key": pdf["node"],
-                "dst": pdf["node"],
-                "val": pdf["c"],
-                "kind": np.full(len(pdf), _RANK, np.int8),
-            })
+    def final_rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = ranks_of(pdf)
+        return pd.DataFrame({"node": r.index, rank_col: r.to_numpy()})
 
-        ranks = new_ranks.map_batches(
-            as_rank_rows, batch_format="pandas"
-        ).materialize()
+    ranks = grouped_apply(state, ["key"], final_rank,
+                          num_partitions=num_partitions)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
-            "node": b.column("key"),
-            rank_col: pc.round(b.column("val"), ndigits,
+            "node": b.column("node"),
+            rank_col: pc.round(b.column(rank_col), ndigits,
                                round_mode="half_towards_infinity"),
         })
 
