@@ -1286,6 +1286,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         dst_col="dst_entity_id", weight_col="weight",
                         iters=5, num_partitions=8)
 
+    def embedding_label_centroids(sf_dir: str):
+        """Per-label embedding centroid, long-form (label, dim,
+        centroid) — each batch reduces to one (Σvector, n) row per
+        label before the exchange; raw vectors never shuffle."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            grouped_centroids,
+        )
+
+        return grouped_centroids(
+            _read(sf_dir, "embeddings").select_columns(
+                ["label", "embedding"]
+            )
+        )
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2059,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_quantile_sketch": lineitem_qty_quantile_sketch,
         "docs_pagerank": docs_pagerank,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "embedding_label_centroids": embedding_label_centroids,
     }
 
 
@@ -2677,4 +2692,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, round(r, 6) AS pr FROM r5
             """
         ),
+        "embedding_label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   round(avg(x), 6) AS centroid
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(1, len(embedding) + 1)) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
+        """,
     }

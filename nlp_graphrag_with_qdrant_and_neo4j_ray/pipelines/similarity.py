@@ -497,3 +497,64 @@ def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
 
     return grouped_apply(bucketed, ["bucket"], partition_pairs,
                          num_partitions=64)
+
+
+def grouped_centroids(embeddings_ds, label_col: str = "label",
+                      emb_col: str = "embedding",
+                      out_col: str = "centroid", ndigits: int = 6,
+                      num_partitions: int = 8):
+    """Per-label embedding centroid (the class-prototype computation
+    behind centroid classifiers, cluster summaries and
+    embedding-drift monitoring), emitted LONG-FORM as
+    ``(label, dim, centroid)`` with 1-based dims so a SQL oracle can
+    reproduce it via unnest+avg.
+
+    Scale shape: each batch reduces to one (Σvector, count) pair per
+    label present (vectorized ``np.add.at`` over factorized labels), so
+    the one exchange ships ``labels-per-batch`` rows of ``dim`` doubles
+    — never the raw vectors; the final divide + dim-explode is
+    vectorized per partition."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = _as_matrix(batch, emb_col).astype(np.float64)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, codes, m)
+        counts = np.bincount(codes, minlength=len(uniq))
+        return pd.DataFrame({
+            label_col: uniq.astype(np.int64),
+            "__sum": list(sums),
+            "__n": counts.astype(np.int64),
+        })
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, g in pdf.groupby(label_col, sort=True):
+            s = np.sum(np.stack(g["__sum"].to_numpy()), axis=0)
+            c = s / g["__n"].sum()
+            rows.append((lab, c))
+        dim = len(rows[0][1]) if rows else 0
+        return pd.DataFrame({
+            label_col: np.repeat([r[0] for r in rows], dim),
+            "dim": np.tile(np.arange(1, dim + 1), len(rows)),
+            out_col: np.concatenate([r[1] for r in rows])
+            if rows else np.array([]),
+        })
+
+    sk = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+    out = grouped_apply(sk, [label_col], final,
+                        num_partitions=num_partitions)
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return pa.table({
+            label_col: pc.cast(b.column(label_col), pa.int64()),
+            "dim": pc.cast(b.column("dim"), pa.int64()),
+            out_col: pc.round(b.column(out_col), ndigits,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(rounded, batch_format="pyarrow")

@@ -472,3 +472,29 @@ def test_ngram_decontaminate_empty_benchmark(ray_session):
         ray.data.from_pandas(bench),
     ).to_pandas()
     assert set(out["doc_id"]) == {0, 1}
+
+
+def test_grouped_centroids_matches_numpy(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        grouped_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    labels = rng.integers(0, 3, 200).astype(np.int64)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    tbl = __import__("pyarrow").table({
+        "label": labels,
+        "embedding": list(vecs),
+    })
+    out = grouped_centroids(
+        ray.data.from_arrow(tbl).repartition(5), num_partitions=3
+    ).to_pandas()
+    assert len(out) == 3 * 8
+    for lab in range(3):
+        ref = vecs[labels == lab].astype(np.float64).sum(0) \
+            / (labels == lab).sum()
+        got = out[out["label"] == lab].sort_values("dim")["centroid"] \
+            .to_numpy()
+        np.testing.assert_allclose(got, np.round(ref, 6), atol=1e-6)
