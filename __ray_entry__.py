@@ -1300,6 +1300,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def lineitem_qty_var_by_flag(sf_dir: str):
+        """Exact grouped sample variance + stddev — (n, Σx, Σx²)
+        sufficient-stats combiner, one tiny exchange."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_var,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity"],
+        )
+        return grouped_var(li, ["l_returnflag"], "l_quantity",
+                           num_partitions=8)
+
+    def orders_ntile4(sf_dir: str):
+        """NTILE(4) of orders by total price within each priority
+        (exact SQL bucket-size semantics, pinned tie-break)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_ntile,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        return window_ntile(orders, ["o_orderpriority"], "o_totalprice",
+                            4, tie_col="o_orderkey",
+                            num_partitions=16)
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2074,6 +2107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": docs_pagerank,
         "kg_entity_pagerank": kg_entity_pagerank,
         "embedding_label_centroids": embedding_label_centroids,
+        "lineitem_qty_var_by_flag": lineitem_qty_var_by_flag,
+        "orders_ntile4": orders_ntile4,
     }
 
 
@@ -2699,5 +2734,19 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(embedding) + 1)) AS dim
                   FROM embeddings)
             GROUP BY label, dim
+        """,
+        "lineitem_qty_var_by_flag": """
+            SELECT l_returnflag,
+                   round(var_samp(l_quantity), 6) AS var_samp,
+                   round(stddev_samp(l_quantity), 6) AS stddev
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "orders_ntile4": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS BIGINT) AS tile
+            FROM orders
         """,
     }

@@ -829,6 +829,78 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
                          batch_format="pyarrow")
 
 
+def grouped_var(ds, keys: list[str], value_col: str,
+                var_col: str = "var_samp", std_col: str = "stddev",
+                ndigits: int = 6, num_partitions: int = 64):
+    """Exact per-group sample variance + stddev via the same
+    sufficient-statistics combiner as :func:`grouped_corr` — each batch
+    reduces to (n, Σx, Σx²) per key, partials merge by addition after
+    one exchange.  Closed form ``(n·Σx² − (Σx)²) / (n·(n−1))``; null
+    for groups of size 1 (SQL ``var_samp`` convention)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(value_col), pa.float64())
+        t = pa.table({
+            **{kc: batch.column(kc) for kc in keys},
+            "__x": x, "__xx": pc.multiply(x, x),
+        })
+        agg = t.group_by(keys).aggregate(
+            [([], "count_all"), ("__x", "sum"), ("__xx", "sum")]
+        )
+        return agg.rename_columns(keys + ["__n", "__x", "__xx"])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        g = pdf.groupby(keys, sort=True, dropna=False).sum().reset_index()
+        n = g["__n"].to_numpy(dtype=np.float64)
+        sx, sxx = g["__x"].to_numpy(), g["__xx"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.where(n > 1, (n * sxx - sx * sx) / (n * (n - 1.0)),
+                         np.nan)
+            v = np.maximum(v, 0.0)  # clamp negative rounding residue
+        out = g[keys].copy()
+        out[var_col] = np.round(v, ndigits)
+        out[std_col] = np.round(np.sqrt(v), ndigits)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    )
+    combined = slim.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(combined, keys, finish,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
+
+
+def window_ntile(ds, keys: list[str], order_col: str, tiles: int,
+                 tie_col: str, out_col: str = "tile",
+                 num_partitions: int = 64):
+    """SQL ``NTILE(tiles) OVER (PARTITION BY keys ORDER BY order_col,
+    tie_col)`` — the first ``n % tiles`` buckets get ``⌈n/tiles⌉`` rows
+    (exact SQL semantics, 1-based).  Same exchange shape as
+    :func:`windowed_cumsum`: one exchange on the keys, per-partition
+    stable sort + a fully vectorized position→bucket formula."""
+    cols = list(dict.fromkeys(keys + [order_col, tie_col]))
+
+    def ntile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + [order_col, tie_col], kind="stable")
+        grp = pdf.groupby(keys, sort=False, dropna=False)
+        p = grp.cumcount().to_numpy(np.int64)
+        n = grp[order_col].transform("size").to_numpy(np.int64)
+        k, r = n // tiles, n % tiles
+        big = r * (k + 1)
+        out = pdf.copy()
+        out[out_col] = np.where(
+            p < big,
+            p // np.maximum(k + 1, 1),
+            r + (p - big) // np.maximum(k, 1),
+        ) + 1
+        return out
+
+    slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    return grouped_apply(slim, keys, ntile, num_partitions=num_partitions)
+
+
 def copartition_agg_join(fact, dim, key: str, dim_key: str,
                          dim_cols: list[str], value_col: str,
                          sum_col: str, num_partitions: int = 64):

@@ -626,3 +626,49 @@ def test_cube_sum_matches_pandas(ray_session):
         for _, r in out.iterrows()
     }
     assert got == ref
+
+
+def test_grouped_var_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_var,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), 200),
+        "x": rng.normal(10, 3, 200),
+    })
+    df = pd.concat([df, pd.DataFrame({"g": ["solo"], "x": [5.0]})],
+                   ignore_index=True)
+    out = grouped_var(ray.data.from_pandas(df).repartition(4), ["g"],
+                      "x", num_partitions=3).to_pandas() \
+        .set_index("g")
+    ref = df.groupby("g")["x"].var()
+    for g in "abc":
+        assert out.loc[g, "var_samp"] == pytest.approx(
+            round(ref[g], 6), abs=1e-5)
+        assert out.loc[g, "stddev"] == pytest.approx(
+            round(np.sqrt(ref[g]), 6), abs=1e-5)
+    assert np.isnan(out.loc["solo", "var_samp"])   # n=1 -> null
+
+
+def test_window_ntile_exact_sql_semantics(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        window_ntile,
+    )
+    import ray.data
+
+    # group sizes 10 (=4,3,3... no: ntile(3) of 10 -> 4,3,3) and 2 (<q)
+    df = pd.DataFrame({
+        "g": ["a"] * 10 + ["b"] * 2,
+        "v": list(range(10)) + [5, 1],
+        "id": np.arange(12, dtype=np.int64),
+    })
+    out = window_ntile(ray.data.from_pandas(df).repartition(3), ["g"],
+                       "v", 3, tie_col="id", num_partitions=2) \
+        .to_pandas().sort_values(["g", "v", "id"])
+    a = out[out["g"] == "a"]["tile"].tolist()
+    assert a == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    b = out[out["g"] == "b"].sort_values("v")["tile"].tolist()
+    assert b == [1, 2]   # n < tiles: one row per leading bucket
