@@ -1333,6 +1333,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             4, tie_col="o_orderkey",
                             num_partitions=16)
 
+    def docs_training_pipeline(sf_dir: str):
+        """The full training-data prep chain as ONE streaming pipeline
+        with a single end-to-end SQL oracle: PII-redact → Gopher-style
+        repetition filter (distinct_frac ≥ 0.4, top_bigram_frac ≤ 0.12,
+        n_tokens ≥ 20 — keeps ~57% of this corpus) → exact dedup (keep
+        min doc_id per content hash; only (hash, id, n_tok) ride the
+        exchange, texts never shuffle again) → GPT-style 256-token
+        sequence packing.  Map stages fuse; the whole chain has two
+        exchanges (dedup, pack-shard)."""
+        import hashlib as _hl
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.textstats import (
+            content_hash,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            pack_sequences,
+            pii_redact,
+            repetition_scores,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        scored = repetition_scores(pii_redact(docs), append=True)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch.column("distinct_frac"), 0.4),
+                    pc.less_equal(batch.column("top_bigram_frac"), 0.12),
+                ),
+                pc.greater_equal(batch.column("n_tokens"), 20),
+            )
+            sub = batch.filter(m)
+            hashes = [content_hash(t)
+                      for t in sub.column("text").to_pylist()]
+            return pa.table({
+                "h": pa.array(hashes, pa.string()),
+                "doc_id": sub.column("doc_id"),
+                "n_tok": sub.column("n_tokens"),
+            })
+
+        def dedup_part(pdf):
+            pdf = pdf.sort_values(["h", "doc_id"], kind="stable")
+            return pdf.drop_duplicates(subset="h")[["doc_id", "n_tok"]]
+
+        kept = grouped_apply(
+            scored.map_batches(keep, batch_format="pyarrow"),
+            ["h"], dedup_part, num_partitions=16,
+        )
+
+        def shard(batch: pa.Table) -> pa.Table:
+            s = [
+                int(_hl.md5(str(i).encode()).hexdigest()[-1], 16) % 4
+                for i in batch.column("doc_id").to_pylist()
+            ]
+            return pa.table({
+                "shard": pa.array(s, pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+            })
+
+        return pack_sequences(
+            kept.map_batches(shard, batch_format="pyarrow"),
+            "shard", "n_tok", max_len=256, num_partitions=8,
+        )
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2109,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": embedding_label_centroids,
         "lineitem_qty_var_by_flag": lineitem_qty_var_by_flag,
         "orders_ntile4": orders_ntile4,
+        "docs_training_pipeline": docs_training_pipeline,
     }
 
 
@@ -2749,4 +2818,82 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS tile
             FROM orders
         """,
+"docs_training_pipeline": (lambda p=_pii: f"""
+            WITH clean AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           text,
+                           '{p[0][0]}', '{p[0][1]}', 'g'),
+                           '{p[1][0]}', '{p[1][1]}', 'g'),
+                           '{p[2][0]}', '{p[2][1]}', 'g') AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       unnest(range(1, len(l) + 1)) AS ord
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM clean)
+            ),
+            f AS (SELECT * FROM toks WHERE tok <> ''),
+            tc AS (SELECT doc_id, tok, count(*) AS c
+                   FROM f GROUP BY 1, 2),
+            base AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                            count(*) AS nun
+                     FROM tc GROUP BY 1),
+            bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (
+                       PARTITION BY doc_id ORDER BY ord) AS b FROM f),
+            bgc AS (SELECT doc_id, max(c) AS topbg
+                    FROM (SELECT doc_id, b, count(*) AS c FROM bg
+                          WHERE b IS NOT NULL GROUP BY 1, 2)
+                    GROUP BY 1),
+            scored AS (
+                SELECT base.doc_id, n,
+                       round(nun * 1.0 / n, 6) AS df_,
+                       round(coalesce(topbg, 0) * 1.0
+                             / greatest(n - 1, 1), 6) AS bf_
+                FROM base LEFT JOIN bgc ON base.doc_id = bgc.doc_id
+            ),
+            kept AS (SELECT doc_id, n FROM scored
+                     WHERE df_ >= 0.4 AND bf_ <= 0.12 AND n >= 20),
+            dedup AS (
+                SELECT min(k.doc_id) AS doc_id,
+                       any_value(k.n) AS n_tok
+                FROM kept k JOIN clean c ON c.doc_id = k.doc_id
+                GROUP BY c.text
+            ),
+            pos AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef',
+                               right(md5(CAST(doc_id AS VARCHAR)), 1))
+                        - 1) % 4 AS shard,
+                       n_tok
+                FROM dedup
+            ),
+            pos2 AS (
+                SELECT doc_id, shard, n_tok,
+                       CAST(sum(n_tok) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok
+                            AS BIGINT) AS start
+                FROM pos WHERE n_tok > 0
+            ),
+            seg AS (
+                SELECT shard, doc_id, start, n_tok,
+                       unnest(generate_series(
+                           start // 256,
+                           (start + n_tok - 1) // 256)) AS pack_id
+                FROM pos2
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(pack_id AS BIGINT) AS pack_id,
+                   doc_id,
+                   CAST(greatest(start, pack_id * 256) - start
+                        AS BIGINT) AS seg_start,
+                   CAST(least(start + n_tok, (pack_id + 1) * 256)
+                        - greatest(start, pack_id * 256)
+                        AS BIGINT) AS seg_len,
+                   CAST(greatest(start, pack_id * 256) - pack_id * 256
+                        AS BIGINT) AS pack_offset
+            FROM seg
+        """)(),
     }

@@ -66,7 +66,7 @@ def pii_redact(docs_ds, text_col: str = "text",
 
 
 def repetition_scores(docs_ds, id_col: str = "doc_id",
-                      text_col: str = "text"):
+                      text_col: str = "text", append: bool = False):
     """Gopher-style repetition signals per document over whitespace
     tokens: ``n_tokens``, ``distinct_frac`` (distinct/total),
     ``top_token_frac`` (most frequent token's share) and
@@ -75,7 +75,9 @@ def repetition_scores(docs_ds, id_col: str = "doc_id",
     are dropped (no signal).  Per-document ⇒ pure map stage; the batch
     kernel is one flatten + two pandas groupbys, no per-row Python.
     Fractions round half-away-from-zero to 6 digits for DuckDB oracle
-    parity."""
+    parity.  With ``append=True`` the four score columns are appended
+    to the input batch (all original columns kept) so a downstream
+    quality filter needs no join."""
 
     def score(batch: pa.Table) -> pa.Table:
         split = pc.split_pattern(batch.column(text_col), " ")
@@ -85,12 +87,20 @@ def repetition_scores(docs_ds, id_col: str = "doc_id",
         mask = toks != ""
         doc_idx, toks = doc_idx[mask], toks[mask]
         if len(toks) == 0:
-            return pa.table({
-                id_col: pa.array([], batch.schema.field(id_col).type),
+            empty_scores = {
                 "n_tokens": pa.array([], pa.int64()),
                 "distinct_frac": pa.array([], pa.float64()),
                 "top_token_frac": pa.array([], pa.float64()),
                 "top_bigram_frac": pa.array([], pa.float64()),
+            }
+            if append:
+                out = batch.slice(0, 0)
+                for name, col in empty_scores.items():
+                    out = out.append_column(name, col)
+                return out
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                **empty_scores,
             })
         df = pd.DataFrame({"d": doc_idx, "t": toks})
         grp = df.groupby("d", sort=True)["t"]
@@ -122,14 +132,22 @@ def repetition_scores(docs_ds, id_col: str = "doc_id",
             pa.array(num / den, pa.float64()), 6,
             round_mode="half_towards_infinity",
         )
-        return pa.table({
-            id_col: batch.column(id_col).take(pa.array(docs)),
+        scores = {
             "n_tokens": pa.array(n.to_numpy(np.int64)),
             "distinct_frac": frac(nun.to_numpy(np.float64), n_np),
             "top_token_frac": frac(top.to_numpy(np.float64), n_np),
             "top_bigram_frac": frac(
                 topbg.fillna(0.0).to_numpy(np.float64), nbig
             ),
+        }
+        if append:
+            out = batch.take(pa.array(docs))
+            for name, col in scores.items():
+                out = out.append_column(name, col)
+            return out
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(docs)),
+            **scores,
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")

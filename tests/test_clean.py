@@ -143,3 +143,24 @@ def test_pack_sequences_partitioning_independent(ray_session):
     assert set(outs[0]["doc_id"]) == set(kept["doc_id"])
     assert (outs[0]["seg_len"] > 0).all()
     assert (outs[0]["pack_offset"] + outs[0]["seg_len"] <= 128).all()
+
+
+def test_repetition_scores_append_mode(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({
+        "doc_id": np.int64([0, 1, 2]),
+        "text": ["a b c", "", "x x"],
+        "extra": ["p", "q", "r"],
+    })
+    out = repetition_scores(ray.data.from_pandas(df).repartition(2),
+                            append=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # original columns kept, zero-token doc dropped
+    assert list(out.columns) == ["doc_id", "text", "extra", "n_tokens",
+                                 "distinct_frac", "top_token_frac",
+                                 "top_bigram_frac"]
+    assert out["doc_id"].tolist() == [0, 2]
+    assert out["extra"].tolist() == ["p", "r"]
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out.loc[1, "top_token_frac"] == 1.0
