@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 from ..stages.shuffle import grouped_apply
 
-# row kinds on the shared exchange schema (key, dst, val, kind)
+# row kinds on the shared exchange schema (key, __salt, dst, val, kind)
 _EDGE = 0     # key = src, dst = neighbor, val = src's weight share
 _CONTRIB = 1  # key = node, val = an incoming rank contribution
 
@@ -44,10 +44,16 @@ def out_degrees(edges_ds, src_col: str = "src", dst_col: str = "dst",
                          batch_format="pyarrow")
 
 
+def _dst_salt(dst: pd.Series, salt_buckets: int) -> np.ndarray:
+    return (pd.util.hash_pandas_object(dst, index=False)
+            % salt_buckets).to_numpy(np.int64)
+
+
 def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
              weight_col: str | None = None,
              iters: int = 5, damping: float = 0.85,
              rank_col: str = "pr", ndigits: int = 6,
+             hot_degree: int | None = None, salt_buckets: int = 8,
              num_partitions: int = 16):
     """Fixed-iteration PageRank (the standard simplified recurrence
     ``r(v) = (1-d) + d·Σ_{u→v} r(u)·share(u→v)``, ranks initialized to
@@ -71,30 +77,62 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     execution (no per-round convergence check to materialize for,
     unlike the CC loop) — only the reused edge table is pinned.
 
+    Hub skew (``hot_degree``): a node's out-edges co-locate on its
+    exchange partition, so a 10^8-out-edge hub would swamp one worker.
+    With ``hot_degree`` set, sources whose out-degree exceeds it are
+    detected by a combiner pass (≤1 row per src per batch), their edges
+    salted across ``salt_buckets`` sub-keys by hash(dst), their weight
+    sums broadcast (only the heads — small by definition), and their
+    contribution/keep-alive rows REPLICATED to every salt sub-key each
+    round.  Replication is cheap because contributions pre-aggregate
+    per partition before emission (≤ partitions rows per node per
+    round), and every salt partition independently reconstructs the
+    identical rank from the full contribution copy — results are
+    exactly equal to the unsalted path (tested).  The same head-key
+    treatment stages/link.py applies to entity canonicalization.
+
     Node ids may be any hashable Arrow type (int ids, entity-name
-    strings).  Skew note: a hub's out-edges co-locate on its partition;
-    per-row work is linear and contributions pre-aggregate before the
-    exchange, but a node with ~10^8 out-edges would need salted
-    rank replication (split its edges across salt sub-keys, copy the
-    rank row to each) — the same head-key treatment stages/link.py
-    applies to entity canonicalization.
+    strings).
     """
     def to_edges(b: pa.Table) -> pa.Table:
         w = (pc.cast(b.column(weight_col), pa.float64()) if weight_col
              else pa.array(np.ones(b.num_rows), pa.float64()))
         return pa.table({
             "key": b.column(src_col),
+            "__salt": pa.array(np.zeros(b.num_rows, np.int64)),
             "dst": b.column(dst_col),
             "val": w,
-            "kind": pa.array(
-                np.full(b.num_rows, _EDGE, np.int8)
-            ),
+            "kind": pa.array(np.full(b.num_rows, _EDGE, np.int8)),
         })
 
     raw = edges_ds.map_batches(to_edges, batch_format="pyarrow")
 
-    # normalize each edge to its source's share (w/Σw; uniform 1/outdeg
-    # when unweighted): one exchange on src, share computed in-partition
+    # hot-source detection: per-src (count, Σw) via combiner — a hub
+    # contributes ≤1 row per batch to this exchange, never its edges
+    hot: dict = {}
+    if hot_degree is not None:
+        def src_stats(b: pa.Table) -> pa.Table:
+            g = b.group_by(["key"]).aggregate(
+                [([], "count_all"), ("val", "sum")]
+            )
+            return g.rename_columns(["key", "__n", "__w"])
+
+        def merge_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = pdf.groupby("key", sort=False, as_index=False).sum()
+            return g[g["__n"] > hot_degree]
+
+        hot_rows = grouped_apply(
+            raw.map_batches(src_stats, batch_format="pyarrow"),
+            ["key"], merge_stats, num_partitions=num_partitions,
+        ).take_all()
+        hot = {r["key"]: r["__w"] for r in hot_rows}
+    hot_keys = frozenset(hot)
+
+    # normalize each edge to its source's share (w/Σw; uniform
+    # 1/outdeg when unweighted).  Hot sources bypass the exchange:
+    # their Σw is broadcast, share + dst-salt computed map-side.
+    # Everyone else goes through one exchange on src (skew-free once
+    # the heads are removed).
     def inv_deg(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
         pdf["val"] = pdf["val"].to_numpy() / pdf.groupby(
@@ -102,8 +140,50 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         )["val"].transform("sum").to_numpy()
         return pdf
 
-    edges = grouped_apply(raw, ["key"], inv_deg,
-                          num_partitions=num_partitions).materialize()
+    if hot_keys:
+        def split_hot(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = pdf["key"].isin(hot_keys).to_numpy()
+            out = pdf[m].copy()
+            out["val"] = out["val"].to_numpy() \
+                / out["key"].map(hot).to_numpy(np.float64)
+            out["__salt"] = _dst_salt(out["dst"], salt_buckets)
+            return out
+
+        cold = raw.map_batches(
+            lambda pdf: pdf[~pdf["key"].isin(hot_keys)],
+            batch_format="pandas",
+        )
+        edges = grouped_apply(
+            cold, ["key"], inv_deg, num_partitions=num_partitions,
+        ).union(
+            raw.map_batches(split_hot, batch_format="pandas")
+        ).materialize()
+    else:
+        edges = grouped_apply(raw, ["key"], inv_deg,
+                              num_partitions=num_partitions).materialize()
+
+    def replicate_to_salts(agg: pd.DataFrame,
+                           last: bool) -> pd.DataFrame:
+        """Contribution rows for hot nodes are copied to every salt
+        sub-key (so each salt partition reconstructs the full rank);
+        the final gather needs no edges, so everything collapses to
+        salt 0."""
+        if hot_keys and not last:
+            is_hot = agg["key"].isin(hot_keys).to_numpy()
+            base = agg[~is_hot].copy()
+            base["__salt"] = np.int64(0)
+            h = agg[is_hot]
+            rep = h.loc[h.index.repeat(salt_buckets)].copy()
+            rep["__salt"] = np.tile(
+                np.arange(salt_buckets, dtype=np.int64), len(h)
+            )
+            agg = pd.concat([base, rep], ignore_index=True)
+        else:
+            agg = agg.copy()
+            agg["__salt"] = np.int64(0)
+        agg["dst"] = agg["key"]
+        agg["kind"] = np.full(len(agg), _CONTRIB, np.int8)
+        return agg[["key", "__salt", "dst", "val", "kind"]]
 
     # seed: every distinct node (src ∪ dst) gets one 1.0 contribution
     def node_rows(b: pa.Table) -> pa.Table:
@@ -115,49 +195,59 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         ])
         return pa.table({
             "key": nodes,
-            "dst": nodes,
             "val": pa.array(np.ones(len(nodes)), pa.float64()),
-            "kind": pa.array(np.full(len(nodes), _CONTRIB, np.int8)),
         })
 
-    def distinct_nodes(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.drop_duplicates(subset=["key"])
+    def distinct_seed(pdf: pd.DataFrame) -> pd.DataFrame:
+        return replicate_to_salts(
+            pdf.drop_duplicates(subset=["key"]), last=False
+        )
 
     state = grouped_apply(
         edges.map_batches(node_rows, batch_format="pyarrow"),
-        ["key"], distinct_nodes, num_partitions=num_partitions,
+        ["key"], distinct_seed, num_partitions=num_partitions,
     )
 
     def ranks_of(pdf: pd.DataFrame) -> pd.Series:
+        """Rank per (key, salt) group — a hot node's contributions are
+        fully replicated per salt, so every group sees the same sum."""
         c = pdf[pdf["kind"] == _CONTRIB]
-        r = c.groupby("key", sort=False)["val"].sum()
+        r = c.groupby(["key", "__salt"], sort=False)["val"].sum()
         return (1.0 - damping) + damping * r
 
-    def fused_round(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fused_round(pdf: pd.DataFrame, last: bool) -> pd.DataFrame:
         r = ranks_of(pdf)
         edge = pdf[pdf["kind"] == _EDGE]
-        contrib = edge["val"].to_numpy() \
-            * edge["key"].map(r).to_numpy(np.float64)
+        lut = r.reindex(
+            pd.MultiIndex.from_arrays([edge["key"], edge["__salt"]])
+        ).to_numpy(np.float64)
+        contrib = edge["val"].to_numpy() * lut
+        keys = r.index.get_level_values(0)
         out = pd.DataFrame({
             "key": pd.concat(
-                [edge["dst"], pd.Series(r.index)], ignore_index=True
+                [edge["dst"], pd.Series(keys)], ignore_index=True
             ),
             "val": np.concatenate([contrib, np.zeros(len(r))]),
         })
         agg = out.groupby("key", sort=False, as_index=False)["val"].sum()
-        agg["dst"] = agg["key"]
-        agg["kind"] = np.full(len(agg), _CONTRIB, np.int8)
-        return agg[["key", "dst", "val", "kind"]]
+        return replicate_to_salts(agg, last)
 
-    for _ in range(iters):
-        state = grouped_apply(state.union(edges), ["key"], fused_round,
-                              num_partitions=num_partitions)
+    for i in range(iters):
+        last = i == iters - 1
+        state = grouped_apply(
+            state.union(edges), ["key", "__salt"],
+            lambda pdf, _last=last: fused_round(pdf, _last),
+            num_partitions=num_partitions,
+        )
 
     def final_rank(pdf: pd.DataFrame) -> pd.DataFrame:
         r = ranks_of(pdf)
-        return pd.DataFrame({"node": r.index, rank_col: r.to_numpy()})
+        return pd.DataFrame({
+            "node": r.index.get_level_values(0),
+            rank_col: r.to_numpy(),
+        })
 
-    ranks = grouped_apply(state, ["key"], final_rank,
+    ranks = grouped_apply(state, ["key", "__salt"], final_rank,
                           num_partitions=num_partitions)
 
     def finish(b: pa.Table) -> pa.Table:

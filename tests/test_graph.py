@@ -102,3 +102,40 @@ def test_pagerank_weighted_matches_reference(ray_session):
                    for n, v in r.items()}
     # b gets 3x the share c does from a
     assert got["b"] > got["c"]
+
+
+def test_pagerank_salted_hub_equals_unsalted(ray_session):
+    # star hub: node 0 -> 1..60 plus a random background graph
+    rng = np.random.default_rng(31)
+    edges = [(0, int(t)) for t in range(1, 61)]
+    edges += [(int(a), int(b)) for a, b in rng.integers(0, 61, (150, 2))]
+    plain = pagerank(_edges_ds(ray_session, edges, 4), iters=5,
+                     num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    salted = pagerank(_edges_ds(ray_session, edges, 4), iters=5,
+                      hot_degree=20, salt_buckets=4,
+                      num_partitions=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted, plain)
+    # exactly one row per node — replication never leaks duplicates
+    assert salted["node"].is_unique
+    ref = _ref_pagerank(edges)
+    got = salted.set_index("node")["pr"].to_dict()
+    for n in ref:
+        assert got[n] == pytest.approx(ref[n], abs=2e-6), n
+
+
+def test_pagerank_salted_weighted_string_hub(ray_session):
+    edges = [("hub", f"n{i}", float(1 + i % 3)) for i in range(40)]
+    edges += [(f"n{i}", "hub", 1.0) for i in range(0, 40, 5)]
+    cols = ("src", "dst", "w")
+    plain = pagerank(_edges_ds(ray_session, edges, 3, cols=cols),
+                     weight_col="w", iters=4,
+                     num_partitions=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    salted = pagerank(_edges_ds(ray_session, edges, 3, cols=cols),
+                      weight_col="w", iters=4, hot_degree=10,
+                      salt_buckets=3, num_partitions=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted, plain)
+    assert salted["node"].is_unique
