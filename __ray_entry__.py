@@ -1401,6 +1401,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "shard", "n_tok", max_len=256, num_partitions=8,
         )
 
+    def kg_entity_ppr(sf_dir: str):
+        """Personalized PageRank from the KG's 5 most-mentioned
+        entities — the GraphRAG retrieval-expansion primitive (which
+        entities are closest to the query's seed entities by weighted
+        graph proximity). Top 20 by score; rows-only (iterative),
+        semantics pinned by tests/test_graph.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            pagerank,
+        )
+
+        t = _kg_tables(sf_dir)
+        top = t["entity_nodes"].select_columns(
+            ["entity_id", "mention_count"]
+        ).sort(["mention_count", "entity_id"],
+               descending=[True, False]).limit(5).take_all()
+        seeds = frozenset(r["entity_id"] for r in top)
+        edges = t["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id", "weight"]
+        )
+        ranked = pagerank(edges, src_col="src_entity_id",
+                          dst_col="dst_entity_id", weight_col="weight",
+                          seeds=seeds, iters=5, num_partitions=8)
+        return ranked.sort(["pr", "node"],
+                           descending=[True, False]).limit(20)
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2178,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_var_by_flag": lineitem_qty_var_by_flag,
         "orders_ntile4": orders_ntile4,
         "docs_training_pipeline": docs_training_pipeline,
+        "kg_entity_ppr": kg_entity_ppr,
     }
 
 

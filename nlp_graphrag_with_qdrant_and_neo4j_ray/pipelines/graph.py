@@ -53,6 +53,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
              weight_col: str | None = None,
              iters: int = 5, damping: float = 0.85,
              rank_col: str = "pr", ndigits: int = 6,
+             seeds: frozenset | set | None = None,
              hot_degree: int | None = None, salt_buckets: int = 8,
              num_partitions: int = 16):
     """Fixed-iteration PageRank (the standard simplified recurrence
@@ -90,6 +91,13 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     identical rank from the full contribution copy — results are
     exactly equal to the unsalted path (tested).  The same head-key
     treatment stages/link.py applies to entity canonicalization.
+
+    Personalized PageRank (``seeds``): with a seed set, the teleport
+    mass goes only to seeds — ``r(v) = (1-d)·s(v) + d·Σ`` with
+    ``s(v) = 1`` for seeds else 0, initial rank = s — the GraphRAG
+    retrieval-expansion variant (rank entities by proximity to the
+    query's seed entities).  Seeds broadcast as a small set; the same
+    seeded base applies in every salt partition.
 
     Node ids may be any hashable Arrow type (int ids, entity-name
     strings).
@@ -185,7 +193,8 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         agg["kind"] = np.full(len(agg), _CONTRIB, np.int8)
         return agg[["key", "__salt", "dst", "val", "kind"]]
 
-    # seed: every distinct node (src ∪ dst) gets one 1.0 contribution
+    # seed contributions: c0 = s(v) makes round one reproduce the
+    # initial rank s(v) under the same formula (uniform: s ≡ 1)
     def node_rows(b: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays([
             b.column("key").combine_chunks().cast(
@@ -193,9 +202,15 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
             b.column("dst").combine_chunks().cast(
                 b.schema.field("key").type),
         ])
+        if seeds is None:
+            v = np.ones(len(nodes))
+        else:
+            v = np.asarray(
+                pd.Series(nodes.to_pylist()).isin(seeds), np.float64
+            )
         return pa.table({
             "key": nodes,
-            "val": pa.array(np.ones(len(nodes)), pa.float64()),
+            "val": pa.array(v, pa.float64()),
         })
 
     def distinct_seed(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -213,7 +228,14 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         fully replicated per salt, so every group sees the same sum."""
         c = pdf[pdf["kind"] == _CONTRIB]
         r = c.groupby(["key", "__salt"], sort=False)["val"].sum()
-        return (1.0 - damping) + damping * r
+        if seeds is None:
+            base = 1.0 - damping
+        else:
+            base = np.where(
+                r.index.get_level_values(0).isin(seeds),
+                1.0 - damping, 0.0,
+            )
+        return base + damping * r
 
     def fused_round(pdf: pd.DataFrame, last: bool) -> pd.DataFrame:
         r = ranks_of(pdf)

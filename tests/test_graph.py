@@ -139,3 +139,28 @@ def test_pagerank_salted_weighted_string_hub(ray_session):
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(salted, plain)
     assert salted["node"].is_unique
+
+
+def test_personalized_pagerank_matches_reference(ray_session):
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, (80, 2))]
+    seeds = {0, 7}
+    out = pagerank(_edges_ds(ray_session, edges, 3), iters=5,
+                   seeds=frozenset(seeds), num_partitions=3) \
+        .to_pandas().set_index("node")["pr"].to_dict()
+    # reference: r0 = s; r = 0.15*s + 0.85*incoming
+    nodes = sorted({x for e in edges for x in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: float(n in seeds) for n in nodes}
+    for _ in range(5):
+        nxt = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            nxt[t] += r[s] / outdeg[s]
+        r = {n: 0.15 * (n in seeds) + 0.85 * nxt[n] for n in nodes}
+    assert set(out) == set(nodes)
+    for n in nodes:
+        assert out[n] == pytest.approx(round(r[n], 6), abs=2e-6), n
+    # mass concentrates at/near seeds; far-from-seed nodes score lower
+    assert out[0] > 0 and out[7] > 0
