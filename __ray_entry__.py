@@ -1426,6 +1426,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ranked.sort(["pr", "node"],
                            descending=[True, False]).limit(20)
 
+    def kg_entity_communities(sf_dir: str):
+        """Entity communities by synchronous label propagation over the
+        weighted, undirected KG edge list — the cluster layer above
+        canonicalization (which entities form a topic group). Rows-only
+        (iterative); semantics pinned by tests/test_graph.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            label_propagation,
+        )
+
+        edges = _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id", "weight"]
+        )
+        return label_propagation(edges, src_col="src_entity_id",
+                                 dst_col="dst_entity_id",
+                                 weight_col="weight", iters=5,
+                                 num_partitions=8)
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2204,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ntile4": orders_ntile4,
         "docs_training_pipeline": docs_training_pipeline,
         "kg_entity_ppr": kg_entity_ppr,
+        "kg_entity_communities": kg_entity_communities,
     }
 
 

@@ -280,3 +280,124 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         })
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation(edges_ds, src_col: str = "src",
+                      dst_col: str = "dst",
+                      weight_col: str | None = None,
+                      iters: int = 5, directed: bool = False,
+                      label_col: str = "community",
+                      num_partitions: int = 16):
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts in its own community; each round it
+    adopts the incoming-neighbor label with the largest total edge
+    weight (ties toward the smaller label; a node with no neighbors
+    keeps its label).  A FIXED iteration count with the deterministic
+    tie-break makes the result reproducible — the classic LPA caveat
+    (label oscillation on bipartite structure) is bounded by the
+    iteration cap rather than a convergence loop.
+
+    Same fused shape as :func:`pagerank`: the label-update key and the
+    next message-scatter key coincide, so each round is ONE exchange of
+    (node, label, weight) messages; per-round state is one label per
+    node, messages pre-aggregate per (dst, label) before the exchange.
+    By default edges count both ways (``directed=False`` — communities
+    are about adjacency, not direction).  Hub treatment mirrors
+    pagerank's ``hot_degree`` pattern (not wired here — communities on
+    KG entity graphs sit behind the canonicalization that already
+    splits heads)."""
+    M_EDGE, M_LABEL = 0, 1
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        w = (pc.cast(b.column(weight_col), pa.float64()) if weight_col
+             else pa.array(np.ones(b.num_rows), pa.float64()))
+        s = b.column(src_col).combine_chunks()
+        d = b.column(dst_col).combine_chunks().cast(s.type)
+        if directed:
+            key, dst, wv = s, d, w
+        else:
+            key = pa.concat_arrays([s, d])
+            dst = pa.concat_arrays([d, s])
+            wv = pa.concat_arrays([w.combine_chunks()
+                                   if isinstance(w, pa.ChunkedArray)
+                                   else w] * 2)
+        n = len(key)
+        return pa.table({
+            "key": key,
+            "dst": dst,
+            "label": dst,           # placeholder, same type as nodes
+            "val": wv,
+            "kind": pa.array(np.full(n, M_EDGE, np.int8)),
+        })
+
+    # normalize to pandas blocks: the per-round union with the pandas
+    # state blocks must not mix block types inside one batcher
+    edges = edges_ds.map_batches(
+        to_edges, batch_format="pyarrow"
+    ).map_batches(lambda pdf: pdf, batch_format="pandas").materialize()
+
+    # seed: every node (src ∪ dst) labels itself (weight 0 ⇒ real
+    # neighbor messages win ties against the keep-alive)
+    def node_rows(b: pa.Table) -> pa.Table:
+        k = b.column("key").combine_chunks()
+        nodes = pa.concat_arrays([
+            k, b.column("dst").combine_chunks().cast(k.type)
+        ])
+        return pa.table({
+            "key": nodes,
+            "dst": nodes,
+            "label": nodes,
+            "val": pa.array(np.zeros(len(nodes)), pa.float64()),
+            "kind": pa.array(np.full(len(nodes), M_LABEL, np.int8)),
+        })
+
+    def distinct_nodes(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates(subset=["key"])
+
+    state = grouped_apply(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        ["key"], distinct_nodes, num_partitions=num_partitions,
+    )
+
+    def labels_of(pdf: pd.DataFrame) -> pd.Series:
+        """New label per node: argmax summed message weight, ties to
+        the smaller label; the weight-0 self row keeps isolated nodes
+        alive without beating any real neighbor."""
+        msg = pdf[pdf["kind"] == M_LABEL]
+        g = msg.groupby(["key", "label"], sort=False, as_index=False)[
+            "val"
+        ].sum()
+        g = g.sort_values(["key", "val", "label"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.drop_duplicates(subset=["key"], keep="first")
+        return top.set_index("key")["label"]
+
+    def fused_round(pdf: pd.DataFrame) -> pd.DataFrame:
+        lab = labels_of(pdf)
+        edge = pdf[pdf["kind"] == M_EDGE]
+        out = pd.DataFrame({
+            "key": pd.concat([edge["dst"], pd.Series(lab.index)],
+                             ignore_index=True),
+            "label": pd.concat([edge["key"].map(lab),
+                                pd.Series(lab.to_numpy())],
+                               ignore_index=True),
+            "val": np.concatenate([edge["val"].to_numpy(),
+                                   np.zeros(len(lab))]),
+        })
+        agg = out.groupby(["key", "label"], sort=False,
+                          as_index=False)["val"].sum()
+        agg["dst"] = agg["key"]
+        agg["kind"] = np.full(len(agg), M_LABEL, np.int8)
+        return agg[["key", "dst", "label", "val", "kind"]]
+
+    for _ in range(iters):
+        state = grouped_apply(state.union(edges), ["key"], fused_round,
+                              num_partitions=num_partitions)
+
+    def final_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+        lab = labels_of(pdf)
+        return pd.DataFrame({"node": lab.index,
+                             label_col: lab.to_numpy()})
+
+    return grouped_apply(state, ["key"], final_labels,
+                         num_partitions=num_partitions)

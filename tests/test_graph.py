@@ -164,3 +164,70 @@ def test_personalized_pagerank_matches_reference(ray_session):
         assert out[n] == pytest.approx(round(r[n], 6), abs=2e-6), n
     # mass concentrates at/near seeds; far-from-seed nodes score lower
     assert out[0] > 0 and out[7] > 0
+
+
+def _ref_lpa(edges, iters=5):
+    """Driver-side synchronous LPA: adopt the incoming label with max
+    total weight (undirected), ties to the smaller label."""
+    und = []
+    for e in edges:
+        s, t, w = (e if len(e) == 3 else (e[0], e[1], 1.0))
+        und += [(s, t, w), (t, s, w)]
+    nodes = sorted({x for s, t, _ in und for x in (s, t)})
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        votes = {n: {} for n in nodes}
+        for s, t, w in und:
+            votes[t][lab[s]] = votes[t].get(lab[s], 0.0) + w
+        new = {}
+        for n in nodes:
+            v = votes[n]
+            v.setdefault(lab[n], v.get(lab[n], 0.0))
+            best = sorted(v.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_cliques(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        label_propagation,
+    )
+
+    # two 5-cliques bridged by one weak edge + an isolated node's
+    # self-loop-free singleton (via a dangling edge endpoint)
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    edges = a + b + [(4, 10), (20, 21)]
+    out = label_propagation(_edges_ds(ray_session, edges, 4), iters=5,
+                            num_partitions=3).to_pandas()
+    lab = out.set_index("node")["community"].to_dict()
+    ref = _ref_lpa(edges)
+    assert lab == ref
+    # the two cliques resolve to separate communities
+    assert len({lab[i] for i in range(5)}) == 1
+    assert len({lab[i] for i in range(10, 15)}) == 1
+    assert lab[0] != lab[10]
+    assert len(out) == len(ref)
+
+
+def test_label_propagation_weighted_directed_and_partitioning(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        label_propagation,
+    )
+
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b), float(w)) for a, b, w in
+             np.c_[rng.integers(0, 12, (60, 2)),
+                   rng.integers(1, 5, 60)]]
+    outs = []
+    for blocks, parts in ((1, 2), (5, 4)):
+        out = label_propagation(
+            _edges_ds(ray_session, edges, blocks,
+                      cols=("src", "dst", "w")),
+            weight_col="w", iters=4, num_partitions=parts,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    ref = _ref_lpa(edges, iters=4)
+    assert outs[0].set_index("node")["community"].to_dict() == ref
