@@ -231,3 +231,22 @@ def test_label_propagation_weighted_directed_and_partitioning(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     ref = _ref_lpa(edges, iters=4)
     assert outs[0].set_index("node")["community"].to_dict() == ref
+
+
+def test_graph_ops_self_loops_and_parallel_edges(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        label_propagation,
+    )
+
+    # self-loop + duplicate parallel edges: both count toward weight
+    edges = [(1, 1), (1, 2), (1, 2), (2, 3), (3, 1)]
+    pr = pagerank(_edges_ds(ray_session, edges, 2), iters=4,
+                  num_partitions=2).to_pandas() \
+        .set_index("node")["pr"].to_dict()
+    ref = _ref_pagerank(edges, iters=4)
+    assert pr == {n: pytest.approx(v, abs=2e-6) for n, v in ref.items()}
+    lab = label_propagation(_edges_ds(ray_session, edges, 2), iters=4,
+                            num_partitions=2).to_pandas()
+    assert set(lab["node"]) == {1, 2, 3}
+    assert lab.set_index("node")["community"].to_dict() == _ref_lpa(
+        edges, iters=4)
