@@ -1443,6 +1443,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  weight_col="weight", iters=5,
                                  num_partitions=8)
 
+    def docs_dedup_vs_prev(sf_dir: str):
+        """Incremental dedup: new crawl (doc_id % 3 != 0) against the
+        existing corpus (doc_id % 3 == 0) by exact text match —
+        bloom-negative rows (definitely new) skip the exchange
+        entirely; only candidate duplicates pay the exact anti-join."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            bloom_anti_join,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def split(want_prev: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id")
+                mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3))
+                is_prev = pc.equal(mod, 0)
+                return b.filter(is_prev if want_prev
+                                else pc.invert(is_prev))
+
+            return fn
+
+        prev = docs.map_batches(split(True), batch_format="pyarrow") \
+            .select_columns(["text"])
+        new = docs.map_batches(split(False), batch_format="pyarrow")
+        return bloom_anti_join(new, prev, "text", "text",
+                               num_partitions=16)
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2222,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_training_pipeline": docs_training_pipeline,
         "kg_entity_ppr": kg_entity_ppr,
         "kg_entity_communities": kg_entity_communities,
+        "docs_dedup_vs_prev": docs_dedup_vs_prev,
     }
 
 
@@ -2853,6 +2881,13 @@ def oracle_sql() -> dict[str, str]:
                    round(var_samp(l_quantity), 6) AS var_samp,
                    round(stddev_samp(l_quantity), 6) AS stddev
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "docs_dedup_vs_prev": """
+            SELECT doc_id, text FROM documents d
+            WHERE doc_id % 3 <> 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents p
+                  WHERE p.doc_id % 3 = 0 AND p.text = d.text)
         """,
         "orders_ntile4": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -647,6 +647,51 @@ def _bloom_positions(series: pd.Series, nbits: int, nhashes: int):
     ]
 
 
+def _bloom_mask_ref(right, right_key: str, nbits: int, nhashes: int):
+    """Reduce ``right[right_key]`` to one broadcast Bloom mask: each
+    batch emits its packed mask (one row, nbits/8 bytes) and the driver
+    ORs them STREAMING — driver memory is one mask regardless of batch
+    count; the masks, not the keys, cross the wire."""
+    import ray
+
+    def build_mask(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbits, dtype=bool)
+        if batch.num_rows:
+            s = batch.column(right_key).to_pandas()
+            for pos in _bloom_positions(s, nbits, nhashes):
+                bits[pos] = True
+        return pa.table({"__mask": pa.array([np.packbits(bits).tobytes()],
+                                            pa.binary())})
+
+    mask = np.zeros(nbits // 8, dtype=np.uint8)
+    for part in right.map_batches(
+        build_mask, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in part.column("__mask").to_pylist():
+            mask |= np.frombuffer(buf, dtype=np.uint8)
+    return ray.put(mask)
+
+
+def _bloom_prefilter(mask_ref, left_key: str, nbits: int, nhashes: int,
+                     want: bool):
+    """Batch filter keeping rows whose bloom-membership flag equals
+    ``want`` (True: possible matches; False: definite non-matches)."""
+    import ray
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        m = ray.get(mask_ref)
+        s = batch.column(left_key).to_pandas()
+        hit = np.ones(batch.num_rows, dtype=bool)
+        for pos in _bloom_positions(s, nbits, nhashes):
+            # np.packbits is MSB-first within each byte
+            hit &= (m[pos >> 3] >> (7 - (pos & 7)).astype(np.int64)) & 1 > 0
+        return batch.filter(pa.array(hit if want else ~hit))
+
+    return prefilter
+
+
 def bloom_semi_join(left, right, left_key: str, right_key: str,
                     nbits: int = 1 << 23, nhashes: int = 4,
                     num_partitions: int = 64):
@@ -664,35 +709,11 @@ def bloom_semi_join(left, right, left_key: str, right_key: str,
     at the defaults with 1M distinct right keys).  Survivors then pass
     through the exact co-partitioned ``is_in`` probe, so the result has
     no false positives."""
-    import ray
-
-    def build_mask(batch: pa.Table) -> pa.Table:
-        bits = np.zeros(nbits, dtype=bool)
-        if batch.num_rows:
-            s = batch.column(right_key).to_pandas()
-            for pos in _bloom_positions(s, nbits, nhashes):
-                bits[pos] = True
-        return pa.table({"__mask": pa.array([np.packbits(bits).tobytes()],
-                                            pa.binary())})
-
-    parts = right.map_batches(build_mask, batch_format="pyarrow").take_all()
-    mask = np.bitwise_or.reduce(
-        np.stack([np.frombuffer(r["__mask"], dtype=np.uint8) for r in parts])
+    mask_ref = _bloom_mask_ref(right, right_key, nbits, nhashes)
+    pruned = left.map_batches(
+        _bloom_prefilter(mask_ref, left_key, nbits, nhashes, want=True),
+        batch_format="pyarrow",
     )
-    mask_ref = ray.put(mask)
-
-    def prefilter(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        m = ray.get(mask_ref)
-        s = batch.column(left_key).to_pandas()
-        keep = np.ones(batch.num_rows, dtype=bool)
-        for pos in _bloom_positions(s, nbits, nhashes):
-            # np.packbits is MSB-first within each byte
-            keep &= (m[pos >> 3] >> (7 - (pos & 7)).astype(np.int64)) & 1 > 0
-        return batch.filter(pa.array(keep))
-
-    pruned = left.map_batches(prefilter, batch_format="pyarrow")
 
     def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
         if rt.num_rows == 0:
@@ -704,6 +725,34 @@ def bloom_semi_join(left, right, left_key: str, right_key: str,
 
     return _copartition(pruned, right, left_key, right_key, [right_key],
                         probe, num_partitions)
+
+
+def bloom_anti_join(left, right, left_key: str, right_key: str,
+                    nbits: int = 1 << 23, nhashes: int = 4,
+                    num_partitions: int = 64):
+    """EXACT anti-join (rows of ``left`` whose key does NOT exist in
+    ``right``) with the Bloom mask inverted as the shuffle pruner — the
+    incremental-dedup shape: dedupe a new crawl against an existing
+    corpus where only the ~duplicate fraction ever shuffles.
+
+    Bloom-NEGATIVE rows are definite non-matches and are kept WITHOUT
+    any exchange (for a mostly-new corpus that is almost everything);
+    only bloom-positive rows (true duplicates + the ~0.6% false
+    positives at defaults) go through the exact co-partitioned
+    :func:`anti_join`, which resurrects the false positives — so the
+    result is exact."""
+    mask_ref = _bloom_mask_ref(right, right_key, nbits, nhashes)
+    definite_new = left.map_batches(
+        _bloom_prefilter(mask_ref, left_key, nbits, nhashes, want=False),
+        batch_format="pyarrow",
+    )
+    candidates = left.map_batches(
+        _bloom_prefilter(mask_ref, left_key, nbits, nhashes, want=True),
+        batch_format="pyarrow",
+    )
+    verified_new = anti_join(candidates, right, left_key, right_key,
+                             num_partitions=num_partitions)
+    return definite_new.union(verified_new)
 
 
 def grouped_concat(ds, keys: list[str], value_col: str, order_col: str,

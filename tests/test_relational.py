@@ -672,3 +672,37 @@ def test_window_ntile_exact_sql_semantics(ray_session):
     assert a == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
     b = out[out["g"] == "b"].sort_values("v")["tile"].tolist()
     assert b == [1, 2]   # n < tiles: one row per leading bucket
+
+
+def test_bloom_anti_join_exact_with_forced_collisions(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        anti_join,
+        bloom_anti_join,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(19)
+    left = pd.DataFrame({
+        "k": [f"key{i}" for i in rng.integers(0, 300, 400)],
+        "v": np.arange(400, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "rk": [f"key{i}" for i in rng.integers(0, 300, 120)],
+    })
+    # nbits=64 forces heavy false positives: the exact verify pass must
+    # resurrect every falsely-flagged row
+    got = bloom_anti_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        "k", "rk", nbits=64, nhashes=2, num_partitions=4,
+    ).to_pandas()
+    ref = anti_join(
+        ray.data.from_pandas(left).repartition(4),
+        ray.data.from_pandas(right).repartition(3),
+        "k", "rk", num_partitions=4,
+    ).to_pandas()
+    got = got.sort_values(["k", "v"]).reset_index(drop=True)
+    ref = ref.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    expected = left[~left["k"].isin(right["rk"])]
+    assert len(got) == len(expected)
