@@ -1470,6 +1470,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bloom_anti_join(new, prev, "text", "text",
                                num_partitions=16)
 
+    def docs_from_jsonl_roundtrip(sf_dir: str):
+        """JSONL source coverage: the documents table is exported once
+        to newline-delimited JSON under /tmp (deterministic, cached by
+        content fingerprint) and read back with ray.data.read_json —
+        the Common-Crawl-adjacent ingestion format. Oracle: the same
+        rows straight from parquet."""
+        import ray.data
+
+        out_dir = os.path.join(_kg_dir(sf_dir), "jsonl-src")
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(out_dir, exist_ok=True)
+            docs = _read(sf_dir, "documents").select_columns(
+                ["doc_id", "text", "lang", "source"]
+            )
+            docs.write_json(out_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        ds = ray.data.read_json(
+            [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".json")]
+        )
+        return ds.map_batches(
+            lambda b: b.select(["doc_id", "text", "lang", "source"]),
+            batch_format="pyarrow",
+        )
+
+    def docs_from_csv_roundtrip(sf_dir: str):
+        """CSV source coverage: numeric document stats exported to CSV
+        once and read back with ray.data.read_csv (schema inferred) —
+        text stays out of the CSV to keep the format round-trippable.
+        Oracle: the same projection from parquet."""
+        import ray.data
+
+        out_dir = os.path.join(_kg_dir(sf_dir), "csv-src")
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(out_dir, exist_ok=True)
+            docs = _read(sf_dir, "documents").select_columns(
+                ["doc_id", "lang", "n_chars"]
+            )
+            docs.write_csv(out_dir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        ds = ray.data.read_csv(
+            [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".csv")]
+        )
+        return ds.map_batches(
+            lambda b: b.select(["doc_id", "lang", "n_chars"]),
+            batch_format="pyarrow",
+        )
+
     def events_rolling_mean(sf_dir: str):
         """Ordered sliding-window aggregate: per-user rolling mean of
         the last 3 events by (ts, event_id). One hash exchange on
@@ -2250,6 +2303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_ppr": kg_entity_ppr,
         "kg_entity_communities": kg_entity_communities,
         "docs_dedup_vs_prev": docs_dedup_vs_prev,
+        "docs_from_jsonl_roundtrip": docs_from_jsonl_roundtrip,
+        "docs_from_csv_roundtrip": docs_from_csv_roundtrip,
     }
 
 
@@ -2881,6 +2936,12 @@ def oracle_sql() -> dict[str, str]:
                    round(var_samp(l_quantity), 6) AS var_samp,
                    round(stddev_samp(l_quantity), 6) AS stddev
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "docs_from_jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source FROM documents
+        """,
+        "docs_from_csv_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         "docs_dedup_vs_prev": """
             SELECT doc_id, text FROM documents d
