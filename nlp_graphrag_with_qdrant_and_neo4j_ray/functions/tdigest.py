@@ -20,39 +20,55 @@ import numpy as np
 __all__ = ["compress", "merge", "quantile", "from_values"]
 
 
-def _k_scale(q: np.ndarray, delta: float) -> np.ndarray:
-    return delta / (2.0 * np.pi) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0)
-                                             - 1.0)
+def _k_scale(q: float, delta: float) -> float:
+    import math
+
+    return delta / (2.0 * math.pi) * math.asin(
+        2.0 * min(max(q, 0.0), 1.0) - 1.0
+    )
+
+
+def _k_inv(k: float, delta: float) -> float:
+    import math
+
+    return (math.sin(2.0 * math.pi * k / delta) + 1.0) / 2.0
 
 
 def compress(means: np.ndarray, weights: np.ndarray,
              delta: float = 200.0) -> tuple[np.ndarray, np.ndarray]:
-    """Merge adjacent centroids (sorted by mean) while the k1 width
-    constraint allows — the sequential greedy pass of the merging
-    digest.  Output size is bounded by ~2δ regardless of input."""
+    """Merge adjacent centroids (sorted by mean) under the k1 size
+    constraint — the merging digest's compression, structured as a loop
+    over OUTPUT clusters (≤ ~2δ iterations; each cluster's members are
+    found by one ``searchsorted`` and reduced vectorized), not over
+    input centroids, so a million singletons compress in ~2δ numpy
+    slice reductions.  Cluster boundary: starting at cumulative
+    quantile q_lo, the cluster may absorb weight up to
+    ``q_limit = k⁻¹(k(q_lo) + 1)`` (Dunning & Ertl's merge rule)."""
     if len(means) == 0:
         return means.astype(np.float64), weights.astype(np.float64)
     order = np.argsort(means, kind="stable")
     means = np.asarray(means, np.float64)[order]
     weights = np.asarray(weights, np.float64)[order]
-    total = weights.sum()
+    total = float(weights.sum())
+    cumw = np.cumsum(weights)
 
-    out_m: list[float] = [means[0]]
-    out_w: list[float] = [weights[0]]
-    w_before = 0.0  # weight strictly left of the current cluster
-    k_lo = _k_scale(np.array([0.0]), delta)[0]
-    for m, w in zip(means[1:], weights[1:]):
-        q_hi = (w_before + out_w[-1] + w) / total
-        if _k_scale(np.array([q_hi]), delta)[0] - k_lo <= 1.0:
-            # merge into the current cluster (weighted mean)
-            nw = out_w[-1] + w
-            out_m[-1] += (m - out_m[-1]) * (w / nw)
-            out_w[-1] = nw
-        else:
-            w_before += out_w[-1]
-            k_lo = _k_scale(np.array([w_before / total]), delta)[0]
-            out_m.append(m)
-            out_w.append(w)
+    out_m: list[float] = []
+    out_w: list[float] = []
+    idx, n = 0, len(means)
+    w_before = 0.0
+    while idx < n:
+        q_limit = _k_inv(_k_scale(w_before / total, delta) + 1.0, delta)
+        # rightmost centroid whose cumulative weight fits the cluster
+        j = int(np.searchsorted(cumw, q_limit * total + 1e-9,
+                                side="right"))
+        j = max(j, idx + 1)  # always take at least one centroid
+        w = float(cumw[j - 1]) - w_before
+        out_m.append(
+            float(np.dot(means[idx:j], weights[idx:j]) / w)
+        )
+        out_w.append(w)
+        w_before = float(cumw[j - 1])
+        idx = j
     return np.array(out_m), np.array(out_w)
 
 
