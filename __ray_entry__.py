@@ -2201,6 +2201,195 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return final.map_batches(finish, batch_format="pyarrow")
 
+    def orders_customer_skew_join(sf_dir: str):
+        """Skew-handled fact⋈dim equi-join: head customers (≥12 orders
+        at this sf) route around the exchange — their dim rows broadcast
+        and the skewed order mass joins map-side; tail keys take the
+        normal co-partitioned exchange. Threshold is tuned so the demo
+        corpus genuinely exercises BOTH paths; at web scale the same
+        operator guards a domain- or entity-keyed join where head keys
+        hold 1-10% of the corpus."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            skew_join,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+        return skew_join(orders, cust, "o_custkey", "c_custkey",
+                         ["c_custkey", "c_name"], hot_threshold=12,
+                         num_partitions=16)
+
+    def events_value_zscore(sf_dir: str):
+        """Per-group standardization without shuffling the fact table:
+        (n, Σx, Σx²) combiner → one tiny stats exchange → broadcast →
+        map-side z-score. The window-function answer with a
+        broadcast-join execution shape."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_standardize,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "event_type", "value"]
+        )
+        return grouped_standardize(ev, ["event_type"], "value",
+                                   out_col="zscore", ndigits=4,
+                                   num_partitions=8)
+
+    def docs_union_schema_evolution(sf_dir: str):
+        """UNION ALL BY NAME over two corpus generations with different
+        schemas (metadata columns added/dropped between crawls): typed
+        null padding + cast, no exchange."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            union_by_name,
+        )
+
+        docs = _read(sf_dir, "documents")
+
+        def even(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)
+            return b.filter(m).select(["doc_id", "text", "lang"])
+
+        def odd(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 1)
+            return b.filter(m).select(["doc_id", "source", "n_chars"])
+
+        gen_a = docs.map_batches(even, batch_format="pyarrow")
+        gen_b = docs.map_batches(odd, batch_format="pyarrow")
+        return union_by_name([gen_a, gen_b])
+
+    def docs_boilerplate_stripped(sf_dir: str):
+        """CCNet-style boilerplate-line removal with an exact SQL
+        oracle: the corpus has no newlines, so a deterministic cookie
+        header (doc_id%2=0) and subscribe footer (doc_id%3=0) are
+        injected identically on both sides; lines in ≥25 distinct docs
+        are stripped, bodies survive byte-exact."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            strip_boilerplate,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        hdr = "This website uses cookies to improve your experience."
+        ftr = "Subscribe to our newsletter for updates!"
+
+        def augment(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            is_even = pc.equal(pc.bit_wise_and(ids, 1), 0)
+            div3 = pc.equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3)), 0
+            )
+            pre = pc.if_else(is_even, pa.scalar(hdr + "\n"),
+                             pa.scalar(""))
+            post = pc.if_else(div3, pa.scalar("\n" + ftr),
+                              pa.scalar(""))
+            txt = pc.binary_join_element_wise(
+                pre, batch.column("text"), post, ""
+            )
+            return pa.table({"doc_id": ids, "text": txt})
+
+        aug = docs.map_batches(augment, batch_format="pyarrow")
+        return strip_boilerplate(aug, min_docs=25, num_partitions=16)
+
+    def q10_returned_items(sf_dir: str):
+        """TPC-H Q10 shape — returned-item revenue per customer:
+        R-flagged lineitems pre-aggregate per order (combiner) and meet
+        orders in ONE fused aggregate⋈join exchange; per-customer sums
+        take a second tiny exchange; the global top-20 then drives a
+        pruned map-side lookup of customer + nation attributes (20
+        keys — no broadcast of the full customer table)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            copartition_agg_join,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+            filter=(pc.field("l_returnflag") == "R"),
+        )
+
+        def revenue(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev": pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0),
+                                batch.column("l_discount")),
+                ),
+            })
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        )
+        per_order = copartition_agg_join(
+            li.map_batches(revenue, batch_format="pyarrow"), orders,
+            "l_orderkey", "o_orderkey", ["o_orderkey", "o_custkey"],
+            "rev", "revenue", num_partitions=32,
+        )
+
+        def cpartial(b: pa.Table) -> pa.Table:
+            agg = b.select(["o_custkey", "revenue"]).group_by(
+                ["o_custkey"]).aggregate([("revenue", "sum")])
+            return agg.rename_columns(["o_custkey", "revenue"])
+
+        def csum(tbl: pa.Table) -> pa.Table:
+            agg = tbl.group_by(["o_custkey"]).aggregate(
+                [("revenue", "sum")])
+            return agg.rename_columns(["o_custkey", "revenue"])
+
+        per_cust = grouped_apply(
+            per_order.map_batches(cpartial, batch_format="pyarrow"),
+            ["o_custkey"], csum, num_partitions=16,
+            batch_format="pyarrow",
+        )
+        top = per_cust.sort(["revenue", "o_custkey"],
+                            descending=[True, False]).limit(20).take_all()
+        keys = pa.array([r["o_custkey"] for r in top], pa.int64())
+        rev_by_key = {r["o_custkey"]: r["revenue"] for r in top}
+
+        cust_rows = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        ).map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_custkey"),
+                                        value_set=keys)),
+            batch_format="pyarrow",
+        ).take_all()
+        nations = {
+            r["n_nationkey"]: r["n_name"]
+            for r in _read(sf_dir, "nation").take_all()
+        }
+        cust_rows.sort(key=lambda r: (-rev_by_key[r["c_custkey"]],
+                                      r["c_custkey"]))
+        return pa.table({
+            "c_custkey": pa.array(
+                [r["c_custkey"] for r in cust_rows], pa.int64()),
+            "c_name": pa.array(
+                [r["c_name"] for r in cust_rows], pa.string()),
+            "revenue": pa.array(
+                [round(rev_by_key[r["c_custkey"]], 2)
+                 for r in cust_rows], pa.float64()),
+            "c_acctbal": pa.array(
+                [r["c_acctbal"] for r in cust_rows], pa.float64()),
+            "n_name": pa.array(
+                [nations[r["c_nationkey"]] for r in cust_rows],
+                pa.string()),
+        })
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -2305,6 +2494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_vs_prev": docs_dedup_vs_prev,
         "docs_from_jsonl_roundtrip": docs_from_jsonl_roundtrip,
         "docs_from_csv_roundtrip": docs_from_csv_roundtrip,
+        "orders_customer_skew_join": orders_customer_skew_join,
+        "events_value_zscore": events_value_zscore,
+        "docs_union_schema_evolution": docs_union_schema_evolution,
+        "docs_boilerplate_stripped": docs_boilerplate_stripped,
+        "q10_returned_items": q10_returned_items,
     }
 
 
@@ -3036,4 +3230,72 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pack_offset
             FROM seg
         """)(),
+        "orders_customer_skew_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "events_value_zscore": """
+            SELECT event_id, event_type, value,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 4) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
+        "docs_union_schema_evolution": """
+            SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,
+                   CAST(NULL AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   source, n_chars
+            FROM documents WHERE doc_id % 2 = 1
+        """,
+        "docs_boilerplate_stripped": """
+            WITH aug AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0
+                        THEN 'This website uses cookies to improve your experience.'
+                             || chr(10) ELSE '' END)
+                       || text ||
+                       (CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) ||
+                             'Subscribe to our newsletter for updates!'
+                        ELSE '' END) AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10)))))
+                           AS idx
+                FROM aug
+            ),
+            freq AS (
+                SELECT line FROM lines
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 25
+            ),
+            kept AS (
+                SELECT * FROM lines
+                WHERE line NOT IN (SELECT line FROM freq)
+            )
+            SELECT a.doc_id, coalesce(k.txt, '') AS clean_text
+            FROM aug a LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY idx) AS txt
+                FROM kept GROUP BY doc_id
+            ) k ON a.doc_id = k.doc_id
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                     c_custkey
+            LIMIT 20
+        """,
     }

@@ -217,3 +217,65 @@ def pack_sequences(ds, shard_col: str, count_col: str,
     return grouped_apply(slim, [shard_col], pack,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def strip_boilerplate(docs, id_col: str = "doc_id",
+                      text_col: str = "text", min_docs: int = 10,
+                      out_col: str = "clean_text",
+                      num_partitions: int = 64):
+    """CCNet/RefinedWeb-style boilerplate-line removal: a line that
+    occurs in ``>= min_docs`` DISTINCT documents (cookie banners,
+    nav menus, subscribe footers) is dropped from every document.
+
+    Two exchanges, both over the exploded (doc, line) rows the rewrite
+    has to move anyway:
+
+    1. keyed by ``line`` — each partition counts distinct docs per line
+       locally (exact, vectorized ``nunique``) and flags every
+       occurrence keep/drop.  Hot boilerplate lines are exactly the
+       dropped ones; their rows reduce to a flag, never reassemble.
+    2. keyed by ``doc`` — surviving lines sort by their original index
+       and re-join with ``\\n``; documents whose every line was
+       boilerplate still emit (empty string), so output cardinality
+       equals input.
+
+    The explode itself is vectorized Arrow (``split_pattern`` +
+    ``list_flatten`` + one ``np.repeat`` for ids/offsets)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch.column(text_col), pa.string())
+        lines = pc.split_pattern(txt, "\n")
+        n = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        n = np.asarray(n, dtype=np.int64)
+        ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False), n
+        )
+        flat = pc.list_flatten(lines)
+        starts = np.cumsum(n) - n
+        idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+        return pa.table({id_col: pa.array(ids), "line_idx": pa.array(idx),
+                         "line": flat})
+
+    def mark(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        nun = pdf.groupby("line")[id_col].transform("nunique")
+        pdf["__keep"] = (nun < min_docs).to_numpy()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def assemble(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas().sort_values([id_col, "line_idx"],
+                                          kind="stable")
+        kept = pdf[pdf["__keep"]]
+        joined = kept.groupby(id_col, sort=True)["line"].agg("\n".join)
+        ids = pdf[id_col].drop_duplicates().sort_values()
+        out = pd.DataFrame({id_col: ids.to_numpy()})
+        out[out_col] = out[id_col].map(joined).fillna("").to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    marked = grouped_apply(exploded, ["line"], mark,
+                           num_partitions=num_partitions,
+                           batch_format="pyarrow")
+    return grouped_apply(marked, [id_col], assemble,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

@@ -1299,3 +1299,216 @@ def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
         value_col: top.column(value_col),
         count_col: pc.cast(top.column("__c"), pa.int64()),
     })
+
+
+def inner_join(left, right, key: str, right_key: str,
+               right_cols: list[str], num_partitions: int = 64):
+    """Plain co-partitioned inner equi-join: both sides hash-exchange
+    once on the key, each partition runs one local Arrow hash join.
+    Per-key fan-in must fit a partition — for skewed keys use
+    :func:`skew_join`, which routes the head keys around the exchange."""
+    keep = [c for c in right_cols if c != right_key]
+    left_names = _arrow_schema(left).names
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            empty = lt.slice(0, 0)
+            for c in keep:
+                empty = empty.append_column(
+                    c, pa.nulls(0, rt.schema.field(c).type)
+                )
+            return empty.select(left_names + keep)
+        return lt.join(rt, keys=[key], join_type="inner").select(
+            left_names + keep
+        )
+
+    return _copartition(left, right, key, right_key, [right_key] + keep,
+                        probe, num_partitions)
+
+
+def skew_join(left, right, key: str, right_key: str,
+              right_cols: list[str], hot_threshold: int = 1_000_000,
+              num_partitions: int = 64):
+    """Skew-handled inner equi-join — the head keys of a Zipf-distributed
+    fact table never enter the exchange.
+
+    A plain hash join puts every row of a hot key in ONE partition; a
+    web-corpus join keyed by domain or entity routinely has head keys
+    holding 1-10% of the corpus, which turns the exchange into a
+    straggler.  Here:
+
+    1. Left key frequencies aggregate through a per-batch Arrow combiner
+       (ships one row per distinct key per batch) and keys with
+       ``count >= hot_threshold`` are collected — **bounded by
+       construction**: at most ``n_left / hot_threshold`` keys qualify,
+       so the driver holds ≤ a few thousand keys at any corpus size.
+    2. The right rows matching hot keys are collected and broadcast.
+       Contract (documented, dim-like right side): O(1) right rows per
+       key, so the broadcast is O(#hot keys).
+    3. Hot left rows join map-side against the broadcast (no exchange —
+       the skewed mass streams through ``map_batches``); cold rows take
+       the normal co-partitioned exchange.  Output is the union.
+    """
+    keep = [c for c in right_cols if c != right_key]
+    left_names = _arrow_schema(left).names
+
+    def kpartial(batch: pa.Table) -> pa.Table:
+        agg = batch.select([key]).group_by([key]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns([key, "__n"])
+
+    def ksum(tbl: pa.Table) -> pa.Table:
+        s = tbl.group_by([key]).aggregate([("__n", "sum")])
+        s = s.rename_columns([key, "__n"])
+        return s.filter(pc.greater_equal(s.column("__n"),
+                                         pa.scalar(hot_threshold)))
+
+    hot_rows = grouped_apply(
+        left.map_batches(kpartial, batch_format="pyarrow"), [key], ksum,
+        num_partitions=num_partitions, batch_format="pyarrow",
+    ).take_all()
+
+    if not hot_rows:
+        return inner_join(left, right, key, right_key, right_cols,
+                          num_partitions=num_partitions)
+
+    key_type = _arrow_schema(left).field(key).type
+    hot_arr = pc.cast(pa.array([r[key] for r in hot_rows]), key_type)
+
+    rh_rows = right.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(right_key),
+                                    value_set=pc.cast(hot_arr,
+                                                      b.schema.field(
+                                                          right_key).type))),
+        batch_format="pyarrow",
+    ).take_all()
+    right_hot = (
+        pa.Table.from_pylist(rh_rows).select(right_cols)
+        if rh_rows else None
+    )
+    if right_hot is not None:
+        right_hot = right_hot.rename_columns(
+            [key if n == right_key else n for n in right_cols]
+        )
+
+    def split(batch: pa.Table, want_hot: bool) -> pa.Table:
+        mask = pc.is_in(batch.column(key), value_set=hot_arr)
+        return batch.filter(mask if want_hot else pc.invert(mask))
+
+    def hot_probe(batch: pa.Table) -> pa.Table:
+        lt = split(batch, True)
+        if lt.num_rows == 0 or right_hot is None:
+            empty = lt.slice(0, 0)
+            for c in keep:
+                typ = (right_hot.schema.field(c).type
+                       if right_hot is not None else pa.string())
+                empty = empty.append_column(c, pa.nulls(0, typ))
+            return empty.select(left_names + keep)
+        return lt.join(right_hot, keys=[key], join_type="inner").select(
+            left_names + keep
+        )
+
+    hot_joined = left.map_batches(hot_probe, batch_format="pyarrow")
+    left_cold = left.map_batches(lambda b: split(b, False),
+                                 batch_format="pyarrow")
+    right_cold = right.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column(right_key),
+                               value_set=pc.cast(hot_arr,
+                                                 b.schema.field(
+                                                     right_key).type)))),
+        batch_format="pyarrow",
+    )
+    cold_joined = inner_join(left_cold, right_cold, key, right_key,
+                             right_cols, num_partitions=num_partitions)
+    return cold_joined.union(hot_joined)
+
+
+def grouped_standardize(ds, keys: list[str], value_col: str,
+                        out_col: str = "zscore", ndigits: int = 4,
+                        num_partitions: int = 64):
+    """Per-group z-score ``(x − μ_g) / σ_g`` (σ = sample stddev) without
+    shuffling the fact table: the same (n, Σx, Σx²) sufficient-stats
+    combiner as :func:`grouped_var` reduces each batch to one tiny row
+    per key, ONE small exchange merges them, and the resulting per-group
+    stats (bounded by group cardinality — per-domain/label/type shape)
+    broadcast back into a map-side standardize pass.  Contrast
+    :func:`windowed_cumsum`, which must co-locate whole groups; a
+    z-score only needs two scalars per group.  Groups of size 1 get a
+    null z (SQL ``stddev_samp`` convention)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(value_col), pa.float64())
+        t = pa.table({
+            **{kc: batch.column(kc) for kc in keys},
+            "__x": x, "__xx": pc.multiply(x, x),
+        })
+        agg = t.group_by(keys).aggregate(
+            [([], "count_all"), ("__x", "sum"), ("__xx", "sum")]
+        )
+        return agg.rename_columns(keys + ["__n", "__x", "__xx"])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        g = pdf.groupby(keys, sort=True, dropna=False).sum().reset_index()
+        n = g["__n"].to_numpy(dtype=np.float64)
+        sx, sxx = g["__x"].to_numpy(), g["__xx"].to_numpy()
+        mu = sx / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.where(n > 1, (n * sxx - sx * sx) / (n * (n - 1.0)),
+                         np.nan)
+            v = np.maximum(v, 0.0)
+        out = g[keys].copy()
+        out["__mu"] = mu
+        out["__sd"] = np.sqrt(v)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    combined = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
+    ).map_batches(partial, batch_format="pyarrow")
+    stats_rows = grouped_apply(combined, keys, finish,
+                               num_partitions=num_partitions,
+                               batch_format="pyarrow").take_all()
+    stats = pd.DataFrame(stats_rows)
+    stats_ref = ray.put(stats)
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        m = pdf.merge(st, on=keys, how="left")
+        z = (m[value_col].to_numpy(dtype=np.float64)
+             - m["__mu"].to_numpy()) / m["__sd"].to_numpy()
+        out = pdf.copy()
+        out[out_col] = np.round(z, ndigits)
+        return out
+
+    return ds.map_batches(standardize, batch_format="pandas")
+
+
+def union_by_name(datasets, num_partitions: int | None = None):
+    """UNION ALL BY NAME with schema evolution: the merged schema takes
+    each column's first-seen type in first-seen order; every input pads
+    missing columns with typed nulls and casts the rest — the streaming
+    equivalent of reading heterogeneous corpus generations into one
+    table.  No exchange at all: padding is a map, the union is a
+    metadata concat."""
+    schemas = [_arrow_schema(d) for d in datasets]
+    fields: list[pa.Field] = []
+    seen: set[str] = set()
+    for s in schemas:
+        for f in s:
+            if f.name not in seen:
+                seen.add(f.name)
+                fields.append(f)
+    merged = pa.schema(fields)
+
+    padded = [
+        d.map_batches(lambda b, _s=merged: _pad_to(b, _s),
+                      batch_format="pyarrow")
+        for d in datasets
+    ]
+    out = padded[0]
+    for d in padded[1:]:
+        out = out.union(d)
+    return out

@@ -1,0 +1,155 @@
+"""New relational operators: skew-handled join, grouped z-score,
+union-by-name schema evolution, boilerplate-line stripping — exactness
+vs in-memory pandas references, skew path equivalence, edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+    strip_boilerplate,
+)
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+    grouped_standardize,
+    inner_join,
+    skew_join,
+    union_by_name,
+)
+
+
+def _ds(ray_session, df: pd.DataFrame, blocks: int = 3):
+    import ray.data
+
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _zipf_tables(rng):
+    # one head key (0) holding half the fact rows, a tail of 50 keys
+    keys = np.concatenate([np.zeros(500, np.int64),
+                           rng.integers(1, 51, 500)])
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys,
+                         "v": np.arange(len(keys), dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 51, dtype=np.int64),
+                          "name": [f"d{i}" for i in range(51)]})
+    return left, right
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    rng = np.random.default_rng(7)
+    left, right = _zipf_tables(rng)
+    expected = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"]).rename(columns={"name": "name"})
+
+    # hot path actually taken: threshold 100 makes key 0 hot
+    out_hot = skew_join(_ds(ray_session, left), _ds(ray_session, right, 2),
+                        "k", "rk", ["rk", "name"], hot_threshold=100,
+                        num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(out_hot), _sorted(expected))
+
+    # threshold high: falls back to the plain co-partitioned join
+    out_cold = skew_join(_ds(ray_session, left), _ds(ray_session, right, 2),
+                         "k", "rk", ["rk", "name"], hot_threshold=10_000,
+                         num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(out_cold), _sorted(expected))
+
+
+def test_skew_join_hot_key_missing_from_right(ray_session):
+    # the hot key has no right match -> its rows drop, exactly like SQL
+    left = pd.DataFrame({"k": np.int64([9] * 50 + [1, 2]),
+                         "v": np.arange(52, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.int64([1, 2]),
+                          "name": ["a", "b"]})
+    out = skew_join(_ds(ray_session, left), _ds(ray_session, right, 1),
+                    "k", "rk", ["rk", "name"], hot_threshold=10,
+                    num_partitions=4).to_pandas()
+    expected = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(expected))
+
+
+def test_inner_join_duplicate_right_keys(ray_session):
+    left = pd.DataFrame({"k": np.int64([1, 2, 3]), "v": [10, 20, 30]})
+    right = pd.DataFrame({"rk": np.int64([1, 1, 3]),
+                          "tag": ["x", "y", "z"]})
+    out = inner_join(_ds(ray_session, left), _ds(ray_session, right, 2),
+                     "k", "rk", ["rk", "tag"], num_partitions=4).to_pandas()
+    expected = left.merge(right, left_on="k", right_on="rk").drop(
+        columns=["rk"])
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(expected))
+
+
+def test_grouped_standardize_matches_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 300),
+        "x": rng.normal(100.0, 25.0, 300),
+    })
+    out = grouped_standardize(_ds(ray_session, df), ["g"], "x",
+                              out_col="z", ndigits=4,
+                              num_partitions=4).to_pandas()
+    mu = df.groupby("g")["x"].transform("mean")
+    sd = df.groupby("g")["x"].transform("std")
+    expected = df.copy()
+    expected["z"] = np.round((df["x"] - mu) / sd, 4)
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expected), atol=1e-9
+    )
+
+
+def test_grouped_standardize_singleton_group_null(ray_session):
+    df = pd.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 3.0, 5.0]})
+    out = grouped_standardize(_ds(ray_session, df, 1), ["g"], "x",
+                              out_col="z", num_partitions=2).to_pandas()
+    assert np.isnan(out.loc[out["g"] == "b", "z"]).all()
+    a = out[out["g"] == "a"].sort_values("x")["z"].to_numpy()
+    np.testing.assert_allclose(a, [-0.7071, 0.7071], atol=1e-4)
+
+
+def test_union_by_name_pads_and_casts(ray_session):
+    a = pd.DataFrame({"id": np.int64([1, 2]), "text": ["x", "y"]})
+    b = pd.DataFrame({"id": np.int64([3]), "lang": ["en"]})
+    out = union_by_name([
+        _ds(ray_session, a, 1), _ds(ray_session, b, 1)
+    ]).to_pandas()
+    assert sorted(out.columns) == ["id", "lang", "text"]
+    assert len(out) == 3
+    assert out.loc[out["id"] == 3, "text"].isna().all()
+    assert out.loc[out["id"] == 1, "lang"].isna().all()
+
+
+def test_strip_boilerplate_exact(ray_session):
+    hdr = "This site uses cookies."
+    docs = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": [
+            (hdr + "\n" if i % 2 == 0 else "") + f"unique body {i}"
+            for i in range(12)
+        ],
+    })
+    # doc 11 is ONLY boilerplate
+    docs.loc[11, "text"] = hdr
+    out = strip_boilerplate(
+        _ds(ray_session, docs), min_docs=5, num_partitions=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 12
+    for i in range(11):
+        assert out.loc[i, "clean_text"] == f"unique body {i}"
+    assert out.loc[11, "clean_text"] == ""
+
+
+def test_strip_boilerplate_threshold_not_met(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["common\nbody0", "common\nbody1", "only2"],
+    })
+    out = strip_boilerplate(
+        _ds(ray_session, docs, 1), min_docs=5, num_partitions=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["clean_text"].tolist() == ["common\nbody0",
+                                          "common\nbody1", "only2"]
