@@ -2390,6 +2390,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.string()),
         })
 
+    def orders_merged_changelog(sf_dir: str):
+        """MERGE INTO — apply a changelog to the orders snapshot in one
+        co-partitioned exchange: o_orderkey%10==3 rows get an update
+        (status 'X', latest version wins over a superseded earlier
+        version of the same key), %10==7 rows a delete. The changelog is
+        synthesized deterministically from the snapshot so DuckDB can
+        state the merged result in closed form."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            merge_into,
+        )
+
+        orders = _read(sf_dir, "orders")
+
+        def make_changes(batch: pa.Table) -> pa.Table:
+            k = batch.column("o_orderkey")
+            mod = pc.subtract(k, pc.multiply(pc.divide(k, 10), 10))
+            upd = batch.filter(pc.equal(mod, 3))
+            dele = batch.filter(pc.equal(mod, 7))
+            # superseded version 0 keeps the old status; version 1 wins
+            upd0 = upd.append_column(
+                "op", pa.array(["U"] * upd.num_rows)).append_column(
+                "version", pa.array([0] * upd.num_rows, pa.int64()))
+            upd1 = upd.set_column(
+                upd.schema.get_field_index("o_orderstatus"),
+                "o_orderstatus", pa.array(["X"] * upd.num_rows),
+            ).append_column(
+                "op", pa.array(["U"] * upd.num_rows)).append_column(
+                "version", pa.array([1] * upd.num_rows, pa.int64()))
+            dele = dele.append_column(
+                "op", pa.array(["D"] * dele.num_rows)).append_column(
+                "version", pa.array([1] * dele.num_rows, pa.int64()))
+            return pa.concat_tables([upd0, upd1, dele])
+
+        changes = orders.map_batches(make_changes, batch_format="pyarrow")
+        return merge_into(orders, changes, "o_orderkey",
+                          num_partitions=16)
+
+    def orders_price_band_join_banded(sf_dir: str):
+        """The big-big variant of orders_price_band_join: same
+        OVERLAPPING interval table and half-open semantics, but joined
+        through banded replication + one co-partitioned exchange
+        instead of a broadcast — the scale path when the interval side
+        can't broadcast. Identical oracle."""
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            banded_range_join,
+        )
+
+        bands = pa.table({
+            "band": ["low", "mid", "high", "all"],
+            "lo": [0.0, 150000.0, 300000.0, 0.0],
+            "hi": [150000.0, 300000.0, 600000.0, 600000.0],
+        })
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_totalprice"],
+        )
+        joined = banded_range_join(
+            ds, ray.data.from_arrow(bands), "o_totalprice", "lo", "hi",
+            band_width=50000.0, keep_cols=["band"], num_partitions=16,
+        )
+        agg = joined.groupby("band").aggregate(
+            Count(alias_name="n"),
+            Sum("o_totalprice", alias_name="sum_price"),
+        )
+        return agg.map_batches(
+            lambda b: pa.table({
+                "band": b.column("band"),
+                "n": b.column("n"),
+                "sum_price": pc.round(b.column("sum_price"), ndigits=2),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def docs_train_val_test_split(sf_dir: str):
+        """Deterministic hash split (train/val/test by md5 slot —
+        reproducible across runs/partitionings, no RNG state, no
+        shuffle). md5 is per-row Python here ONLY for DuckDB oracle
+        parity; the production splitter uses the vectorized
+        hash_pandas_object path (same note as docs_hash_sample)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            assign_splits,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "lang"]
+        )
+        return assign_splits(docs, id_col="doc_id")
+
+    def events_tumbling_counts(sf_dir: str):
+        """Tumbling 5-minute event-time windows per event type: window
+        assignment is a derived column, so the streaming window
+        operator is a grouped aggregate (combiner + one tiny
+        exchange)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            tumbling_window_agg,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "value"]
+        )
+        return tumbling_window_agg(ev, ["event_type"], "ts",
+                                   width_us=300_000_000, value_col="value",
+                                   num_partitions=8)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -2499,6 +2606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_union_schema_evolution": docs_union_schema_evolution,
         "docs_boilerplate_stripped": docs_boilerplate_stripped,
         "q10_returned_items": q10_returned_items,
+        "orders_merged_changelog": orders_merged_changelog,
+        "orders_price_band_join_banded": orders_price_band_join_banded,
+        "docs_train_val_test_split": docs_train_val_test_split,
+        "events_tumbling_counts": events_tumbling_counts,
     }
 
 
@@ -3297,5 +3408,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
                      c_custkey
             LIMIT 20
+        """,
+        "orders_merged_changelog": """
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+        """,
+        "orders_price_band_join_banded": """
+            WITH bands(band, lo, hi) AS (VALUES
+              ('low', 0.0, 150000.0), ('mid', 150000.0, 300000.0),
+              ('high', 300000.0, 600000.0), ('all', 0.0, 600000.0))
+            SELECT band, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "docs_train_val_test_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN slot < 12 THEN 'train'
+                        WHEN slot < 14 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, lang,
+                       strpos('0123456789abcdef',
+                              right(md5(CAST(doc_id AS VARCHAR)), 1))
+                           - 1 AS slot
+                FROM documents
+            )
+        """,
+        "events_tumbling_counts": """
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 300000000 AS BIGINT) AS win,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY event_type, win
         """,
     }

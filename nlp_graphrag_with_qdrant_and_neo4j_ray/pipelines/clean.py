@@ -279,3 +279,31 @@ def strip_boilerplate(docs, id_col: str = "doc_id",
     return grouped_apply(marked, [id_col], assemble,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def assign_splits(docs, id_col: str = "doc_id",
+                  split_col: str = "split",
+                  val_slots: int = 2, test_slots: int = 2):
+    """Deterministic train/val/test split by md5 slot of the id (16
+    slots: last ``test_slots`` → test, the ``val_slots`` before → val,
+    rest → train).  Hash-based splits are the scale-correct choice: no
+    RNG state, no shuffle, stable across runs, re-partitionings and
+    corpus growth (a doc's split never changes when neighbors are
+    added/removed).  md5 per row is Python-level ONLY so a DuckDB
+    oracle can assert the assignment byte-for-byte; the production
+    path uses the vectorized ``hash_pandas_object`` hash the shuffle
+    layer uses everywhere."""
+    import hashlib
+
+    train_hi = 16 - val_slots - test_slots
+    val_hi = 16 - test_slots
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        slots = [int(hashlib.md5(str(i).encode()).hexdigest()[-1], 16)
+                 for i in ids]
+        lab = ["train" if s < train_hi else
+               ("val" if s < val_hi else "test") for s in slots]
+        return batch.append_column(split_col, pa.array(lab, pa.string()))
+
+    return docs.map_batches(assign, batch_format="pyarrow")

@@ -1512,3 +1512,150 @@ def union_by_name(datasets, num_partitions: int | None = None):
     for d in padded[1:]:
         out = out.union(d)
     return out
+
+
+def merge_into(snapshot, changes, key: str, op_col: str = "op",
+               version_col: str = "version", num_partitions: int = 64):
+    """Apply a changelog to a snapshot (the incremental-pipeline MERGE
+    primitive): ``changes`` carries the snapshot's columns plus
+    ``op_col`` ('U' upsert / 'D' delete) and ``version_col``; the
+    LATEST change per key wins, 'D' removes the key, 'U' replaces-or-
+    inserts the row.  ONE co-partitioned exchange on the key — snapshot
+    rows whose key never changed pass straight through their partition;
+    output schema equals the snapshot's.
+
+    Scale shape: both sides hash-exchange once; per-key work is a
+    vectorized latest-wins dedup.  A 100-TB snapshot + daily changelog
+    never materializes anywhere — partitioned output can be written
+    shard-by-shard for a resumable swap."""
+    snap_names = _arrow_schema(snapshot).names
+    change_cols = snap_names + [op_col, version_col]
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if rt.num_rows == 0:
+            return lt
+        cdf = rt.to_pandas().sort_values(version_col, kind="stable")
+        latest = cdf.drop_duplicates(key, keep="last")
+        sdf = lt.to_pandas()
+        keep = sdf[~sdf[key].isin(latest[key])]
+        ups = latest[latest[op_col] != "D"][snap_names]
+        out = pd.concat([keep, ups], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            lt.schema
+        )
+
+    return _copartition(snapshot, changes, key, key, change_cols,
+                        probe, num_partitions)
+
+
+def banded_range_join(points, intervals, value_col: str, lo_col: str,
+                      hi_col: str, band_width: float,
+                      keep_cols: list[str], num_partitions: int = 64):
+    """Big-big range join (``lo <= value < hi``) WITHOUT a broadcast:
+    both sides band by ``floor(value / band_width)`` — each interval
+    replicates to every band it overlaps, each point belongs to exactly
+    ONE band (so multi-band intervals can't duplicate a match) — then
+    one co-partitioned exchange and a vectorized per-partition
+    band-merge + bounds filter.
+
+    The replication factor is ``interval_span / band_width``: pick the
+    band width near the median interval span.  This is the scale path
+    when the interval side is too big to broadcast
+    (:func:`broadcast_range_join` is the small-side fast path)."""
+    keep = [c for c in keep_cols if c not in (lo_col, hi_col)]
+    _BAND = "__band"
+
+    def band_points(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64())
+        b = pc.cast(pc.floor(pc.divide(v, pa.scalar(band_width))),
+                    pa.int64())
+        return batch.append_column(_BAND, b)
+
+    def explode_intervals(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        lo = np.floor(pdf[lo_col].to_numpy(np.float64) / band_width
+                      ).astype(np.int64)
+        # hi is exclusive: a band starting exactly at hi never matches
+        hi_v = pdf[hi_col].to_numpy(np.float64)
+        hi = np.floor(np.nextafter(hi_v, -np.inf) / band_width
+                      ).astype(np.int64)
+        n = np.maximum(hi - lo + 1, 0)
+        rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+        starts = np.cumsum(n) - n
+        rep[_BAND] = (np.arange(int(n.sum())) - np.repeat(starts, n)
+                      + np.repeat(lo, n))
+        return pa.Table.from_pandas(rep, preserve_index=False)
+
+    pts = points.map_batches(band_points, batch_format="pyarrow")
+    ivs = intervals.map_batches(explode_intervals,
+                                batch_format="pyarrow")
+    point_names = [n for n in _arrow_schema(points).names]
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        out_cols = point_names + keep
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            empty = lt.slice(0, 0)
+            for c in keep:
+                typ = (rt.schema.field(c).type if rt.num_rows or c in
+                       rt.column_names else pa.string())
+                empty = empty.append_column(c, pa.nulls(0, typ))
+            return empty.select(out_cols)
+        pdf = lt.to_pandas().merge(rt.to_pandas(), on=_BAND)
+        v = pdf[value_col].to_numpy(np.float64)
+        m = (v >= pdf[lo_col].to_numpy(np.float64)) & (
+            v < pdf[hi_col].to_numpy(np.float64))
+        return pa.Table.from_pandas(pdf[m][out_cols],
+                                    preserve_index=False)
+
+    iv_cols = [_BAND] + [c for c in
+                         _arrow_schema(intervals).names] 
+
+    def _probe_wrap(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        return probe(lt, rt)
+
+    return _copartition(pts, ivs, _BAND, _BAND, iv_cols, _probe_wrap,
+                        num_partitions)
+
+
+def tumbling_window_agg(ds, keys: list[str], ts_col: str,
+                        width_us: int, value_col: str,
+                        win_col: str = "win", count_col: str = "n",
+                        sum_col: str = "sum_value", ndigits: int = 6,
+                        num_partitions: int = 64):
+    """Tumbling event-time windows — count + sum per (keys, window),
+    where ``window = epoch_us(ts) // width_us``.  Window assignment is
+    a pure vectorized map, so this is just a grouped aggregate with a
+    derived key: per-batch Arrow combiner, one tiny exchange.  The
+    streaming-engine 'window operator' degenerates to data (§2.9:
+    ordering-as-data) exactly like the chunk chain."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column(ts_col), pa.int64()),
+                     pa.int64())
+        win = pc.divide(ts, pa.scalar(width_us, pa.int64()))
+        t = pa.table({
+            **{k: batch.column(k) for k in keys},
+            win_col: win,
+            "__v": pc.cast(batch.column(value_col), pa.float64()),
+        })
+        agg = t.group_by(keys + [win_col]).aggregate(
+            [([], "count_all"), ("__v", "sum")]
+        )
+        return agg.rename_columns(keys + [win_col, "__n", "__v"])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(keys + [win_col]).aggregate(
+            [("__n", "sum"), ("__v", "sum")]
+        )
+        agg = agg.rename_columns(keys + [win_col, "__n", "__v"])
+        return pa.table({
+            **{k: agg.column(k) for k in keys},
+            win_col: agg.column(win_col),
+            count_col: pc.cast(agg.column("__n"), pa.int64()),
+            sum_col: pc.round(agg.column("__v"), ndigits=ndigits),
+        })
+
+    combined = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_apply(combined, keys + [win_col], finish,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

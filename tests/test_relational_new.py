@@ -153,3 +153,109 @@ def test_strip_boilerplate_threshold_not_met(ray_session):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["clean_text"].tolist() == ["common\nbody0",
                                           "common\nbody1", "only2"]
+
+
+def test_merge_into_latest_wins_and_delete(ray_session):
+    snap = pd.DataFrame({"k": np.int64([1, 2, 3, 4]),
+                         "v": ["a", "b", "c", "d"]})
+    changes = pd.DataFrame({
+        "k": np.int64([2, 2, 3, 9]),
+        "v": ["b_old", "b_new", "ignored", "inserted"],
+        "op": ["U", "U", "D", "U"],
+        "version": np.int64([0, 1, 1, 1]),
+    })
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import merge_into
+
+    out = merge_into(_ds(ray_session, snap), _ds(ray_session, changes, 2),
+                     "k", num_partitions=4).to_pandas()
+    expected = pd.DataFrame({"k": np.int64([1, 2, 4, 9]),
+                             "v": ["a", "b_new", "d", "inserted"]})
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(expected))
+
+
+def test_banded_range_join_matches_bruteforce(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        banded_range_join,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({"x": rng.uniform(0, 100, 200)})
+    # overlapping intervals, one spanning many bands, one empty
+    ivs = pd.DataFrame({
+        "name": ["a", "b", "wide", "empty"],
+        "lo": [0.0, 20.0, 5.0, 50.0],
+        "hi": [30.0, 60.0, 95.0, 50.0],
+    })
+    import ray.data
+
+    out = banded_range_join(
+        _ds(ray_session, pts), ray.data.from_pandas(ivs), "x",
+        "lo", "hi", band_width=10.0, keep_cols=["name"],
+        num_partitions=4,
+    ).to_pandas()
+    rows = []
+    for _, p in pts.iterrows():
+        for _, iv in ivs.iterrows():
+            if iv["lo"] <= p["x"] < iv["hi"]:
+                rows.append({"x": p["x"], "name": iv["name"]})
+    expected = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(expected))
+
+
+def test_banded_range_join_boundary_semantics(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        banded_range_join,
+    )
+    import ray.data
+
+    pts = pd.DataFrame({"x": [10.0, 20.0]})
+    ivs = pd.DataFrame({"name": ["i"], "lo": [10.0], "hi": [20.0]})
+    out = banded_range_join(
+        _ds(ray_session, pts, 1), ray.data.from_pandas(ivs), "x",
+        "lo", "hi", band_width=7.0, keep_cols=["name"],
+        num_partitions=2,
+    ).to_pandas()
+    assert out["x"].tolist() == [10.0]  # lo inclusive, hi exclusive
+
+
+def test_tumbling_window_agg_matches_pandas(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        tumbling_window_agg,
+    )
+
+    rng = np.random.default_rng(5)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 3600, 500), unit="s")
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 500),
+                       "ts": ts.astype("datetime64[us]"),
+                       "v": rng.uniform(0, 10, 500)})
+    out = tumbling_window_agg(
+        _ds(ray_session, df), ["g"], "ts", width_us=300_000_000,
+        value_col="v", num_partitions=4,
+    ).to_pandas()
+    ref = df.copy()
+    ref["win"] = ref["ts"].astype("int64") // 300_000_000
+    exp = ref.groupby(["g", "win"]).agg(
+        n=("v", "size"), sum_value=("v", "sum")).reset_index()
+    exp["sum_value"] = np.round(exp["sum_value"], 6)
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(exp),
+                                  check_dtype=False, atol=1e-6)
+
+
+def test_assign_splits_deterministic(ray_session):
+    import hashlib
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        assign_splits,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64)})
+    out = assign_splits(_ds(ray_session, df), id_col="doc_id"
+                        ).to_pandas().sort_values("doc_id")
+    for i, split in zip(out["doc_id"], out["split"]):
+        slot = int(hashlib.md5(str(i).encode()).hexdigest()[-1], 16)
+        want = "train" if slot < 12 else ("val" if slot < 14 else "test")
+        assert split == want
+    # all three splits populated at n=400
+    assert set(out["split"]) == {"train", "val", "test"}
