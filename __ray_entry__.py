@@ -2299,6 +2299,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aug = docs.map_batches(augment, batch_format="pyarrow")
         return strip_boilerplate(aug, min_docs=25, num_partitions=16)
 
+    def docs_substring_dedup(sf_dir: str):
+        """Lee et al. 2022 exact-substring dedup over 8-token windows
+        with an exact SQL oracle: two deterministic spam spans are
+        injected identically on both sides (a 12-token footer on
+        doc_id%5==0, a 10-token header on doc_id%7==0); every window
+        duplicated from an earlier doc is removed, the earliest doc
+        keeps its copy, overlapping windows merge. doc 0 carries both
+        spans and keeps both (keep-first); every other injected doc
+        loses exactly its span."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            substring_dedup,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        ftr = ("click here to accept all cookies and continue to the "
+               "requested page")
+        hdr = ("breaking news update from our partner network "
+               "syndicated content follows")
+
+        def augment(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            mod5 = pc.equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0
+            )
+            mod7 = pc.equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)), 0
+            )
+            pre = pc.if_else(mod7, pa.scalar(hdr + " "), pa.scalar(""))
+            post = pc.if_else(mod5, pa.scalar(" " + ftr), pa.scalar(""))
+            txt = pc.binary_join_element_wise(
+                pre, batch.column("text"), post, ""
+            )
+            return pa.table({"doc_id": ids, "text": txt})
+
+        aug = docs.map_batches(augment, batch_format="pyarrow")
+        return substring_dedup(aug, k=8, num_partitions=16)
+
     def q10_returned_items(sf_dir: str):
         """TPC-H Q10 shape — returned-item revenue per customer:
         R-flagged lineitems pre-aggregate per order (combiner) and meet
@@ -2605,6 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": events_value_zscore,
         "docs_union_schema_evolution": docs_union_schema_evolution,
         "docs_boilerplate_stripped": docs_boilerplate_stripped,
+        "docs_substring_dedup": docs_substring_dedup,
         "q10_returned_items": q10_returned_items,
         "orders_merged_changelog": orders_merged_changelog,
         "orders_price_band_join_banded": orders_price_band_join_banded,
@@ -3395,6 +3435,62 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(line, chr(10) ORDER BY idx) AS txt
                 FROM kept GROUP BY doc_id
             ) k ON a.doc_id = k.doc_id
+        """,
+        "docs_substring_dedup": """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split(
+                           (CASE WHEN doc_id % 7 = 0
+                            THEN 'breaking news update from our partner network syndicated content follows '
+                            ELSE '' END)
+                           || text ||
+                           (CASE WHEN doc_id % 5 = 0
+                            THEN ' click here to accept all cookies and continue to the requested page'
+                            ELSE '' END), ' '),
+                           x -> x <> '') AS toks
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(range(len(toks))) AS i
+                FROM tk
+            ),
+            grams AS (
+                SELECT doc_id, i AS p,
+                       tok || ' ' || lead(tok, 1) OVER w || ' '
+                           || lead(tok, 2) OVER w || ' '
+                           || lead(tok, 3) OVER w || ' '
+                           || lead(tok, 4) OVER w || ' '
+                           || lead(tok, 5) OVER w || ' '
+                           || lead(tok, 6) OVER w || ' '
+                           || lead(tok, 7) OVER w AS gram,
+                       lead(tok, 7) OVER w AS t7
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            g2 AS (SELECT doc_id, p, gram FROM grams
+                   WHERE t7 IS NOT NULL),
+            dup AS (
+                SELECT g.doc_id, g.p
+                FROM g2 g
+                JOIN (SELECT gram, min(doc_id) AS m FROM g2
+                      GROUP BY gram) q ON g.gram = q.gram
+                WHERE g.doc_id <> q.m
+            ),
+            cov AS (
+                SELECT DISTINCT t.doc_id, t.i
+                FROM toks t
+                JOIN dup d ON t.doc_id = d.doc_id
+                          AND t.i >= d.p AND t.i < d.p + 8
+            )
+            SELECT t.doc_id,
+                   coalesce(string_agg(t.tok, ' ' ORDER BY t.i)
+                            FILTER (WHERE c.i IS NULL), '')
+                       AS clean_text,
+                   CAST(count(c.i) AS BIGINT) AS n_removed
+            FROM toks t
+            LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
+            GROUP BY t.doc_id
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

@@ -560,3 +560,232 @@ def ngram_decontaminate(docs_ds, benchmark_ds, id_col: str = "doc_id",
         return out.filter(pa.array(fracs <= max_overlap))
 
     return docs_ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ----------------------- exact substring dedup -----------------------------
+
+_SIDE = "__side"
+_HASH_KEY_2 = "substring_dedup!"  # 16 chars — independent second hash
+
+
+def _flat_tokens(ids_arr: pa.Array, texts: pa.Array):
+    """Vectorized whitespace tokenization with per-document positions.
+    Returns ``(doc_ids, tokens, pos)`` — numpy ids, an Arrow string
+    array of non-empty tokens (document-contiguous), and each token's
+    0-based index within its document's FILTERED token sequence (the
+    indexing the reconstruction and the SQL oracle both use)."""
+    split = pc.split_pattern(texts, " ")
+    lens = np.asarray(
+        pc.list_value_length(split).to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    ids = np.repeat(ids_arr.to_numpy(zero_copy_only=False), lens)
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    ids = ids[keep.to_numpy(zero_copy_only=False)]
+    n = len(ids)
+    if n == 0:
+        return ids, flat, np.empty(0, np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = ids[1:] != ids[:-1]
+    arange = np.arange(n, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(change, arange, 0))
+    return ids, flat, arange - run_start
+
+
+def substring_dedup(docs_ds, k: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text", out_col: str = "clean_text",
+                    num_partitions: int = 64):
+    """Exact duplicated-substring removal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring rule, at whitespace-token granularity): every ``k``-token
+    window whose text also occurs in an EARLIER document (smaller
+    ``id_col``) is removed from this document; the earliest document
+    containing a span keeps it, and within-document repeats are kept.
+    A token survives iff no duplicated window covers it — overlapping
+    duplicated windows merge into one removed span.  Emits one row per
+    input document: ``(id, out_col, n_removed)``; documents shorter
+    than ``k`` tokens pass through untouched.
+
+    Scale shape (100 TB): three stages, two hash exchanges, and the
+    gram TEXT never leaves the tokenizing task —
+
+    1. map: vectorized tokenize (Arrow split + flatten), gram strings
+       built from zero-copy shifted slices (``binary_join_element_wise``),
+       reduced to two independent 64-bit hashes; (h1, h2, id, pos) rows
+       are all that ride the first exchange (~32 bytes/window vs the
+       ~8x-duplicated text a string exchange would ship).  A 128-bit
+       combined key makes cross-gram collisions negligible (~n²/2¹²⁸);
+       the trade — like the MinHash family above — is documented rather
+       than re-verified against raw text.
+    2. exchange on (h1, h2): per-group min-id, emit (id, pos) marks for
+       every non-minimum occurrence.  Dup-heavy corpora shrink here —
+       marks are 16 bytes and only exist for duplicated windows.
+    3. exchange on id: documents union-exchange with their marks
+       (typed-null padding), coverage is a vectorized diff-array
+       (+1 at p, -1 at p+k, cumsum > 0), survivors re-join with spaces.
+
+    No driver-side materialization anywhere; reference has no
+    counterpart (pure training-data-prep surface).
+    """
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids, flat, pos = _flat_tokens(
+            batch.column(id_col), batch.column(text_col)
+        )
+        n = len(ids)
+        empty = pa.table({
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "p": pa.array([], pa.int64()),
+        })
+        if n < k:
+            return empty
+        m = n - k + 1
+        valid = ids[:m] == ids[k - 1:]
+        if not valid.any():
+            return empty
+        parts = [flat.slice(j, m) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ").filter(
+            pa.array(valid)
+        )
+        s = pd.Series(grams.to_numpy(zero_copy_only=False))
+        h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        h2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key=_HASH_KEY_2
+        ).to_numpy()
+        return pa.table({
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            id_col: pa.array(ids[:m][valid]),
+            "p": pa.array(pos[:m][valid]),
+        })
+
+    def mark_dups(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        if len(pdf) == 0:
+            return pa.table({
+                id_col: pa.array([], tbl.schema.field(id_col).type),
+                "p": pa.array([], pa.int64()),
+            })
+        mins = pdf.groupby(["h1", "h2"], sort=False)[id_col].transform(
+            "min"
+        )
+        dup = pdf[pdf[id_col].to_numpy() != mins.to_numpy()]
+        return pa.Table.from_pandas(
+            dup[[id_col, "p"]], preserve_index=False
+        )
+
+    from ..stages.shuffle import grouped_apply
+
+    grams = docs_ds.map_batches(gram_rows, batch_format="pyarrow")
+    marks = grouped_apply(grams, ["h1", "h2"], mark_dups,
+                          num_partitions=num_partitions,
+                          batch_format="pyarrow")
+
+    id_type = pa.int64()
+    sch = docs_ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        id_type = base.field(id_col).type
+
+    union_schema = pa.schema([
+        pa.field(_SIDE, pa.int8()),
+        pa.field(id_col, id_type),
+        pa.field(text_col, pa.string()),
+        pa.field("p", pa.int64()),
+    ])
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            _SIDE: pa.array(np.zeros(batch.num_rows, np.int8)),
+            id_col: pc.cast(batch.column(id_col), id_type),
+            text_col: pc.cast(batch.column(text_col), pa.string()),
+            "p": pa.nulls(batch.num_rows, pa.int64()),
+        }, schema=union_schema)
+
+    def tag_mark(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            _SIDE: pa.array(np.ones(batch.num_rows, np.int8)),
+            id_col: pc.cast(batch.column(id_col), id_type),
+            text_col: pa.nulls(batch.num_rows, pa.string()),
+            "p": pc.cast(batch.column("p"), pa.int64()),
+        }, schema=union_schema)
+
+    unioned = docs_ds.map_batches(tag_doc, batch_format="pyarrow").union(
+        marks.map_batches(tag_mark, batch_format="pyarrow")
+    )
+
+    def assemble(tbl: pa.Table) -> pa.Table:
+        side = tbl.column(_SIDE)
+        # sort docs by id so each document's tokens form a contiguous
+        # ascending run — np.unique's (start, count) then indexes runs
+        dt = tbl.filter(pc.equal(side, 0)).sort_by(id_col)
+        mk = tbl.filter(pc.equal(side, 1))
+        doc_ids_arr = dt.column(id_col)
+        if dt.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], id_type),
+                out_col: pa.array([], pa.string()),
+                "n_removed": pa.array([], pa.int64()),
+            })
+        ids, flat, pos = _flat_tokens(doc_ids_arr, dt.column(text_col))
+        total = len(ids)
+        # map each document to its run of flat token rows
+        uniq, starts_idx, counts = np.unique(
+            ids, return_index=True, return_counts=True
+        ) if total else (np.empty(0, np.int64),) * 3
+        cov = np.zeros(total, dtype=bool)
+        if mk.num_rows > 0 and total > 0:
+            mdoc = mk.column(id_col).to_numpy(zero_copy_only=False)
+            mp = mk.column("p").to_numpy(zero_copy_only=False)
+            # doc start offset for each mark (marks only exist for docs
+            # with >= k tokens, so searchsorted always hits)
+            si = np.searchsorted(uniq, mdoc)
+            inb = (si < len(uniq))
+            si = np.minimum(si, max(len(uniq) - 1, 0))
+            inb &= uniq[si] == mdoc
+            g = starts_idx[si[inb]] + mp[inb]
+            diff = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(diff, g, 1)
+            np.add.at(diff, g + k, -1)
+            cov = np.cumsum(diff[:total]) > 0
+        doc_idx = np.repeat(np.arange(len(uniq)), counts)
+        n_rm = np.bincount(doc_idx[cov], minlength=len(uniq)) \
+            if total else np.empty(0, np.int64)
+        kept = pd.DataFrame({
+            "d": doc_idx[~cov],
+            "t": flat.filter(pa.array(~cov)).to_numpy(
+                zero_copy_only=False
+            ),
+        })
+        joined = kept.groupby("d", sort=True)["t"].agg(" ".join)
+        joined = joined.reindex(np.arange(len(uniq))).fillna("")
+        # docs with zero tokens never enter `uniq`; emit them as-is
+        out_ids = uniq
+        out_text = joined.to_numpy()
+        out_rm = n_rm.astype(np.int64)
+        all_ids = doc_ids_arr.to_numpy(zero_copy_only=False)
+        missing = np.setdiff1d(all_ids, uniq)
+        if len(missing):
+            out_ids = np.concatenate([out_ids, missing])
+            out_text = np.concatenate(
+                [out_text, np.full(len(missing), "", dtype=object)]
+            )
+            out_rm = np.concatenate(
+                [out_rm, np.zeros(len(missing), np.int64)]
+            )
+        return pa.table({
+            id_col: pa.array(out_ids, id_type),
+            out_col: pa.array(out_text, pa.string()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+        })
+
+    return grouped_apply(unioned, [id_col], assemble,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
