@@ -2338,6 +2338,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aug = docs.map_batches(augment, batch_format="pyarrow")
         return substring_dedup(aug, k=8, num_partitions=16)
 
+    def docs_bm25_rank(sf_dir: str):
+        """BM25 top-10 for the fixed query (sort, merge, window) over
+        whitespace tokens — pins the Lucene-style BM25 math the KG term
+        index precomputes against an exact SQL oracle (k1=1.2,
+        b=0.75)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            bm25_rank,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        return bm25_rank(docs, ["sort", "merge", "window"], topk=10)
+
     def q10_returned_items(sf_dir: str):
         """TPC-H Q10 shape — returned-item revenue per customer:
         R-flagged lineitems pre-aggregate per order (combiner) and meet
@@ -2645,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_union_schema_evolution": docs_union_schema_evolution,
         "docs_boilerplate_stripped": docs_boilerplate_stripped,
         "docs_substring_dedup": docs_substring_dedup,
+        "docs_bm25_rank": docs_bm25_rank,
         "q10_returned_items": q10_returned_items,
         "orders_merged_changelog": orders_merged_changelog,
         "orders_price_band_join_banded": orders_price_band_join_banded,
@@ -3491,6 +3506,42 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t
             LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i
             GROUP BY t.doc_id
+        """,
+        "docs_bm25_rank": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT sum(dl) FROM dl)
+                           / (SELECT count(*) FROM documents) AS avgdl
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM tok
+                WHERE tok IN ('sort', 'merge', 'window')
+                GROUP BY doc_id, tok
+            ),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf
+                   GROUP BY tok),
+            sc AS (
+                SELECT tf.doc_id,
+                       sum(ln((stats.n_docs - df.df + 0.5)
+                              / (df.df + 0.5) + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                             / stats.avgdl))) AS s
+                FROM tf
+                JOIN df USING (tok)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score
+            FROM sc ORDER BY s DESC, doc_id LIMIT 10
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

@@ -100,3 +100,100 @@ def fingerprints(docs_ds, window: int = 8,
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def bm25_rank(docs_ds, terms: list[str], id_col: str = "doc_id",
+              text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+              topk: int = 10):
+    """Distributed BM25 ranking of a documents table for a fixed query
+    — the scoring rule the serving-path term index precomputes
+    (stages/termindex.py), here over whitespace tokens so a DuckDB
+    oracle can pin the MATH exactly: Lucene-style
+    ``idf = ln((N - df + .5)/(df + .5) + 1)``,
+    ``tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Scale shape: ONE vectorized pass over the text produces a narrow
+    per-document stats table (dl + tf/has per query term — integers
+    only, materialized so the two consumers don't re-tokenize); global
+    stats (N, Σdl, df per term) reduce to a constant-size aggregate;
+    scoring + per-batch top-k truncation keep the final sort at
+    O(batches·topk) rows. Documents never shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    terms = list(terms)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column(text_col), " ")
+        lens = np.asarray(
+            pc.list_value_length(split).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        nrows = batch.num_rows
+        doc_idx = np.repeat(np.arange(nrows), lens)
+        flat = pc.list_flatten(split)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        cols = {
+            id_col: batch.column(id_col),
+            "dl": pa.array(
+                np.bincount(doc_idx[nonempty], minlength=nrows), pa.int64()
+            ),
+        }
+        for j, t in enumerate(terms):
+            m = nonempty & (toks == t)
+            tf = np.bincount(doc_idx[m], minlength=nrows)
+            cols[f"tf{j}"] = pa.array(tf, pa.int64())
+            cols[f"has{j}"] = pa.array((tf > 0).astype(np.int64))
+        return pa.table(cols)
+
+    narrow = docs_ds.map_batches(
+        tf_rows, batch_format="pyarrow", batch_size=8192
+    ).materialize()
+
+    aggs = [Count(), Sum("dl")] + [Sum(f"has{j}") for j in range(len(terms))]
+    st = narrow.aggregate(*aggs)
+    n_docs = float(st["count()"])
+    avgdl = float(st["sum(dl)"]) / n_docs
+    idf = np.array([
+        np.log((n_docs - st[f"sum(has{j})"] + 0.5)
+               / (st[f"sum(has{j})"] + 0.5) + 1.0)
+        for j in range(len(terms))
+    ])
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(dl))
+        anyhit = np.zeros(len(dl), dtype=bool)
+        for j in range(len(terms)):
+            tf = batch.column(f"tf{j}").to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            s += idf[j] * tf * (k1 + 1.0) / (tf + norm)
+            anyhit |= tf > 0
+        out = pa.table({
+            id_col: batch.column(id_col).filter(pa.array(anyhit)),
+            "score": pa.array(s[anyhit], pa.float64()),
+        })
+        # local truncation: only each batch's top-k ride the global sort
+        if out.num_rows > topk:
+            od = out.to_pandas().sort_values(
+                ["score", id_col], ascending=[False, True],
+                kind="stable",
+            ).head(topk)
+            out = pa.Table.from_pandas(od, preserve_index=False)
+        return out
+
+    ranked = narrow.map_batches(score, batch_format="pyarrow") \
+        .sort(["score", id_col], descending=[True, False]).limit(topk)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "score": pc.round(batch.column("score"), 6),
+        })
+
+    return ranked.map_batches(round6, batch_format="pyarrow")

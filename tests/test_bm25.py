@@ -1,0 +1,51 @@
+"""BM25 ranking — math pinned against a direct numpy reference and the
+per-batch top-k truncation exercised with more hits than topk."""
+
+import numpy as np
+import pandas as pd
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+    bm25_rank,
+)
+
+
+def _ref(docs: dict[int, str], terms, k1=1.2, b=0.75):
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    out = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            idf = np.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            out[d] = s
+    return out
+
+
+def test_bm25_matches_reference_and_truncates(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "query", "term"]
+    docs = {
+        d: " ".join(rng.choice(vocab, size=int(rng.integers(3, 40))))
+        for d in range(60)
+    }
+    docs[99] = "filler only words here"  # no query term -> excluded
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": list(docs), "text": list(docs.values()),
+    }))
+    got = bm25_rank(ds, ["query", "term"], topk=5).to_pandas()
+    ref = _ref(docs, ["query", "term"])
+    top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(got.doc_id) == [d for d, _ in top]
+    np.testing.assert_allclose(
+        got.score.to_numpy(), [round(s, 6) for _, s in top], atol=1e-6
+    )
+    assert 99 not in set(got.doc_id)
