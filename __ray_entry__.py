@@ -441,6 +441,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def embedding_knn_join(sf_dir: str):
+        """Broadcast kNN join: vectors 0-4 are the query side, the rest
+        the corpus; exact cosine top-3 per query with ascending-id tie
+        break. Oracled by a DuckDB cross join over DOUBLE-cast lists."""
+        import ray.data
+
+        probe = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filter=(pc.field("vec_id") < 5),
+        ).take_all()
+        qids = [r["vec_id"] for r in probe]
+        qmat = np.stack([np.asarray(r["embedding"]) for r in probe])
+        corpus = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filter=(pc.field("vec_id") >= 5),
+        )
+        return sim.knn_join(corpus, qids, qmat, k=3, num_partitions=8)
+
     def embedding_knn_lsh(sf_dir: str):
         emb = _read(sf_dir, "embeddings")
         qv = _query_vec(sf_dir)
@@ -2584,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": dup_clusters,
         "dup_clusters_chain": dup_clusters_chain,
         "embedding_knn_top10": embedding_knn_top10,
+        "embedding_knn_join": embedding_knn_join,
         "embedding_knn_lsh": embedding_knn_lsh,
         "embedding_knn_ivf": embedding_knn_ivf,
         "embedding_near_dups": embedding_near_dups,
@@ -3003,6 +3024,29 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY band
+        """,
+        "embedding_knn_join": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e
+                FROM embeddings WHERE vec_id >= 5
+            ),
+            s AS (
+                SELECT qid, vec_id,
+                       list_cosine_similarity(qe, e) AS score,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY list_cosine_similarity(qe, e) DESC,
+                                    vec_id
+                       ) AS rnk
+                FROM q CROSS JOIN c
+            )
+            SELECT qid, vec_id, round(score, 6) AS score,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM s WHERE rnk <= 3
         """,
         "embedding_exact_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

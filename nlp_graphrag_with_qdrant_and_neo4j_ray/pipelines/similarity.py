@@ -558,3 +558,66 @@ def grouped_centroids(embeddings_ds, label_col: str = "label",
         })
 
     return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def knn_join(corpus_ds, query_ids, query_matrix, k: int = 3,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             qid_col: str = "qid", num_partitions: int = 16):
+    """Vector similarity JOIN: for every query vector, the exact cosine
+    top-k rows of the corpus — the broadcast nearest-neighbor join
+    (query side small by contract, e.g. a probe set or a centroid
+    table; for corpus×corpus all-pairs see ``cosine_near_dup_pairs``).
+
+    Scale shape: the normalized query matrix broadcasts ONCE via
+    ``ray.put``; each corpus batch computes one q×b matmul and keeps
+    only its local top-k per query (a combiner — k·q rows leave each
+    batch regardless of batch size); one hash exchange on ``qid_col``
+    merges the partials into exact global top-k. The corpus never
+    shuffles; ties break by ascending corpus id. Emits
+    ``(qid, id, score, rnk)`` with 1-based rank."""
+    import ray
+
+    from ..stages.shuffle import grouped_apply
+
+    qids = np.asarray(query_ids)
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qref = ray.put((qids, Q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, Qm = ray.get(qref)
+        if batch.num_rows == 0:
+            return pa.table({
+                qid_col: pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        m = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        s = Qm @ m.T  # (q, b)
+        kk = min(k, s.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(ids, s.shape), -s), axis=1
+        )[:, :kk]
+        rows = np.arange(len(qi))[:, None]
+        return pa.table({
+            qid_col: pa.array(np.repeat(qi, kk), pa.int64()),
+            id_col: pa.array(ids[order].ravel(), pa.int64()),
+            "score": pa.array(s[rows, order].ravel(), pa.float64()),
+        })
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas().sort_values(
+            [qid_col, "score", id_col],
+            ascending=[True, False, True], kind="stable",
+        )
+        top = pdf.groupby(qid_col, sort=True).head(k).copy()
+        top["rnk"] = top.groupby(qid_col, sort=False).cumcount() + 1
+        top["score"] = top["score"].round(6)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    partials = corpus_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    )
+    return grouped_apply(partials, [qid_col], merge,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

@@ -49,3 +49,43 @@ def test_bm25_matches_reference_and_truncates(ray_session):
         got.score.to_numpy(), [round(s, 6) for _, s in top], atol=1e-6
     )
     assert 99 not in set(got.doc_id)
+
+
+def test_knn_join_matches_brute(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_join,
+    )
+
+    rng = np.random.default_rng(11)
+    corpus = rng.standard_normal((200, 16))
+    qmat = rng.standard_normal((4, 16))
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": pa.array(
+            [r.tolist() for r in corpus.astype(np.float32)],
+            pa.list_(pa.float32()),
+        ),
+    })
+    # multiple blocks exercise the per-batch partial combiner
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    got = knn_join(ds, [10, 11, 12, 13], qmat, k=5).to_pandas() \
+        .sort_values(["qid", "rnk"]).reset_index(drop=True)
+
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    # corpus stored as float32 — reference must normalize the same values
+    cn32 = corpus.astype(np.float32).astype(np.float64)
+    cn = cn32 / np.linalg.norm(cn32, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    s = qn @ cn.T
+    for qi, qid in enumerate([10, 11, 12, 13]):
+        order = np.lexsort((np.arange(200), -s[qi]))[:5]
+        sub = got[got.qid == qid]
+        assert list(sub.vec_id) == list(order)
+        np.testing.assert_allclose(
+            sub.score.to_numpy(), np.round(s[qi][order], 6), atol=1e-6
+        )
+        assert list(sub.rnk) == [1, 2, 3, 4, 5]
