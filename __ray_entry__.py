@@ -336,6 +336,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(rnd, batch_format="pyarrow")
 
+    def docs_quality_filtered(sf_dir: str):
+        """Percentile quality gating: keep documents whose quality score
+        is at or above the corpus's exact 25th percentile, computed by
+        the distributed selection operator (iterative histogram
+        bracketing — no global sort; relational.exact_quantile) over a
+        materialized narrow (doc_id, quality) table. quantile_disc
+        semantics match DuckDB exactly."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            exact_quantile,
+        )
+
+        ds = ts.quality(_read(sf_dir, "documents"))
+
+        def slim(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "quality": pc.round(batch.column("quality"), ndigits=6,
+                                    round_mode="half_towards_infinity"),
+            })
+
+        narrow = ds.map_batches(slim, batch_format="pyarrow").materialize()
+        thr = exact_quantile(narrow, "quality", 0.25)
+        return narrow.filter(expr=f"quality >= {thr!r}")
+
     def doc_fingerprints(sf_dir: str):
         """SQL-expressible fingerprint (md5 of ws-normalized text) — the
         oracled variant (VERDICT r2 task 7)."""
@@ -2595,6 +2619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_full": token_counts_full,
         "language_id": language_id,
         "quality_scores": quality_scores,
+        "docs_quality_filtered": docs_quality_filtered,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_rolling": doc_fingerprints_rolling,
         "exact_dedup_docs": exact_dedup_docs,
@@ -2752,7 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         PII_PATTERNS as _pii,
     )
 
-    return {
+    d = {
         # html→text byte-identity: extracted text must equal the source
         # text column exactly (the north_rule per-row invariant in SQL)
         "kg_extract_documents": """
@@ -3641,3 +3666,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type, win
         """,
     }
+    d["docs_quality_filtered"] = (
+        "WITH qq AS (" + d["quality_scores"] + ") "
+        "SELECT doc_id, quality FROM qq WHERE quality >= "
+        "(SELECT quantile_disc(quality, 0.25) FROM qq)"
+    )
+    return d

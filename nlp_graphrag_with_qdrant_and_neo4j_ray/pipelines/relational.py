@@ -1659,3 +1659,92 @@ def tumbling_window_agg(ds, keys: list[str], ts_col: str,
     return grouped_apply(combined, keys + [win_col], finish,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def exact_quantile(ds, value_col: str, q: float,
+                   rows_limit: int = 65536, num_bins: int = 1024,
+                   max_rounds: int = 16) -> float:
+    """Exact global discrete quantile (DuckDB ``quantile_disc``
+    semantics: the 1-based ``ceil(q*n)``-th smallest value) WITHOUT a
+    global sort — the distributed selection algorithm: iteratively
+    bracket the order statistic with per-round histograms.
+
+    Each round is one streaming pass: every batch bin-counts its values
+    over the current ``[lo, hi]`` bracket (``num_bins`` bins, one
+    ``np.searchsorted`` per batch) and a constant-size aggregate sums
+    the histograms; the driver walks the cumulative counts to the bin
+    containing the target rank and recurses into it.  When the
+    surviving bin holds ≤ ``rows_limit`` rows, those rows (alone) are
+    fetched and the answer picked exactly — ties and repeated values
+    are handled by rank arithmetic, never by equality on floats.
+    Driver memory: one ``num_bins`` int array per round.  O(log_b n)
+    passes; no shuffle at all — the scale path where ``sort()`` +
+    index-into would move the whole table."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Count(value_col), Min(value_col), Max(value_col))
+    n = int(stats[f"count({value_col})"])
+    if n == 0:
+        raise ValueError("exact_quantile of an empty dataset")
+    lo = float(stats[f"min({value_col})"])
+    hi = float(stats[f"max({value_col})"])
+    k = max(1, int(np.ceil(q * n)))  # 1-based target rank
+    below = 0  # values strictly inside brackets discarded to the left
+    prev_bin_count = None
+
+    for _ in range(max_rounds):
+        in_bracket_rank = k - below
+        # count rows in [lo, hi] cheaply via the histogram pass itself
+        edges = np.linspace(lo, hi, num_bins + 1)
+
+        def hist(batch: pa.Table, _edges=edges) -> pa.Table:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            v = v[(v >= _edges[0]) & (v <= _edges[-1])]
+            idx = np.clip(np.searchsorted(_edges, v, side="right") - 1,
+                          0, num_bins - 1)
+            return pa.table({
+                "bin": pa.array(np.arange(num_bins), pa.int64()),
+                "cnt": pa.array(np.bincount(idx, minlength=num_bins),
+                                pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+        htbl = ds.map_batches(hist, batch_format="pyarrow") \
+            .groupby("bin").aggregate(Sum("cnt")).to_pandas() \
+            .sort_values("bin")
+        counts = np.zeros(num_bins, np.int64)
+        counts[htbl["bin"].to_numpy()] = htbl["sum(cnt)"].to_numpy()
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, in_bracket_rank, side="left"))
+        bin_lo = float(edges[b])
+        bin_hi = float(edges[b + 1]) if b + 1 < len(edges) else hi
+        below += int(cum[b - 1]) if b > 0 else 0
+        bin_count = int(counts[b])
+        last_bin = b == num_bins - 1
+        # a tie cluster (or unsplittable float neighborhood) stalls the
+        # refinement — a round that doesn't shrink the bin can't ever:
+        # fetch it exactly (duplicate handling costs the cluster size,
+        # as in any selection algorithm)
+        stalled = prev_bin_count is not None and bin_count >= prev_bin_count
+        prev_bin_count = bin_count
+        if bin_count <= rows_limit or (bin_hi - bin_lo) <= 0 or stalled:
+            def grab(batch: pa.Table, _lo=bin_lo, _hi=bin_hi,
+                     _last=last_bin) -> pa.Table:
+                v = batch.column(value_col).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                m = (v >= _lo) & ((v <= _hi) if _last else (v < _hi))
+                return pa.table({"v": pa.array(v[m], pa.float64())})
+
+            vals = np.sort(np.concatenate([
+                t.column("v").to_numpy(zero_copy_only=False)
+                for t in ds.map_batches(grab, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+            ] + [np.empty(0, np.float64)]))
+            return float(vals[k - below - 1])
+        # recurse: make the bracket half-open consistent with binning
+        lo, hi = bin_lo, bin_hi if last_bin else np.nextafter(
+            bin_hi, -np.inf
+        )
+    raise RuntimeError("exact_quantile failed to converge")

@@ -89,3 +89,31 @@ def test_knn_join_matches_brute(ray_session):
             sub.score.to_numpy(), np.round(s[qi][order], 6), atol=1e-6
         )
         assert list(sub.rnk) == [1, 2, 3, 4, 5]
+
+
+def test_exact_quantile_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        exact_quantile,
+    )
+
+    rng = np.random.default_rng(5)
+    # heavy ties + outliers + negatives
+    vals = np.concatenate([
+        rng.integers(-50, 50, 3000).astype(np.float64) / 7.0,
+        np.full(500, 3.25),
+        np.array([1e6, -1e6]),
+    ])
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    for q in (0.01, 0.25, 0.5, 0.9, 0.999):
+        want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        got = exact_quantile(ds, "v", q)
+        assert got == want, (q, got, want)
+    # tiny rows_limit forces multiple histogram refinement rounds
+    got = exact_quantile(ds, "v", 0.5, rows_limit=8, num_bins=16)
+    want = con.sql("SELECT quantile_disc(v, 0.5) FROM t").fetchone()[0]
+    assert got == want
