@@ -993,6 +993,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def docs_bench_overlap(sf_dir: str):
+        """EXACT benchmark n-gram overlap with a SQL oracle: docs 0-19
+        are the eval set, the rest the corpus; a 25-token leak span is
+        injected identically on both sides (bench doc 0 + corpus docs
+        with doc_id%10==1), so leaked docs show a nonzero exact
+        distinct-8-gram overlap fraction while clean docs are 0.0. The
+        engine bloom-prunes before the exact co-partitioned verify;
+        the oracle is a plain distinct-window join."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            ngram_overlap_exact,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        span = ("the quick brown fox jumps over the lazy dog while "
+                "seventeen astronauts quietly measure forty two "
+                "distinct orbital parameters during the long winter "
+                "night shift")
+
+        def bench_side(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            keep = pc.less(ids, 20)
+            b = b.filter(keep)
+            leak = pc.equal(b.column("doc_id"), 0)
+            txt = pc.binary_join_element_wise(
+                b.column("text"),
+                pc.if_else(leak, pa.scalar(" " + span), pa.scalar("")),
+                "",
+            )
+            return pa.table({"doc_id": b.column("doc_id"), "text": txt})
+
+        def corpus_side(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            b = b.filter(pc.greater_equal(ids, 20))
+            ids = b.column("doc_id")
+            mod10 = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+            leak = pc.equal(mod10, 1)
+            txt = pc.binary_join_element_wise(
+                b.column("text"),
+                pc.if_else(leak, pa.scalar(" " + span), pa.scalar("")),
+                "",
+            )
+            return pa.table({"doc_id": ids, "text": txt})
+
+        bench = docs.map_batches(bench_side, batch_format="pyarrow")
+        corpus = docs.map_batches(corpus_side, batch_format="pyarrow")
+        return ngram_overlap_exact(corpus, bench, n=8, num_partitions=16)
+
     def docs_stratified_sample(sf_dir: str):
         """Stratified deterministic sampling: per-group rates out of 16
         hash slots (en 4/16 = 25%, other languages 1/16) keyed on the
@@ -2680,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_volume": q5_nation_volume,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_decontaminated": docs_decontaminated,
+        "docs_bench_overlap": docs_bench_overlap,
         "docs_pii_redacted": docs_pii_redacted,
         "docs_repetition_scores": docs_repetition_scores,
         "docs_packed_sequences": docs_packed_sequences,
@@ -3611,6 +3661,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(s, 6) AS score
             FROM sc ORDER BY s DESC, doc_id LIMIT 10
+        """,
+        "docs_bench_overlap": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       text || (CASE WHEN doc_id % 10 = 1 THEN
+                           ' the quick brown fox jumps over the lazy dog while seventeen astronauts quietly measure forty two distinct orbital parameters during the long winter night shift'
+                           ELSE '' END) AS text
+                FROM documents WHERE doc_id >= 20
+            ),
+            bench AS (
+                SELECT text || (CASE WHEN doc_id = 0 THEN
+                           ' the quick brown fox jumps over the lazy dog while seventeen astronauts quietly measure forty two distinct orbital parameters during the long winter night shift'
+                           ELSE '' END) AS text
+                FROM documents WHERE doc_id < 20
+            ),
+            ctk AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok,
+                       unnest(range(len(list_filter(string_split(text, ' '),
+                                                    x -> x <> '')))) AS i
+                FROM corpus
+            ),
+            btk AS (
+                SELECT row_number() OVER () AS bid, text FROM bench
+            ),
+            btok AS (
+                SELECT bid,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok,
+                       unnest(range(len(list_filter(string_split(text, ' '),
+                                                    x -> x <> '')))) AS i
+                FROM btk
+            ),
+            cg AS (
+                SELECT DISTINCT doc_id,
+                       tok || ' ' || lead(tok, 1) OVER w || ' '
+                           || lead(tok, 2) OVER w || ' '
+                           || lead(tok, 3) OVER w || ' '
+                           || lead(tok, 4) OVER w || ' '
+                           || lead(tok, 5) OVER w || ' '
+                           || lead(tok, 6) OVER w || ' '
+                           || lead(tok, 7) OVER w AS gram
+                FROM ctk
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY lead(tok, 7) OVER w IS NOT NULL
+            ),
+            bg AS (
+                SELECT DISTINCT
+                       tok || ' ' || lead(tok, 1) OVER w || ' '
+                           || lead(tok, 2) OVER w || ' '
+                           || lead(tok, 3) OVER w || ' '
+                           || lead(tok, 4) OVER w || ' '
+                           || lead(tok, 5) OVER w || ' '
+                           || lead(tok, 6) OVER w || ' '
+                           || lead(tok, 7) OVER w AS gram
+                FROM btok
+                WINDOW w AS (PARTITION BY bid ORDER BY i)
+                QUALIFY lead(tok, 7) OVER w IS NOT NULL
+            ),
+            tot AS (SELECT doc_id, count(*) AS tot FROM cg GROUP BY doc_id),
+            hit AS (
+                SELECT doc_id, count(*) AS hits
+                FROM cg JOIN bg USING (gram) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   round(CASE WHEN t.tot IS NULL OR t.tot = 0 THEN 0.0
+                         ELSE coalesce(h.hits, 0) * 1.0 / t.tot END, 6)
+                       AS bench_overlap
+            FROM (SELECT DISTINCT doc_id FROM corpus) c
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN hit h USING (doc_id)
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

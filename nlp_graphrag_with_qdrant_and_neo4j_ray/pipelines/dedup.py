@@ -789,3 +789,213 @@ def substring_dedup(docs_ds, k: int = 8, id_col: str = "doc_id",
     return grouped_apply(unioned, [id_col], assemble,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def ngram_overlap_exact(docs_ds, benchmark_ds, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text",
+                        overlap_col: str = "bench_overlap",
+                        nbits: int = 1 << 20, nhashes: int = 4,
+                        num_partitions: int = 64):
+    """EXACT benchmark n-gram overlap per document — the hard-verify
+    companion to :func:`ngram_decontaminate` (whose Bloom mask can only
+    over-count): for every document, the fraction of its DISTINCT
+    ``n``-token windows that also occur in the benchmark/eval set.
+    Emits ``(id, overlap_col)`` for every input document (0.0 when the
+    document has fewer than ``n`` tokens); a decontamination filter is
+    a trivial ``filter(overlap <= t)`` on top, now with exact, not
+    conservative, semantics.
+
+    Scale shape: the benchmark reduces to ONE streamed Bloom mask
+    (exactly as in ``ngram_decontaminate``) that prunes the document
+    side BEFORE the exchange — bloom-negative windows cannot be hits,
+    so on a clean corpus almost nothing shuffles; bloom-positive
+    (doc_id, h1, h2) rows co-partition with the benchmark's distinct
+    window hashes on (h1, h2) and are verified exactly (128-bit key —
+    same collision budget as ``substring_dedup``).  Per-document
+    distinct-window totals ride a separate narrow table; one final
+    exchange on id joins hits to totals.  Window text never leaves the
+    tokenizing task."""
+    import ray
+
+    from ..stages.shuffle import grouped_apply
+
+    def _gram_hashes(ids, flat, k):
+        """(ids_at_window_start, h1, h2) for every valid k-window."""
+        ntok = len(ids)
+        if ntok < k:
+            return ids[:0], np.empty(0, np.uint64), np.empty(0, np.uint64)
+        m = ntok - k + 1
+        valid = ids[:m] == ids[k - 1:]
+        if not valid.any():
+            return ids[:0], np.empty(0, np.uint64), np.empty(0, np.uint64)
+        parts = [flat.slice(j, m) for j in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ").filter(
+            pa.array(valid)
+        )
+        s = pd.Series(grams.to_numpy(zero_copy_only=False))
+        h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        h2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key=_HASH_KEY_2
+        ).to_numpy()
+        return ids[:m][valid], h1, h2
+
+    def bench_mask_and_rows(batch: pa.Table) -> pa.Table:
+        fake = pa.array(np.zeros(batch.num_rows, np.int64))
+        ids, flat, _ = _flat_tokens(fake, batch.column(bench_text_col))
+        _, h1, h2 = _gram_hashes(ids, flat, n)
+        df = pd.DataFrame({"h1": h1, "h2": h2}).drop_duplicates()
+        bits = np.zeros(nbits, dtype=bool)
+        hv = df["h1"].to_numpy(np.uint64)
+        for pos in _shingle_bloom_positions(hv, nbits, nhashes):
+            bits[pos] = True
+        return pa.table({
+            "h1": pa.array(df["h1"].to_numpy().view(np.int64)),
+            "h2": pa.array(df["h2"].to_numpy().view(np.int64)),
+            "__mask": pa.array(
+                [np.packbits(bits).tobytes()]
+                + [None] * (len(df) - 1) if len(df) else [],
+                pa.binary(),
+            ),
+        })
+
+    bench_rows_parts = []
+    mask = np.zeros(nbits // 8, dtype=np.uint8)
+    bench_tbl_ds = benchmark_ds.map_batches(
+        bench_mask_and_rows, batch_format="pyarrow"
+    ).materialize()
+    for part in bench_tbl_ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"):
+        for buf in part.column("__mask").to_pylist():
+            if buf is not None:
+                mask |= np.frombuffer(buf, dtype=np.uint8)
+    mask_ref = ray.put(mask)
+    bench_rows = bench_tbl_ds.map_batches(
+        lambda b: b.select(["h1", "h2"]), batch_format="pyarrow"
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids, flat, _ = _flat_tokens(
+            batch.column(id_col), batch.column(text_col)
+        )
+        wids, h1, h2 = _gram_hashes(ids, flat, n)
+        df = pd.DataFrame({id_col: wids, "h1": h1, "h2": h2}) \
+            .drop_duplicates()
+        # totals for EVERY doc in the batch, including gram-less ones
+        all_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        tot = df.groupby(id_col).size().reindex(
+            all_ids, fill_value=0
+        ).to_numpy(np.int64)
+        # bloom prune: negative windows cannot be benchmark hits
+        bits = np.unpackbits(ray.get(mask_ref))
+        hit = np.ones(len(df), dtype=bool)
+        hv = df["h1"].to_numpy(np.uint64)
+        for pos in _shingle_bloom_positions(hv, nbits, nhashes):
+            hit &= bits[pos] > 0
+        cand = df[hit]
+        k_ = len(cand)
+        # one output table carries both row kinds: candidate windows
+        # (__tot = -1) and per-doc totals (__tot >= 0)
+        return pa.table({
+            id_col: pa.array(np.concatenate([
+                cand[id_col].to_numpy(np.int64), all_ids,
+            ])),
+            "h1": pa.array(np.concatenate([
+                cand["h1"].to_numpy().view(np.int64),
+                np.zeros(len(all_ids), np.int64),
+            ])),
+            "h2": pa.array(np.concatenate([
+                cand["h2"].to_numpy().view(np.int64),
+                np.zeros(len(all_ids), np.int64),
+            ])),
+            "__tot": pa.array(np.concatenate([
+                np.full(k_, -1, np.int64), tot,
+            ])),
+        })
+
+    exploded = docs_ds.map_batches(
+        doc_rows, batch_format="pyarrow"
+    ).materialize()  # consumed twice: candidate rows + totals
+    cand_rows = exploded.filter(expr="__tot < 0")
+    tot_rows = exploded.filter(expr="__tot >= 0")
+
+    _S = "__side"
+    usch = pa.schema([
+        pa.field(_S, pa.int8()), pa.field(id_col, pa.int64()),
+        pa.field("h1", pa.int64()), pa.field("h2", pa.int64()),
+    ])
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            idv = (batch.column(id_col) if side == 0
+                   else pa.nulls(batch.num_rows, pa.int64()))
+            return pa.table({
+                _S: pa.array(np.full(batch.num_rows, side, np.int8)),
+                id_col: idv,
+                "h1": batch.column("h1"),
+                "h2": batch.column("h2"),
+            }, schema=usch)
+        return fn
+
+    unioned = cand_rows.map_batches(
+        lambda b: tag(0)(b), batch_format="pyarrow"
+    ).union(bench_rows.map_batches(
+        lambda b: tag(1)(b), batch_format="pyarrow"
+    ))
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        bench = pdf[pdf[_S] == 1][["h1", "h2"]].drop_duplicates()
+        doc = pdf[pdf[_S] == 0]
+        hits = doc.merge(bench, on=["h1", "h2"], how="inner")
+        out = hits.groupby(id_col).size().reset_index(name="__hits")
+        out[id_col] = out[id_col].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hits_ds = grouped_apply(unioned, ["h1", "h2"], verify,
+                            num_partitions=num_partitions,
+                            batch_format="pyarrow")
+
+    # final co-partition on id: totals ⋈ hits → fraction
+    usch2 = pa.schema([
+        pa.field(_S, pa.int8()), pa.field(id_col, pa.int64()),
+        pa.field("__v", pa.int64()),
+    ])
+
+    def tag_tot(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            _S: pa.array(np.zeros(batch.num_rows, np.int8)),
+            id_col: batch.column(id_col),
+            "__v": batch.column("__tot"),
+        }, schema=usch2)
+
+    def tag_hits(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            _S: pa.array(np.ones(batch.num_rows, np.int8)),
+            id_col: batch.column(id_col),
+            "__v": batch.column("__hits"),
+        }, schema=usch2)
+
+    unioned2 = tot_rows.map_batches(
+        tag_tot, batch_format="pyarrow"
+    ).union(hits_ds.map_batches(tag_hits, batch_format="pyarrow"))
+
+    def fraction(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        tot = pdf[pdf[_S] == 0].set_index(id_col)["__v"]
+        hit = pdf[pdf[_S] == 1].groupby(id_col)["__v"].sum()
+        hit = hit.reindex(tot.index, fill_value=0)
+        frac = np.where(tot.to_numpy() > 0,
+                        hit.to_numpy() / np.maximum(tot.to_numpy(), 1),
+                        0.0)
+        return pa.table({
+            id_col: pa.array(tot.index.to_numpy(), pa.int64()),
+            overlap_col: pc.round(
+                pa.array(frac, pa.float64()), 6,
+                round_mode="half_towards_infinity",
+            ),
+        })
+
+    return grouped_apply(unioned2, [id_col], fraction,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

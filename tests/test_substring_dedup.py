@@ -107,3 +107,47 @@ def test_random_corpus_matches_brute(ray_session, parts):
         docs[d] = " ".join(rng.choice(vocab, size=n))
     got = _run(ray_session, docs, k=5, parts=parts)
     assert got == _brute(docs, 5)
+
+
+def _brute_overlap(corpus: dict[int, str], bench: list[str], n: int):
+    def grams(txt):
+        ts = [t for t in txt.split(" ") if t]
+        return {" ".join(ts[p:p + n]) for p in range(len(ts) - n + 1)}
+    bg = set()
+    for b in bench:
+        bg |= grams(b)
+    out = {}
+    for d, txt in corpus.items():
+        g = grams(txt)
+        out[d] = round(len(g & bg) / len(g), 6) if g else 0.0
+    return out
+
+
+@pytest.mark.parametrize("nbits", [1 << 16, 64])  # 64 bits: mass collisions
+def test_ngram_overlap_exact_matches_brute(ray_session, nbits):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        ngram_overlap_exact,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = [f"v{i}" for i in range(20)]
+    leak = "alpha beta gamma delta epsilon zeta"
+    corpus = {
+        d: " ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+        for d in range(30)
+    }
+    corpus[3] += " " + leak
+    corpus[7] = leak + " " + corpus[7]
+    bench = [" ".join(rng.choice(vocab, size=15)) + " " + leak, "short"]
+    cds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": list(corpus), "text": list(corpus.values()),
+    }))
+    bds = ray.data.from_pandas(pd.DataFrame({"text": bench}))
+    got = ngram_overlap_exact(cds, bds, n=4, nbits=nbits,
+                              num_partitions=4).to_pandas()
+    want = _brute_overlap(corpus, bench, 4)
+    got_d = {int(r.doc_id): r.bench_overlap for r in got.itertuples()}
+    assert got_d == want
+    assert got_d[3] > 0 and got_d[7] > 0
