@@ -993,6 +993,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def customer_order_counts_left(sf_dir: str):
+        """LEFT OUTER JOIN: every customer with their order count, 0
+        for customers who never ordered — aggregate-before-join (the
+        orders side reduces to (custkey, n) before the single
+        co-partitioned exchange)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            left_join,
+        )
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+
+        def partial_counts(b: pa.Table) -> pa.Table:
+            agg = b.group_by(["o_custkey"]).aggregate([([], "count_all")])
+            return agg.rename_columns(["o_custkey", "n"])
+
+        def sum_counts(t: pa.Table) -> pa.Table:
+            agg = t.group_by(["o_custkey"]).aggregate([("n", "sum")])
+            return pa.table({
+                "o_custkey": agg.column("o_custkey"),
+                "n": pc.cast(agg.column("n_sum"), pa.int64()),
+            })
+
+        # per-batch count combiner + one small exchange — never the
+        # (slow) native Aggregate
+        agg = grouped_apply(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_custkey"],
+            ).map_batches(partial_counts, batch_format="pyarrow"),
+            ["o_custkey"], sum_counts, num_partitions=16,
+            batch_format="pyarrow",
+        )
+        joined = left_join(cust, agg, "c_custkey", "o_custkey",
+                           ["o_custkey", "n"], num_partitions=16)
+        return joined.map_batches(
+            lambda b: pa.table({
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "n_orders": pc.fill_null(b.column("n"), 0),
+            }),
+            batch_format="pyarrow",
+        )
+
+    def orders_price_percent_rank(sf_dir: str):
+        """PERCENT_RANK() over order price within each priority class —
+        min-rank tie semantics, one exchange on the priority key."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_percent_rank,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        out = window_percent_rank(
+            orders, ["o_orderpriority"], "o_totalprice",
+            num_partitions=8,
+        )
+        return out.map_batches(
+            lambda b: b.select(["o_orderkey", "o_orderpriority",
+                                "pct_rank"]),
+            batch_format="pyarrow",
+        )
+
     def docs_bench_overlap(sf_dir: str):
         """EXACT benchmark n-gram overlap with a SQL oracle: docs 0-19
         are the eval set, the rest the corpus; a 25-token leak span is
@@ -2730,6 +2805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": docs_stratified_sample,
         "docs_decontaminated": docs_decontaminated,
         "docs_bench_overlap": docs_bench_overlap,
+        "customer_order_counts_left": customer_order_counts_left,
+        "orders_price_percent_rank": orders_price_percent_rank,
         "docs_pii_redacted": docs_pii_redacted,
         "docs_repetition_scores": docs_repetition_scores,
         "docs_packed_sequences": docs_packed_sequences,
@@ -3733,6 +3810,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM corpus) c
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN hit h USING (doc_id)
+        """,
+        "customer_order_counts_left": """
+            SELECT c_custkey, c_name,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                       GROUP BY o_custkey) o
+              ON c_custkey = o_custkey
+        """,
+        "orders_price_percent_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice), 6) AS pct_rank
+            FROM orders
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

@@ -1748,3 +1748,50 @@ def exact_quantile(ds, value_col: str, q: float,
             bin_hi, -np.inf
         )
     raise RuntimeError("exact_quantile failed to converge")
+
+
+def left_join(left, right, left_key: str, right_key: str,
+              right_cols: list[str], num_partitions: int = 64):
+    """Distributed LEFT OUTER JOIN — the one-exchange union-join
+    pattern (:func:`full_outer_join`), with Arrow's local
+    ``join_type="left outer"``: every left row survives, unmatched
+    ones carry typed-null right columns. Non-key column names must be
+    disjoint across sides."""
+    left_names = _arrow_schema(left).names
+    out_right = [c for c in right_cols if c != right_key]
+    clash = set(left_names) & set(out_right)
+    if clash:
+        raise ValueError(f"column name collision across sides: {clash}")
+    out_names = left_names + out_right
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        joined = lt.join(rt, keys=[left_key], join_type="left outer")
+        return joined.select(out_names)
+
+    return _copartition(left, right, left_key, right_key,
+                        [right_key] + out_right, probe, num_partitions)
+
+
+def window_percent_rank(ds, keys: list[str], order_col: str,
+                        out_col: str = "pct_rank",
+                        num_partitions: int = 64, ndigits: int = 6):
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY keys ORDER BY
+    order_col)`` — (rank-1)/(n-1) with ties sharing the minimum rank,
+    0.0 for single-row groups.  One exchange on the keys; the
+    per-partition kernel is one vectorized pandas ``rank(method="min")``
+    across all of the partition's groups at once."""
+
+    def pr(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf.groupby(keys, sort=False, dropna=False)[order_col]
+        rank = grp.rank(method="min")
+        n = grp.transform("size")
+        out = pdf.copy()
+        denom = np.maximum(n.to_numpy(np.float64) - 1.0, 1.0)
+        val = (rank.to_numpy(np.float64) - 1.0) / denom
+        # round half AWAY from zero (values are non-negative) so the
+        # result hashes identically to DuckDB's round()
+        scale = 10.0 ** ndigits
+        out[out_col] = np.floor(val * scale + 0.5) / scale
+        return out
+
+    return grouped_apply(ds, keys, pr, num_partitions=num_partitions)

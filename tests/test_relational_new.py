@@ -259,3 +259,50 @@ def test_assign_splits_deterministic(ray_session):
         assert split == want
     # all three splits populated at n=400
     assert set(out["split"]) == {"train", "val", "test"}
+
+
+def test_left_join_unmatched_rows_null(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        left_join,
+    )
+
+    left = _ds(ray_session, pd.DataFrame({
+        "k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"],
+    }))
+    right = _ds(ray_session, pd.DataFrame({
+        "rk": [2, 4, 9], "rv": [20, 40, 90],
+    }))
+    got = _sorted(left_join(left, right, "k", "rk", ["rk", "rv"],
+                            num_partitions=4).to_pandas())
+    want = _sorted(
+        pd.DataFrame({"k": [1, 2, 3, 4], "lv": list("abcd")})
+        .merge(pd.DataFrame({"k": [2, 4, 9], "rv": [20, 40, 90]}),
+               on="k", how="left")
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_window_percent_rank_ties(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        window_percent_rank,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 1 + ["c"] * 4,
+        "v": [10.0, 10.0, 20.0, 30.0, 30.0, 7.0, 1.0, 2.0, 3.0, 4.0],
+        "i": range(10),
+    })
+    got = window_percent_rank(_ds(ray_session, df), ["g"], "v",
+                              num_partitions=3).to_pandas()
+    got = got.sort_values("i").reset_index(drop=True)
+    # group a (n=5): ranks min-method [1,1,3,4,4] -> (r-1)/4
+    np.testing.assert_allclose(
+        got[got.g == "a"].pct_rank.to_numpy(),
+        [0.0, 0.0, 0.5, 0.75, 0.75],
+    )
+    # single-row group -> 0.0
+    assert got[got.g == "b"].pct_rank.tolist() == [0.0]
+    np.testing.assert_allclose(
+        got[got.g == "c"].pct_rank.to_numpy(),
+        [0.0, 1 / 3, 2 / 3, 1.0], atol=1e-6,
+    )
