@@ -993,6 +993,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def docs_graph_triangles(sf_dir: str):
+        """Exact triangle count (degree-orientation algorithm) over a
+        deterministic graph on the document ids: a chain (i, i+1), skip
+        edges (i, i+2) for even i — one triangle per even i — plus a
+        K10 clique on ids 0-9; reversed duplicates are injected to
+        exercise canonicalization. Oracled by a DuckDB 3-way self-join
+        over the canonical a<b<c ordering."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            triangle_count,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def build_edges(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            src = [ids, ids[ids % 2 == 0]]
+            dst = [ids + 1, ids[ids % 2 == 0] + 2]
+            # reversed duplicates of the chain for ids % 3 == 0
+            rev = ids[ids % 3 == 0]
+            src.append(rev + 1)
+            dst.append(rev)
+            return pa.table({
+                "src": pa.array(np.concatenate(src), pa.int64()),
+                "dst": pa.array(np.concatenate(dst), pa.int64()),
+            })
+
+        chain = docs.map_batches(build_edges, batch_format="pyarrow")
+        # drop edges pointing past the last doc id
+        max_id = docs.max("doc_id")
+        chain = chain.filter(expr=f"dst <= {int(max_id)}")
+        k10 = [(i, j) for i in range(10) for j in range(10) if i != j]
+        clique = ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in k10], pa.int64()),
+            "dst": pa.array([b for _, b in k10], pa.int64()),
+        }))
+        return triangle_count(chain.union(clique), num_partitions=8)
+
     def customer_order_counts_left(sf_dir: str):
         """LEFT OUTER JOIN: every customer with their order count, 0
         for customers who never ordered — aggregate-before-join (the
@@ -2806,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated": docs_decontaminated,
         "docs_bench_overlap": docs_bench_overlap,
         "customer_order_counts_left": customer_order_counts_left,
+        "docs_graph_triangles": docs_graph_triangles,
         "orders_price_percent_rank": orders_price_percent_rank,
         "docs_pii_redacted": docs_pii_redacted,
         "docs_repetition_scores": docs_repetition_scores,
@@ -3825,6 +3865,31 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_orderpriority
                        ORDER BY o_totalprice), 6) AS pct_rank
             FROM orders
+        """,
+        "docs_graph_triangles": """
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            raw AS (
+                SELECT doc_id AS s, doc_id + 1 AS d FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 2 FROM documents
+                WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id + 1, doc_id FROM documents
+                WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT i.a, j.a
+                FROM range(10) i(a) CROSS JOIN range(10) j(a)
+                WHERE i.a <> j.a
+            ),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw, mx
+                WHERE s <= mx.m AND d <= mx.m AND s <> d
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

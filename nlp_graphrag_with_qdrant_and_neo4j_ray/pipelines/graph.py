@@ -401,3 +401,196 @@ def label_propagation(edges_ds, src_col: str = "src",
 
     return grouped_apply(state, ["key"], final_labels,
                          num_partitions=num_partitions)
+
+
+def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                   num_partitions: int = 16):
+    """Exact global triangle count of the UNDIRECTED graph (duplicate,
+    reversed and self-loop edges tolerated) — the compact-forward /
+    degree-orientation algorithm: every edge is directed from its
+    lower-(degree, id) endpoint, so each triangle has exactly one
+    acyclic orientation and is counted once, and every node's oriented
+    out-degree is O(√m) — the wedge explosion that sinks the naive
+    node-iterator on skewed graphs is structurally bounded (Chiba-
+    Nishizeki / Latapy).
+
+    Five bounded exchanges, all via ``grouped_apply`` (no driver-side
+    graph state): canonical-edge dedup → endpoint-degree count → two
+    degree⋈edge co-partition joins (degrees are O(V) rows, never
+    broadcast) → wedge generation grouped by source → wedge⋈edge
+    closure keyed on the (ordered) wedge endpoints.  Returns a 1-row
+    Dataset ``(n_triangles)``."""
+    _K = "__kind"
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column(src_col), pa.int64())
+        c = pc.cast(b.column(dst_col), pa.int64())
+        lo = pc.min_element_wise(a, c)
+        hi = pc.max_element_wise(a, c)
+        t = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
+        # local combiner dedup
+        return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+
+    edges = grouped_apply(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], dedup, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    ).materialize()  # consumed three times: degrees + join + closure
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            b.column("a").combine_chunks(), b.column("b").combine_chunks()
+        ])
+        t = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(["node", "deg"])
+
+    def deg_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["node"]).aggregate([("deg", "sum")])
+        return pa.table({
+            "node": g.column("node"),
+            "deg": pc.cast(g.column("deg_sum"), pa.int64()),
+        })
+
+    degrees = grouped_apply(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], deg_sum, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    # ---- attach degrees to both endpoints via two union exchanges ----
+    def _attach(edge_tbl, key_name, deg_out):
+        usch = pa.schema([
+            pa.field(_K, pa.int8()), pa.field("k", pa.int64()),
+            pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+            pa.field("da", pa.int64()), pa.field("deg", pa.int64()),
+        ])
+
+        def tag_edge(b: pa.Table) -> pa.Table:
+            da = (b.column("da") if "da" in b.column_names
+                  else pa.nulls(b.num_rows, pa.int64()))
+            return pa.table({
+                _K: pa.array(np.zeros(b.num_rows, np.int8)),
+                "k": b.column(key_name), "a": b.column("a"),
+                "b": b.column("b"), "da": da,
+                "deg": pa.nulls(b.num_rows, pa.int64()),
+            }, schema=usch)
+
+        def tag_deg(b: pa.Table) -> pa.Table:
+            z = pa.nulls(b.num_rows, pa.int64())
+            return pa.table({
+                _K: pa.array(np.ones(b.num_rows, np.int8)),
+                "k": b.column("node"), "a": z, "b": z, "da": z,
+                "deg": b.column("deg"),
+            }, schema=usch)
+
+        def join(t: pa.Table) -> pa.Table:
+            pdf = t.to_pandas()
+            dd = pdf[pdf[_K] == 1][["k", "deg"]]
+            ee = pdf[pdf[_K] == 0].drop(columns=[_K, "deg"])
+            if deg_out in ee.columns:  # drop the null placeholder slot
+                ee = ee.drop(columns=[deg_out])
+            m = ee.merge(dd, on="k", how="inner").drop(columns=["k"])
+            m = m.rename(columns={"deg": deg_out})
+            return pa.Table.from_pandas(m, preserve_index=False)
+
+        return grouped_apply(
+            edge_tbl.map_batches(tag_edge, batch_format="pyarrow").union(
+                degrees.map_batches(tag_deg, batch_format="pyarrow")
+            ),
+            ["k"], join, num_partitions=num_partitions,
+            batch_format="pyarrow",
+        )
+
+    with_da = _attach(edges, "a", "da")
+    with_db = _attach(with_da, "b", "db")
+
+    # ---- orient: from lower (deg, id) endpoint to higher ----
+    def orient(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas()
+        a_first = (pdf["da"].to_numpy() < pdf["db"].to_numpy()) | (
+            (pdf["da"].to_numpy() == pdf["db"].to_numpy())
+            & (pdf["a"].to_numpy() < pdf["b"].to_numpy())
+        )
+        u = np.where(a_first, pdf["a"], pdf["b"])
+        v = np.where(a_first, pdf["b"], pdf["a"])
+        du = np.where(a_first, pdf["da"], pdf["db"])
+        dv = np.where(a_first, pdf["db"], pdf["da"])
+        return pa.table({
+            "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+            "du": pa.array(du, pa.int64()), "dv": pa.array(dv, pa.int64()),
+        })
+
+    oriented = with_db.map_batches(
+        orient, batch_format="pyarrow"
+    ).materialize()  # consumed twice: wedges + closure
+
+    # ---- wedges: pairs of each source's out-neighbors, ordered by the
+    # same (deg, id) total order so the closing edge matches exactly ----
+    def wedges(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas().sort_values(["u", "dv", "v"], kind="stable")
+        xs, ys = [], []
+        for _, g in pdf.groupby("u", sort=False):
+            if len(g) < 2:
+                continue
+            vs = g["v"].to_numpy()
+            i, j = np.triu_indices(len(vs), k=1)
+            xs.append(vs[i])
+            ys.append(vs[j])
+        if not xs:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        return pa.table({"x": pa.array(np.concatenate(xs)),
+                         "y": pa.array(np.concatenate(ys))})
+
+    wedge_ds = grouped_apply(oriented, ["u"], wedges,
+                             num_partitions=num_partitions,
+                             batch_format="pyarrow")
+
+    # ---- closure: wedge (x, y) closes iff oriented edge x→y exists ----
+    usch = pa.schema([
+        pa.field(_K, pa.int8()), pa.field("x", pa.int64()),
+        pa.field("y", pa.int64()),
+    ])
+
+    def tag_w(b: pa.Table) -> pa.Table:
+        return pa.table({
+            _K: pa.array(np.zeros(b.num_rows, np.int8)),
+            "x": b.column("x"), "y": b.column("y"),
+        }, schema=usch)
+
+    def tag_e(b: pa.Table) -> pa.Table:
+        return pa.table({
+            _K: pa.array(np.ones(b.num_rows, np.int8)),
+            "x": b.column("u"), "y": b.column("v"),
+        }, schema=usch)
+
+    def close(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        ee = pdf[pdf[_K] == 1][["x", "y"]].drop_duplicates()
+        ww = pdf[pdf[_K] == 0][["x", "y"]]
+        n = len(ww.merge(ee, on=["x", "y"], how="inner"))
+        return pa.table({"part_triangles": pa.array([n], pa.int64())})
+
+    closed = grouped_apply(
+        wedge_ds.map_batches(tag_w, batch_format="pyarrow").union(
+            oriented.map_batches(tag_e, batch_format="pyarrow")
+        ),
+        ["x", "y"], close, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    from ray.data.aggregate import Sum
+
+    agg = closed.aggregate(Sum("part_triangles"))
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "n_triangles": pa.array(
+            [int(agg["sum(part_triangles)"] or 0)], pa.int64()
+        )
+    }))

@@ -250,3 +250,56 @@ def test_graph_ops_self_loops_and_parallel_edges(ray_session):
     assert set(lab["node"]) == {1, 2, 3}
     assert lab.set_index("node")["community"].to_dict() == _ref_lpa(
         edges, iters=4)
+
+
+def test_triangle_count_matches_matrix_reference(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 60
+    A = np.zeros((n, n), dtype=np.int64)
+    # random edges + a hub (node 0 connected to everything) + a clique
+    for _ in range(150):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            A[i, j] = A[j, i] = 1
+    A[0, :] = A[:, 0] = 1
+    A[0, 0] = 0
+    for i in range(40, 48):
+        for j in range(40, 48):
+            if i != j:
+                A[i, j] = 1
+    want = int(np.trace(A @ A @ A) // 6)
+
+    src, dst = np.nonzero(A)  # both directions present + dups below
+    src = np.concatenate([src, src[:20]])
+    dst = np.concatenate([dst, dst[:20]])
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    })).repartition(5)
+    got = triangle_count(ds, num_partitions=4).to_pandas()
+    assert got.n_triangles.tolist() == [want]
+    assert want > 100  # the graph is non-trivial
+
+
+def test_triangle_count_no_triangles(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        triangle_count,
+    )
+
+    # a pure chain has no triangles; self-loops must be ignored
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3, 5], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    got = triangle_count(ds, num_partitions=2).to_pandas()
+    assert got.n_triangles.tolist() == [0]
