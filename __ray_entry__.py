@@ -1032,6 +1032,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return triangle_count(chain.union(clique), num_partitions=8)
 
+    def docs_bpe_pair_counts(sf_dir: str):
+        """Top-20 adjacent character pairs inside whitespace tokens —
+        the argmax table of one BPE training merge round; per-batch
+        vectorized offset-slice counting + one pair-keyed exchange."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            bpe_pair_counts,
+        )
+
+        return bpe_pair_counts(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            k=20,
+        )
+
     def customer_order_counts_left(sf_dir: str):
         """LEFT OUTER JOIN: every customer with their order count, 0
         for customers who never ordered — aggregate-before-join (the
@@ -2873,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate_stripped": docs_boilerplate_stripped,
         "docs_substring_dedup": docs_substring_dedup,
         "docs_bm25_rank": docs_bm25_rank,
+        "docs_bpe_pair_counts": docs_bpe_pair_counts,
         "q10_returned_items": q10_returned_items,
         "orders_merged_changelog": orders_merged_changelog,
         "orders_price_band_join_banded": orders_price_band_join_banded,
@@ -3890,6 +3904,19 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "docs_bpe_pair_counts": """
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> len(x) > 1)) AS tok
+                FROM documents
+            ),
+            pairs AS (
+                SELECT substring(tok, CAST(i AS INT) + 1, 2) AS pair
+                FROM toks, unnest(range(len(tok) - 1)) AS t(i)
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

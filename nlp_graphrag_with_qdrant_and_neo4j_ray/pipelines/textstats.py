@@ -197,3 +197,64 @@ def bm25_rank(docs_ds, terms: list[str], id_col: str = "doc_id",
         })
 
     return ranked.map_batches(round6, batch_format="pyarrow")
+
+
+def bpe_pair_counts(docs_ds, k: int = 20, id_col: str = "doc_id",
+                    text_col: str = "text", num_partitions: int = 16):
+    """The counting step of BPE tokenizer training: global frequencies
+    of ADJACENT CHARACTER PAIRS inside whitespace tokens, top-``k`` by
+    (count desc, pair asc).  One merge round of Sennrich-style BPE is
+    exactly "take the argmax of this table"; iterating alternates this
+    count with a vocabulary rewrite.
+
+    Scale shape: each batch flattens its tokens once and counts pairs
+    with ONE vectorized pass per character offset (loop bounded by the
+    longest token, not row count) and one local groupby — only
+    (pair, partial_count) rows leave the batch; one hash exchange on
+    the pair sums partials; per-partition top-k truncation bounds the
+    final sort.  Pure map + one exchange; the corpus never reshuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column(text_col), " ")
+        flat = pc.list_flatten(split)
+        toks = flat.filter(pc.greater(pc.utf8_length(flat), 1))
+        if len(toks) == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        maxlen = int(lens.max())
+        parts = []
+        for off in range(maxlen - 1):
+            # tokens long enough to have a pair at this offset
+            sub = toks.filter(pa.array(lens > off + 1))
+            parts.append(pc.utf8_slice_codeunits(sub, off, off + 2))
+        pairs = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts]
+        )
+        agg = pa.table({"pair": pairs}).group_by(["pair"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["pair", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["pair"]).aggregate([("n", "sum")])
+        g = pa.table({
+            "pair": g.column("pair"),
+            "n": pc.cast(g.column("n_sum"), pa.int64()),
+        })
+        # local truncation: each partition only forwards its top-k
+        pdf = g.to_pandas().sort_values(
+            ["n", "pair"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    summed = grouped_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["pair"], merge, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+    return summed.sort(["n", "pair"], descending=[True, False]).limit(k)

@@ -117,3 +117,26 @@ def test_exact_quantile_matches_duckdb(ray_session):
     got = exact_quantile(ds, "v", 0.5, rows_limit=8, num_bins=16)
     want = con.sql("SELECT quantile_disc(v, 0.5) FROM t").fetchone()[0]
     assert got == want
+
+
+def test_bpe_pair_counts_matches_counter(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        bpe_pair_counts,
+    )
+
+    docs = ["hello world", "low lower lowest", "a bb ccc  dddd", ""]
+    ref = Counter()
+    for d in docs:
+        for tok in d.split(" "):
+            for i in range(len(tok) - 1):
+                ref[tok[i:i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": range(len(docs)), "text": docs,
+    })).repartition(3)
+    got = bpe_pair_counts(ds, k=5, num_partitions=2).to_pandas()
+    assert list(map(tuple, got.values.tolist())) == want
