@@ -1032,6 +1032,217 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return triangle_count(chain.union(clique), num_partitions=8)
 
+    def docs_weighted_sample(sf_dir: str):
+        """Deterministic weighted sample (A-Res, weight = n_chars):
+        top-50 by md5-derived priority u^(1/w) — the draw replays
+        byte-for-byte in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            weighted_sample,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "n_chars"]
+        )
+        return weighted_sample(docs, "n_chars", k=50)
+
+    def q7_nation_volume(sf_dir: str):
+        """TPC-H Q7 shape — cross-nation trade volume by year between
+        NATION_0 and NATION_1: supplier and customer nation maps
+        (filtered to the two nations) broadcast; lineitem prunes at
+        the read (shipdate window) and pre-aggregates per (orderkey,
+        supp_nation, year); ONE big-big fused aggregate⋈join exchange
+        with orders; the customer-nation lookup and the opposite-
+        nation filter run map-side; a final tiny exchange groups by
+        (supp_nation, cust_nation, year)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        nat = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name"],
+        )
+        keys = {
+            n: k for k, n in zip(
+                nat.column("n_nationkey").to_pylist(),
+                nat.column("n_name").to_pylist(),
+            ) if n in ("NATION_3", "NATION_8")
+        }
+        nat_ids = {v: k for k, v in keys.items()}  # nationkey -> name
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+        smap = {
+            s: n for s, n in zip(
+                supp.column("s_suppkey").to_pylist(),
+                supp.column("s_nationkey").to_pylist(),
+            ) if n in nat_ids
+        }
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        cmap = {
+            c: n for c, n in zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_nationkey").to_pylist(),
+            ) if n in nat_ids
+        }
+        smap_ref = ray.put(smap)
+        cmap_ref = ray.put(cmap)
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar(pd.Timestamp("1996-01-01")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(pd.Timestamp("1999-01-01")))
+            ),
+        )
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            sm = ray.get(smap_ref)
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            nat_arr = np.array([sm.get(int(s), -1) for s in sk],
+                               np.int64)
+            m = nat_arr >= 0
+            batch = batch.filter(pa.array(m))
+            if batch.num_rows == 0:
+                return pa.table({
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "s_nat": pa.array([], pa.int64()),
+                    "l_year": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                })
+            year = pc.year(batch.column("l_shipdate"))
+            vol = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            t = pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                "s_nat": pa.array(nat_arr[m]),
+                "l_year": pc.cast(year, pa.int64()),
+                "vol": vol,
+            })
+            agg = t.group_by(
+                ["l_orderkey", "s_nat", "l_year"]
+            ).aggregate([("vol", "sum")])
+            return agg.rename_columns(
+                ["l_orderkey", "s_nat", "l_year", "vol"]
+            )
+
+        fact = li.map_batches(li_partial, batch_format="pyarrow")
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        )
+
+        _S = "__side"
+        usch = pa.schema([
+            pa.field(_S, pa.int8()), pa.field("k", pa.int64()),
+            pa.field("s_nat", pa.int64()), pa.field("l_year", pa.int64()),
+            pa.field("vol", pa.float64()),
+            pa.field("o_custkey", pa.int64()),
+        ])
+
+        def tag_fact(b: pa.Table) -> pa.Table:
+            return pa.table({
+                _S: pa.array(np.zeros(b.num_rows, np.int8)),
+                "k": b.column("l_orderkey"),
+                "s_nat": b.column("s_nat"),
+                "l_year": b.column("l_year"),
+                "vol": b.column("vol"),
+                "o_custkey": pa.nulls(b.num_rows, pa.int64()),
+            }, schema=usch)
+
+        def tag_ord(b: pa.Table) -> pa.Table:
+            z = pa.nulls(b.num_rows, pa.int64())
+            return pa.table({
+                _S: pa.array(np.ones(b.num_rows, np.int8)),
+                "k": b.column("o_orderkey"),
+                "s_nat": z, "l_year": z,
+                "vol": pa.nulls(b.num_rows, pa.float64()),
+                "o_custkey": b.column("o_custkey"),
+            }, schema=usch)
+
+        def probe(t: pa.Table) -> pa.Table:
+            pdf = t.to_pandas()
+            f = pdf[pdf[_S] == 0]
+            o = pdf[pdf[_S] == 1][["k", "o_custkey"]]
+            if len(f) == 0 or len(o) == 0:
+                return pa.table({
+                    "s_nat": pa.array([], pa.int64()),
+                    "c_nat": pa.array([], pa.int64()),
+                    "l_year": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                })
+            cm = ray.get(cmap_ref)
+            m = f.merge(o, on="k", how="inner",
+                        suffixes=("", "_o"))
+            cnat = np.array([
+                cm.get(int(c), -1) for c in m["o_custkey_o"]
+            ], np.int64)
+            keep = (cnat >= 0) & (cnat != m["s_nat"].to_numpy())
+            m = m[keep]
+            out = pd.DataFrame({
+                "s_nat": m["s_nat"].to_numpy(np.int64),
+                "c_nat": cnat[keep],
+                "l_year": m["l_year"].to_numpy(np.int64),
+                "vol": m["vol"].to_numpy(np.float64),
+            })
+            g = out.groupby(["s_nat", "c_nat", "l_year"],
+                            as_index=False)["vol"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        unioned = fact.map_batches(tag_fact, batch_format="pyarrow") \
+            .union(orders.map_batches(tag_ord, batch_format="pyarrow"))
+        partials = grouped_apply(unioned, ["k"], probe,
+                                 num_partitions=16,
+                                 batch_format="pyarrow")
+
+        names = {k: v for k, v in nat_ids.items()}
+
+        def final(t: pa.Table) -> pa.Table:
+            pdf = t.to_pandas()
+            g = pdf.groupby(["s_nat", "c_nat", "l_year"],
+                            as_index=False)["vol"].sum()
+            return pa.table({
+                "supp_nation": pa.array(
+                    [names[int(x)] for x in g["s_nat"]], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [names[int(x)] for x in g["c_nat"]], pa.string()
+                ),
+                "l_year": pa.array(g["l_year"].to_numpy(np.int64)),
+                "revenue": pc.round(
+                    pa.array(g["vol"].to_numpy(np.float64)), 2
+                ),
+            })
+
+        out = grouped_apply(partials, ["s_nat", "c_nat", "l_year"],
+                            final, num_partitions=4,
+                            batch_format="pyarrow")
+        # schema seed: an empty result (possible at tiny sf where the
+        # two nations have no suppliers) must still carry the schema
+        seed = ray.data.from_arrow(pa.table({
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+        }))
+        return out.union(seed)
+
     def docs_bpe_pair_counts(sf_dir: str):
         """Top-20 adjacent character pairs inside whitespace tokens —
         the argmax table of one BPE training merge round; per-batch
@@ -2887,6 +3098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dedup": docs_substring_dedup,
         "docs_bm25_rank": docs_bm25_rank,
         "docs_bpe_pair_counts": docs_bpe_pair_counts,
+        "docs_weighted_sample": docs_weighted_sample,
+        "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "orders_merged_changelog": orders_merged_changelog,
         "orders_price_band_join_banded": orders_price_band_join_banded,
@@ -3917,6 +4130,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, CAST(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       pow((CAST('0x' ||
+                                 substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) + 0.5)
+                           / 4294967296.0, 1.0 / n_chars) AS prio
+                FROM documents WHERE n_chars > 0
+            ) ORDER BY prio DESC, doc_id LIMIT 50
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2, 3
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

@@ -307,3 +307,50 @@ def assign_splits(docs, id_col: str = "doc_id",
         return batch.append_column(split_col, pa.array(lab, pa.string()))
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): each row gets priority ``u^(1/w)``
+    with ``u`` a uniform derived from the md5 of its id, and the
+    global top-``k`` priorities win — inclusion probability is
+    proportional to weight, yet the draw is pure hash arithmetic: no
+    RNG state, stable under re-partitioning, re-runs and corpus
+    growth (the same properties as :func:`assign_splits`, which also
+    keeps md5 so a DuckDB oracle can replay the draw byte-for-byte).
+    Rows with non-positive weight are excluded.
+
+    Scale shape: priorities are per-row map work; each batch truncates
+    to its local top-k (combiner) so the final exact sort sees
+    O(batches·k) rows."""
+    import hashlib
+
+    def prio(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        keep = w > 0
+        batch = batch.filter(pa.array(keep))
+        w = w[keep]
+        u = np.array([
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5)
+            / 4294967296.0
+            for i in batch.column(id_col).to_pylist()
+        ]) if batch.num_rows else np.empty(0)
+        out = batch.append_column(
+            "__prio", pa.array(u ** (1.0 / w), pa.float64())
+        )
+        if out.num_rows > k:
+            pdf = out.to_pandas().sort_values(
+                ["__prio", id_col], ascending=[False, True],
+                kind="stable",
+            ).head(k)
+            out = pa.Table.from_pandas(pdf, preserve_index=False)
+        return out
+
+    return (
+        ds.map_batches(prio, batch_format="pyarrow")
+        .sort(["__prio", id_col], descending=[True, False])
+        .limit(k)
+        .drop_columns(["__prio"])
+    )

@@ -140,3 +140,38 @@ def test_bpe_pair_counts_matches_counter(ray_session):
     })).repartition(3)
     got = bpe_pair_counts(ds, k=5, num_partitions=2).to_pandas()
     assert list(map(tuple, got.values.tolist())) == want
+
+
+def test_weighted_sample_deterministic_and_weighted(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        weighted_sample,
+    )
+
+    n = 400
+    w = np.where(np.arange(n) < 40, 100.0, 1.0)  # heavy head
+    w[5] = 0.0   # excluded
+    w[6] = -3.0  # excluded
+    df = pd.DataFrame({"doc_id": np.arange(n), "w": w})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = weighted_sample(ds, "w", k=30).to_pandas()
+    got2 = weighted_sample(ds.repartition(2), "w", k=30).to_pandas()
+    # deterministic + partitioning-independent
+    assert sorted(got.doc_id) == sorted(got2.doc_id)
+    assert len(got) == 30
+    assert 5 not in set(got.doc_id) and 6 not in set(got.doc_id)
+    # replay the A-Res draw exactly
+    def prio(i, wi):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) \
+            / 4294967296.0
+        return u ** (1.0 / wi)
+    ref = sorted(
+        ((prio(i, wi), i) for i, wi in zip(df.doc_id, df.w) if wi > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:30]
+    assert sorted(got.doc_id) == sorted(i for _, i in ref)
+    # weight-100 head should dominate the sample
+    assert (got.doc_id < 40).mean() > 0.5
