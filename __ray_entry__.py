@@ -1032,6 +1032,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return triangle_count(chain.union(clique), num_partitions=8)
 
+    def token_pmi_pairs(sf_dir: str):
+        """Document-level PMI for all pairs of a fixed 8-token
+        vocabulary — per-batch presence-matrix outer products reduce
+        the whole corpus to one 8x8 sufficient-statistics matrix."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            token_pmi,
+        )
+
+        vocab = ["batch", "hash", "join", "merge", "scan", "sort",
+                 "table", "window"]
+        return token_pmi(
+            _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+            vocab,
+        )
+
     def docs_weighted_sample(sf_dir: str):
         """Deterministic weighted sample (A-Res, weight = n_chars):
         top-50 by md5-derived priority u^(1/w) — the draw replays
@@ -1255,6 +1270,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
             k=20,
         )
+
+    def docs_graph_kcore(sf_dir: str):
+        """5-core of the triangles query's deterministic graph (chain +
+        even-skip + K10 clique on ids 0-9): peeling removes everything
+        but the clique, whose within-core degree is 9. Rows-only —
+        iterative peeling isn't reasonably SQL-expressible; semantics
+        pinned by tests/test_graph.py vs a brute peeling reference."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            k_core,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def build_edges(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            src = [ids, ids[ids % 2 == 0]]
+            dst = [ids + 1, ids[ids % 2 == 0] + 2]
+            return pa.table({
+                "src": pa.array(np.concatenate(src), pa.int64()),
+                "dst": pa.array(np.concatenate(dst), pa.int64()),
+            })
+
+        chain = docs.map_batches(build_edges, batch_format="pyarrow")
+        max_id = docs.max("doc_id")
+        chain = chain.filter(expr=f"dst <= {int(max_id)}")
+        k10 = [(i, j) for i in range(10) for j in range(10) if i != j]
+        clique = ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in k10], pa.int64()),
+            "dst": pa.array([b for _, b in k10], pa.int64()),
+        }))
+        return k_core(chain.union(clique), k=5, num_partitions=8)
 
     def customer_order_counts_left(sf_dir: str):
         """LEFT OUTER JOIN: every customer with their order count, 0
@@ -3070,6 +3118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bench_overlap": docs_bench_overlap,
         "customer_order_counts_left": customer_order_counts_left,
         "docs_graph_triangles": docs_graph_triangles,
+        "docs_graph_kcore": docs_graph_kcore,
         "orders_price_percent_rank": orders_price_percent_rank,
         "docs_pii_redacted": docs_pii_redacted,
         "docs_repetition_scores": docs_repetition_scores,
@@ -3099,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_rank": docs_bm25_rank,
         "docs_bpe_pair_counts": docs_bpe_pair_counts,
         "docs_weighted_sample": docs_weighted_sample,
+        "token_pmi_pairs": token_pmi_pairs,
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "orders_merged_changelog": orders_merged_changelog,
@@ -4157,6 +4207,35 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1999-01-01'
             GROUP BY 1, 2, 3
+        """,
+        "token_pmi_pairs": """
+            WITH pres AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS tok
+                    FROM documents
+                )
+                WHERE tok IN ('batch', 'hash', 'join', 'merge', 'scan',
+                              'sort', 'table', 'window')
+            ),
+            nn AS (SELECT count(*) AS n_docs FROM documents),
+            df AS (SELECT tok, count(*) AS df FROM pres GROUP BY tok),
+            pairs AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b,
+                       count(*) AS n_pairs
+                FROM pres a
+                JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY a.tok, b.tok
+            )
+            SELECT p.tok_a, p.tok_b,
+                   CAST(p.n_pairs AS BIGINT) AS n_pairs,
+                   round(ln(nn.n_docs * p.n_pairs * 1.0
+                            / (da.df * db.df)), 6) AS pmi
+            FROM pairs p
+            JOIN df da ON da.tok = p.tok_a
+            JOIN df db ON db.tok = p.tok_b
+            CROSS JOIN nn
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

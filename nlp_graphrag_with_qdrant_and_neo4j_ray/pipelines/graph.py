@@ -403,24 +403,16 @@ def label_propagation(edges_ds, src_col: str = "src",
                          num_partitions=num_partitions)
 
 
-def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
-                   num_partitions: int = 16):
-    """Exact global triangle count of the UNDIRECTED graph (duplicate,
-    reversed and self-loop edges tolerated) — the compact-forward /
-    degree-orientation algorithm: every edge is directed from its
-    lower-(degree, id) endpoint, so each triangle has exactly one
-    acyclic orientation and is counted once, and every node's oriented
-    out-degree is O(√m) — the wedge explosion that sinks the naive
-    node-iterator on skewed graphs is structurally bounded (Chiba-
-    Nishizeki / Latapy).
+# ---- shared undirected-graph plumbing (triangle_count, k_core) ----------
 
-    Five bounded exchanges, all via ``grouped_apply`` (no driver-side
-    graph state): canonical-edge dedup → endpoint-degree count → two
-    degree⋈edge co-partition joins (degrees are O(V) rows, never
-    broadcast) → wedge generation grouped by source → wedge⋈edge
-    closure keyed on the (ordered) wedge endpoints.  Returns a 1-row
-    Dataset ``(n_triangles)``."""
-    _K = "__kind"
+_KIND = "__kind"
+
+
+def canonical_edges(edges_ds, src_col: str, dst_col: str,
+                    num_partitions: int = 16):
+    """Distinct canonical (a < b) undirected edges — reversed
+    duplicates collapse, self-loops drop; per-batch combiner dedup
+    then one exchange."""
 
     def canon(b: pa.Table) -> pa.Table:
         a = pc.cast(b.column(src_col), pa.int64())
@@ -428,17 +420,21 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
         lo = pc.min_element_wise(a, c)
         hi = pc.max_element_wise(a, c)
         t = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
-        # local combiner dedup
         return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
 
     def dedup(t: pa.Table) -> pa.Table:
         return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
 
-    edges = grouped_apply(
+    return grouped_apply(
         edges_ds.map_batches(canon, batch_format="pyarrow"),
         ["a", "b"], dedup, num_partitions=num_partitions,
         batch_format="pyarrow",
-    ).materialize()  # consumed three times: degrees + join + closure
+    )
+
+
+def edge_degrees(edges, num_partitions: int = 16):
+    """(node, deg) over a canonical edge list — per-batch count
+    combiner, one exchange."""
 
     def deg_partial(b: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays([
@@ -456,58 +452,84 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
             "deg": pc.cast(g.column("deg_sum"), pa.int64()),
         })
 
-    degrees = grouped_apply(
+    return grouped_apply(
         edges.map_batches(deg_partial, batch_format="pyarrow"),
         ["node"], deg_sum, num_partitions=num_partitions,
         batch_format="pyarrow",
     )
 
-    # ---- attach degrees to both endpoints via two union exchanges ----
-    def _attach(edge_tbl, key_name, deg_out):
-        usch = pa.schema([
-            pa.field(_K, pa.int8()), pa.field("k", pa.int64()),
-            pa.field("a", pa.int64()), pa.field("b", pa.int64()),
-            pa.field("da", pa.int64()), pa.field("deg", pa.int64()),
-        ])
 
-        def tag_edge(b: pa.Table) -> pa.Table:
-            da = (b.column("da") if "da" in b.column_names
-                  else pa.nulls(b.num_rows, pa.int64()))
-            return pa.table({
-                _K: pa.array(np.zeros(b.num_rows, np.int8)),
-                "k": b.column(key_name), "a": b.column("a"),
-                "b": b.column("b"), "da": da,
-                "deg": pa.nulls(b.num_rows, pa.int64()),
-            }, schema=usch)
+def attach_degree(edge_tbl, degrees, key_name: str, deg_out: str,
+                  num_partitions: int = 16):
+    """Join (node, deg) onto one endpoint of an (a, b[, da]) edge table
+    via a co-partitioned union exchange — degrees are O(V) rows and
+    never broadcast."""
+    usch = pa.schema([
+        pa.field(_KIND, pa.int8()), pa.field("k", pa.int64()),
+        pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+        pa.field("da", pa.int64()), pa.field("deg", pa.int64()),
+    ])
 
-        def tag_deg(b: pa.Table) -> pa.Table:
-            z = pa.nulls(b.num_rows, pa.int64())
-            return pa.table({
-                _K: pa.array(np.ones(b.num_rows, np.int8)),
-                "k": b.column("node"), "a": z, "b": z, "da": z,
-                "deg": b.column("deg"),
-            }, schema=usch)
+    def tag_edge(b: pa.Table) -> pa.Table:
+        da = (b.column("da") if "da" in b.column_names
+              else pa.nulls(b.num_rows, pa.int64()))
+        return pa.table({
+            _KIND: pa.array(np.zeros(b.num_rows, np.int8)),
+            "k": b.column(key_name), "a": b.column("a"),
+            "b": b.column("b"), "da": da,
+            "deg": pa.nulls(b.num_rows, pa.int64()),
+        }, schema=usch)
 
-        def join(t: pa.Table) -> pa.Table:
-            pdf = t.to_pandas()
-            dd = pdf[pdf[_K] == 1][["k", "deg"]]
-            ee = pdf[pdf[_K] == 0].drop(columns=[_K, "deg"])
-            if deg_out in ee.columns:  # drop the null placeholder slot
-                ee = ee.drop(columns=[deg_out])
-            m = ee.merge(dd, on="k", how="inner").drop(columns=["k"])
-            m = m.rename(columns={"deg": deg_out})
-            return pa.Table.from_pandas(m, preserve_index=False)
+    def tag_deg(b: pa.Table) -> pa.Table:
+        z = pa.nulls(b.num_rows, pa.int64())
+        return pa.table({
+            _KIND: pa.array(np.ones(b.num_rows, np.int8)),
+            "k": b.column("node"), "a": z, "b": z, "da": z,
+            "deg": b.column("deg"),
+        }, schema=usch)
 
-        return grouped_apply(
-            edge_tbl.map_batches(tag_edge, batch_format="pyarrow").union(
-                degrees.map_batches(tag_deg, batch_format="pyarrow")
-            ),
-            ["k"], join, num_partitions=num_partitions,
-            batch_format="pyarrow",
-        )
+    def join(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        dd = pdf[pdf[_KIND] == 1][["k", "deg"]]
+        ee = pdf[pdf[_KIND] == 0].drop(columns=[_KIND, "deg"])
+        if deg_out in ee.columns:  # drop the null placeholder slot
+            ee = ee.drop(columns=[deg_out])
+        m = ee.merge(dd, on="k", how="inner").drop(columns=["k"])
+        m = m.rename(columns={"deg": deg_out})
+        return pa.Table.from_pandas(m, preserve_index=False)
 
-    with_da = _attach(edges, "a", "da")
-    with_db = _attach(with_da, "b", "db")
+    return grouped_apply(
+        edge_tbl.map_batches(tag_edge, batch_format="pyarrow").union(
+            degrees.map_batches(tag_deg, batch_format="pyarrow")
+        ),
+        ["k"], join, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+
+def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                   num_partitions: int = 16):
+    """Exact global triangle count of the UNDIRECTED graph (duplicate,
+    reversed and self-loop edges tolerated) — the compact-forward /
+    degree-orientation algorithm: every edge is directed from its
+    lower-(degree, id) endpoint, so each triangle has exactly one
+    acyclic orientation and is counted once, and every node's oriented
+    out-degree is O(√m) — the wedge explosion that sinks the naive
+    node-iterator on skewed graphs is structurally bounded (Chiba-
+    Nishizeki / Latapy).
+
+    Five bounded exchanges, all via ``grouped_apply`` (no driver-side
+    graph state): canonical-edge dedup → endpoint-degree count → two
+    degree⋈edge co-partition joins (degrees are O(V) rows, never
+    broadcast) → wedge generation grouped by source → wedge⋈edge
+    closure keyed on the (ordered) wedge endpoints.  Returns a 1-row
+    Dataset ``(n_triangles)``."""
+    edges = canonical_edges(
+        edges_ds, src_col, dst_col, num_partitions
+    ).materialize()  # consumed three times: degrees + join + closure
+    degrees = edge_degrees(edges, num_partitions)
+    with_da = attach_degree(edges, degrees, "a", "da", num_partitions)
+    with_db = attach_degree(with_da, degrees, "b", "db", num_partitions)
 
     # ---- orient: from lower (deg, id) endpoint to higher ----
     def orient(b: pa.Table) -> pa.Table:
@@ -553,26 +575,26 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     # ---- closure: wedge (x, y) closes iff oriented edge x→y exists ----
     usch = pa.schema([
-        pa.field(_K, pa.int8()), pa.field("x", pa.int64()),
+        pa.field(_KIND, pa.int8()), pa.field("x", pa.int64()),
         pa.field("y", pa.int64()),
     ])
 
     def tag_w(b: pa.Table) -> pa.Table:
         return pa.table({
-            _K: pa.array(np.zeros(b.num_rows, np.int8)),
+            _KIND: pa.array(np.zeros(b.num_rows, np.int8)),
             "x": b.column("x"), "y": b.column("y"),
         }, schema=usch)
 
     def tag_e(b: pa.Table) -> pa.Table:
         return pa.table({
-            _K: pa.array(np.ones(b.num_rows, np.int8)),
+            _KIND: pa.array(np.ones(b.num_rows, np.int8)),
             "x": b.column("u"), "y": b.column("v"),
         }, schema=usch)
 
     def close(t: pa.Table) -> pa.Table:
         pdf = t.to_pandas()
-        ee = pdf[pdf[_K] == 1][["x", "y"]].drop_duplicates()
-        ww = pdf[pdf[_K] == 0][["x", "y"]]
+        ee = pdf[pdf[_KIND] == 1][["x", "y"]].drop_duplicates()
+        ww = pdf[pdf[_KIND] == 0][["x", "y"]]
         n = len(ww.merge(ee, on=["x", "y"], how="inner"))
         return pa.table({"part_triangles": pa.array([n], pa.int64())})
 
@@ -594,3 +616,54 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst",
             [int(agg["sum(part_triangles)"] or 0)], pa.int64()
         )
     }))
+
+
+def k_core(edges_ds, k: int, src_col: str = "src", dst_col: str = "dst",
+           max_rounds: int = 50, num_partitions: int = 16):
+    """The ``k``-core of the undirected graph — the maximal subgraph in
+    which every node has degree ≥ k — by distributed iterative peeling:
+    each round recomputes degrees over the SURVIVING edge list, joins
+    them onto both endpoints (the :func:`attach_degree` co-partition
+    exchange — no broadcast of removed-node sets), and drops every edge
+    with an under-degree endpoint; the fixpoint is reached when the
+    edge count stops changing (the driver holds one integer per round).
+    Rounds are bounded by the peeling depth, not the graph size.
+    Returns (node, deg) for the k-core's nodes with their within-core
+    degrees; empty (but schema-stable) when no k-core exists."""
+    import ray.data
+
+    edges = canonical_edges(edges_ds, src_col, dst_col,
+                            num_partitions).materialize()
+    prev = edges.count()
+    seed = ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "deg": pa.array([], pa.int64()),
+    }))
+    if prev == 0:
+        return seed
+
+    for _ in range(max_rounds):
+        degrees = edge_degrees(edges, num_partitions)
+        with_da = attach_degree(edges, degrees, "a", "da",
+                                num_partitions)
+        with_db = attach_degree(with_da, degrees, "b", "db",
+                                num_partitions)
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(b.column("da"), k),
+                pc.greater_equal(b.column("db"), k),
+            )
+            return b.filter(m).select(["a", "b"])
+
+        edges = with_db.map_batches(
+            keep, batch_format="pyarrow"
+        ).materialize()
+        n = edges.count()
+        if n == prev or n == 0:
+            break
+        prev = n
+
+    if edges.count() == 0:
+        return seed
+    return edge_degrees(edges, num_partitions).union(seed)

@@ -258,3 +258,82 @@ def bpe_pair_counts(docs_ds, k: int = 20, id_col: str = "doc_id",
         batch_format="pyarrow",
     )
     return summed.sort(["n", "pair"], descending=[True, False]).limit(k)
+
+
+def token_pmi(docs_ds, vocab: list[str], min_pairs: int = 1,
+              id_col: str = "doc_id", text_col: str = "text",
+              ndigits: int = 6):
+    """Document-level PMI for every pair of a FIXED vocabulary (e.g.
+    the corpus's top tokens from ``heavy_hitters``):
+    ``pmi(a,b) = ln(N · df(a,b) / (df(a) · df(b)))`` over document
+    presence (distinct co-occurrence, the standard word-association
+    table).
+
+    Scale shape: the vocabulary broadcasts in the closure; each batch
+    reduces its documents to a |V|-bit presence matrix and emits ONE
+    |V|×|V| co-occurrence count matrix (an integer outer product —
+    sufficient statistics), so the exchange is a constant-size
+    aggregate regardless of corpus size; the driver folds the tiny
+    matrices and computes PMI. No pair explosion, no shuffle of text.
+    Emits (tok_a, tok_b, n_pairs, pmi) for a < b with
+    ``df(a,b) >= min_pairs``."""
+    import pyarrow.compute as pc
+
+    vocab = list(vocab)
+    v = len(vocab)
+    vmap = {t: i for i, t in enumerate(vocab)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column(text_col), " ")
+        lens = np.asarray(
+            pc.list_value_length(split).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        toks = pc.list_flatten(split).to_numpy(zero_copy_only=False)
+        present = np.zeros((batch.num_rows, v), dtype=np.int64)
+        for j, t in enumerate(vocab):
+            m = toks == t
+            present[doc_idx[m], j] = 1
+        co = present.T @ present  # v×v, diagonal = df(token)
+        return pa.table({
+            "i": pa.array([0], pa.int64()),
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "co": pa.array([co.ravel().tobytes()], pa.binary()),
+        })
+
+    co = np.zeros((v, v), dtype=np.int64)
+    n_docs = 0
+    # constant-size per-batch stats stream to the driver (v² ints)
+    for part in docs_ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for nd, buf in zip(part.column("n_docs").to_pylist(),
+                           part.column("co").to_pylist()):
+            n_docs += nd
+            co += np.frombuffer(buf, dtype=np.int64).reshape(v, v)
+
+    ia, ib = np.triu_indices(v, k=1)
+    npairs = co[ia, ib]
+    keep = npairs >= min_pairs
+    ia, ib, npairs = ia[keep], ib[keep], npairs[keep]
+    df_a = co[ia, ia].astype(np.float64)
+    df_b = co[ib, ib].astype(np.float64)
+    pmi = np.log(n_docs * npairs.astype(np.float64) / (df_a * df_b))
+    scale = 10.0 ** ndigits
+    pmi = np.where(pmi >= 0, np.floor(pmi * scale + 0.5),
+                   np.ceil(pmi * scale - 0.5)) / scale
+    import ray.data
+
+    # emit pairs in lexicographic (tok_a < tok_b) orientation however
+    # the caller ordered the vocabulary
+    ta = [vocab[i] for i in ia]
+    tb = [vocab[i] for i in ib]
+    lo = [min(a, b) for a, b in zip(ta, tb)]
+    hi = [max(a, b) for a, b in zip(ta, tb)]
+    return ray.data.from_arrow(pa.table({
+        "tok_a": pa.array(lo, pa.string()),
+        "tok_b": pa.array(hi, pa.string()),
+        "n_pairs": pa.array(npairs, pa.int64()),
+        "pmi": pa.array(pmi, pa.float64()),
+    }))

@@ -303,3 +303,48 @@ def test_triangle_count_no_triangles(ray_session):
     }))
     got = triangle_count(ds, num_partitions=2).to_pandas()
     assert got.n_triangles.tolist() == [0]
+
+
+def _brute_kcore(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
+    edges = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+        if not edges:
+            return {}
+
+
+def test_k_core_matches_brute_peeling(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        k_core,
+    )
+
+    rng = np.random.default_rng(21)
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, 50, (160, 2))}
+    # guarantee a 4-core: K6 on nodes 100..105
+    for i in range(100, 106):
+        for j in range(i + 1, 106):
+            raw.add((i, j))
+    src = [a for a, _ in raw] + [b for _, b in raw][:30]  # some reversed dups
+    dst = [b for _, b in raw] + [a for a, _ in raw][:30]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    })).repartition(4)
+    for k in (2, 3, 4, 30):
+        got = k_core(ds, k, num_partitions=4).to_pandas()
+        want = _brute_kcore(raw, k)
+        got_d = {int(r.node): int(r.deg) for r in got.itertuples()}
+        assert got_d == want, k
+    # the K6 clique survives k=4 with within-core degrees >= 5... at least 5
+    got = k_core(ds, 5, num_partitions=4).to_pandas()
+    assert set(got.node) >= set(range(100, 106))
