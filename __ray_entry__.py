@@ -1047,6 +1047,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             vocab,
         )
 
+    def embedding_pca_project(sf_dir: str):
+        """2-component PCA projection of the embeddings table —
+        constant-size sufficient-stats covariance + driver eigh +
+        map-side projection. Rows-only (eigendecomposition isn't
+        SQL-expressible); math pinned vs numpy in tests."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            embedding_pca,
+        )
+
+        return embedding_pca(
+            _read(sf_dir, "embeddings").select_columns(
+                ["vec_id", "embedding"]
+            ),
+            n_components=2,
+        )
+
     def docs_weighted_sample(sf_dir: str):
         """Deterministic weighted sample (A-Res, weight = n_chars):
         top-50 by md5-derived priority u^(1/w) — the draw replays
@@ -3065,6 +3081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_chain": dup_clusters_chain,
         "embedding_knn_top10": embedding_knn_top10,
         "embedding_knn_join": embedding_knn_join,
+        "embedding_pca_project": embedding_pca_project,
         "embedding_knn_lsh": embedding_knn_lsh,
         "embedding_knn_ivf": embedding_knn_ivf,
         "embedding_near_dups": embedding_near_dups,

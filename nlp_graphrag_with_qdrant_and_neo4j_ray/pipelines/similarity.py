@@ -621,3 +621,69 @@ def knn_join(corpus_ds, query_ids, query_matrix, k: int = 3,
     return grouped_apply(partials, [qid_col], merge,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def embedding_pca(ds, n_components: int = 2, id_col: str = "vec_id",
+                  emb_col: str = "embedding", ndigits: int = 6):
+    """Distributed PCA projection of an embedding column — the classic
+    two-pass sufficient-statistics design: every batch reduces to
+    ``(n, Σx, ΣxᵀX)`` (one d-vector + one d×d matrix, bytes-packed), so
+    the covariance arrives at the driver as a constant-size stream
+    regardless of corpus size; the d×d eigendecomposition runs once on
+    the driver (d is the embedding dim, tiny); projection is a pure
+    map stage against the broadcast component matrix. Component signs
+    are fixed deterministically (largest-|coefficient| entry positive).
+    Returns (id, pc0..pc{c-1}) rounded to ``ndigits``."""
+    import ray
+
+    def stats(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch, emb_col).astype(np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+            "ss": pa.array([(m.T @ m).tobytes()], pa.binary()),
+        })
+
+    n = 0
+    s = None
+    ss = None
+    for part in ds.map_batches(
+        stats, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for nn, sb, ssb in zip(part.column("n").to_pylist(),
+                               part.column("s").to_pylist(),
+                               part.column("ss").to_pylist()):
+            n += nn
+            sv = np.frombuffer(sb, dtype=np.float64)
+            if s is None:
+                s = sv.copy()
+                d = len(sv)
+                ss = np.zeros((d, d))
+            else:
+                s += sv
+            ss += np.frombuffer(ssb, dtype=np.float64).reshape(len(sv), -1)
+    if n < 2:
+        raise ValueError("embedding_pca needs at least 2 rows")
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    W = evecs[:, order]
+    # deterministic sign: the largest-|coefficient| entry is positive
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    ref = ray.put((mu, W))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu_, W_ = ray.get(ref)
+        m = _as_matrix(batch, emb_col).astype(np.float64)
+        p = (m - mu_) @ W_
+        out = {id_col: batch.column(id_col)}
+        for j in range(W_.shape[1]):
+            out[f"pc{j}"] = pa.array(np.round(p[:, j], ndigits),
+                                     pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -175,3 +175,43 @@ def test_weighted_sample_deterministic_and_weighted(ray_session):
     assert sorted(got.doc_id) == sorted(i for _, i in ref)
     # weight-100 head should dominate the sample
     assert (got.doc_id < 40).mean() > 0.5
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        embedding_pca,
+    )
+
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: a dominant direction PCA must find
+    base = rng.standard_normal((300, 8))
+    base[:, 0] *= 10.0
+    base[:, 1] *= 3.0
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(300), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in
+                               base.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = embedding_pca(ds, n_components=2).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    X = base.astype(np.float32).astype(np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    W = evecs[:, order]
+    for j in range(2):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    P = (X - mu) @ W
+    np.testing.assert_allclose(got.pc0.to_numpy(), P[:, 0], atol=1e-4)
+    np.testing.assert_allclose(got.pc1.to_numpy(), P[:, 1], atol=1e-4)
+    # the dominant axis is dimension 0 (variance 100x)
+    assert abs(W[0, 0]) > 0.99
