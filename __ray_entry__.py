@@ -1320,6 +1320,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return k_core(chain.union(clique), k=5, num_partitions=8)
 
+    def events_funnel(sf_dir: str):
+        """Ordered view->click->purchase conversion funnel: stage i
+        counts users whose stage-i event happens at or after their
+        first qualifying stage-(i-1) event. One exchange on user_id."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            funnel_counts,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts"],
+        )
+        return funnel_counts(ev, ["view", "click", "purchase"])
+
     def customer_order_counts_left(sf_dir: str):
         """LEFT OUTER JOIN: every customer with their order count, 0
         for customers who never ordered — aggregate-before-join (the
@@ -3134,6 +3150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated": docs_decontaminated,
         "docs_bench_overlap": docs_bench_overlap,
         "customer_order_counts_left": customer_order_counts_left,
+        "events_funnel": events_funnel,
         "docs_graph_triangles": docs_graph_triangles,
         "docs_graph_kcore": docs_graph_kcore,
         "orders_price_percent_rank": orders_price_percent_rank,
@@ -4253,6 +4270,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN df da ON da.tok = p.tok_a
             JOIN df db ON db.tok = p.tok_b
             CROSS JOIN nn
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts >= v.t
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= c.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 1, 'click', (SELECT count(*) FROM c)
+            UNION ALL
+            SELECT 2, 'purchase', (SELECT count(*) FROM p)
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

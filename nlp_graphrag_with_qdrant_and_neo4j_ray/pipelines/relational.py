@@ -1795,3 +1795,60 @@ def window_percent_rank(ds, keys: list[str], order_col: str,
         return out
 
     return grouped_apply(ds, keys, pr, num_partitions=num_partitions)
+
+
+def funnel_counts(events, stages: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  num_partitions: int = 16):
+    """Ordered funnel analysis: how many users reach each stage IN
+    ORDER — stage i counts users with a ``stages[i]`` event at or after
+    their first qualifying ``stages[i-1]`` event (the classic
+    conversion funnel).  All of a user's events co-locate in ONE hash
+    exchange on the user; the per-partition kernel is a chain of
+    vectorized merges (first-event times per stage), no per-user
+    Python; per-partition stage counts then reduce through a tiny
+    3-row-per-partition exchange.  Returns (stage, n_users) — one row
+    per stage, funnel-ordered via a stage_idx column."""
+    stages = list(stages)
+
+    def slim(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column(type_col),
+                        value_set=pa.array(stages, pa.string()))
+        return b.filter(keep).select([user_col, type_col, ts_col])
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        counts = []
+        cur = None  # Series: user -> first qualifying time of prev stage
+        for i, st in enumerate(stages):
+            ev = pdf[pdf[type_col] == st][[user_col, ts_col]]
+            if i > 0:
+                ev = ev.merge(cur.rename("__prev"), left_on=user_col,
+                              right_index=True, how="inner")
+                ev = ev[ev[ts_col] >= ev["__prev"]]
+            cur = ev.groupby(user_col)[ts_col].min()
+            counts.append(len(cur))
+        return pa.table({
+            "stage_idx": pa.array(np.arange(len(stages)), pa.int64()),
+            "stage": pa.array(stages, pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    partials = grouped_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        [user_col], per_partition, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    def reduce_(t: pa.Table) -> pa.Table:
+        g = t.group_by(["stage_idx", "stage"]).aggregate(
+            [("n_users", "sum")]
+        )
+        return pa.table({
+            "stage_idx": g.column("stage_idx"),
+            "stage": g.column("stage"),
+            "n_users": pc.cast(g.column("n_users_sum"), pa.int64()),
+        })
+
+    return grouped_apply(partials, ["stage_idx"], reduce_,
+                         num_partitions=4, batch_format="pyarrow")

@@ -306,3 +306,32 @@ def test_window_percent_rank_ties(ray_session):
         got[got.g == "c"].pct_rank.to_numpy(),
         [0.0, 1 / 3, 2 / 3, 1.0], atol=1e-6,
     )
+
+
+def test_funnel_counts_ordering_semantics(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        funnel_counts,
+    )
+
+    rows = [
+        # u1 converts in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2 clicks BEFORE any view -> stops at view stage
+        (2, "click", 5), (2, "view", 10),
+        # u3 views+clicks, purchase BEFORE the click -> no purchase credit
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        # u4 never views (click+purchase only) -> counted nowhere
+        (4, "click", 1), (4, "purchase", 2),
+        # u5 same-timestamp chain counts (>= semantics)
+        (5, "view", 7), (5, "click", 7), (5, "purchase", 7),
+        # noise types ignored
+        (1, "error", 1), (2, "signup", 2),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    got = funnel_counts(_ds(ray_session, df, blocks=3),
+                        ["view", "click", "purchase"],
+                        num_partitions=3).to_pandas() \
+        .sort_values("stage_idx")
+    assert got.stage.tolist() == ["view", "click", "purchase"]
+    # view: u1,u2,u3,u5; click-after-view: u1,u3,u5; purchase: u1,u5
+    assert got.n_users.tolist() == [4, 3, 2]
