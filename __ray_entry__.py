@@ -1063,6 +1063,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_components=2,
         )
 
+    def embedding_kmeans_clusters(sf_dir: str):
+        """Deterministic k-means cluster assignment (8 spherical
+        clusters, the IVF quantizer's training loop). Rows-only —
+        iterative; init/assignment determinism pinned by the IVF
+        tests."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            kmeans_assign,
+        )
+
+        emb = _read(sf_dir, "embeddings").select_columns(
+            ["vec_id", "embedding"]
+        )
+        dim = len(_query_vec(sf_dir))
+        return kmeans_assign(emb, dim=dim, nlist=8)
+
     def docs_weighted_sample(sf_dir: str):
         """Deterministic weighted sample (A-Res, weight = n_chars):
         top-50 by md5-derived priority u^(1/w) — the draw replays
@@ -3098,6 +3113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_top10": embedding_knn_top10,
         "embedding_knn_join": embedding_knn_join,
         "embedding_pca_project": embedding_pca_project,
+        "embedding_kmeans_clusters": embedding_kmeans_clusters,
         "embedding_knn_lsh": embedding_knn_lsh,
         "embedding_knn_ivf": embedding_knn_ivf,
         "embedding_near_dups": embedding_near_dups,

@@ -687,3 +687,28 @@ def embedding_pca(ds, n_components: int = 2, id_col: str = "vec_id",
         return pa.table(out)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kmeans_assign(embeddings_ds, dim: int, nlist: int = 8, iters: int = 5,
+                  id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Cluster-assignment view of the deterministic distributed k-means
+    the IVF quantizer trains (:func:`kmeans_centroids`): every vector
+    gets its nearest (spherical) centroid id — the standard embedding-
+    clustering operator (topic bucketing, diversity sampling, IVF list
+    layout).  Centroids broadcast via ``ray.put``; assignment is one
+    pure map pass.  Returns (id, cluster)."""
+    import ray
+
+    cents = kmeans_centroids(embeddings_ds, dim, nlist, iters,
+                             id_col, emb_col)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(np.argmax(m @ c.T, axis=1), pa.int64()),
+        })
+
+    return embeddings_ds.map_batches(assign, batch_format="pyarrow")
