@@ -1351,6 +1351,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return funnel_counts(ev, ["view", "click", "purchase"])
 
+    def events_weekly_retention(sf_dir: str):
+        """Weekly cohort retention triangle: users cohorted by the
+        week of their first event, counted in each later week they
+        return (offsets 0-3). One user-keyed exchange + one tiny
+        reduce."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            retention_counts,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+        return retention_counts(ev)
+
     def customer_order_counts_left(sf_dir: str):
         """LEFT OUTER JOIN: every customer with their order count, 0
         for customers who never ordered — aggregate-before-join (the
@@ -3167,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bench_overlap": docs_bench_overlap,
         "customer_order_counts_left": customer_order_counts_left,
         "events_funnel": events_funnel,
+        "events_weekly_retention": events_weekly_retention,
         "docs_graph_triangles": docs_graph_triangles,
         "docs_graph_kcore": docs_graph_kcore,
         "orders_price_percent_rank": orders_price_percent_rank,
@@ -4310,6 +4328,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1, 'click', (SELECT count(*) FROM c)
             UNION ALL
             SELECT 2, 'purchase', (SELECT count(*) FROM p)
+        """,
+        "events_weekly_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS b
+                FROM events
+            ),
+            first AS (
+                SELECT user_id, min(b) AS cohort FROM act
+                GROUP BY user_id
+            )
+            SELECT f.cohort, CAST(a.b - f.cohort AS BIGINT) AS "offset",
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act a JOIN first f ON a.user_id = f.user_id
+            WHERE a.b - f.cohort <= 3
+            GROUP BY f.cohort, a.b - f.cohort
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

@@ -1852,3 +1852,56 @@ def funnel_counts(events, stages: list[str], user_col: str = "user_id",
 
     return grouped_apply(partials, ["stage_idx"], reduce_,
                          num_partitions=4, batch_format="pyarrow")
+
+
+def retention_counts(events, user_col: str = "user_id",
+                     ts_col: str = "ts", bucket_us: int = 7 * 86_400_000_000,
+                     max_offset: int = 3, num_partitions: int = 16):
+    """Cohort retention: users are cohorted by the time bucket of their
+    FIRST event (epoch-microsecond floor division by ``bucket_us``) and
+    counted in every later bucket they return in, as (cohort, offset)
+    pairs for offsets 0..``max_offset`` — the standard weekly-retention
+    triangle.  One hash exchange on the user (first-bucket + distinct
+    activity buckets are per-user reductions), then the tiny
+    (cohort, offset) partials reduce through a second constant-size
+    exchange.  Returns (cohort, offset, n_users)."""
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            user_col: b.column(user_col),
+            "__b": pc.cast(
+                pc.divide(pc.cast(b.column(ts_col), pa.int64()),
+                          bucket_us),
+                pa.int64(),
+            ),
+        })
+
+    def per_user(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas().drop_duplicates()
+        first = pdf.groupby(user_col)["__b"].transform("min")
+        off = pdf["__b"] - first
+        keep = off <= max_offset
+        out = pd.DataFrame({
+            "cohort": first[keep].to_numpy(np.int64),
+            "offset": off[keep].to_numpy(np.int64),
+        }).groupby(["cohort", "offset"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "n_users"}), preserve_index=False
+        )
+
+    partials = grouped_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        [user_col], per_user, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    def reduce_(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort", "offset"]).aggregate([("n_users", "sum")])
+        return pa.table({
+            "cohort": g.column("cohort"),
+            "offset": g.column("offset"),
+            "n_users": pc.cast(g.column("n_users_sum"), pa.int64()),
+        })
+
+    return grouped_apply(partials, ["cohort", "offset"], reduce_,
+                         num_partitions=4, batch_format="pyarrow")

@@ -335,3 +335,29 @@ def test_funnel_counts_ordering_semantics(ray_session):
     assert got.stage.tolist() == ["view", "click", "purchase"]
     # view: u1,u2,u3,u5; click-after-view: u1,u3,u5; purchase: u1,u5
     assert got.n_users.tolist() == [4, 3, 2]
+
+
+def test_retention_counts_cohorts(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        retention_counts,
+    )
+
+    B = 100  # tiny bucket for the test
+    rows = [
+        (1, 5), (1, 105), (1, 310),   # cohort 0: offsets 0,1,3
+        (2, 50), (2, 55),             # cohort 0: offset 0 only (dedup)
+        (3, 210), (3, 399),           # cohort 2: offsets 0,1
+        (4, 950),                     # cohort 9: offset 0; offset>3 absent
+        (4, 1500),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    got = retention_counts(_ds(ray_session, df, blocks=3),
+                           ts_col="ts", bucket_us=B, max_offset=3,
+                           num_partitions=3).to_pandas()
+    got_d = {(int(r.cohort), int(r.offset)): int(r.n_users)
+             for r in got.itertuples()}
+    assert got_d == {
+        (0, 0): 2, (0, 1): 1, (0, 3): 1,
+        (2, 0): 1, (2, 1): 1,
+        (9, 0): 1,
+    }
