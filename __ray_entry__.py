@@ -3093,6 +3093,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    width_us=300_000_000, value_col="value",
                                    num_partitions=8)
 
+    def events_last_per_user(sf_dir: str):
+        """Per-key argmax (latest event per user) — the per-batch
+        combiner keeps one row per user, so the single exchange ships
+        O(users) rows; (ts, event_id) totally orders a user's events."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_argmax,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_id", "ts", "event_type", "value"]
+        )
+        return grouped_argmax(ev, ["user_id"], ["ts", "event_id"],
+                              num_partitions=16)
+
+    def lineitem_price_regression(sf_dir: str):
+        """Per-group OLS (extendedprice ~ quantity) via the
+        sufficient-statistics combiner — O(groups) shuffle bytes."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_regression,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity", "l_extendedprice"]
+        )
+        return grouped_regression(li, ["l_returnflag"], "l_quantity",
+                                  "l_extendedprice", num_partitions=8)
+
+    def events_daily_spine(sf_dir: str):
+        """Zero-filled daily date spine per event_type (gap filling):
+        combiner pre-counts (type, day), one exchange, vectorized
+        reindex against the broadcast global day range."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            fill_gaps,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+        return fill_gaps(ev, "event_type", "ts", num_partitions=8)
+
+    def events_hopping_counts(sf_dir: str):
+        """Hopping event-time windows (2 h size, 1 h hop): the overlap
+        explode collapses to partial counts per batch before the one
+        exchange on (type, window_start)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            hopping_window_agg,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+        return hopping_window_agg(ev, ["event_type"], "ts",
+                                  size_us=7_200_000_000,
+                                  hop_us=3_600_000_000,
+                                  num_partitions=8)
+
+    def q18_large_orders(sf_dir: str):
+        """TPC-H Q18 (large-volume customers): lineitem quantity is
+        pre-aggregated per batch and fused with orders in ONE
+        copartition_agg_join exchange; the HAVING filter shrinks the
+        result before the customer join (one more exchange); global
+        top-100 by (totalprice desc, orderkey)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            copartition_agg_join,
+            inner_join,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_quantity"]
+        )
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        joined = copartition_agg_join(
+            li, orders, "l_orderkey", "o_orderkey",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            "l_quantity", "sum_qty", num_partitions=32,
+        )
+        big = joined.filter(expr="sum_qty > 250")
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name"]
+        )
+        out = inner_join(big, cust, "o_custkey", "c_custkey",
+                         ["c_custkey", "c_name"], num_partitions=16)
+        return (
+            out.sort(["o_totalprice", "l_orderkey"],
+                     descending=[True, False])
+            .limit(100)
+            .map_batches(
+                lambda b: pa.table({
+                    "c_name": b.column("c_name"),
+                    "o_custkey": b.column("o_custkey"),
+                    "o_orderkey": b.column("l_orderkey"),
+                    "o_orderdate": b.column("o_orderdate"),
+                    "o_totalprice": b.column("o_totalprice"),
+                    "sum_qty": b.column("sum_qty"),
+                }),
+                batch_format="pyarrow",
+            )
+        )
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -3185,6 +3284,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts_left": customer_order_counts_left,
         "events_funnel": events_funnel,
         "events_weekly_retention": events_weekly_retention,
+        "events_last_per_user": events_last_per_user,
+        "lineitem_price_regression": lineitem_price_regression,
+        "events_daily_spine": events_daily_spine,
+        "events_hopping_counts": events_hopping_counts,
+        "q18_large_orders": q18_large_orders,
         "docs_graph_triangles": docs_graph_triangles,
         "docs_graph_kcore": docs_graph_kcore,
         "orders_price_percent_rank": orders_price_percent_rank,
@@ -4344,6 +4448,64 @@ def oracle_sql() -> dict[str, str]:
             FROM act a JOIN first f ON a.user_id = f.user_id
             WHERE a.b - f.cohort <= 3
             GROUP BY f.cohort, a.b - f.cohort
+        """,
+        "events_last_per_user": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "lineitem_price_regression": """
+            SELECT l_returnflag,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_daily_spine": """
+            WITH d AS (
+                SELECT unnest(generate_series(
+                    date_trunc('day', (SELECT min(ts) FROM events)),
+                    date_trunc('day', (SELECT max(ts) FROM events)),
+                    INTERVAL 1 DAY)) AS day
+            ),
+            k AS (SELECT DISTINCT event_type FROM events),
+            c AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT k.event_type, d.day,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM k CROSS JOIN d
+            LEFT JOIN c ON c.event_type = k.event_type AND c.day = d.day
+        """,
+        "events_hopping_counts": """
+            SELECT event_type,
+                   make_timestamp(((epoch_us(ts) // 3600000000) - g.g)
+                                  * 3600000000) AS window_start,
+                   count(*) AS n
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS g) g
+            GROUP BY 1, 2
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM (
+                SELECT c_name, c_custkey AS o_custkey, o_orderkey,
+                       o_orderdate, o_totalprice,
+                       sum(l_quantity) AS sum_qty
+                FROM customer, orders, lineitem
+                WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+                GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                         o_totalprice
+                HAVING sum(l_quantity) > 250
+            )
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name,

@@ -1905,3 +1905,172 @@ def retention_counts(events, user_col: str = "user_id",
 
     return grouped_apply(partials, ["cohort", "offset"], reduce_,
                          num_partitions=4, batch_format="pyarrow")
+
+
+def grouped_argmax(ds, keys: list[str], order_cols: list[str],
+                   num_partitions: int = 64):
+    """One row per key group: the row with the LEXICOGRAPHIC MAX of
+    ``order_cols`` — SQL ``QUALIFY row_number() OVER (PARTITION BY keys
+    ORDER BY order_cols DESC) = 1`` (the "latest event per user" /
+    "newest revision per page" shape).
+
+    Scale shape: each input batch reduces to at most one row per key it
+    contains (combiner), so the single hash exchange on ``keys`` ships
+    O(batches × keys-per-batch) rows, never the fact table.  Determinism
+    contract: ``order_cols`` must totally order rows within a key
+    (include a unique tiebreak column, e.g. the event id)."""
+
+    def local_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="stable")
+        return pdf.drop_duplicates(subset=keys, keep="last")
+
+    combined = ds.map_batches(local_max, batch_format="pandas")
+    return grouped_apply(combined, keys, local_max,
+                         num_partitions=num_partitions)
+
+
+def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
+                       ndigits: int = 6, num_partitions: int = 64):
+    """Exact per-group simple linear regression (OLS y = a·x + b) via
+    the same sufficient-statistics combiner as :func:`grouped_corr`:
+    each batch reduces to (n, Σx, Σy, Σx², Σy², Σxy) per key, partials
+    merge by addition after one exchange, and the closed forms for SQL
+    ``regr_slope`` / ``regr_intercept`` / ``regr_r2`` evaluate on the
+    merged stats.  O(groups) shuffle bytes regardless of input size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.float64())
+        y = pc.cast(batch.column(y_col), pa.float64())
+        t = pa.table({
+            **{kc: batch.column(kc) for kc in keys},
+            "__x": x, "__y": y,
+            "__xx": pc.multiply(x, x), "__yy": pc.multiply(y, y),
+            "__xy": pc.multiply(x, y),
+        })
+        agg = t.group_by(keys).aggregate(
+            [([], "count_all")] + [(c, "sum")
+                                   for c in ("__x", "__y", "__xx", "__yy",
+                                             "__xy")]
+        )
+        return agg.rename_columns(keys + ["__n", "__x", "__y", "__xx",
+                                          "__yy", "__xy"])
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas()
+        g = pdf.groupby(keys, sort=True, dropna=False).sum().reset_index()
+        n = g["__n"].to_numpy(dtype=np.float64)
+        sx, sy = g["__x"].to_numpy(), g["__y"].to_numpy()
+        sxx, syy, sxy = (g["__xx"].to_numpy(), g["__yy"].to_numpy(),
+                         g["__xy"].to_numpy())
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(varx > 0, cov / varx, np.nan)
+            r2 = np.where(varx * vary > 0, (cov * cov) / (varx * vary),
+                          np.nan)
+        intercept = (sy - slope * sx) / n
+        out = g[keys].copy()
+        out["slope"] = np.round(slope, ndigits)
+        out["intercept"] = np.round(intercept, ndigits)
+        out["r2"] = np.round(r2, ndigits)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [x_col, y_col]), batch_format="pyarrow"
+    )
+    combined = slim.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(combined, keys, finish,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
+
+
+def fill_gaps(ds, key_col: str, ts_col: str, out_col: str = "n",
+              num_partitions: int = 32):
+    """Zero-filled daily date spine: counts per (key, day) with EVERY
+    day between the global min and max emitted per key, missing days as
+    0 — the gap-filling step dashboards/trend models need (SQL:
+    generate_series × DISTINCT keys LEFT JOIN counts).
+
+    Scale shape: rows reduce to (key, day, partial count) per batch
+    (combiner) before ONE hash exchange on the key; the day range is
+    two scalar aggregates broadcast to the fill pass, and each
+    partition reindexes its keys' count series against the shared
+    day grid vectorized (pivot → reindex → stack).  Output size is
+    keys × days — the spine itself — which is the operator's result,
+    not an intermediate blow-up."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column(ts_col), unit="day")
+        t = pa.table({key_col: batch.column(key_col), "day": day})
+        agg = t.group_by([key_col, "day"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, "day", "__n"])
+
+    lo, hi = ds.min(ts_col), ds.max(ts_col)
+    days = pd.date_range(pd.Timestamp(lo).floor("D"),
+                         pd.Timestamp(hi).floor("D"), freq="D")
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            pdf.groupby([key_col, "day"], sort=False)["__n"].sum()
+            .unstack("day")
+            .reindex(columns=days)
+            .fillna(0)
+        )
+        long = m.stack(future_stack=True).rename(out_col).reset_index()
+        long.columns = [key_col, "day", out_col]
+        long[out_col] = long[out_col].astype(np.int64)
+        return long
+
+    combined = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(combined, [key_col], fill,
+                         num_partitions=num_partitions)
+
+
+def hopping_window_agg(ds, keys: list[str], ts_col: str,
+                       size_us: int, hop_us: int, out_col: str = "n",
+                       window_col: str = "window_start",
+                       num_partitions: int = 32):
+    """Hopping (sliding) event-time windows: size ``size_us``, advancing
+    by ``hop_us`` (size must be a multiple of hop) — each event lands in
+    exactly size/hop windows.  The overlap is materialized by a
+    vectorized per-batch explode of (key, window_start) pairs that
+    immediately collapses to partial counts (combiner), so the one hash
+    exchange ships O(windows × keys) partial rows, never size/hop copies
+    of the input.  The tumbling special case (size == hop) degenerates
+    to :func:`tumbling_window_agg`."""
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    k = size_us // hop_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bucket = ts // hop_us
+        starts = ((bucket[:, None] - np.arange(k)[None, :]) * hop_us
+                  ).reshape(-1)
+        cols = {
+            kc: pa.array(
+                np.repeat(
+                    batch.column(kc).to_numpy(zero_copy_only=False), k)
+            ).cast(batch.schema.field(kc).type)
+            for kc in keys
+        }
+        cols[window_col] = pa.array(starts, pa.int64())
+        t = pa.table(cols)
+        agg = t.group_by(keys + [window_col]).aggregate([([], "count_all")])
+        return agg.rename_columns(keys + [window_col, "__n"])
+
+    def reduce_(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(keys + [window_col]).aggregate([("__n", "sum")])
+        out = {kc: g.column(kc) for kc in keys}
+        out[window_col] = pc.cast(g.column(window_col),
+                                  pa.timestamp("us"))
+        out[out_col] = pc.cast(g.column("__n_sum"), pa.int64())
+        return pa.table(out)
+
+    combined = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_apply(combined, keys + [window_col], reduce_,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

@@ -1,0 +1,132 @@
+"""grouped_argmax / grouped_regression / fill_gaps / hopping_window_agg —
+exactness vs in-memory pandas/numpy references."""
+
+import numpy as np
+import pandas as pd
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+    fill_gaps,
+    grouped_argmax,
+    grouped_regression,
+    hopping_window_agg,
+)
+
+
+def _ds(ray_session, df: pd.DataFrame, blocks: int = 3):
+    import ray.data
+
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _events(rng, n=200, users=9):
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 4 * 86400, n), unit="s"
+    )
+    return pd.DataFrame({
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "v": rng.normal(size=n),
+    })
+
+
+def test_grouped_argmax_latest_per_user(ray_session):
+    ev = _events(np.random.default_rng(3))
+    expected = (
+        ev.sort_values(["ts", "event_id"], kind="stable")
+        .drop_duplicates(subset=["user_id"], keep="last")
+    )
+    got = grouped_argmax(_ds(ray_session, ev), ["user_id"],
+                         ["ts", "event_id"], num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
+
+
+def test_grouped_argmax_tie_broken_by_second_order_col(ray_session):
+    df = pd.DataFrame({
+        "k": [1, 1, 1],
+        "o": [5, 5, 5],
+        "tie": [2, 9, 1],
+        "payload": ["a", "b", "c"],
+    })
+    got = grouped_argmax(_ds(ray_session, df, 3), ["k"], ["o", "tie"],
+                         num_partitions=2).to_pandas()
+    assert got["payload"].tolist() == ["b"]
+
+
+def test_grouped_regression_matches_numpy(ray_session):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 400).astype(np.int64),
+        "x": rng.normal(size=400),
+    })
+    df["y"] = 2.5 * df["x"] + rng.normal(scale=0.3, size=400) + df["g"]
+    got = grouped_regression(_ds(ray_session, df), ["g"], "x", "y",
+                             num_partitions=4).to_pandas()
+    for _, row in got.iterrows():
+        sub = df[df["g"] == row["g"]]
+        slope, intercept = np.polyfit(sub["x"], sub["y"], 1)
+        r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(row["slope"] - round(slope, 6)) <= 1e-6
+        assert abs(row["intercept"] - round(intercept, 6)) <= 1e-6
+        assert abs(row["r2"] - round(r * r, 6)) <= 1e-6
+
+
+def test_grouped_regression_degenerate_constant_x(ray_session):
+    df = pd.DataFrame({"g": [1, 1, 1], "x": [2.0, 2.0, 2.0],
+                       "y": [1.0, 2.0, 3.0]})
+    got = grouped_regression(_ds(ray_session, df, 1), ["g"], "x", "y",
+                             num_partitions=2).to_pandas()
+    assert np.isnan(got["slope"].iloc[0]) and np.isnan(got["r2"].iloc[0])
+
+
+def test_fill_gaps_emits_zero_days(ray_session):
+    ev = pd.DataFrame({
+        "t": ["a", "a", "b"],
+        "ts": pd.to_datetime(
+            ["2024-01-01 05:00", "2024-01-04 09:00", "2024-01-02 00:00"]
+        ).astype("datetime64[us]"),
+    })
+    got = fill_gaps(_ds(ray_session, ev, 2), "t", "ts",
+                    num_partitions=2).to_pandas()
+    # 2 keys x 4 days, zeros included
+    assert len(got) == 8
+    assert got["n"].sum() == 3
+    a = got[got["t"] == "a"].sort_values("day")
+    assert a["n"].tolist() == [1, 0, 0, 1]
+    b = got[got["t"] == "b"].sort_values("day")
+    assert b["n"].tolist() == [0, 1, 0, 0]
+
+
+def test_hopping_window_counts_each_event_k_times(ray_session):
+    ev = _events(np.random.default_rng(5), n=300)
+    hop, size = 3_600_000_000, 2 * 3_600_000_000
+    got = hopping_window_agg(
+        _ds(ray_session, ev[["user_id", "ts"]]), ["user_id"], "ts",
+        size_us=size, hop_us=hop, num_partitions=4,
+    ).to_pandas()
+    assert got["n"].sum() == 2 * len(ev)
+    # reference: each event in windows floor(ts/hop)-j for j in {0,1}
+    us = ev["ts"].astype("int64")
+    ref = pd.concat([
+        pd.DataFrame({"user_id": ev["user_id"],
+                      "w": (us // hop - j) * hop}) for j in (0, 1)
+    ]).groupby(["user_id", "w"], as_index=False).size()
+    ref["window_start"] = pd.to_datetime(ref["w"], unit="us").astype(
+        "datetime64[us]")
+    ref = ref.rename(columns={"size": "n"}).drop(columns=["w"])
+    ref["n"] = ref["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(ref))
+
+
+def test_hopping_window_rejects_nonmultiple_size(ray_session):
+    ev = _events(np.random.default_rng(5), n=10)
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(_ds(ray_session, ev), ["user_id"], "ts",
+                           size_us=5, hop_us=2)
