@@ -3192,6 +3192,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def docs_unigram_logprob(sf_dir: str):
+        """Per-document mean unigram log2-probability — the CCNet/Gopher
+        corpus-LM score filter. Three bounded exchanges, no broadcast
+        vocabulary: token counts (combiner + token-keyed exchange),
+        tokens ⋈ counts co-partitioned on the token, per-doc mean via a
+        sufficient-stats combiner."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            unigram_logprob,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        return unigram_logprob(docs, num_partitions=16)
+
+    def docs_tfidf_top_terms(sf_dir: str):
+        """Per-document top-3 terms by TF-IDF (sklearn smooth idf) —
+        keyword extraction. tf never shuffles (exact within the doc's
+        own row); df is one token-keyed exchange over deduped
+        (doc, tok) pairs; the top-k rides window_topk's per-batch
+        combiner."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            tfidf_top_terms,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        return tfidf_top_terms(docs, k=3, num_partitions=16)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -3327,6 +3357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band_join_banded": orders_price_band_join_banded,
         "docs_train_val_test_split": docs_train_val_test_split,
         "events_tumbling_counts": events_tumbling_counts,
+        "docs_unigram_logprob": docs_unigram_logprob,
+        "docs_tfidf_top_terms": docs_tfidf_top_terms,
     }
 
 
@@ -4559,6 +4591,48 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY event_type, win
+        """,
+        "docs_unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT count(*) AS total FROM tok)
+            SELECT tok.doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(log2(c.c / tot.total)), 6) AS mean_logprob
+            FROM tok JOIN c USING (tok) CROSS JOIN tot
+            GROUP BY tok.doc_id
+        """,
+        "docs_tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                   GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (
+                SELECT tf.doc_id, tf.tok, tf.tf,
+                       round(tf.tf * (ln((1.0 + n.n_docs)
+                                         / (1.0 + df.df)) + 1.0),
+                             6) AS score
+                FROM tf JOIN df USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id, tok, tf, score
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, tok) AS rn
+                FROM sc
+            )
+            WHERE rn <= 3
         """,
     }
     d["docs_quality_filtered"] = (

@@ -337,3 +337,174 @@ def token_pmi(docs_ds, vocab: list[str], min_pairs: int = 1,
         "n_pairs": pa.array(npairs, pa.int64()),
         "pmi": pa.array(pmi, pa.float64()),
     }))
+
+
+def _ws_explode(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Vectorized (id, tok) explode on single-space splits — the same
+    tokenization contract as the heavy-hitter queries (SQL
+    ``string_split(text, ' ')`` with empties dropped)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch.column(text_col), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False), lens
+    )
+    flat = pc.list_flatten(toks)
+    t = pa.table({id_col: pa.array(ids), "tok": flat})
+    return t.filter(pc.not_equal(flat, ""))
+
+
+def unigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                    ndigits: int = 6, num_partitions: int = 64):
+    """Per-document mean unigram log-probability — the corpus-level
+    language-model score filters like CCNet/Gopher threshold on
+    (documents whose tokens are globally rare score low).
+
+    Scale shape: three bounded exchanges and no broadcast vocabulary —
+    (1) token counts via per-batch combiner + one hash exchange on the
+    token, (2) tokens ⋈ counts co-partitioned on the token (the count
+    table never leaves the cluster), (3) per-document mean via a
+    per-batch sufficient-stats combiner + one exchange on the doc id.
+    The corpus token total is a single scalar aggregate broadcast into
+    the probe closure."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+    from .relational import _copartition
+
+    toks = docs_ds.map_batches(
+        lambda b: _ws_explode(b, id_col, text_col), batch_format="pyarrow"
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "__c"])
+
+    def count_reduce(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["tok"]).aggregate([("__c", "sum")])
+        return g.rename_columns(["tok", "c"])
+
+    counts = grouped_apply(
+        toks.map_batches(count_partial, batch_format="pyarrow"),
+        ["tok"], count_reduce, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    # corpus token total: one scalar from a map-only pass (no exchange)
+    total = docs_ds.map_batches(
+        lambda b: pa.table(
+            {"__n": pa.array(
+                [_ws_explode(b, id_col, text_col).num_rows], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("__n")
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({id_col: pa.array([], lt.schema.field(id_col).type),
+                             "__lp": pa.array([], pa.float64())})
+        joined = lt.join(rt, keys=["tok"], join_type="inner")
+        lp = np.log2(
+            joined.column("c").to_numpy(zero_copy_only=False)
+            / float(total)
+        )
+        return pa.table({id_col: joined.column(id_col),
+                         "__lp": pa.array(lp, pa.float64())})
+
+    scored = _copartition(toks, counts, "tok", "tok", ["tok", "c"],
+                          probe, num_partitions)
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by([id_col]).aggregate(
+            [([], "count_all"), ("__lp", "sum")]
+        )
+        return agg.rename_columns([id_col, "__n", "__s"])
+
+    def mean_reduce(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([id_col]).aggregate(
+            [("__n", "sum"), ("__s", "sum")]
+        )
+        n = g.column("__n_sum").to_numpy(zero_copy_only=False)
+        s = g.column("__s_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_tokens": pc.cast(g.column("__n_sum"), pa.int64()),
+            "mean_logprob": pa.array(np.round(s / n, ndigits),
+                                     pa.float64()),
+        })
+
+    return grouped_apply(
+        scored.map_batches(mean_partial, batch_format="pyarrow"),
+        [id_col], mean_reduce, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+
+def tfidf_top_terms(docs_ds, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text", ndigits: int = 6,
+                    num_partitions: int = 64):
+    """Per-document top-``k`` terms by TF-IDF (smooth idf
+    ``ln((1+N)/(1+df)) + 1``, sklearn's convention) — the keyword
+    extraction / topic-labeling primitive.
+
+    Scale shape: tf is exact inside the map (a document's tokens live
+    in its own row — no exchange); df is a per-batch combiner + one
+    exchange on the token over ALREADY (doc, tok)-deduped rows; scoring
+    co-partitions tf ⋈ df on the token; the final per-doc top-k rides
+    :func:`relational.window_topk`'s combiner (each batch ships at most
+    k rows per doc).  Ranking uses the ROUNDED score so the DuckDB
+    oracle's float path agrees bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+    from .relational import _copartition, window_topk
+
+    def tf_table(batch: pa.Table) -> pa.Table:
+        t = _ws_explode(batch, id_col, text_col)
+        agg = t.group_by([id_col, "tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns([id_col, "tok", "tf"])
+
+    tf = docs_ds.map_batches(tf_table, batch_format="pyarrow")
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # rows are (doc, tok)-unique per batch: count per token
+        agg = batch.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "__df"])
+
+    def df_reduce(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["tok"]).aggregate([("__df", "sum")])
+        return g.rename_columns(["tok", "df"])
+
+    df = grouped_apply(
+        tf.map_batches(df_partial, batch_format="pyarrow"),
+        ["tok"], df_reduce, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    n_docs = docs_ds.count()
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], lt.schema.field(id_col).type),
+            "tok": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        joined = lt.join(rt, keys=["tok"], join_type="inner")
+        dfv = joined.column("df").to_numpy(zero_copy_only=False)
+        tfv = joined.column("tf").to_numpy(zero_copy_only=False)
+        idf = np.log((1.0 + n_docs) / (1.0 + dfv)) + 1.0
+        return pa.table({
+            id_col: joined.column(id_col),
+            "tok": joined.column("tok"),
+            "tf": pc.cast(joined.column("tf"), pa.int64()),
+            "score": pa.array(np.round(tfv * idf, ndigits), pa.float64()),
+        })
+
+    scored = _copartition(tf, df, "tok", "tok", ["tok", "df"],
+                          probe, num_partitions)
+    return window_topk(scored, [id_col], "score", k, tie_col="tok",
+                       num_partitions=num_partitions)

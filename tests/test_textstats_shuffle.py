@@ -104,3 +104,86 @@ def test_multimodal_decode(ray_session):
         assert r["width"] >= 16 and r["height"] >= 16
         assert len(r["feature"]) == 16
         assert r["n_bytes"] > 0
+
+
+def test_unigram_logprob_matches_naive(ray_session):
+    import math
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        unigram_logprob,
+    )
+
+    texts = {1: "a b a", 2: "b c", 3: "a", 4: "c c d a b"}
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(ds, num_partitions=4).take_all()
+    }
+
+    counts: dict[str, int] = {}
+    for t in texts.values():
+        for tok in t.split(" "):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+    total = sum(counts.values())
+    for i, t in texts.items():
+        toks = [x for x in t.split(" ") if x]
+        want = sum(math.log2(counts[x] / total) for x in toks) / len(toks)
+        assert out[i]["n_tokens"] == len(toks)
+        assert abs(out[i]["mean_logprob"] - round(want, 6)) < 1e-9
+
+
+def test_tfidf_top_terms_matches_naive(ray_session):
+    import math
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        tfidf_top_terms,
+    )
+
+    texts = {
+        1: "apple apple banana cherry",
+        2: "banana cherry cherry date",
+        3: "apple date date date egg fig",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    )
+    got = tfidf_top_terms(ds, k=2, num_partitions=4).take_all()
+
+    n_docs = len(texts)
+    df: dict[str, int] = {}
+    for t in texts.values():
+        for tok in set(t.split(" ")):
+            df[tok] = df.get(tok, 0) + 1
+    want = {}
+    for i, t in texts.items():
+        tf: dict[str, int] = {}
+        for tok in t.split(" "):
+            tf[tok] = tf.get(tok, 0) + 1
+        scored = sorted(
+            (
+                (
+                    round(
+                        c * (math.log((1 + n_docs) / (1 + df[tok])) + 1.0),
+                        6,
+                    ),
+                    tok,
+                    c,
+                )
+                for tok, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        want[i] = {(tok, c, s) for s, tok, c in scored}
+    got_sets: dict[int, set] = {}
+    for r in got:
+        got_sets.setdefault(r["doc_id"], set()).add(
+            (r["tok"], r["tf"], r["score"])
+        )
+    assert got_sets == want
