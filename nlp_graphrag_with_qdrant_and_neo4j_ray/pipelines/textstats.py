@@ -355,69 +355,65 @@ def _ws_explode(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     return t.filter(pc.not_equal(flat, ""))
 
 
+def _tf_table(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Per-document term frequencies (id, tok, tf) — exact within the
+    map because a document's tokens all live in its own row, so no
+    exchange is needed and the table is bounded by
+    distinct-tokens-per-doc (far smaller than token occurrences)."""
+    t = _ws_explode(batch, id_col, text_col)
+    agg = t.group_by([id_col, "tok"]).aggregate([([], "count_all")])
+    return agg.rename_columns([id_col, "tok", "tf"])
+
+
 def unigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                     ndigits: int = 6, num_partitions: int = 64):
-    """Per-document mean unigram log-probability — the corpus-level
+    """Per-document mean unigram log2-probability — the corpus-level
     language-model score filters like CCNet/Gopher threshold on
     (documents whose tokens are globally rare score low).
 
-    Scale shape: three bounded exchanges and no broadcast vocabulary —
-    (1) token counts via per-batch combiner + one hash exchange on the
-    token, (2) tokens ⋈ counts co-partitioned on the token (the count
-    table never leaves the cluster), (3) per-document mean via a
-    per-batch sufficient-stats combiner + one exchange on the doc id.
-    The corpus token total is a single scalar aggregate broadcast into
-    the probe closure."""
+    Scale shape: TWO exchanges and no broadcast vocabulary.  The text
+    collapses to per-document (id, tok, tf) rows inside the map;
+    exchange 1 hash-partitions that narrow table on the token — every
+    row of a token is then co-located, so the corpus count c(tok) is
+    computed LOCALLY inside the partition and joined back in place (no
+    separate count exchange, the count table never ships).  Exchange 2
+    reduces per-document sufficient stats (Σtf, Σtf·log2(c/total)); the
+    mean over occurrences equals the tf-weighted mean exactly.  The
+    corpus token total is one scalar aggregate off the materialized tf
+    table (object-store resident, spills under pressure)."""
     import pyarrow.compute as pc
 
     from ..stages.shuffle import grouped_apply
-    from .relational import _copartition
 
-    toks = docs_ds.map_batches(
-        lambda b: _ws_explode(b, id_col, text_col), batch_format="pyarrow"
-    )
+    tf = docs_ds.map_batches(
+        lambda b: _tf_table(b, id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+    total = float(tf.sum("tf") or 0.0)
 
-    def count_partial(batch: pa.Table) -> pa.Table:
-        agg = batch.group_by(["tok"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["tok", "__c"])
-
-    def count_reduce(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["tok"]).aggregate([("__c", "sum")])
-        return g.rename_columns(["tok", "c"])
-
-    counts = grouped_apply(
-        toks.map_batches(count_partial, batch_format="pyarrow"),
-        ["tok"], count_reduce, num_partitions=num_partitions,
-        batch_format="pyarrow",
-    )
-
-    # corpus token total: one scalar from a map-only pass (no exchange)
-    total = docs_ds.map_batches(
-        lambda b: pa.table(
-            {"__n": pa.array(
-                [_ws_explode(b, id_col, text_col).num_rows], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).sum("__n")
-
-    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        if lt.num_rows == 0 or rt.num_rows == 0:
-            return pa.table({id_col: pa.array([], lt.schema.field(id_col).type),
-                             "__lp": pa.array([], pa.float64())})
-        joined = lt.join(rt, keys=["tok"], join_type="inner")
-        lp = np.log2(
-            joined.column("c").to_numpy(zero_copy_only=False)
-            / float(total)
+    def per_token_partition(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["tok"]).aggregate([("tf", "sum")])
+        idx = pc.index_in(tbl.column("tok"),
+                          value_set=g.column("tok").combine_chunks())
+        c = pc.take(g.column("tf_sum"), idx).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        tfv = tbl.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64
         )
-        return pa.table({id_col: joined.column(id_col),
-                         "__lp": pa.array(lp, pa.float64())})
+        s = tfv * np.log2(c / total)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "__n": pc.cast(tbl.column("tf"), pa.int64()),
+            "__s": pa.array(s, pa.float64()),
+        })
 
-    scored = _copartition(toks, counts, "tok", "tok", ["tok", "c"],
-                          probe, num_partitions)
+    scored = grouped_apply(tf, ["tok"], per_token_partition,
+                           num_partitions=num_partitions,
+                           batch_format="pyarrow")
 
     def mean_partial(batch: pa.Table) -> pa.Table:
         agg = batch.group_by([id_col]).aggregate(
-            [([], "count_all"), ("__lp", "sum")]
+            [("__n", "sum"), ("__s", "sum")]
         )
         return agg.rename_columns([id_col, "__n", "__s"])
 
@@ -449,62 +445,44 @@ def tfidf_top_terms(docs_ds, k: int = 5, id_col: str = "doc_id",
     extraction / topic-labeling primitive.
 
     Scale shape: tf is exact inside the map (a document's tokens live
-    in its own row — no exchange); df is a per-batch combiner + one
-    exchange on the token over ALREADY (doc, tok)-deduped rows; scoring
-    co-partitions tf ⋈ df on the token; the final per-doc top-k rides
-    :func:`relational.window_topk`'s combiner (each batch ships at most
-    k rows per doc).  Ranking uses the ROUNDED score so the DuckDB
-    oracle's float path agrees bit-for-bit."""
+    in its own row — no exchange); ONE token-keyed exchange computes df
+    LOCALLY within each token partition (the (doc, tok) rows of a token
+    are all co-located and globally unique, so df is the partition-local
+    row count per token — no df table ever ships) and scores in place;
+    the final per-doc top-k rides :func:`relational.window_topk`'s
+    combiner (exchange 2, at most k rows per (batch, doc)).  Ranking
+    uses the ROUNDED score so the DuckDB oracle's float path agrees
+    bit-for-bit."""
     import pyarrow.compute as pc
 
     from ..stages.shuffle import grouped_apply
-    from .relational import _copartition, window_topk
-
-    def tf_table(batch: pa.Table) -> pa.Table:
-        t = _ws_explode(batch, id_col, text_col)
-        agg = t.group_by([id_col, "tok"]).aggregate([([], "count_all")])
-        return agg.rename_columns([id_col, "tok", "tf"])
-
-    tf = docs_ds.map_batches(tf_table, batch_format="pyarrow")
-
-    def df_partial(batch: pa.Table) -> pa.Table:
-        # rows are (doc, tok)-unique per batch: count per token
-        agg = batch.group_by(["tok"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["tok", "__df"])
-
-    def df_reduce(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["tok"]).aggregate([("__df", "sum")])
-        return g.rename_columns(["tok", "df"])
-
-    df = grouped_apply(
-        tf.map_batches(df_partial, batch_format="pyarrow"),
-        ["tok"], df_reduce, num_partitions=num_partitions,
-        batch_format="pyarrow",
-    )
+    from .relational import window_topk
 
     n_docs = docs_ds.count()
+    tf = docs_ds.map_batches(
+        lambda b: _tf_table(b, id_col, text_col), batch_format="pyarrow"
+    )
 
-    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
-        empty = pa.table({
-            id_col: pa.array([], lt.schema.field(id_col).type),
-            "tok": pa.array([], pa.string()),
-            "tf": pa.array([], pa.int64()),
-            "score": pa.array([], pa.float64()),
-        })
-        if lt.num_rows == 0 or rt.num_rows == 0:
-            return empty
-        joined = lt.join(rt, keys=["tok"], join_type="inner")
-        dfv = joined.column("df").to_numpy(zero_copy_only=False)
-        tfv = joined.column("tf").to_numpy(zero_copy_only=False)
+    def per_token_partition(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["tok"]).aggregate([([], "count_all")])
+        idx = pc.index_in(tbl.column("tok"),
+                          value_set=g.column("tok").combine_chunks())
+        dfv = pc.take(g.column("count_all"), idx).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        tfv = tbl.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
         idf = np.log((1.0 + n_docs) / (1.0 + dfv)) + 1.0
         return pa.table({
-            id_col: joined.column(id_col),
-            "tok": joined.column("tok"),
-            "tf": pc.cast(joined.column("tf"), pa.int64()),
+            id_col: tbl.column(id_col),
+            "tok": tbl.column("tok"),
+            "tf": pc.cast(tbl.column("tf"), pa.int64()),
             "score": pa.array(np.round(tfv * idf, ndigits), pa.float64()),
         })
 
-    scored = _copartition(tf, df, "tok", "tok", ["tok", "df"],
-                          probe, num_partitions)
+    scored = grouped_apply(tf, ["tok"], per_token_partition,
+                           num_partitions=num_partitions,
+                           batch_format="pyarrow")
     return window_topk(scored, [id_col], "score", k, tie_col="tok",
                        num_partitions=num_partitions)
