@@ -3222,6 +3222,171 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return tfidf_top_terms(docs, k=3, num_partitions=16)
 
+    def q14_promo_revenue(sf_dir: str):
+        """TPC-H Q14 shape — promotion revenue share for one ship
+        month: lineitem prunes at the read (shipdate window + four
+        columns); the part dim collapses to a broadcast promo-partkey
+        array (np.isin probe, no join exchange); every batch folds to
+        two partial sums and the global reduce is one scalar
+        aggregate.  Zero exchanges."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type"],
+        )
+        promo = pc.cast(
+            part.filter(pc.equal(part.column("p_type"), "PROMO"))
+            .column("p_partkey"), pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        promo_ref = ray.put(np.sort(promo))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar(pd.Timestamp("1996-03-01")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(pd.Timestamp("1996-04-01")))
+            ),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            rev = (
+                batch.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False)
+                * (1.0 - batch.column("l_discount").to_numpy(
+                    zero_copy_only=False))
+            )
+            is_promo = np.isin(pk, ray.get(promo_ref))
+            return pa.table({
+                "__promo": pa.array([float(rev[is_promo].sum())]),
+                "__total": pa.array([float(rev.sum())]),
+            })
+
+        parts = li.map_batches(partial, batch_format="pyarrow")
+        promo_sum = parts.sum("__promo") or 0.0
+        total_sum = parts.sum("__total") or 0.0
+        share = 100.0 * promo_sum / total_sum if total_sum else 0.0
+        return pd.DataFrame({"promo_revenue": [round(share, 6)]})
+
+    def q19_disjunctive_revenue(sf_dir: str):
+        """TPC-H Q19 shape — revenue under three OR'd (brand, size,
+        quantity-band) predicates: the quantity envelope prunes at the
+        read; part collapses to broadcast partkey→(brand, size) lookup
+        arrays probed with searchsorted; the whole disjunction
+        evaluates vectorized inside the map and the result is one
+        scalar aggregate.  Zero exchanges."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"],
+        ).sort_by("p_partkey")
+        pk_arr = pc.cast(part.column("p_partkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        brand_arr = np.asarray(part.column("p_brand").to_pylist())
+        size_arr = pc.cast(part.column("p_size"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        refs = ray.put((pk_arr, brand_arr, size_arr))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+            filter=(
+                (pc.field("l_quantity") >= pa.scalar(1.0))
+                & (pc.field("l_quantity") <= pa.scalar(30.0))
+            ),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            pk, brand, size = ray.get(refs)
+            lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            rev = (
+                batch.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False)
+                * (1.0 - batch.column("l_discount").to_numpy(
+                    zero_copy_only=False))
+            )
+            idx = np.searchsorted(pk, lpk)
+            b = brand[idx]
+            s = size[idx]
+            m = (
+                ((b == "Brand#12") & (s >= 1) & (s <= 5)
+                 & (qty >= 1) & (qty <= 11))
+                | ((b == "Brand#23") & (s >= 1) & (s <= 10)
+                   & (qty >= 10) & (qty <= 20))
+                | ((b == "Brand#34") & (s >= 1) & (s <= 15)
+                   & (qty >= 20) & (qty <= 30))
+            )
+            return pa.table({"__rev": pa.array([float(rev[m].sum())])})
+
+        total = li.map_batches(
+            partial, batch_format="pyarrow").sum("__rev") or 0.0
+        return pd.DataFrame({"revenue": [round(total, 2)]})
+
+    def q16_supplier_part_counts(sf_dir: str):
+        """TPC-H Q16 shape — distinct supplier count per part
+        attribute triple, excluding negative-balance suppliers (the
+        NOT IN): the supplier exclusion set broadcasts (dim-sized);
+        lineitem dedupes (partkey, suppkey) per batch, co-partitions
+        with the filtered part dim on the partkey (exchange 1), and
+        the distinct count per (brand, type, size) ships only deduped
+        pairs (exchange 2)."""
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            distinct_count,
+            inner_join,
+        )
+
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_acctbal"],
+        )
+        bad = pc.cast(
+            supp.filter(pc.less(supp.column("s_acctbal"), 0.0))
+            .column("s_suppkey"), pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        bad_ref = ray.put(np.sort(bad))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"],
+        )
+
+        def dedupe_filter(batch: pa.Table) -> pa.Table:
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            keep = ~np.isin(sk, ray.get(bad_ref))
+            t = batch.filter(pa.array(keep))
+            return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+        pairs = li.map_batches(dedupe_filter, batch_format="pyarrow")
+        part = ray.data.read_parquet(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_type", "p_size"],
+            filter=pc.field("p_brand") != pa.scalar("Brand#45"),
+        )
+        joined = inner_join(pairs, part, "l_partkey", "p_partkey",
+                            ["p_partkey", "p_brand", "p_type", "p_size"],
+                            num_partitions=16)
+        return distinct_count(joined, ["p_brand", "p_type", "p_size"],
+                              "l_suppkey", "supplier_cnt",
+                              num_partitions=16)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -3359,6 +3524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_counts": events_tumbling_counts,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
     }
 
 
@@ -4633,6 +4801,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc
             )
             WHERE rn <= 3
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END)
+                / sum(l_extendedprice * (1 - l_discount)), 6)
+                AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1996-03-01'
+              AND l_shipdate < DATE '1996-04-01'
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
         """,
     }
     d["docs_quality_filtered"] = (
