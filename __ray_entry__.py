@@ -3387,6 +3387,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "l_suppkey", "supplier_cnt",
                               num_partitions=16)
 
+    def customer_name_fuzzy_pairs(sf_dir: str):
+        """Edit-distance-≤1 fuzzy self-join over customer names —
+        typo-level blocking for entity resolution. SymSpell delete-1
+        variant buckets (perfect recall at distance 1) + vectorized
+        alignment verify; three narrow exchanges, pairs stay a
+        Dataset."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            edit1_fuzzy_pairs,
+        )
+
+        cust = _read(sf_dir, "customer").select_columns(["c_name"])
+        return edit1_fuzzy_pairs(cust, "c_name", num_partitions=16)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -3527,6 +3540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q16_supplier_part_counts": q16_supplier_part_counts,
+        "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
     }
 
 
@@ -4832,6 +4846,13 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN (
                   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY p_brand, p_type, p_size
+        """,
+        "customer_name_fuzzy_pairs": """
+            WITH d AS (SELECT DISTINCT c_name FROM customer)
+            SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM d a JOIN d b
+              ON a.c_name < b.c_name
+             AND levenshtein(a.c_name, b.c_name) <= 1
         """,
     }
     d["docs_quality_filtered"] = (

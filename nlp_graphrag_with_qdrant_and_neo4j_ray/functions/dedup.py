@@ -104,14 +104,19 @@ def jaccard(a: set, b: set) -> float:
 
 
 def group_salt(key) -> int:
-    """Deterministic 64-bit salt from a bucket's group key (an int or a
-    tuple of ints) — FNV-1a over the parts, no PYTHONHASHSEED
-    dependence."""
+    """Deterministic 64-bit salt from a bucket's group key (an int or
+    string, or a tuple of them) — FNV-1a over the parts, no
+    PYTHONHASHSEED dependence. String parts fold in their UTF-8
+    bytes."""
     parts = key if isinstance(key, tuple) else (key,)
     s = 1469598103934665603
     for p in parts:
-        s = ((s ^ (int(p) & 0xFFFFFFFFFFFFFFFF)) * 1099511628211) \
-            & 0xFFFFFFFFFFFFFFFF
+        if isinstance(p, str):
+            for byte in p.encode("utf-8"):
+                s = ((s ^ byte) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        else:
+            s = ((s ^ (int(p) & 0xFFFFFFFFFFFFFFFF)) * 1099511628211) \
+                & 0xFFFFFFFFFFFFFFFF
     return s
 
 
@@ -150,3 +155,52 @@ def char_ngrams(text: str, n: int = 3) -> set[str]:
     if len(t) < n:
         return {t} if t else set()
     return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def edit1_mask(a_vals, b_vals):
+    """Vectorized ``levenshtein(a, b) <= 1`` over two parallel string
+    arrays — the verify kernel of the fuzzy self-join. No DP loop:
+    equal-length pairs need exactly ≤1 mismatching position; pairs
+    whose lengths differ by 1 need the longer string to equal the
+    shorter with one character inserted (prefix match up to the first
+    mismatch, then a one-shifted suffix match). Everything runs on
+    padded UTF-32 code-point matrices."""
+    import numpy as np
+
+    a = np.asarray(list(a_vals), dtype="U")
+    b = np.asarray(list(b_vals), dtype="U")
+    n = len(a)
+    out = np.zeros(n, bool)
+    if n == 0:
+        return out
+    la = np.char.str_len(a)
+    lb = np.char.str_len(b)
+    wa = max(a.dtype.itemsize // 4, 1)
+    wb = max(b.dtype.itemsize // 4, 1)
+    w = max(wa, wb) + 1  # one pad column so the +1 shift stays in range
+    A = np.zeros((n, w), np.uint32)
+    B = np.zeros((n, w), np.uint32)
+    if a.dtype.itemsize:
+        A[:, :wa] = np.ascontiguousarray(a).view(np.uint32).reshape(n, wa)
+    if b.dtype.itemsize:
+        B[:, :wb] = np.ascontiguousarray(b).view(np.uint32).reshape(n, wb)
+
+    same = la == lb
+    if same.any():
+        out[same] = (A[same] != B[same]).sum(axis=1) <= 1
+
+    diff1 = np.abs(la - lb) == 1
+    if diff1.any():
+        idx = np.flatnonzero(diff1)
+        S, L = A[idx].copy(), B[idx].copy()  # S short, L long
+        swap = la[idx] > lb[idx]
+        S[swap], L[swap] = L[swap], S[swap]
+        ls = np.minimum(la[idx], lb[idx])
+        neq = S != L
+        first = np.where(neq.any(axis=1), neq.argmax(axis=1), ls)
+        cols = np.arange(w - 1)
+        within = (cols[None, :] >= first[:, None]) \
+            & (cols[None, :] < ls[:, None])
+        shifted_eq = S[:, :-1] == L[:, 1:]
+        out[idx] = np.all(shifted_eq | ~within, axis=1)
+    return out

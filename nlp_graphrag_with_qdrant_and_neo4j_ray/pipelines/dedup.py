@@ -999,3 +999,110 @@ def ngram_overlap_exact(docs_ds, benchmark_ds, n: int = 8,
     return grouped_apply(unioned2, [id_col], fraction,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+# ----------------------- edit-distance-1 fuzzy join ------------------------
+
+def edit1_fuzzy_pairs(ds, value_col: str, num_partitions: int = 64,
+                      max_bucket: int = 256):
+    """Exact edit-distance-≤1 self-join over the DISTINCT values of
+    ``value_col`` — typo-level key canonicalization / entity blocking
+    (the string-similarity join Ray Data lacks natively).
+
+    Blocking is the SymSpell deletion neighborhood: if
+    ``levenshtein(a, b) <= 1`` then ``({a} ∪ deletes1(a)) ∩
+    ({b} ∪ deletes1(b)) ≠ ∅`` (substitution → both delete the differing
+    position; insertion/deletion → the shorter string IS a variant of
+    the longer), so bucketing by delete-1 variants has perfect recall
+    at distance 1. Candidates are verified in-bucket with the
+    vectorized alignment kernel :func:`functions.dedup.edit1_mask` —
+    never a per-pair DP.
+
+    Scale shape: three exchanges, all over narrow string rows —
+    (1) distinct values (per-batch dedupe combiner first), (2) the
+    variant-keyed candidate exchange (each value ships len(value)+1
+    variant rows; buckets are split by :func:`capped_subgroups` so a
+    degenerate hot variant degrades recall instead of going quadratic),
+    (3) verified-pair dedupe (a pair can fire under 2+ shared
+    variants). Pairs stay a Dataset end-to-end.
+    """
+    from ..stages.shuffle import grouped_apply
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        return b.select([value_col]).group_by([value_col]).aggregate([])
+
+    def part_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by([value_col]).aggregate([])
+
+    distinct = grouped_apply(
+        ds.map_batches(local_distinct, batch_format="pyarrow"),
+        [value_col], part_distinct, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    def explode_variants(b: pa.Table) -> pd.DataFrame:
+        vals = pd.Series(b.column(value_col).to_pylist(), dtype="object")
+        frames = [pd.DataFrame({"variant": vals, "val": vals})]
+        lens = vals.str.len()
+        max_len = int(lens.max()) if len(vals) else 0
+        for p in range(max_len):
+            m = lens > p
+            if not m.any():
+                break
+            sub = vals[m]
+            frames.append(pd.DataFrame({
+                "variant": sub.str.slice(0, p) + sub.str.slice(p + 1),
+                "val": sub,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    variants = distinct.map_batches(explode_variants,
+                                    batch_format="pyarrow")
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.dedup import edit1_mask
+
+        empty = pd.DataFrame({
+            "name_a": pd.Series([], dtype="object"),
+            "name_b": pd.Series([], dtype="object"),
+        })
+        if len(pdf) == 0:
+            return empty
+        pdf = pdf.drop_duplicates()
+        sizes = pdf.groupby("variant")["val"].transform("size")
+        multi = pdf[sizes >= 2]
+        if len(multi) == 0:
+            return empty
+        a_l: list = []
+        b_l: list = []
+        for key, g in multi.groupby("variant", sort=True):
+            for sub in capped_subgroups(g.sort_values("val"), "val",
+                                        max_bucket, salt=group_salt(key)):
+                vals = sub["val"].to_numpy()
+                if len(vals) < 2:
+                    continue
+                ai, bi = np.triu_indices(len(vals), k=1)
+                a_l.append(vals[ai])
+                b_l.append(vals[bi])
+        if not a_l:
+            return empty
+        cand = pd.DataFrame({
+            "name_a": np.concatenate(a_l), "name_b": np.concatenate(b_l),
+        }).drop_duplicates()
+        keep = edit1_mask(cand["name_a"].to_numpy(),
+                          cand["name_b"].to_numpy())
+        return cand[keep]
+
+    candidates = grouped_apply(variants, ["variant"], bucket_pairs,
+                               num_partitions=num_partitions)
+
+    def pair_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["name_a", "name_b"]).aggregate([])
+
+    dedup_local = candidates.map_batches(
+        lambda b: b.group_by(["name_a", "name_b"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    return grouped_apply(dedup_local, ["name_a", "name_b"], pair_distinct,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
