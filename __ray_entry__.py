@@ -3400,6 +3400,406 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = _read(sf_dir, "customer").select_columns(["c_name"])
         return edit1_fuzzy_pairs(cust, "c_name", num_partitions=16)
 
+    def _round_away(x: float, ndigits: int) -> float:
+        """Round half AWAY from zero (DuckDB's round), not banker's."""
+        scale = 10.0 ** ndigits
+        return float(np.floor(abs(x) * scale + 0.5) / scale * np.sign(x))
+
+    def q4_order_priority(sf_dir: str):
+        """TPC-H Q4 shape — per-priority count of orders with a late
+        lineitem (EXISTS semi-join; commitdate/receiptdate aren't in
+        this schema, so "late" = any lineitem shipped >60 days after
+        the order date).  Lineitem reduces to one (orderkey,
+        max shipdate) row per batch (EXISTS(ship > cutoff) ≡
+        max(ship) > cutoff, so the combiner is exact); orders prune at
+        the read; ONE co-partitioned exchange on the orderkey; the
+        per-priority counts fold to ≤5 rows per partition before a
+        tiny final reduce."""
+        import pandas as pd
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            _copartition,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+            filter=(
+                (pc.field("o_orderdate")
+                 >= pa.scalar(pd.Timestamp("1996-01-01")))
+                & (pc.field("o_orderdate")
+                   < pa.scalar(pd.Timestamp("1996-04-01")))
+            ),
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate"],
+        )
+
+        def li_combine(batch: pa.Table) -> pa.Table:
+            agg = batch.group_by(["l_orderkey"]).aggregate(
+                [("l_shipdate", "max")]
+            )
+            return agg.rename_columns(["l_orderkey", "max_ship"])
+
+        li_max = li.map_batches(li_combine, batch_format="pyarrow")
+
+        empty = pa.table({
+            "o_orderpriority": pa.array([], pa.string()),
+            "__n": pa.array([], pa.int64()),
+        })
+
+        def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            # lt = lineitem (orderkey, max_ship) partials; rt = orders
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                return empty
+            j = lt.join(rt, keys=["l_orderkey"], join_type="inner")
+            ship = j.column("max_ship").to_numpy(zero_copy_only=False)
+            od = j.column("o_orderdate").to_numpy(zero_copy_only=False)
+            late = ship > od + np.timedelta64(60, "D")
+            dedup = (
+                j.filter(pa.array(late))
+                .select(["l_orderkey", "o_orderpriority"])
+                .group_by(["l_orderkey", "o_orderpriority"])
+                .aggregate([])
+            )
+            return dedup.group_by(["o_orderpriority"]).aggregate(
+                [([], "count_all")]
+            ).rename_columns(["o_orderpriority", "__n"])
+
+        parts = _copartition(
+            li_max, orders, "l_orderkey", "o_orderkey",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            probe, 16,
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            return tbl.group_by(["o_orderpriority"]).aggregate(
+                [("__n", "sum")]
+            ).rename_columns(["o_orderpriority", "order_count"])
+
+        return grouped_apply(parts, ["o_orderpriority"], finish,
+                             num_partitions=1, batch_format="pyarrow")
+
+    def q6_forecast_revenue(sf_dir: str):
+        """TPC-H Q6 — forecast revenue change: every predicate prunes
+        at the read (shipdate year, discount band, quantity cap, four
+        columns), each batch folds to one partial sum, and the global
+        reduce is a single scalar aggregate.  Zero exchanges."""
+        import pandas as pd
+        import ray.data
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_extendedprice", "l_discount"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar(pd.Timestamp("1996-01-01")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(pd.Timestamp("1997-01-01")))
+                & (pc.field("l_discount") >= pa.scalar(0.05))
+                & (pc.field("l_discount") <= pa.scalar(0.07))
+                & (pc.field("l_quantity") < pa.scalar(24.0))
+            ),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            rev = (
+                batch.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False)
+                * batch.column("l_discount").to_numpy(
+                    zero_copy_only=False)
+            )
+            return pa.table({"__rev": pa.array([float(rev.sum())])})
+
+        total = li.map_batches(
+            partial, batch_format="pyarrow").sum("__rev") or 0.0
+        return pd.DataFrame({"revenue": [_round_away(total, 2)]})
+
+    def q12_priority_by_returnflag(sf_dir: str):
+        """TPC-H Q12 shape — high/low-priority lineitem counts per
+        return flag (the schema has no shipmode; returnflag plays its
+        role): lineitem prunes at the read and combines to one
+        (orderkey, flag, count) row per batch group; ONE co-partitioned
+        exchange with the slim orders dim on the orderkey; the
+        conditional split (CASE WHEN priority IN high) is a vectorized
+        mask inside the partition, folding to ≤3 rows each."""
+        import pandas as pd
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            _copartition,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar(pd.Timestamp("1996-01-01")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(pd.Timestamp("1997-01-01")))
+            ),
+        )
+
+        def li_combine(batch: pa.Table) -> pa.Table:
+            return batch.group_by(
+                ["l_orderkey", "l_returnflag"]
+            ).aggregate([([], "count_all")]).rename_columns(
+                ["l_orderkey", "l_returnflag", "__c"]
+            )
+
+        li_cnt = li.map_batches(li_combine, batch_format="pyarrow")
+
+        empty = pa.table({
+            "l_returnflag": pa.array([], pa.string()),
+            "__hi": pa.array([], pa.int64()),
+            "__lo": pa.array([], pa.int64()),
+        })
+
+        def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                return empty
+            j = lt.join(rt, keys=["l_orderkey"], join_type="inner")
+            hi_mask = pc.is_in(
+                j.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ).to_numpy(zero_copy_only=False)
+            c = j.column("__c").to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "l_returnflag": j.column("l_returnflag"),
+                "__hi": pa.array(np.where(hi_mask, c, 0),
+                                 pa.int64()),
+                "__lo": pa.array(np.where(hi_mask, 0, c),
+                                 pa.int64()),
+            })
+            return t.group_by(["l_returnflag"]).aggregate(
+                [("__hi", "sum"), ("__lo", "sum")]
+            ).rename_columns(["l_returnflag", "__hi", "__lo"])
+
+        parts = _copartition(
+            li_cnt, orders, "l_orderkey", "o_orderkey",
+            ["o_orderkey", "o_orderpriority"], probe, 16,
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            return tbl.group_by(["l_returnflag"]).aggregate(
+                [("__hi", "sum"), ("__lo", "sum")]
+            ).rename_columns(
+                ["l_returnflag", "high_line_count", "low_line_count"]
+            )
+
+        return grouped_apply(parts, ["l_returnflag"], finish,
+                             num_partitions=1, batch_format="pyarrow")
+
+    def q13_customer_distribution(sf_dir: str):
+        """TPC-H Q13 — distribution of per-customer order counts
+        including zero-order customers (the LEFT JOIN): orders combine
+        to (custkey, count) per batch; ONE co-partitioned exchange with
+        the slim customer dim; the per-partition local left join
+        coalesces unmatched customers to 0 and folds straight to the
+        (c_count, custdist) histogram, so only ≤ partitions × distinct
+        counts rows reach the tiny final reduce."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            _copartition,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey"],
+        )
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=pc.field("o_orderpriority") != pa.scalar("1-URGENT"),
+        )
+
+        def ord_combine(batch: pa.Table) -> pa.Table:
+            return batch.group_by(["o_custkey"]).aggregate(
+                [([], "count_all")]
+            ).rename_columns(["o_custkey", "__c"])
+
+        ord_cnt = orders.map_batches(ord_combine, batch_format="pyarrow")
+
+        def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            # lt = customers (c_custkey); rt = order-count partials
+            if lt.num_rows == 0:
+                return pa.table({
+                    "c_count": pa.array([], pa.int64()),
+                    "__n": pa.array([], pa.int64()),
+                })
+            summed = rt.group_by(["c_custkey"]).aggregate(
+                [("__c", "sum")]
+            ).rename_columns(["c_custkey", "__c"])
+            j = lt.join(summed, keys=["c_custkey"],
+                        join_type="left outer")
+            cnt = pc.coalesce(j.column("__c"), pa.scalar(0, pa.int64()))
+            return pa.table({"c_count": cnt}).group_by(
+                ["c_count"]
+            ).aggregate([([], "count_all")]).rename_columns(
+                ["c_count", "__n"]
+            )
+
+        parts = _copartition(
+            cust, ord_cnt, "c_custkey", "o_custkey",
+            ["o_custkey", "__c"], probe, 16,
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            return tbl.group_by(["c_count"]).aggregate(
+                [("__n", "sum")]
+            ).rename_columns(["c_count", "custdist"])
+
+        return grouped_apply(parts, ["c_count"], finish,
+                             num_partitions=1, batch_format="pyarrow")
+
+    def q15_top_supplier(sf_dir: str):
+        """TPC-H Q15 — the top-revenue supplier for one ship quarter
+        (HAVING = global MAX): per-batch revenue combiner + one
+        supplier-keyed exchange build the dim-sized revenue view, which
+        materializes ONCE (it is supplier-cardinality, never the fact
+        table); the max is a scalar aggregate broadcast into a
+        vectorized equality filter; supplier names attach via a
+        broadcast searchsorted lookup — no second exchange."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=(
+                (pc.field("l_shipdate")
+                 >= pa.scalar(pd.Timestamp("1996-01-01")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(pd.Timestamp("1996-04-01")))
+            ),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            rev = (
+                batch.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False)
+                * (1.0 - batch.column("l_discount").to_numpy(
+                    zero_copy_only=False))
+            )
+            t = pa.table({
+                "l_suppkey": batch.column("l_suppkey"),
+                "__rev": pa.array(rev),
+            })
+            return t.group_by(["l_suppkey"]).aggregate(
+                [("__rev", "sum")]
+            ).rename_columns(["l_suppkey", "__rev"])
+
+        def reduce_(tbl: pa.Table) -> pa.Table:
+            summed = tbl.group_by(["l_suppkey"]).aggregate(
+                [("__rev", "sum")]
+            ).rename_columns(["l_suppkey", "total_revenue"])
+            return summed.set_column(
+                1, "total_revenue",
+                pc.round(summed.column("total_revenue"), ndigits=2,
+                         round_mode="half_towards_infinity"),
+            )
+
+        revenue = grouped_apply(
+            li.map_batches(partial, batch_format="pyarrow"),
+            ["l_suppkey"], reduce_, num_partitions=16,
+            batch_format="pyarrow",
+        ).materialize()
+        rmax = revenue.max("total_revenue")
+
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ).sort_by("s_suppkey")
+        sk = pc.cast(supp.column("s_suppkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        names = np.asarray(supp.column("s_name").to_pylist())
+        supp_ref = ray.put((sk, names))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            t = batch.filter(
+                pc.equal(batch.column("total_revenue"), rmax)
+            )
+            sk_a, names_a = ray.get(supp_ref)
+            keys = pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            idx = np.searchsorted(sk_a, keys)
+            return pa.table({
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "s_name": pa.array(names_a[idx]
+                                   if len(keys) else [], pa.string()),
+                "total_revenue": t.column("total_revenue"),
+            })
+
+        return revenue.map_batches(pick, batch_format="pyarrow")
+
+    def q11_important_parts(sf_dir: str):
+        """TPC-H Q11 shape — parts whose total shipped quantity
+        exceeds a fixed fraction of the corpus total (HAVING >
+        fraction · global SUM; quantity, not supplycost, because the
+        schema has no partsupp).  Per-batch combiner + one
+        partkey-keyed exchange build the dim-sized view; the global
+        total is a scalar aggregate; the threshold comparison is a
+        vectorized map-side filter.  Quantities are integral doubles,
+        so both sums are exact and the knife-edge is deterministic
+        across engines."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity"],
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            return batch.group_by(["l_partkey"]).aggregate(
+                [("l_quantity", "sum")]
+            ).rename_columns(["l_partkey", "__q"])
+
+        def reduce_(tbl: pa.Table) -> pa.Table:
+            return tbl.group_by(["l_partkey"]).aggregate(
+                [("__q", "sum")]
+            ).rename_columns(["l_partkey", "value"])
+
+        v = grouped_apply(
+            li.map_batches(partial, batch_format="pyarrow"),
+            ["l_partkey"], reduce_, num_partitions=16,
+            batch_format="pyarrow",
+        ).materialize()
+        thresh = (v.sum("value") or 0.0) * 0.0005
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater(batch.column("value"), thresh)
+            )
+
+        return v.map_batches(keep, batch_format="pyarrow")
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -3541,6 +3941,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "customer_name_fuzzy_pairs": customer_name_fuzzy_pairs,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_by_returnflag": q12_priority_by_returnflag,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
     }
 
 
@@ -4853,6 +5259,68 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.c_name < b.c_name
              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2)
+                AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey, sum(l_quantity) AS value
+                FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value FROM v
+            WHERE value > 0.0005 * (SELECT sum(value) FROM v)
+        """,
+        "q12_priority_by_returnflag": """
+            SELECT l_returnflag,
+                   count(*) FILTER (WHERE o_orderpriority IN
+                       ('1-URGENT', '2-HIGH')) AS high_line_count,
+                   count(*) FILTER (WHERE o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH')) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY l_returnflag
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_custkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey) t
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue)
+                                   FROM revenue)
         """,
     }
     d["docs_quality_filtered"] = (
