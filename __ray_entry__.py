@@ -3800,6 +3800,318 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return v.map_batches(keep, batch_format="pyarrow")
 
+    def q17_small_quantity_revenue(sf_dir: str):
+        """TPC-H Q17 — revenue from below-20%-of-part-average-quantity
+        orders (the correlated AVG subquery): the brand slice of part
+        collapses to a broadcast partkey array that prunes lineitem
+        map-side, the correlated per-part average and the row filter
+        both happen inside ONE partkey-keyed exchange over the pruned
+        slice, and the result folds to one partial sum per partition.
+        Quantities are integral doubles, so the per-part average (and
+        the 0.2·avg knife-edge) is bit-identical to the SQL engine's."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand"],
+        )
+        pks = np.sort(pc.cast(
+            part.filter(pc.equal(part.column("p_brand"), "Brand#23"))
+            .column("p_partkey"), pa.int64(),
+        ).to_numpy(zero_copy_only=False))
+        pks_ref = ray.put(pks)
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
+
+        def prune(batch: pa.Table) -> pa.Table:
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(pk, ray.get(pks_ref))))
+
+        def per_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = pdf.groupby("l_partkey", sort=False)["l_quantity"]
+            avg = g.transform("sum") / g.transform("size")
+            keep = pdf["l_quantity"] < 0.2 * avg
+            return pd.DataFrame({
+                "__s": [float(pdf.loc[keep, "l_extendedprice"].sum())]
+            })
+
+        partials = grouped_apply(
+            li.map_batches(prune, batch_format="pyarrow"),
+            ["l_partkey"], per_part, num_partitions=16,
+        )
+        total = partials.sum("__s") or 0.0
+        return pd.DataFrame(
+            {"avg_yearly": [_round_away(total / 7.0, 2)]}
+        )
+
+    def q2_min_cost_supplier(sf_dir: str):
+        """TPC-H Q2 shape — the cheapest supplier per small part (the
+        schema has no partsupp, so unit cost = MIN(extendedprice /
+        quantity) observed in lineitem): the size-filtered part dim
+        broadcasts as a pruning array + name lookup; lineitem combines
+        to one (part, supplier, min cost) row per batch; the per-part
+        argmin (tie-break on suppkey) happens inside ONE partkey-keyed
+        exchange; names attach map-side from broadcast dims."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_name", "p_size"],
+        ).sort_by("p_partkey")
+        part = part.filter(pc.less_equal(part.column("p_size"), 5))
+        pk_arr = pc.cast(part.column("p_partkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pname_arr = np.asarray(part.column("p_name").to_pylist())
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ).sort_by("s_suppkey")
+        sk_arr = pc.cast(supp.column("s_suppkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sname_arr = np.asarray(supp.column("s_name").to_pylist())
+        dims_ref = ray.put((pk_arr, pname_arr, sk_arr, sname_arr))
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice"],
+        )
+
+        def combine(batch: pa.Table) -> pa.Table:
+            pk_a, _, _, _ = ray.get(dims_ref)
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(np.isin(pk, pk_a)))
+            cost = (
+                batch.column("l_extendedprice").to_numpy(
+                    zero_copy_only=False)
+                / batch.column("l_quantity").to_numpy(
+                    zero_copy_only=False)
+            )
+            t = pa.table({
+                "l_partkey": batch.column("l_partkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "__cost": pa.array(cost),
+            })
+            return t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+                [("__cost", "min")]
+            ).rename_columns(["l_partkey", "l_suppkey", "__cost"])
+
+        def argmin(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = pdf.groupby(["l_partkey", "l_suppkey"], sort=False,
+                            as_index=False)["__cost"].min()
+            g = g.sort_values(["l_partkey", "__cost", "l_suppkey"],
+                              kind="stable")
+            return g.drop_duplicates(subset=["l_partkey"], keep="first")
+
+        best = grouped_apply(
+            li.map_batches(combine, batch_format="pyarrow"),
+            ["l_partkey"], argmin, num_partitions=16,
+        )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            pk_a, pname_a, sk_a, sname_a = ray.get(dims_ref)
+            pk = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            sk = pc.cast(batch.column("l_suppkey"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            has = len(pk) > 0
+            return pa.table({
+                "p_partkey": pa.array(pk, pa.int64()),
+                "p_name": pa.array(
+                    pname_a[np.searchsorted(pk_a, pk)] if has else [],
+                    pa.string()),
+                "s_name": pa.array(
+                    sname_a[np.searchsorted(sk_a, sk)] if has else [],
+                    pa.string()),
+                "unit_cost": batch.column("__cost"),
+            })
+
+        return best.map_batches(attach, batch_format="pyarrow")
+
+    def q22_idle_rich_customers(sf_dir: str):
+        """TPC-H Q22 shape — above-average-balance customers with no
+        urgent order, grouped by a derived country code (custkey mod
+        10; the schema has no phone column): the global average is one
+        scalar aggregate over a pruned read; the NOT EXISTS rides
+        :func:`bloom_anti_join`, so only bloom-positive customers ever
+        shuffle; the final per-country count/sum is one exchange keyed
+        by the 10-value country code."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            bloom_anti_join,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal"],
+        )
+        avg_bal = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_acctbal"],
+            filter=pc.field("c_acctbal") > pa.scalar(0.0),
+        ).mean("c_acctbal") or 0.0
+
+        rich = cust.map_batches(
+            lambda b: b.filter(
+                pc.greater(b.column("c_acctbal"), avg_bal)),
+            batch_format="pyarrow",
+        )
+        urgent = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=pc.field("o_orderpriority") == pa.scalar("1-URGENT"),
+        )
+        idle = bloom_anti_join(rich, urgent, "c_custkey", "o_custkey",
+                               num_partitions=16)
+
+        def with_cntry(batch: pa.Table) -> pa.Table:
+            ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "cntry", pa.array(ck % 10, pa.int64())
+            )
+
+        def agg(tbl: pa.Table) -> pa.Table:
+            out = tbl.group_by(["cntry"]).aggregate(
+                [([], "count_all"), ("c_acctbal", "sum")]
+            ).rename_columns(["cntry", "numcust", "totacctbal"])
+            return out.set_column(
+                2, "totacctbal",
+                pc.round(out.column("totacctbal"), ndigits=2,
+                         round_mode="half_towards_infinity"),
+            )
+
+        return grouped_apply(
+            idle.map_batches(with_cntry, batch_format="pyarrow"),
+            ["cntry"], agg, num_partitions=4, batch_format="pyarrow",
+        )
+
+    def q21_waiting_suppliers(sf_dir: str):
+        """TPC-H Q21 shape — suppliers who were the SOLE late supplier
+        in a finished multi-supplier order (late = shipped >60 days
+        after the order date, as in q4): lineitem combines to one
+        (order, supplier, max shipdate) row per batch — exact, since
+        both the lateness test and the per-order supplier census only
+        need per-(order,supplier) maxima; ONE orderkey-keyed exchange
+        joins the F-status orders and runs the whole sole-late-supplier
+        logic vectorized per partition; the per-supplier counts fold
+        through a second tiny exchange and names attach map-side from
+        the broadcast supplier dim."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            _copartition,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate"],
+            filter=pc.field("o_orderstatus") == pa.scalar("F"),
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+
+        def li_combine(batch: pa.Table) -> pa.Table:
+            return batch.group_by(
+                ["l_orderkey", "l_suppkey"]
+            ).aggregate([("l_shipdate", "max")]).rename_columns(
+                ["l_orderkey", "l_suppkey", "max_ship"]
+            )
+
+        li_max = li.map_batches(li_combine, batch_format="pyarrow")
+
+        empty = pa.table({
+            "l_suppkey": pa.array([], pa.int64()),
+            "__n": pa.array([], pa.int64()),
+        })
+
+        def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                return empty
+            j = lt.join(rt, keys=["l_orderkey"], join_type="inner")
+            if j.num_rows == 0:
+                return empty
+            pdf = j.to_pandas()
+            g = pdf.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                            as_index=False).agg(
+                max_ship=("max_ship", "max"),
+                od=("o_orderdate", "first"),
+            )
+            g["late"] = g["max_ship"] > g["od"] + pd.Timedelta(days=60)
+            stats = g.groupby("l_orderkey", sort=False)["late"].agg(
+                n_supp="size", n_late="sum")
+            g = g.merge(stats, left_on="l_orderkey", right_index=True)
+            qual = g[g["late"] & (g["n_supp"] > 1) & (g["n_late"] == 1)]
+            counts = qual.groupby("l_suppkey", sort=False).size()
+            return pa.table({
+                "l_suppkey": pa.array(
+                    counts.index.to_numpy(np.int64), pa.int64()),
+                "__n": pa.array(counts.to_numpy(np.int64), pa.int64()),
+            })
+
+        parts = _copartition(
+            li_max, orders, "l_orderkey", "o_orderkey",
+            ["o_orderkey", "o_orderdate"], probe, 16,
+        )
+
+        def reduce_(tbl: pa.Table) -> pa.Table:
+            return tbl.group_by(["l_suppkey"]).aggregate(
+                [("__n", "sum")]
+            ).rename_columns(["l_suppkey", "numwait"])
+
+        summed = grouped_apply(parts, ["l_suppkey"], reduce_,
+                               num_partitions=4, batch_format="pyarrow")
+
+        supp = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ).sort_by("s_suppkey")
+        sk_arr = pc.cast(supp.column("s_suppkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sname_arr = np.asarray(supp.column("s_name").to_pylist())
+        supp_ref = ray.put((sk_arr, sname_arr))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            sk_a, sname_a = ray.get(supp_ref)
+            sk = pc.cast(batch.column("l_suppkey"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "s_name": pa.array(
+                    sname_a[np.searchsorted(sk_a, sk)]
+                    if len(sk) else [], pa.string()),
+                "numwait": batch.column("numwait"),
+            })
+
+        return summed.map_batches(attach, batch_format="pyarrow")
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -3947,6 +4259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_returnflag": q12_priority_by_returnflag,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
     }
 
 
@@ -5307,6 +5623,63 @@ def oracle_sql() -> dict[str, str]:
                  AND o_orderpriority <> '1-URGENT'
                 GROUP BY c_custkey) t
             GROUP BY c_count
+        """,
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_size <= 5)
+                GROUP BY l_partkey, l_suppkey),
+            best AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY l_partkey
+                    ORDER BY unit_cost, l_suppkey) AS rn
+                FROM cost)
+            SELECT p_partkey, p_name, s_name, unit_cost
+            FROM best
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rn = 1
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = p_partkey)
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name
+        """,
+        "q22_idle_rich_customers": """
+            SELECT c_custkey % 10 AS cntry, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+            GROUP BY cntry
         """,
         "q15_top_supplier": """
             WITH revenue AS (
