@@ -4112,6 +4112,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return summed.map_batches(attach, batch_format="pyarrow")
 
+    def lineitem_unpivot_measures(sf_dir: str):
+        """UNPIVOT/melt — three lineitem measures to long form; a pure
+        map stage (zero exchanges) streaming at read speed."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            unpivot,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_linenumber", "l_quantity",
+             "l_extendedprice", "l_tax"]
+        )
+        return unpivot(li, ["l_orderkey", "l_linenumber"],
+                       ["l_quantity", "l_extendedprice", "l_tax"])
+
+    def events_next_event_type(sf_dir: str):
+        """LEAD() window — each event annotated with the user's next
+        event type; one user-keyed exchange (window_lead = window_lag
+        with negated shift)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_lead,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type"]
+        )
+        return window_lead(ev, ["user_id"], "ts", "event_type",
+                           "next_type", "event_id", num_partitions=16)
+
+    def orders_price_dense_rank(sf_dir: str):
+        """DENSE_RANK() window — order price rank within each
+        priority class, ties sharing one consecutive rank; one
+        exchange on the priority key."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_dense_rank,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        )
+        return window_dense_rank(orders, ["o_orderpriority"],
+                                 "o_totalprice", out_col="price_rank",
+                                 num_partitions=8)
+
+    def events_first_last_value(sf_dir: str):
+        """Ordered FIRST/LAST per user — each batch ships at most two
+        rows per user (its local first and last), one exchange."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_first_last,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"]
+        )
+        return grouped_first_last(ev, ["user_id"], ["ts", "event_id"],
+                                  "value", num_partitions=16)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -4263,6 +4319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_idle_rich_customers": q22_idle_rich_customers,
+        "lineitem_unpivot_measures": lineitem_unpivot_measures,
+        "events_next_event_type": events_next_event_type,
+        "orders_price_dense_rank": orders_price_dense_rank,
+        "events_first_last_value": events_first_last_value,
     }
 
 
@@ -5623,6 +5683,38 @@ def oracle_sql() -> dict[str, str]:
                  AND o_orderpriority <> '1-URGENT'
                 GROUP BY c_custkey) t
             GROUP BY c_count
+        """,
+        "lineitem_unpivot_measures": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS variable, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem
+        """,
+        "events_next_event_type": """
+            SELECT event_id, user_id, ts, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_type
+            FROM events
+        """,
+        "orders_price_dense_rank": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   dense_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice) AS price_rank
+            FROM orders
+        """,
+        "events_first_last_value": """
+            SELECT user_id,
+                   first(value ORDER BY ts, event_id) AS first_val,
+                   last(value ORDER BY ts, event_id) AS last_val
+            FROM events
+            GROUP BY user_id
         """,
         "q2_min_cost_supplier": """
             WITH cost AS (

@@ -2074,3 +2074,97 @@ def hopping_window_agg(ds, keys: list[str], ts_col: str,
     return grouped_apply(combined, keys + [window_col], reduce_,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_col: str = "variable", val_col: str = "value",
+            val_type: pa.DataType | None = None):
+    """UNPIVOT / melt — wide measure columns to (variable, value) long
+    form (SQL ``UNPIVOT`` / ``UNION ALL`` of one SELECT per measure).
+
+    Scale shape: a pure map stage, zero exchanges — each batch emits
+    its |value_cols| stacked slices locally, so the operator streams at
+    read speed and the output block size stays proportional to the
+    input's.  All measures cast to one Arrow type (``val_type``,
+    default float64)."""
+    typ = val_type or pa.float64()
+
+    def melt(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            t = batch.select(id_cols)
+            t = t.append_column(
+                var_col, pa.array([c] * batch.num_rows, pa.string())
+            )
+            t = t.append_column(val_col, pc.cast(batch.column(c), typ))
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def window_lead(ds, keys: list[str], order_col: str, value_col: str,
+                out_col: str, tie_col: str, periods: int = 1,
+                num_partitions: int = 64):
+    """SQL ``LEAD(value, periods) OVER (PARTITION BY keys ORDER BY
+    order_col, tie_col)`` — null for each key's last ``periods`` rows.
+    Same single-exchange shape as :func:`window_lag` (a lead IS a lag
+    with negated shift)."""
+    return window_lag(ds, keys, order_col, value_col, out_col, tie_col,
+                      periods=-periods, num_partitions=num_partitions)
+
+
+def window_dense_rank(ds, keys: list[str], order_col: str,
+                      out_col: str = "dense_rank",
+                      num_partitions: int = 64):
+    """SQL ``DENSE_RANK() OVER (PARTITION BY keys ORDER BY order_col)``
+    — consecutive rank values, ties share one rank.  One exchange on
+    the keys; the per-partition kernel is a single vectorized pandas
+    ``rank(method="dense")`` across all of the partition's groups."""
+
+    def dr(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out[out_col] = (
+            pdf.groupby(keys, sort=False, dropna=False)[order_col]
+            .rank(method="dense")
+            .astype(np.int64)
+        )
+        return out
+
+    return grouped_apply(ds, keys, dr, num_partitions=num_partitions)
+
+
+def grouped_first_last(ds, keys: list[str], order_cols: list[str],
+                       value_col: str, first_col: str = "first_val",
+                       last_col: str = "last_val",
+                       num_partitions: int = 64):
+    """Per-group FIRST/LAST value by an explicit order — SQL
+    ``first(value ORDER BY order_cols)`` / ``last(...)`` per key.
+
+    Scale shape: each batch reduces to at most TWO rows per key it
+    contains (its local first and last — exact, because the global
+    first/last is the first/last of the per-batch candidates), so the
+    single hash exchange ships O(batches × keys-per-batch) rows.
+    Determinism contract: ``order_cols`` must totally order rows
+    within a key (include a unique tiebreak column)."""
+    cols = list(dict.fromkeys(keys + order_cols + [value_col]))
+
+    def local(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[cols].sort_values(keys + order_cols, kind="stable")
+        f = pdf.drop_duplicates(subset=keys, keep="first")
+        la = pdf.drop_duplicates(subset=keys, keep="last")
+        return pd.concat([f, la], ignore_index=True)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + order_cols, kind="stable")
+        f = pdf.drop_duplicates(subset=keys, keep="first")[
+            keys + [value_col]
+        ].rename(columns={value_col: first_col})
+        la = pdf.drop_duplicates(subset=keys, keep="last")[
+            keys + [value_col]
+        ].rename(columns={value_col: last_col})
+        return f.merge(la, on=keys)
+
+    combined = ds.map_batches(local, batch_format="pandas")
+    return grouped_apply(combined, keys, final,
+                         num_partitions=num_partitions)

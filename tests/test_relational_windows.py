@@ -130,3 +130,64 @@ def test_hopping_window_rejects_nonmultiple_size(ray_session):
     with pytest.raises(ValueError):
         hopping_window_agg(_ds(ray_session, ev), ["user_id"], "ts",
                            size_us=5, hop_us=2)
+
+
+def test_unpivot_matches_pandas_melt(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import unpivot
+
+    df = pd.DataFrame({
+        "k": np.arange(7, dtype=np.int64),
+        "a": np.arange(7, dtype=np.float64),
+        "b": np.arange(7, dtype=np.float64) * 10.0,
+        "c": np.arange(7, dtype=np.int64) * 100,  # int measure casts
+    })
+    got = unpivot(_ds(ray_session, df), ["k"], ["a", "b", "c"]).to_pandas()
+    expected = df.melt(id_vars=["k"], value_vars=["a", "b", "c"])
+    expected["value"] = expected["value"].astype(np.float64)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
+
+
+def test_window_lead_matches_pandas_shift(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import window_lead
+
+    ev = _events(np.random.default_rng(11))
+    expected = ev.sort_values(["user_id", "ts", "event_id"],
+                              kind="stable").copy()
+    expected["next_v"] = expected.groupby("user_id")["v"].shift(-1)
+    got = window_lead(_ds(ray_session, ev), ["user_id"], "ts", "v",
+                      "next_v", "event_id", num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
+
+
+def test_window_dense_rank_ties_share_rank(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        window_dense_rank,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "v": [10.0, 10.0, 20.0, 30.0, 30.0, 1.0, 1.0, 2.0],
+    })
+    got = window_dense_rank(_ds(ray_session, df), ["g"], "v",
+                            out_col="r", num_partitions=3).to_pandas()
+    expected = df.copy()
+    expected["r"] = df.groupby("g")["v"].rank(method="dense").astype(
+        np.int64)
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
+
+
+def test_grouped_first_last_ordered(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_first_last,
+    )
+
+    ev = _events(np.random.default_rng(13))
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    f = s.drop_duplicates("user_id", keep="first")[["user_id", "v"]]
+    la = s.drop_duplicates("user_id", keep="last")[["user_id", "v"]]
+    expected = f.rename(columns={"v": "first_val"}).merge(
+        la.rename(columns={"v": "last_val"}), on="user_id")
+    got = grouped_first_last(_ds(ray_session, ev), ["user_id"],
+                             ["ts", "event_id"], "v",
+                             num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
