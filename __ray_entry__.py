@@ -4168,6 +4168,306 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_first_last(ev, ["user_id"], ["ts", "event_id"],
                                   "value", num_partitions=16)
 
+    def q8_market_share(sf_dir: str):
+        """TPC-H Q8 shape — national market share: of all PROMO-part
+        revenue delivered to ASIA customers in the 1995-1996 order
+        window, the share supplied by one nation (the lexicographically
+        first ASIA nation, computed from data so the query is sf-dir
+        portable), per order year. Scale shape: region/nation/supplier
+        and the type-filtered part-key set are broadcast from pruned
+        reads (all bounded dims); the ASIA customer set broadcasts like
+        q5/q7 (co-partition takes over when customer outgrows a
+        broadcast, as q3 shows); lineitem and orders are pruned
+        map-side BEFORE the single big-big orderkey exchange whose
+        partition probe joins and pre-aggregates (year, volume,
+        share_volume) — the final groupby folds a handful of partials
+        per year."""
+        import datetime
+
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            _copartition,
+        )
+
+        lo = datetime.datetime(1995, 1, 1)
+        hi = datetime.datetime(1997, 1, 1)
+        nations = _read(sf_dir, "nation").take_all()
+        regions = {r["r_regionkey"]: r["r_name"]
+                   for r in _read(sf_dir, "region").take_all()}
+        asia = {n["n_nationkey"] for n in nations
+                if regions[n["n_regionkey"]] == "ASIA"}
+        share_key = min(
+            (n["n_nationkey"] for n in nations if n["n_nationkey"] in asia),
+            key=lambda k: next(n["n_name"] for n in nations
+                               if n["n_nationkey"] == k),
+        )
+        partkeys = set(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "part.parquet"),
+                columns=["p_partkey", "p_type"],
+                filter=pc.field("p_type") == "PROMO",
+            ).to_pandas()["p_partkey"]
+        )
+        supp = {
+            r["s_suppkey"]: r["s_nationkey"]
+            for r in ray.data.read_parquet(
+                os.path.join(sf_dir, "supplier.parquet"),
+                columns=["s_suppkey", "s_nationkey"],
+            ).take_all()
+        }
+        cdf = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+            filter=pc.field("c_nationkey").isin(sorted(asia)),
+        ).to_pandas()
+        cust = set(cdf["c_custkey"])
+        part_ref, supp_ref, cust_ref = (
+            ray.put(partkeys), ray.put(supp), ray.put(cust))
+
+        def li_slim(pdf):
+            pk = ray.get(part_ref)
+            sm = ray.get(supp_ref)
+            keep = pdf["l_partkey"].isin(pk)
+            pdf = pdf[keep]
+            vol = pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+            is_share = (pdf["l_suppkey"].map(sm) == share_key)
+            import pandas as pd2
+
+            return pd2.DataFrame({
+                "l_orderkey": pdf["l_orderkey"],
+                "vol": vol,
+                "share_vol": vol.where(is_share, 0.0),
+            })
+
+        def ord_slim(pdf):
+            cs = ray.get(cust_ref)
+            pdf = pdf[pdf["o_custkey"].isin(cs)]
+            import pandas as pd2
+
+            return pd2.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "o_year": pdf["o_orderdate"].dt.year.astype("int64"),
+            })
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ).map_batches(li_slim, batch_format="pandas")
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=((pc.field("o_orderdate") >= lo)
+                    & (pc.field("o_orderdate") < hi)),
+        ).map_batches(ord_slim, batch_format="pandas")
+
+        def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                return pa.table({"o_year": pa.array([], pa.int64()),
+                                 "vol": pa.array([], pa.float64()),
+                                 "share_vol": pa.array([], pa.float64())})
+            joined = lt.join(rt, keys=["l_orderkey"], join_type="inner")
+            agg = joined.group_by(["o_year"]).aggregate(
+                [("vol", "sum"), ("share_vol", "sum")]
+            )
+            return agg.rename_columns(["o_year", "vol", "share_vol"])
+
+        partials = _copartition(li, orders, "l_orderkey", "o_orderkey",
+                                ["o_orderkey", "o_year"], probe, 32)
+        final = partials.groupby("o_year").aggregate(
+            Sum("vol", alias_name="vol"),
+            Sum("share_vol", alias_name="share_vol"),
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            share = pc.round(
+                pc.divide(b.column("share_vol"), b.column("vol")),
+                ndigits=6, round_mode="half_towards_infinity",
+            )
+            return pa.table({"o_year": b.column("o_year"),
+                             "mkt_share": share})
+
+        return final.map_batches(finish, batch_format="pyarrow")
+
+    def q9_product_profit(sf_dir: str):
+        """TPC-H Q9 shape — product-type profit by nation and year.
+        The testdata has no partsupp table, so supply cost is adapted
+        to the in-schema deterministic proxy 0.5 * p_retailprice
+        (amount = l_extendedprice*(1-l_discount) -
+        0.5*p_retailprice*l_quantity); the plan shape is Q9's. Scale
+        shape: part map (name-filtered, key→retailprice) and supplier
+        nation map broadcast; lineitem slims map-side to (orderkey,
+        nation, amount); ONE big-big orderkey exchange against the
+        2-column orders read attaches the year and pre-aggregates per
+        (nation, year) in the partition probe."""
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            _copartition,
+        )
+
+        names = {n["n_nationkey"]: n["n_name"]
+                 for n in _read(sf_dir, "nation").take_all()}
+        part_cost = dict(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "part.parquet"),
+                columns=["p_partkey", "p_name", "p_retailprice"],
+                filter=pc.match_substring(pc.field("p_name"), "widget"),
+            )
+            .to_pandas()[["p_partkey", "p_retailprice"]]
+            .itertuples(index=False, name=None)
+        )
+        supp = {
+            r["s_suppkey"]: names[r["s_nationkey"]]
+            for r in ray.data.read_parquet(
+                os.path.join(sf_dir, "supplier.parquet"),
+                columns=["s_suppkey", "s_nationkey"],
+            ).take_all()
+        }
+        cost_ref, supp_ref = ray.put(part_cost), ray.put(supp)
+
+        def li_slim(pdf):
+            cm = ray.get(cost_ref)
+            sm = ray.get(supp_ref)
+            cost = pdf["l_partkey"].map(cm)
+            keep = cost.notna()
+            pdf, cost = pdf[keep], cost[keep]
+            amount = (pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+                      - 0.5 * cost * pdf["l_quantity"])
+            import pandas as pd2
+
+            return pd2.DataFrame({
+                "l_orderkey": pdf["l_orderkey"],
+                "nation": pdf["l_suppkey"].map(sm),
+                "amount": amount,
+            })
+
+        def ord_slim(pdf):
+            import pandas as pd2
+
+            return pd2.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "o_year": pdf["o_orderdate"].dt.year.astype("int64"),
+            })
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(li_slim, batch_format="pandas")
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate"],
+        ).map_batches(ord_slim, batch_format="pandas")
+
+        def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                return pa.table({"nation": pa.array([], pa.string()),
+                                 "o_year": pa.array([], pa.int64()),
+                                 "amount": pa.array([], pa.float64())})
+            joined = lt.join(rt, keys=["l_orderkey"], join_type="inner")
+            agg = joined.group_by(["nation", "o_year"]).aggregate(
+                [("amount", "sum")]
+            )
+            return agg.rename_columns(["nation", "o_year", "amount"])
+
+        partials = _copartition(li, orders, "l_orderkey", "o_orderkey",
+                                ["o_orderkey", "o_year"], probe, 32)
+        final = partials.groupby(["nation", "o_year"]).aggregate(
+            Sum("amount", alias_name="sum_profit")
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("sum_profit"), "sum_profit",
+                pc.round(b.column("sum_profit"), ndigits=2,
+                         round_mode="half_towards_infinity"),
+            )
+
+        return final.map_batches(finish, batch_format="pyarrow")
+
+    def q20_part_promotion(sf_dir: str):
+        """TPC-H Q20 shape — suppliers who shipped a significant volume
+        of a name-matched part in the 1996 window (the availqty
+        correlation needs the absent partsupp table, so the HAVING
+        threshold is the adaptation: sum(l_quantity) > 40 per
+        (part, supplier)), restricted to ASIA. Scale shape: the
+        name-filtered part-key set broadcasts and prunes lineitem
+        map-side after a shipdate-pruned read; a per-batch (part,supp)
+        combiner pre-aggregates before the ONE exchange; the surviving
+        supplier keys collapse to a distinct set orders of magnitude
+        under the supplier table, and the ASIA supplier name map joins
+        map-side."""
+        import datetime
+
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        lo = datetime.datetime(1996, 1, 1)
+        hi = datetime.datetime(1997, 1, 1)
+        nations = _read(sf_dir, "nation").take_all()
+        regions = {r["r_regionkey"]: r["r_name"]
+                   for r in _read(sf_dir, "region").take_all()}
+        asia = {n["n_nationkey"] for n in nations
+                if regions[n["n_regionkey"]] == "ASIA"}
+        partkeys = set(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "part.parquet"),
+                columns=["p_partkey", "p_name"],
+                filter=pc.starts_with(pc.field("p_name"), "large"),
+            ).to_pandas()["p_partkey"]
+        )
+        snames = {
+            r["s_suppkey"]: r["s_name"]
+            for r in _read(sf_dir, "supplier").take_all()
+            if r["s_nationkey"] in asia
+        }
+        part_ref, sname_ref = ray.put(partkeys), ray.put(snames)
+
+        def combine(pdf):
+            pk = ray.get(part_ref)
+            pdf = pdf[pdf["l_partkey"].isin(pk)]
+            return (pdf.groupby(["l_partkey", "l_suppkey"], sort=False,
+                                as_index=False)["l_quantity"].sum())
+
+        sums = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_partkey", "l_suppkey", "l_quantity",
+                         "l_shipdate"],
+                filter=((pc.field("l_shipdate") >= lo)
+                        & (pc.field("l_shipdate") < hi)),
+            )
+            .drop_columns(["l_shipdate"])
+            .map_batches(combine, batch_format="pandas")
+            .groupby(["l_partkey", "l_suppkey"])
+            .aggregate(Sum("l_quantity", alias_name="qty"))
+            .filter(expr="qty > 40")
+        )
+
+        def distinct_named(b: pa.Table) -> pa.Table:
+            sm = ray.get(sname_ref)
+            keys = sorted({
+                k for k in b.column("l_suppkey").to_pylist() if k in sm
+            })
+            return pa.table({
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "s_name": pa.array([sm[k] for k in keys], pa.string()),
+            })
+
+        # per-partition distinct → global distinct: the surviving key
+        # set is bounded by the supplier table, one tiny exchange
+        named = sums.map_batches(distinct_named, batch_format="pyarrow")
+        return (named.groupby("s_suppkey")
+                .map_groups(lambda t: t.slice(0, 1),
+                            batch_format="pyarrow"))
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -4323,6 +4623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_event_type": events_next_event_type,
         "orders_price_dense_rank": orders_price_dense_rank,
         "events_first_last_value": events_first_last_value,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q20_part_promotion": q20_part_promotion,
     }
 
 
@@ -5715,6 +6018,61 @@ def oracle_sql() -> dict[str, str]:
                    last(value ORDER BY ts, event_id) AS last_val
             FROM events
             GROUP BY user_id
+        """,
+        "q8_market_share": """
+            WITH asia_n AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+            vol AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON p_partkey = l_partkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN asia_n cn ON c_nationkey = cn.n_nationkey
+                JOIN (SELECT s_suppkey, n_name FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey) sn
+                  ON l_suppkey = sn.s_suppkey
+                WHERE p_type = 'PROMO'
+                  AND o_orderdate >= DATE '1995-01-01'
+                  AND o_orderdate < DATE '1997-01-01')
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation =
+                                  (SELECT min(n_name) FROM asia_n)
+                             THEN volume ELSE 0 END) / sum(volume),
+                         6) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.5 * p_retailprice * l_quantity),
+                         2) AS sum_profit
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q20_part_promotion": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'large%'
+                  AND l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1997-01-01'
+                GROUP BY l_partkey, l_suppkey
+                HAVING sum(l_quantity) > 40)
         """,
         "q2_min_cost_supplier": """
             WITH cost AS (
