@@ -4468,6 +4468,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_groups(lambda t: t.slice(0, 1),
                             batch_format="pyarrow"))
 
+    def orders_custkey_approx_distinct(sf_dir: str):
+        """Global HyperLogLog COUNT(DISTINCT o_custkey) — every batch
+        reduces to one 4 KB sketch; ≤64 salted partials merge; no
+        distinct-value exchange at any scale. Rows-only check (the
+        estimate is ~1.6%-error by construction; the error bound is
+        pinned by tests/test_sketch_hll.py)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            approx_count_distinct,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(["o_custkey"])
+        return approx_count_distinct(orders, ["o_custkey"], p=12)
+
+    def events_user_types_approx_distinct(sf_dir: str):
+        """Grouped HLL — approximate distinct event types per user in
+        ONE exchange of 4 KB-per-(batch,user) sketch rows; the exact
+        companion shape is `supplier_distinct_parts`°."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            approx_count_distinct,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_type"])
+        return approx_count_distinct(ev, ["event_type"],
+                                     keys=["user_id"], p=12,
+                                     num_partitions=16)
+
+    def events_type_entropy_by_user(sf_dir: str):
+        """Shannon entropy of each user's event-type distribution —
+        per-batch (user,type) count combiner, one user-keyed exchange,
+        vectorized entropy."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_entropy,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "event_type"])
+        return grouped_entropy(ev, ["user_id"], "event_type",
+                               num_partitions=16)
+
+    def docs_exact_dedup_keep_best(sf_dir: str):
+        """Dedup-keep-best composite — documents grouped by the md5
+        whitespace-normalized fingerprint (same normalization as
+        `doc_fingerprints`°); each group keeps its BEST row (longest
+        raw text, doc_id tiebreak), the keep-policy real pipelines use
+        instead of keep-first. One exchange on the fingerprint; each
+        batch pre-truncates to its local best per fingerprint, so the
+        exchange ships ≤1 row per (batch, fingerprint)."""
+        import hashlib
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "n_chars"])
+
+        def fp(pdf):
+            pdf = pdf.copy()
+            pdf["fingerprint"] = [
+                hashlib.md5(" ".join(t.split()).encode("utf-8")).hexdigest()
+                for t in pdf["text"]
+            ]
+            return _best(pdf)  # combiner: local best per fingerprint
+
+        def _best(pdf):
+            pdf = pdf.sort_values(
+                ["fingerprint", "n_chars", "doc_id"],
+                ascending=[True, False, True], kind="stable")
+            return pdf.drop_duplicates("fingerprint", keep="first")
+
+        def keep_best(pdf):
+            return _best(pdf)[["doc_id", "text"]]
+
+        combined = docs.map_batches(fp, batch_format="pandas")
+        return grouped_apply(combined, ["fingerprint"], keep_best,
+                             num_partitions=16)
+
     return {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
@@ -4626,6 +4704,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q20_part_promotion": q20_part_promotion,
+        "orders_custkey_approx_distinct": orders_custkey_approx_distinct,
+        "events_user_types_approx_distinct":
+            events_user_types_approx_distinct,
+        "events_type_entropy_by_user": events_type_entropy_by_user,
+        "docs_exact_dedup_keep_best": docs_exact_dedup_keep_best,
     }
 
 
@@ -6073,6 +6156,25 @@ def oracle_sql() -> dict[str, str]:
                   AND l_shipdate < DATE '1997-01-01'
                 GROUP BY l_partkey, l_suppkey
                 HAVING sum(l_quantity) > 40)
+        """,
+        "events_type_entropy_by_user": """
+            SELECT user_id, round(-sum(p * log2(p)), 6) AS entropy
+            FROM (
+                SELECT user_id,
+                       count(*) * 1.0 / sum(count(*)) OVER (
+                           PARTITION BY user_id) AS p
+                FROM events GROUP BY user_id, event_type)
+            GROUP BY user_id
+        """,
+        "docs_exact_dedup_keep_best": r"""
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                    PARTITION BY md5(coalesce(array_to_string(list_filter(
+                        regexp_split_to_array(text, '\s+'),
+                        x -> x <> ''), ' '), ''))
+                    ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
         """,
         "q2_min_cost_supplier": """
             WITH cost AS (
