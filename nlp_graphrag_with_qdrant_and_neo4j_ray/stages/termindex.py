@@ -160,7 +160,7 @@ def _distinct_chunks(terms_ds) -> int:
 
 
 def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
-                      resume: bool = True, rows_per_bucket: int = 2_000_000,
+                      resume: bool = True, rows_per_bucket: int = 1_000_000,
                       fingerprint: str | None = None,
                       total_chunks=None) -> TermIndex:
     """Build (or load) the by-term BM25 posting index for a KG dir.
@@ -233,10 +233,13 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
              % num_buckets).astype("int64")
         )
         agg = agg.append_column("bucket", buckets)
-        # ONE sort (bucket, term, chunk_id), then zero-copy slices at
-        # bucket boundaries — not a filter pass per bucket
-        agg = agg.sort_by([("bucket", "ascending"), ("term", "ascending"),
-                           ("chunk_id", "ascending")])
+        # ONE int-column sort on bucket, then zero-copy slices at bucket
+        # boundaries — not a filter pass per bucket. Term order inside a
+        # raw part is irrelevant: compaction re-reads each part fully
+        # and produces the term-sorted compact file queries read, so a
+        # (term, chunk_id) string sort here was pure waste (measured
+        # 31.5 s → see marker build_wall_s).
+        agg = agg.sort_by([("bucket", "ascending")])
         bvals = agg.column("bucket").to_numpy()
         bounds = np.flatnonzero(np.diff(bvals)) + 1
         starts = np.concatenate([[0], bounds])
@@ -306,28 +309,38 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
             )
             # Arrow-native aggregation (the pandas version of this local
             # groupby was the index build's hot loop — 28 s → ~10 s):
-            # tf partials (pre-combined per write batch) sum per posting,
-            # then df per term joined back
+            # tf partials (pre-combined per write batch) sum per posting;
+            # df per term comes from run lengths over the SORTED postings
+            # (one numpy pass) instead of a second groupby + string-keyed
+            # hash join — a term's complete posting list is contiguous
+            # after the sort by construction
             agg = (
                 raw.group_by(["term", "term_type", "chunk_id"])
                 .aggregate([("tf", "sum")])
                 .rename_columns(["term", "term_type", "chunk_id", "tf"])
-            )
-            dfs = (
-                agg.group_by(["term", "term_type"])
-                .aggregate([("chunk_id", "count")])
-                .rename_columns(["term", "term_type", "df"])
-            )
-            agg = agg.join(dfs, keys=["term", "term_type"])
-            dfv = agg.column("df").to_numpy()
+            ).sort_by([("term", "ascending"), ("term_type", "ascending"),
+                       ("chunk_id", "ascending")]).combine_chunks()
+            n = agg.num_rows
+            t_col = agg.column("term")
+            tt_col = agg.column("term_type")
+            if n > 1:
+                same = pc.and_(
+                    pc.equal(t_col.slice(1), t_col.slice(0, n - 1)),
+                    pc.equal(tt_col.slice(1), tt_col.slice(0, n - 1)),
+                ).to_numpy(zero_copy_only=False)
+                starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+            else:
+                starts = np.zeros(min(n, 1), np.int64)
+            runlens = np.diff(np.concatenate([starts, [n]]))
+            dfv = np.repeat(runlens, runlens)
             tf = agg.column("tf").to_numpy()
             idf = np.log1p(
                 (np.maximum(n_chunks - dfv, 0) + 0.5) / (dfv + 0.5)
             )
             bm25 = idf * (tf * (BM25_K1 + 1.0) / (tf + BM25_K1))
             tbl = agg.append_column(
-                "bm25", pa.array(bm25, pa.float64())
-            ).sort_by([("term", "ascending"), ("chunk_id", "ascending")])
+                "df", pa.array(dfv, pa.int64())
+            ).append_column("bm25", pa.array(bm25, pa.float64()))
             final = os.path.join(d, "compact.parquet")
             tmp_file = f"{final}.tmp-{os.getpid()}"
             pq.write_table(tbl, tmp_file, row_group_size=32768)
@@ -335,7 +348,7 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
             for p in parts:
                 os.remove(p)
             rows_out.append({"bucket": int(b), "rows": tbl.num_rows,
-                             "n_terms": dfs.num_rows})
+                             "n_terms": int(len(starts))})
         return pa.Table.from_pylist(
             rows_out,
             schema=pa.schema([("bucket", pa.int64()), ("rows", pa.int64()),
