@@ -561,6 +561,117 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "width", "height", "n_frames_total", "n_bytes"]
         )
 
+    def images_phash_dups(sf_dir: str):
+        """Image near-dup detection — REAL PNG payloads (vendored
+        encoder) → actor-pool perceptual dHash → the same band-bucket +
+        XOR-popcount pair exchange text SimHash uses
+        (`pipelines/dedup.hamming_pairs`). The corpus plants one noisy
+        re-encode per base image (ids 1000+i duplicate i), so expected
+        pairs are known; rows-only driver check, exactness pinned by
+        tests/test_phash.py."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+            encode_png,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            hamming_pairs,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            image_phash,
+        )
+
+        n_base = 150
+
+        def gen(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in batch.column("id").to_pylist():
+                i = int(i)
+                base = i % n_base
+                rng = np.random.default_rng(base)
+                img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+                if i >= n_base:  # noisy duplicate of base image
+                    noise = np.random.default_rng(10_000 + i)
+                    mask = noise.random((48, 64)) < 0.01
+                    img = img.copy()
+                    img[mask] = noise.integers(0, 256, int(mask.sum()))
+                mid = i if i < n_base else 1000 + base
+                rows.append({
+                    "media_id": f"img-{mid:07d}",
+                    "kind": "image",
+                    "payload": encode_png(img),
+                    "mime": "image/png",
+                    "source_url": f"https://fixture.test/img/{mid}",
+                })
+            return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+        media = ray.data.range(n_base + 40).map_batches(
+            gen, batch_format="pyarrow", batch_size=64)
+        hashes = image_phash(media).map_batches(
+            lambda b: pa.table({
+                "media_num": pc.cast(
+                    pc.utf8_slice_codeunits(
+                        b.column("media_id"), 4, 99), pa.int64()),
+                "phash": b.column("phash"),
+            }),
+            batch_format="pyarrow",
+        )
+        return hamming_pairs(hashes, max_hamming=6, id_col="media_num",
+                             hash_col="phash")
+
+    def events_users_both_halves(sf_dir: str):
+        """SQL INTERSECT — distinct users active in BOTH halves of the
+        month; per-side distinct combiners, one value-keyed exchange."""
+        import datetime
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            intersect_distinct,
+        )
+
+        mid = datetime.datetime(2024, 1, 16)
+        first = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+            filter=pc.field("ts") < mid,
+        ).select_columns(["user_id"])
+        second = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+            filter=pc.field("ts") >= mid,
+        ).select_columns(["user_id"])
+        return intersect_distinct(first, second, ["user_id"],
+                                  num_partitions=8)
+
+    def discontinued_part_suppliers(sf_dir: str):
+        """SQL EXCEPT — (part, supplier) pairs shipped before 1997 and
+        never again after (the discontinued-relationship set); the
+        anti-join shape's set-operation sibling, same one-exchange plan
+        as INTERSECT, on a two-column value tuple."""
+        import datetime
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            except_distinct,
+        )
+
+        cut = datetime.datetime(1997, 1, 1)
+        cols = ["l_partkey", "l_suppkey"]
+        before = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=cols + ["l_shipdate"],
+            filter=pc.field("l_shipdate") < cut,
+        ).select_columns(cols)
+        after = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=cols + ["l_shipdate"],
+            filter=pc.field("l_shipdate") >= cut,
+        ).select_columns(cols)
+        return except_distinct(before, after, cols, num_partitions=16)
+
     # ---- relational operator coverage (A1-A5, O1-O5, J-patterns) ----
 
     def lang_distribution(sf_dir: str):
@@ -4709,6 +4820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             events_user_types_approx_distinct,
         "events_type_entropy_by_user": events_type_entropy_by_user,
         "docs_exact_dedup_keep_best": docs_exact_dedup_keep_best,
+        "images_phash_dups": images_phash_dups,
+        "events_users_both_halves": events_users_both_halves,
+        "discontinued_part_suppliers": discontinued_part_suppliers,
     }
 
 
@@ -6165,6 +6279,20 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id) AS p
                 FROM events GROUP BY user_id, event_type)
             GROUP BY user_id
+        """,
+        "events_users_both_halves": """
+            SELECT user_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-16'
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'
+        """,
+        "discontinued_part_suppliers": """
+            SELECT l_partkey, l_suppkey FROM lineitem
+            WHERE l_shipdate < DATE '1997-01-01'
+            EXCEPT
+            SELECT l_partkey, l_suppkey FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
         """,
         "docs_exact_dedup_keep_best": r"""
             SELECT doc_id, text FROM (

@@ -273,3 +273,42 @@ def build_simple_pdf(pages: list[str]) -> bytes:
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
+
+
+def gray2d(arr: np.ndarray, min_h: int = 8, min_w: int = 9) -> np.ndarray:
+    """Any decoded image array → 2-D float64 grayscale of at least
+    (min_h, min_w): channels average, 1-D payloads tile to a square,
+    tiny images upscale by pixel repetition (deterministic)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    elif a.ndim == 1:
+        side = max(int(np.ceil(np.sqrt(a.size))), 1)
+        a = np.resize(a, (side, side))
+    if a.shape[0] < min_h:
+        a = np.repeat(a, int(np.ceil(min_h / a.shape[0])), axis=0)
+    if a.shape[1] < min_w:
+        a = np.repeat(a, int(np.ceil(min_w / a.shape[1])), axis=1)
+    return a
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): area-resample the grayscale to an
+    8×9 grid of EXACT block means (integral image — no interpolation
+    library), emit one bit per horizontal neighbor comparison. Classic
+    perceptual hash: near-duplicate images (re-encodes, small crops or
+    noise) land within a small hamming distance, so the text near-dup
+    machinery (band buckets + XOR popcount) applies unchanged."""
+    g = gray2d(img)
+    h, w = g.shape
+    rows = np.linspace(0, h, 9).astype(np.int64)
+    cols = np.linspace(0, w, 10).astype(np.int64)
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = np.cumsum(np.cumsum(g, axis=0), axis=1)
+    r0, r1 = rows[:-1], rows[1:]
+    c0, c1 = cols[:-1], cols[1:]
+    sums = (ii[np.ix_(r1, c1)] - ii[np.ix_(r0, c1)]
+            - ii[np.ix_(r1, c0)] + ii[np.ix_(r0, c0)])
+    grid = sums / np.outer(r1 - r0, c1 - c0)
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+    return int(np.packbits(bits).view(np.dtype(">u8"))[0])

@@ -235,17 +235,29 @@ def simhash_table(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 def simhash_pairs(docs_ds, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_bucket: int = 512):
-    """Near-dup pairs with hamming distance ≤ max_hamming, candidate-
-    generated by 4×16-bit band buckets (any pair within hamming 3 shares
-    at least one exact 16-bit band). The 8-byte simhash rides the explode
-    (unlike the 1 KB MinHash signature); pairing is capped + vectorized
-    (XOR + table popcount over triu indices)."""
+    """Near-dup pairs with hamming distance ≤ max_hamming over document
+    SimHashes — see :func:`hamming_pairs` for the candidate/verify
+    machinery (shared with the image perceptual-hash path)."""
     sh = simhash_table(docs_ds, id_col, text_col)
+    return hamming_pairs(sh, max_hamming=max_hamming, id_col=id_col,
+                         hash_col="simhash", max_bucket=max_bucket)
+
+
+def hamming_pairs(hash_ds, max_hamming: int = 3, id_col: str = "doc_id",
+                  hash_col: str = "simhash", max_bucket: int = 512):
+    """(id, 64-bit hash) → pairs with hamming distance ≤ max_hamming,
+    candidate-generated by 4×16-bit band buckets (any pair within
+    hamming 3 shares at least one exact 16-bit band). The 8-byte hash
+    rides the explode (unlike the 1 KB MinHash signature); pairing is
+    capped + vectorized (XOR + table popcount over triu indices).
+    Generic over the hash source: text SimHash (``simhash_pairs``) and
+    image perceptual dHash (``stages/multimodal.ImagePHash``) share
+    this exchange."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, bands, keys, hashes = [], [], [], []
         for i, h in zip(
-            batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()
+            batch.column(id_col).to_pylist(), batch.column(hash_col).to_pylist()
         ):
             u = np.uint64(h).item() & 0xFFFFFFFFFFFFFFFF
             for b in range(4):
@@ -258,7 +270,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3,
                 "band": pa.array(bands, pa.int32()),
                 "key": pa.array(keys, pa.int32()),
                 id_col: pa.array(ids),
-                "simhash": pa.array(hashes, pa.int64()),
+                "__h64": pa.array(hashes, pa.int64()),
             }
         )
 
@@ -282,7 +294,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3,
                 if len(sub) < 2:
                     continue
                 ids = sub[id_col].to_numpy()
-                hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+                hs = sub["__h64"].to_numpy().astype(np.int64).view(np.uint64)
                 ai, bi = np.triu_indices(len(ids), k=1)
                 d = popcount64(hs[ai] ^ hs[bi])
                 m = d <= max_hamming
@@ -304,7 +316,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3,
 
     from ..stages.shuffle import grouped_apply
 
-    exploded = sh.map_batches(explode, batch_format="pyarrow")
+    exploded = hash_ds.map_batches(explode, batch_format="pyarrow")
     pairs = grouped_apply(exploded, ["band", "key"], partition_pairs,
                           num_partitions=64)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(

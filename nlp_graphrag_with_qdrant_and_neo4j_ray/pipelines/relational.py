@@ -2293,3 +2293,60 @@ def grouped_entropy(ds, keys: list[str], value_col: str,
     combined = ds.map_batches(combine, batch_format="pandas")
     return grouped_apply(combined, keys, part,
                          num_partitions=num_partitions)
+
+
+def _tagged_distinct_union(left, right, cols: list[str]):
+    """Per-batch local distinct on each side (the combiner: the
+    exchange ships already-deduped value tuples), tagged 0/1."""
+
+    def slim(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            d = b.select(cols).group_by(cols).aggregate([])
+            return d.append_column(
+                _SIDE, pa.array(np.full(d.num_rows, side, np.int8))
+            )
+
+        return fn
+
+    return left.map_batches(slim(0), batch_format="pyarrow").union(
+        right.map_batches(slim(1), batch_format="pyarrow")
+    )
+
+
+def intersect_distinct(left, right, cols: list[str],
+                       num_partitions: int = 64):
+    """SQL ``INTERSECT`` (set semantics) on ``cols`` — distinct tuples
+    present on BOTH sides.  Scale shape: per-batch distinct combiners on
+    each side, ONE co-partitioned exchange on the value tuple, local
+    min/max-side test.  Both sides must present ``cols`` with matching
+    types (rename/cast upstream)."""
+
+    def part(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(cols).aggregate(
+            [(_SIDE, "min"), (_SIDE, "max")]
+        )
+        keep = agg.filter(
+            pc.and_(pc.equal(agg.column(f"{_SIDE}_min"), 0),
+                    pc.equal(agg.column(f"{_SIDE}_max"), 1))
+        )
+        return keep.select(cols)
+
+    return grouped_apply(_tagged_distinct_union(left, right, cols), cols,
+                         part, num_partitions=num_partitions,
+                         batch_format="pyarrow")
+
+
+def except_distinct(left, right, cols: list[str],
+                    num_partitions: int = 64):
+    """SQL ``EXCEPT`` (set semantics) — distinct ``cols`` tuples on the
+    left and NOT on the right.  Same single-exchange shape as
+    :func:`intersect_distinct`."""
+
+    def part(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(cols).aggregate([(_SIDE, "max")])
+        keep = agg.filter(pc.equal(agg.column(f"{_SIDE}_max"), 0))
+        return keep.select(cols)
+
+    return grouped_apply(_tagged_distinct_union(left, right, cols), cols,
+                         part, num_partitions=num_partitions,
+                         batch_format="pyarrow")

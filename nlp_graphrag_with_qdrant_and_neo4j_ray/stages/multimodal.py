@@ -309,3 +309,59 @@ def decode_images(media_ds, feature_dim: int = 64, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImagePHash(DecodeImage):
+    """Actor-pool stage: decode (same precedence chain as
+    :class:`DecodeImage`) → 64-bit perceptual difference hash
+    (``functions/media.dhash64``) as a bit-preserving signed int64 —
+    the image analogue of the text SimHash: near-duplicate payloads
+    (re-encodes, small noise) land within a small hamming distance and
+    feed the same band-bucket + XOR-popcount pair machinery."""
+
+    def __init__(self):
+        super().__init__(feature_dim=8)  # dim unused; decode chain only
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.media import PNG_SIG, decode_png, dhash64
+
+        ids, hashes = [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if payload.startswith(_MAGIC):
+                arr = np.frombuffer(payload[19:], dtype=np.uint8)
+            elif self._pil is not None:  # pragma: no cover
+                import io
+
+                arr = np.asarray(self._pil.open(io.BytesIO(payload)))
+            elif payload.startswith(PNG_SIG):
+                _w, _h, arr = decode_png(payload)
+            else:
+                raise NotImplementedError(
+                    "image phash requires PIL, a PNG payload, or a "
+                    "synthetic fixture"
+                )
+            ids.append(mid)
+            hashes.append(
+                int(np.uint64(dhash64(arr)).astype(np.int64))
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def image_phash(media_ds, concurrency=(1, 4), batch_size: int = 64):
+    """Perceptual-hash stage as an actor-pool map_batches; payload is
+    dropped in the stage, so downstream near-dup blocks are 16 bytes
+    per image."""
+    return media_ds.map_batches(
+        ImagePHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

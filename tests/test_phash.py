@@ -1,0 +1,98 @@
+"""Perceptual dHash: invariance to small perturbations, sensitivity to
+different content, and the distributed near-dup pair pipeline over real
+PNG payloads (vendored codec — no PIL)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+    dhash64,
+    encode_png,
+    gray2d,
+)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_dhash_deterministic_and_64bit():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    h1, h2 = dhash64(img), dhash64(img)
+    assert h1 == h2
+    assert 0 <= h1 < 2**64
+
+
+def test_dhash_noise_invariance_and_distinct_content():
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    noisy = base.copy()
+    mask = rng.random((48, 64)) < 0.01
+    noisy[mask] = rng.integers(0, 256, int(mask.sum()), dtype=np.uint8)
+    assert _hamming(dhash64(base), dhash64(noisy)) <= 6
+    other = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    assert _hamming(dhash64(base), dhash64(other)) > 12
+
+
+def test_dhash_channel_and_shape_handling():
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    assert dhash64(gray) == dhash64(rgb)  # channel mean of equal planes
+    tiny = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    assert 0 <= dhash64(tiny) < 2**64  # upscales, no crash
+    flat = rng.integers(0, 256, 100, dtype=np.uint8)
+    assert 0 <= dhash64(flat) < 2**64  # 1-D payload tiles to square
+    assert gray2d(tiny).shape[0] >= 8 and gray2d(tiny).shape[1] >= 9
+
+
+def test_phash_pipeline_finds_planted_dups(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        hamming_pairs,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        image_phash,
+    )
+
+    n_base, n_dup = 30, 10
+    rows = []
+    for i in range(n_base):
+        rng = np.random.default_rng(i)
+        img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        rows.append({"media_id": f"img-{i:07d}", "kind": "image",
+                     "payload": encode_png(img), "mime": "image/png",
+                     "source_url": f"u{i}"})
+    for i in range(n_dup):  # noisy copy of base i, id 1000+i
+        rng = np.random.default_rng(i)
+        img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+        noise = np.random.default_rng(5000 + i)
+        mask = noise.random((48, 64)) < 0.01
+        img[mask] = noise.integers(0, 256, int(mask.sum()), dtype=np.uint8)
+        rows.append({"media_id": f"img-{1000 + i:07d}", "kind": "image",
+                     "payload": encode_png(img), "mime": "image/png",
+                     "source_url": f"d{i}"})
+    media = ray.data.from_arrow(pa.Table.from_pylist(rows,
+                                                     schema=MEDIA_SCHEMA))
+    hashes = image_phash(media).map_batches(
+        lambda b: pa.table({
+            "media_num": pa.array(
+                [int(m[4:]) for m in b.column("media_id").to_pylist()],
+                pa.int64()),
+            "phash": b.column("phash"),
+        }),
+        batch_format="pyarrow",
+    )
+    pairs = hamming_pairs(hashes, max_hamming=6, id_col="media_num",
+                          hash_col="phash").to_pandas()
+    got = {tuple(sorted(p)) for p in
+           zip(pairs["doc_a"], pairs["doc_b"])}
+    expected = {(i, 1000 + i) for i in range(n_dup)}
+    missed = expected - got
+    assert len(missed) <= 1, f"missed planted dups: {missed}"
+    false_pos = got - expected
+    assert not false_pos, f"false positives: {false_pos}"
