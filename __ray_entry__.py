@@ -672,6 +672,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def events_type_freq_cms(sf_dir: str):
+        """Count-Min point frequencies for the event-type vocabulary —
+        every batch reduces to one 128 KB counter matrix, ≤32 salted
+        partials, bounded driver fold. At 5 probe values ≪ width=4096
+        the estimate is provably exact unless two values collide in all
+        4 rows ((1/4096)^4, deterministic) — so the SQL oracle is the
+        EXACT count, a hard check of the sketch mechanics."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            approx_frequencies,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(["event_type"])
+        probes = ["click", "error", "purchase", "signup", "view"]
+        return approx_frequencies(ev, "event_type", probes)
+
+    def docs_minhash_deduped(sf_dir: str):
+        """END-TO-END near-dup dedup: MinHash-LSH pairs → distributed
+        connected components → keep each cluster's min doc_id → EXCEPT
+        removes the rest. The full training-data dedup chain as one
+        streaming composition of oracled/tested operators; returns the
+        kept doc_id set."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            except_distinct,
+        )
+
+        docs = _read(sf_dir, "documents")
+        pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).select_columns(
+            ["doc_a", "doc_b"])
+        clusters = dd.connected_components(pairs)  # (node, cluster_id)
+
+        def removals(b: pa.Table) -> pa.Table:
+            keep = pc.not_equal(b.column("node"), b.column("cluster_id"))
+            return pa.table({"doc_id": b.filter(keep).column("node")})
+
+        rem = clusters.map_batches(removals, batch_format="pyarrow")
+        return except_distinct(docs.select_columns(["doc_id"]), rem,
+                               ["doc_id"], num_partitions=16)
+
+    def embeddings_semantic_dedup(sf_dir: str):
+        """Semantic (embedding-space) dedup end-to-end: LSH-bucketed
+        cosine near-dup pairs → connected components → keep min vec_id
+        per cluster; the embedding analogue of `docs_minhash_deduped`."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            except_distinct,
+        )
+
+        emb = _read(sf_dir, "embeddings")
+        dim = len(emb.take(1)[0]["embedding"])
+        pairs = sim.cosine_near_dup_pairs(
+            emb, dim=dim, threshold=0.95).select_columns(["id_a", "id_b"])
+        clusters = dd.connected_components(pairs, a_col="id_a",
+                                           b_col="id_b")
+
+        def removals(b: pa.Table) -> pa.Table:
+            keep = pc.not_equal(b.column("node"), b.column("cluster_id"))
+            return pa.table({"vec_id": b.filter(keep).column("node")})
+
+        rem = clusters.map_batches(removals, batch_format="pyarrow")
+        return except_distinct(emb.select_columns(["vec_id"]), rem,
+                               ["vec_id"], num_partitions=16)
+
     # ---- relational operator coverage (A1-A5, O1-O5, J-patterns) ----
 
     def lang_distribution(sf_dir: str):
@@ -4823,6 +4884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_dups": images_phash_dups,
         "events_users_both_halves": events_users_both_halves,
         "discontinued_part_suppliers": discontinued_part_suppliers,
+        "events_type_freq_cms": events_type_freq_cms,
+        "docs_minhash_deduped": docs_minhash_deduped,
+        "embeddings_semantic_dedup": embeddings_semantic_dedup,
     }
 
 
@@ -6293,6 +6357,13 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT l_partkey, l_suppkey FROM lineitem
             WHERE l_shipdate >= DATE '1997-01-01'
+        """,
+        # exact counts: at 5 probes vs width 4096 the CMS estimate is
+        # deterministically exact unless two values collide in all 4
+        # rows — (1/4096)^4; the oracle is a hard mechanics check
+        "events_type_freq_cms": """
+            SELECT event_type AS value, count(*) AS est
+            FROM events GROUP BY event_type
         """,
         "docs_exact_dedup_keep_best": r"""
             SELECT doc_id, text FROM (

@@ -2350,3 +2350,54 @@ def except_distinct(left, right, cols: list[str],
     return grouped_apply(_tagged_distinct_union(left, right, cols), cols,
                          part, num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def approx_frequencies(ds, col: str, probes: list, depth: int = 4,
+                       width: int = 4096):
+    """Count-Min point-frequency estimates for ``probes`` over ``col``
+    (functions/cms.py) — the "how frequent is THIS key" companion to
+    ``approx_heavy_hitters``'s "which keys are frequent".
+
+    Scale shape: every batch reduces to ONE fixed-size counter matrix
+    (depth×width int64 — 128 KB at the defaults) regardless of row
+    count; ≤32 salted partials merge in one tiny exchange; the driver
+    folds those ≤32 rows (bounded, independent of data size) and
+    answers the probe list locally.  Estimates are never under the true
+    count and overestimate by ≤ (e/width)·N w.h.p.; at probe-set
+    cardinalities ≪ width the estimate is exact unless two probe values
+    collide in EVERY row (probability (1/width)^depth, deterministic
+    for fixed hashes)."""
+    import ray.data
+
+    from ..functions import cms
+
+    def local(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = cms.update_counts(pdf[col], depth=depth, width=width)
+        h = pd.util.hash_pandas_object(pdf[col].iloc[:1], index=False)
+        salt = int(h.iloc[0] % 32) if len(pdf) else 0
+        return pd.DataFrame({"__salt": [salt],
+                             "__cms": [c.tobytes()]})
+
+    def merge_salt(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s, g in pdf.groupby("__salt", sort=False):
+            acc = cms.new_counts(depth, width)
+            for b in g["__cms"]:
+                acc = cms.merge_counts(
+                    acc, np.frombuffer(b, np.int64).reshape(depth, width))
+            out.append((int(s), acc.tobytes()))
+        return pd.DataFrame(out, columns=["__salt", "__cms"])
+
+    partials = grouped_apply(
+        ds.map_batches(local, batch_format="pandas"),
+        ["__salt"], merge_salt, num_partitions=8)
+    acc = cms.new_counts(depth, width)
+    for row in partials.take_all():  # ≤32 rows — bounded fold
+        acc = cms.merge_counts(
+            acc, np.frombuffer(row["__cms"], np.int64).reshape(depth,
+                                                               width))
+    est = cms.point_query(pd.Series(probes), acc)
+    return ray.data.from_arrow(pa.table({
+        "value": pa.array(probes),
+        "est": pa.array(est.astype(np.int64), pa.int64()),
+    }))
