@@ -672,6 +672,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def docs_bigram_logprob(sf_dir: str):
+        """Bigram conditional LM score per doc — two exchanges, counts
+        co-located by the bigram's first token, no broadcast model."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            bigram_logprob,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+        return bigram_logprob(docs, num_partitions=16)
+
+    def docs_extracted_s_words(sf_dir: str):
+        """Regex extraction to long form — every match with its 1-based
+        in-document ordinal; pure map stage, RE2 pattern, byte-exact
+        DuckDB parity."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            extract_patterns,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+        return extract_patterns(docs, r"\bs\w+")
+
     def events_type_freq_cms(sf_dir: str):
         """Count-Min point frequencies for the event-type vocabulary —
         every batch reduces to one 128 KB counter matrix, ≤32 salted
@@ -4884,6 +4907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_dups": images_phash_dups,
         "events_users_both_halves": events_users_both_halves,
         "discontinued_part_suppliers": discontinued_part_suppliers,
+        "docs_bigram_logprob": docs_bigram_logprob,
+        "docs_extracted_s_words": docs_extracted_s_words,
         "events_type_freq_cms": events_type_freq_cms,
         "docs_minhash_deduped": docs_minhash_deduped,
         "embeddings_semantic_dedup": embeddings_semantic_dedup,
@@ -6364,6 +6389,32 @@ def oracle_sql() -> dict[str, str]:
         "events_type_freq_cms": """
             SELECT event_type AS value, count(*) AS est
             FROM events GROUP BY event_type
+        """,
+        "docs_bigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(l[1:len(l) - 1]) AS a,
+                       unnest(l[2:len(l)]) AS b
+                FROM toks WHERE len(l) >= 2
+            ),
+            cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+            ca AS (SELECT a, count(*) AS ca FROM bg GROUP BY a)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(log2(cab * 1.0 / ca)), 6) AS mean_logprob
+            FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+            GROUP BY doc_id
+        """,
+        "docs_extracted_s_words": r"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '\bs\w+')) AS match,
+                   unnest(range(1, len(regexp_extract_all(text, '\bs\w+'))
+                                + 1)) AS match_idx
+            FROM documents
         """,
         "docs_exact_dedup_keep_best": r"""
             SELECT doc_id, text FROM (

@@ -354,3 +354,29 @@ def weighted_sample(ds, weight_col: str, k: int, id_col: str = "doc_id"):
         .limit(k)
         .drop_columns(["__prio"])
     )
+
+
+def extract_patterns(docs_ds, pattern: str, id_col: str = "doc_id",
+                     text_col: str = "text", match_col: str = "match",
+                     idx_col: str = "match_idx"):
+    """Regex extraction to long form — every non-overlapping match of
+    ``pattern`` as its own row ``(id, match, match_idx)`` with the
+    1-based ordinal of the match within its document (SQL
+    ``unnest(regexp_extract_all(...))`` zipped with its position).
+
+    Scale shape: a pure map stage, zero exchanges — findall + explode
+    per batch; output rows ∝ matches, blocks stay proportional to
+    input.  Use RE2-compatible patterns (no lookahead/backrefs) so a
+    DuckDB oracle matches byte-exactly."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        found = pdf[text_col].str.findall(pattern)
+        out = pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                            match_col: found.to_numpy()})
+        out = out.explode(match_col, ignore_index=False)
+        out = out[out[match_col].notna()]
+        out[idx_col] = out.groupby(level=0).cumcount() + 1
+        out[match_col] = out[match_col].astype(str)
+        return out.reset_index(drop=True)
+
+    return docs_ds.map_batches(fn, batch_format="pandas")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..functions.textstats import (
@@ -486,3 +487,107 @@ def tfidf_top_terms(docs_ds, k: int = 5, id_col: str = "doc_id",
                            batch_format="pyarrow")
     return window_topk(scored, [id_col], "score", k, tie_col="tok",
                        num_partitions=num_partitions)
+
+
+def _bigram_tf_table(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Per-document bigram frequencies (id, a, b, tf) — exact within
+    the map (a document's text lives in its own row); pairs come from
+    one shifted comparison over the filtered token explode, so the
+    table is bounded by distinct-bigrams-per-doc."""
+    t = _ws_explode(batch, id_col, text_col)
+    if t.num_rows < 2:
+        return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                         "a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    toks = t.column("tok").to_numpy(zero_copy_only=False)
+    same = ids[1:] == ids[:-1]
+    df = pd.DataFrame({
+        id_col: ids[:-1][same],
+        "a": toks[:-1][same],
+        "b": toks[1:][same],
+    })
+    agg = df.groupby([id_col, "a", "b"], sort=False, as_index=False).size()
+    agg = agg.rename(columns={"size": "tf"})
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def bigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                   ndigits: int = 6, num_partitions: int = 64):
+    """Per-document mean bigram CONDITIONAL log2-probability
+    log2 p(b|a) = log2(c(a,b) / c(a,·)) — the next LM-filter step after
+    :func:`unigram_logprob`: word-salad text that passes a unigram
+    filter (all-common tokens) scores low here because its token
+    TRANSITIONS are globally rare.
+
+    Scale shape: TWO exchanges, no broadcast model.  The text collapses
+    to per-document (id, a, b, tf) bigram rows inside the map; exchange
+    1 hash-partitions on the bigram's FIRST token — every bigram
+    starting with `a` is then co-located, so BOTH the bigram count
+    c(a,b) and the context count c(a,·) are partition-local and join in
+    place (neither count table ever ships).  Exchange 2 reduces
+    per-document sufficient stats; mean over bigram occurrences.
+    Documents with <2 tokens have no bigrams and are absent (the SQL
+    convention)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    tf = docs_ds.map_batches(
+        lambda b: _bigram_tf_table(b, id_col, text_col),
+        batch_format="pyarrow",
+    )
+
+    def per_context_partition(tbl: pa.Table) -> pa.Table:
+        gab = tbl.group_by(["a", "b"]).aggregate([("tf", "sum")])
+        ga = tbl.group_by(["a"]).aggregate([("tf", "sum")])
+        # join both counts back positionally via index_in (arrow-native)
+        kab = pc.binary_join_element_wise(
+            gab.column("a"), gab.column("b"), "\x1f")
+        krow = pc.binary_join_element_wise(
+            tbl.column("a"), tbl.column("b"), "\x1f")
+        iab = pc.index_in(krow, value_set=kab.combine_chunks())
+        cab = pc.take(gab.column("tf_sum"), iab).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ia = pc.index_in(tbl.column("a"),
+                         value_set=ga.column("a").combine_chunks())
+        ca = pc.take(ga.column("tf_sum"), ia).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        tfv = tbl.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = tfv * np.log2(cab / ca)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "__n": pc.cast(tbl.column("tf"), pa.int64()),
+            "__s": pa.array(s, pa.float64()),
+        })
+
+    scored = grouped_apply(tf, ["a"], per_context_partition,
+                           num_partitions=num_partitions,
+                           batch_format="pyarrow")
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by([id_col]).aggregate(
+            [("__n", "sum"), ("__s", "sum")]
+        )
+        return agg.rename_columns([id_col, "__n", "__s"])
+
+    def mean_reduce(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([id_col]).aggregate(
+            [("__n", "sum"), ("__s", "sum")]
+        )
+        n = g.column("__n_sum").to_numpy(zero_copy_only=False)
+        s = g.column("__s_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_bigrams": pc.cast(g.column("__n_sum"), pa.int64()),
+            "mean_logprob": pa.array(np.round(s / n, ndigits),
+                                     pa.float64()),
+        })
+
+    return grouped_apply(
+        scored.map_batches(mean_partial, batch_format="pyarrow"),
+        [id_col], mean_reduce, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
