@@ -672,6 +672,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def docs_bpe_vocab(sf_dir: str):
+        """BPE tokenizer TRAINING over the corpus: one exact word-count
+        exchange (vocabulary-bounded), then Sennrich merge rounds over
+        that bounded table (driver-side by design — the original
+        algorithm trains on the word-count dict; `bpe_pair_counts`° is
+        the distributed per-round alternative). Returns the ordered
+        merge table."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.bpe import (
+            train_bpe,
+            word_counts,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["text"])
+        wc = {r["word"]: r["n"]
+              for r in word_counts(docs, num_partitions=16).take_all()}
+        merges = train_bpe(wc, 50)
+        return ray.data.from_arrow(pa.table({
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+        }))
+
+    def docs_bpe_piece_counts(sf_dir: str):
+        """BPE tokenizer APPLICATION: the 50-merge tokenizer trained by
+        `docs_bpe_vocab` encodes the corpus — merge ranks broadcast
+        once, each batch encodes its DISTINCT words only, one
+        piece-keyed exchange sums counts."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.bpe import (
+            bpe_apply,
+            train_bpe,
+            word_counts,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["text"])
+        wc = {r["word"]: r["n"]
+              for r in word_counts(docs, num_partitions=16).take_all()}
+        merges = train_bpe(wc, 50)
+        return bpe_apply(docs, merges, num_partitions=16)
+
     def docs_bigram_logprob(sf_dir: str):
         """Bigram conditional LM score per doc — two exchanges, counts
         co-located by the bigram's first token, no broadcast model."""
@@ -4907,6 +4948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_dups": images_phash_dups,
         "events_users_both_halves": events_users_both_halves,
         "discontinued_part_suppliers": discontinued_part_suppliers,
+        "docs_bpe_vocab": docs_bpe_vocab,
+        "docs_bpe_piece_counts": docs_bpe_piece_counts,
         "docs_bigram_logprob": docs_bigram_logprob,
         "docs_extracted_s_words": docs_extracted_s_words,
         "events_type_freq_cms": events_type_freq_cms,

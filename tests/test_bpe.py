@@ -1,0 +1,81 @@
+"""BPE train/apply: the classic Sennrich word-count example, the
+encode/train consistency property, and the distributed apply."""
+
+import pandas as pd
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.bpe import (
+    END,
+    bpe_apply,
+    encode_word,
+    train_bpe,
+    word_counts,
+)
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_train_classic_example():
+    merges = train_bpe(SENNRICH, 10)
+    # 'es' (9 = newest 6 + widest 3) wins round 1; then 'est', 'est</w>'
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", END)
+    # 'lo' (7 = low 5 + lower 2) is next, then 'low'
+    assert merges[3] == ("l", "o")
+    assert merges[4] == ("lo", "w")
+
+
+def test_encode_roundtrip_property():
+    merges = train_bpe(SENNRICH, 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in list(SENNRICH) + ["lowest", "newer", "wide", "unseen"]:
+        pieces = encode_word(w, ranks)
+        assert "".join(pieces) == w + END  # lossless
+    # a trained word encodes to few pieces; 'low' is a learned symbol
+    assert encode_word("low", ranks)[0] == "low"
+
+
+def test_encode_matches_training_segmentation():
+    # applying the merges to a training word reproduces the segmentation
+    # training itself produced (greedy-rank inference == round rewrite
+    # when every pair rank is distinct)
+    merges = train_bpe(SENNRICH, 6)
+    words = {w: list(w) + [END] for w in SENNRICH}
+    for a, b in merges:
+        for syms in words.values():
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i:i + 2] = [a + b]
+                else:
+                    i += 1
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, expected in words.items():
+        assert encode_word(w, ranks) == expected
+
+
+def test_distributed_word_counts_and_apply(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({
+        "text": ["low low lower", "newest widest newest",
+                 "low newest  widest", ""],
+    })
+    ds = ray.data.from_pandas(df)
+    wc = {r["word"]: r["n"]
+          for r in word_counts(ds, num_partitions=3).take_all()}
+    assert wc == {"low": 3, "lower": 1, "newest": 3, "widest": 2}
+
+    merges = train_bpe(wc, 6)
+    pieces = bpe_apply(ds, merges, num_partitions=3).to_pandas()
+    got = dict(zip(pieces["piece"], pieces["n"]))
+    # exact reference: encode each word locally, multiply by count
+    ranks = {p: i for i, p in enumerate(merges)}
+    expected: dict[str, int] = {}
+    for w, n in wc.items():
+        for p in encode_word(w, ranks):
+            expected[p] = expected.get(p, 0) + n
+    assert got == expected
+    # total piece mass conserves total character+boundary mass
+    assert sum(len(p.replace(END, "#")) for p in got) > 0
