@@ -561,6 +561,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "width", "height", "n_frames_total", "n_bytes"]
         )
 
+    def images_resized(sf_dir: str):
+        """Actor-pool image resize — real PNG payloads in AND out
+        (vendored codec, exact area-average block means); the
+        thumbnailing step of a multimodal pipeline. Rows-only check;
+        pixel exactness pinned by tests/test_resize.py."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+            encode_png,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            resize_images,
+        )
+
+        def gen(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in batch.column("id").to_pylist():
+                rng = np.random.default_rng(int(i))
+                img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+                rows.append({
+                    "media_id": f"img-{int(i):07d}",
+                    "kind": "image",
+                    "payload": encode_png(img),
+                    "mime": "image/png",
+                    "source_url": f"https://fixture.test/img/{int(i)}",
+                })
+            return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+        media = ray.data.range(200).map_batches(
+            gen, batch_format="pyarrow", batch_size=64)
+        return resize_images(media, out_h=16, out_w=16).select_columns(
+            ["media_id", "width", "height", "n_bytes"])
+
     def images_phash_dups(sf_dir: str):
         """Image near-dup detection — REAL PNG payloads (vendored
         encoder) → actor-pool perceptual dHash → the same band-bucket +
@@ -4945,6 +4979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             events_user_types_approx_distinct,
         "events_type_entropy_by_user": events_type_entropy_by_user,
         "docs_exact_dedup_keep_best": docs_exact_dedup_keep_best,
+        "images_resized": images_resized,
         "images_phash_dups": images_phash_dups,
         "events_users_both_halves": events_users_both_halves,
         "discontinued_part_suppliers": discontinued_part_suppliers,

@@ -292,23 +292,39 @@ def gray2d(arr: np.ndarray, min_h: int = 8, min_w: int = 9) -> np.ndarray:
     return a
 
 
-def dhash64(img: np.ndarray) -> int:
-    """64-bit difference hash (dHash): area-resample the grayscale to an
-    8×9 grid of EXACT block means (integral image — no interpolation
-    library), emit one bit per horizontal neighbor comparison. Classic
-    perceptual hash: near-duplicate images (re-encodes, small crops or
-    noise) land within a small hamming distance, so the text near-dup
-    machinery (band buckets + XOR popcount) applies unchanged."""
-    g = gray2d(img)
-    h, w = g.shape
-    rows = np.linspace(0, h, 9).astype(np.int64)
-    cols = np.linspace(0, w, 10).astype(np.int64)
-    ii = np.zeros((h + 1, w + 1))
-    ii[1:, 1:] = np.cumsum(np.cumsum(g, axis=0), axis=1)
+def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """EXACT area-average resample to (out_h, out_w) — per-channel
+    integral-image block means, no interpolation library; float64
+    output (2-D in → 2-D out, 3-D preserves channels).  Inputs smaller
+    than the target upscale by pixel repetition first (deterministic)."""
+    a = np.asarray(img, dtype=np.float64)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    if a.shape[0] < out_h:
+        a = np.repeat(a, int(np.ceil(out_h / a.shape[0])), axis=0)
+    if a.shape[1] < out_w:
+        a = np.repeat(a, int(np.ceil(out_w / a.shape[1])), axis=1)
+    h, w, c = a.shape
+    rows = np.linspace(0, h, out_h + 1).astype(np.int64)
+    cols = np.linspace(0, w, out_w + 1).astype(np.int64)
+    ii = np.zeros((h + 1, w + 1, c))
+    ii[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
     r0, r1 = rows[:-1], rows[1:]
     c0, c1 = cols[:-1], cols[1:]
     sums = (ii[np.ix_(r1, c1)] - ii[np.ix_(r0, c1)]
             - ii[np.ix_(r1, c0)] + ii[np.ix_(r0, c0)])
-    grid = sums / np.outer(r1 - r0, c1 - c0)
+    grid = sums / np.outer(r1 - r0, c1 - c0)[:, :, None]
+    return grid[:, :, 0] if squeeze else grid
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): area-resample the grayscale to an
+    8×9 grid of EXACT block means (:func:`area_resize`), emit one bit
+    per horizontal neighbor comparison. Classic perceptual hash:
+    near-duplicate images (re-encodes, small crops or noise) land
+    within a small hamming distance, so the text near-dup machinery
+    (band buckets + XOR popcount) applies unchanged."""
+    grid = area_resize(gray2d(img), 8, 9)
     bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
     return int(np.packbits(bits).view(np.dtype(">u8"))[0])

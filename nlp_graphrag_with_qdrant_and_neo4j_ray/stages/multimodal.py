@@ -365,3 +365,72 @@ def image_phash(media_ds, concurrency=(1, 4), batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeImage(DecodeImage):
+    """Actor-pool stage: decode (same precedence chain as
+    :class:`DecodeImage`) → exact area-average resize
+    (``functions/media.area_resize``) → re-encode PNG (vendored codec)
+    → (media_id, width, height, n_bytes, payload).  Payload-in /
+    payload-out: the thumbnailing / normalization step of a multimodal
+    training pipeline, channels preserved for real images."""
+
+    def __init__(self, out_h: int = 64, out_w: int = 64):
+        super().__init__(feature_dim=8)  # dim unused; decode chain only
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.media import (
+            PNG_SIG,
+            area_resize,
+            decode_png,
+            encode_png,
+            gray2d,
+        )
+
+        ids, payloads = [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if payload.startswith(_MAGIC):
+                arr = gray2d(np.frombuffer(payload[19:], dtype=np.uint8))
+            elif self._pil is not None:  # pragma: no cover
+                import io
+
+                arr = np.asarray(self._pil.open(io.BytesIO(payload)))
+            elif payload.startswith(PNG_SIG):
+                _w, _h, arr = decode_png(payload)
+            else:
+                raise NotImplementedError(
+                    "image resize requires PIL, a PNG payload, or a "
+                    "synthetic fixture"
+                )
+            small = area_resize(arr, self.out_h, self.out_w)
+            out = np.clip(np.floor(small + 0.5), 0, 255).astype(np.uint8)
+            ids.append(mid)
+            payloads.append(encode_png(out))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "width": pa.array([self.out_w] * len(ids), pa.int32()),
+                "height": pa.array([self.out_h] * len(ids), pa.int32()),
+                "n_bytes": pa.array([len(p) for p in payloads],
+                                    pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def resize_images(media_ds, out_h: int = 64, out_w: int = 64,
+                  concurrency=(1, 4), batch_size: int = 32):
+    """Image resize as an actor-pool map_batches — payload rows are
+    wide on BOTH sides, so the batch is the smallest of the image
+    stages."""
+    return media_ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
