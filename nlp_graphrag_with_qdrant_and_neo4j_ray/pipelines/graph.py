@@ -74,9 +74,10 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     keep-alive row per node.  Seeding each node with one contribution
     of 1.0 makes round one reproduce rank 1.0 under the same formula
     (``(1-d) + d·1 = 1``).  ``iters`` rounds + one final gather =
-    ``iters+1`` exchanges total; rounds chain LAZILY into one streaming
-    execution (no per-round convergence check to materialize for,
-    unlike the CC loop) — only the reused edge table is pinned.
+    ``iters+1`` exchanges total; each round MATERIALIZES (a lazily
+    chained plan that unions the pinned edge table every round
+    re-executes its upstream rounds on consumption — measured
+    superlinear), so round cost is exactly linear like the CC loop.
 
     Hub skew (``hot_degree``): a node's out-edges co-locate on its
     exchange partition, so a 10^8-out-edge hub would swamp one worker.
@@ -256,11 +257,16 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     for i in range(iters):
         last = i == iters - 1
+        # materialize each round: a lazily-chained round plan that
+        # UNIONs the materialized edges every round re-executes its
+        # upstream rounds on consumption (measured superlinear — 4
+        # chained rounds cost ~4× round 1); the per-round barrier makes
+        # rounds exactly linear, like connected_components
         state = grouped_apply(
             state.union(edges), ["key", "__salt"],
             lambda pdf, _last=last: fused_round(pdf, _last),
             num_partitions=num_partitions,
-        )
+        ).materialize()
 
     def final_rank(pdf: pd.DataFrame) -> pd.DataFrame:
         r = ranks_of(pdf)
@@ -391,8 +397,10 @@ def label_propagation(edges_ds, src_col: str = "src",
         return agg[["key", "dst", "label", "val", "kind"]]
 
     for _ in range(iters):
+        # per-round materialize: see pagerank's loop note (lazy chained
+        # unions re-execute upstream rounds — measured superlinear)
         state = grouped_apply(state.union(edges), ["key"], fused_round,
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions).materialize()
 
     def final_labels(pdf: pd.DataFrame) -> pd.DataFrame:
         lab = labels_of(pdf)
