@@ -2430,6 +2430,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return joined.map_batches(project, batch_format="pyarrow")
 
+    def events_asof_next_purchase(sf_dir: str):
+        """FORWARD as-of join: each view matched to the user's earliest
+        strictly-later purchase (time-to-conversion; ties on ts break
+        toward the smaller event_id). Same one-exchange sorted
+        merge_asof, direction flipped."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import asof_join
+
+        path = os.path.join(sf_dir, "events.parquet")
+        views = ray.data.read_parquet(
+            path, columns=["event_id", "user_id", "ts", "event_type"],
+            filter=(pc.field("event_type") == "view"),
+        ).select_columns(["event_id", "user_id", "ts"])
+        purchases = ray.data.read_parquet(
+            path, columns=["event_id", "user_id", "ts", "value",
+                           "event_type"],
+            filter=(pc.field("event_type") == "purchase"),
+        ).select_columns(["event_id", "user_id", "ts", "value"])
+        joined = asof_join(
+            views, purchases, by="user_id", right_by="user_id", on="ts",
+            right_cols=["event_id", "value"], tie_col="event_id",
+            num_partitions=32, direction="forward",
+        )
+
+        def project(batch: pa.Table) -> pa.Table:
+            gap = pc.subtract(
+                pc.cast(batch.column("ts_r"), pa.int64()),
+                pc.cast(batch.column("ts"), pa.int64()),
+            )
+            return pa.table(
+                {
+                    "view_id": batch.column("event_id"),
+                    "purchase_id": batch.column("event_id_r"),
+                    "purchase_value": batch.column("value"),
+                    "wait_us": gap,
+                }
+            )
+
+        return joined.map_batches(project, batch_format="pyarrow")
+
     def top3_orders_per_customer(sf_dir: str):
         """Windowed rank (ROW_NUMBER() <= 3 per customer by price desc):
         per-batch combiner truncation, one exchange, partition-wise
@@ -4983,6 +5024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_phash_dups": images_phash_dups,
         "events_users_both_halves": events_users_both_halves,
         "discontinued_part_suppliers": discontinued_part_suppliers,
+        "events_asof_next_purchase": events_asof_next_purchase,
         "docs_bpe_vocab": docs_bpe_vocab,
         "docs_bpe_piece_counts": docs_bpe_piece_counts,
         "docs_bigram_logprob": docs_bigram_logprob,
@@ -5297,6 +5339,19 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY p.event_id
               ORDER BY v.ts DESC, v.event_id DESC) = 1
+        """,
+        "events_asof_next_purchase": """
+            WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+                 p AS (SELECT * FROM events WHERE event_type = 'purchase')
+            SELECT v.event_id AS view_id,
+                   p.event_id AS purchase_id,
+                   p.value AS purchase_value,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS wait_us
+            FROM v JOIN p
+              ON p.user_id = v.user_id AND p.ts > v.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY v.event_id
+              ORDER BY p.ts ASC, p.event_id ASC) = 1
         """,
         "top3_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice

@@ -156,14 +156,20 @@ def anti_join(left, right, left_key: str, right_key: str,
 
 def asof_join(left, right, by: str, right_by: str, on: str,
               right_cols: list[str], tie_col: str,
-              suffix: str = "_r", num_partitions: int = 64):
+              suffix: str = "_r", num_partitions: int = 64,
+              direction: str = "backward"):
     """For every left row, the most recent right row of the same ``by``
     key with ``right.on`` STRICTLY before ``left.on`` (inner semantics:
     left rows with no prior right row are dropped).  Ties on ``on`` in
     the right table break toward the largest ``tie_col`` — pinned by
     sorting the right side by (on, tie_col) so ``merge_asof`` keeps the
     last.  One hash exchange on ``by``; each partition runs one sorted
-    pandas ``merge_asof``."""
+    pandas ``merge_asof``.
+
+    ``direction="forward"`` flips the semantics to the EARLIEST right
+    row STRICTLY after ``left.on`` (the "next following event" join);
+    ties on ``on`` then break toward the SMALLEST ``tie_col`` (the
+    same right-side sort — ``merge_asof`` forward keeps the first)."""
     keep = [c for c in right_cols if c != right_by]
 
     def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
@@ -187,7 +193,7 @@ def asof_join(left, right, by: str, right_by: str, on: str,
                              kind="stable")[[by, on] + rkeep].rename(
                 columns={on: on + suffix}),
             left_on=on, right_on=on + suffix, by=by,
-            allow_exact_matches=False, direction="backward",
+            allow_exact_matches=False, direction=direction,
         )
         joined = joined[joined[rkeep[0]].notna()]
         # restore integer dtypes merge_asof floated via NaN padding

@@ -706,3 +706,34 @@ def test_bloom_anti_join_exact_with_forced_collisions(ray_session):
     pd.testing.assert_frame_equal(got, ref)
     expected = left[~left["k"].isin(right["rk"])]
     assert len(got) == len(expected)
+
+
+def test_asof_join_forward_strict_and_ties(ray_session):
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00:00", "2024-01-01 11:00:00",
+         "2024-01-01 11:00:00", "2024-01-01 12:00:00"]
+    ).astype("datetime64[us]")
+    # two right rows share ts 11:00 — forward tie breaks to SMALLER id
+    right = pd.DataFrame({"user": np.int64([1, 1, 1, 1]),
+                          "ts": ts,
+                          "event_id": np.int64([10, 11, 12, 13]),
+                          "value": [0.1, 0.2, 0.3, 0.4]})
+    left = pd.DataFrame({
+        "user": np.int64([1, 1, 1]),
+        "ts": pd.to_datetime(
+            ["2024-01-01 10:00:00",   # next strictly-after = 11:00 -> 11
+             "2024-01-01 11:30:00",   # next = 12:00 -> id 13
+             "2024-01-01 12:00:00"]   # no strictly-later row -> dropped
+        ).astype("datetime64[us]"),
+        "event_id": np.int64([100, 101, 102]),
+    })
+    out = asof_join(
+        _ds(ray_session, left, 2), _ds(ray_session, right, 2),
+        by="user", right_by="user", on="ts",
+        right_cols=["event_id", "value"], tie_col="event_id",
+        num_partitions=4, direction="forward",
+    ).to_pandas()
+    got = out.set_index("event_id")["event_id_r"].to_dict()
+    assert got == {100: 11, 101: 13}
+    assert out.set_index("event_id")["value"].to_dict() == \
+        pytest.approx({100: 0.2, 101: 0.4})
