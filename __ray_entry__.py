@@ -706,6 +706,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def events_user_running_max(sf_dir: str):
+        """Running MAX(value) per user in event order — windowed_cumagg
+        (cumsum's shape, accumulator swapped); one user-keyed
+        exchange."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            windowed_cumagg,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "value"])
+        return windowed_cumagg(ev, ["user_id"], "ts", "value",
+                               "running_max", "event_id", agg="max",
+                               num_partitions=16)
+
+    def docs_normalized_text(sf_dir: str):
+        """Canonical whitespace/case normalization — pure Arrow-kernel
+        map, byte-exact RE2/DuckDB parity."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            normalize_text,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+        return normalize_text(docs)
+
     def docs_bpe_vocab(sf_dir: str):
         """BPE tokenizer TRAINING over the corpus: one exact word-count
         exchange (vocabulary-bounded), then Sennrich merge rounds over
@@ -5025,6 +5050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_both_halves": events_users_both_halves,
         "discontinued_part_suppliers": discontinued_part_suppliers,
         "events_asof_next_purchase": events_asof_next_purchase,
+        "events_user_running_max": events_user_running_max,
+        "docs_normalized_text": docs_normalized_text,
         "docs_bpe_vocab": docs_bpe_vocab,
         "docs_bpe_piece_counts": docs_bpe_piece_counts,
         "docs_bigram_logprob": docs_bigram_logprob,
@@ -6522,6 +6549,20 @@ def oracle_sql() -> dict[str, str]:
         "events_type_freq_cms": """
             SELECT event_type AS value, count(*) AS est
             FROM events GROUP BY event_type
+        """,
+        "events_user_running_max": """
+            SELECT event_id, user_id, ts, value,
+                   max(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS running_max
+            FROM events
+        """,
+        "docs_normalized_text": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS norm_text
+            FROM documents
         """,
         "docs_bigram_logprob": """
             WITH toks AS (

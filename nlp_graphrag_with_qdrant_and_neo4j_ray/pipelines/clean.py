@@ -380,3 +380,20 @@ def extract_patterns(docs_ds, pattern: str, id_col: str = "doc_id",
         return out.reset_index(drop=True)
 
     return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def normalize_text(docs_ds, id_col: str = "doc_id",
+                   text_col: str = "text", out_col: str = "norm_text"):
+    """Canonical text normalization — collapse whitespace runs to one
+    space, trim, lowercase (the preprocessing step exact dedup and
+    fingerprinting assume).  Pure Arrow-kernel map stage, zero
+    exchanges, byte-exact RE2/DuckDB parity
+    (``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(batch.column(text_col), r"\s+",
+                                       " ")
+        t = pc.utf8_lower(pc.utf8_trim_whitespace(t))
+        return pa.table({id_col: batch.column(id_col), out_col: t})
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -1018,6 +1018,33 @@ def windowed_cumsum(ds, keys: list[str], order_col: str, value_col: str,
     return grouped_apply(slim, keys, cumsum, num_partitions=num_partitions)
 
 
+def windowed_cumagg(ds, keys: list[str], order_col: str, value_col: str,
+                    out_col: str, tie_col: str, agg: str = "max",
+                    num_partitions: int = 64):
+    """Per-key running ``max``/``min``/``count`` — SQL ``AGG(value)
+    OVER (PARTITION BY keys ORDER BY order_col, tie_col ROWS UNBOUNDED
+    PRECEDING)``; :func:`windowed_cumsum`'s shape with the accumulator
+    swapped (pandas ``cummax``/``cummin``/``cumcount``)."""
+    if agg not in ("max", "min", "count"):
+        raise ValueError(f"unsupported running aggregate: {agg}")
+    cols = list(dict.fromkeys(keys + [order_col, tie_col, value_col]))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + [order_col, tie_col], kind="stable")
+        out = pdf.copy()
+        g = pdf.groupby(keys, sort=False, dropna=False)[value_col]
+        if agg == "count":
+            out[out_col] = (g.cumcount() + 1).astype(np.int64)
+        elif agg == "max":
+            out[out_col] = g.cummax().to_numpy()
+        else:
+            out[out_col] = g.cummin().to_numpy()
+        return out
+
+    slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+    return grouped_apply(slim, keys, run, num_partitions=num_partitions)
+
+
 def grouped_mode(ds, keys: list[str], value_col: str,
                  count_col: str = "n", num_partitions: int = 64):
     """Per-group modal value (ties break toward the smallest value) with

@@ -96,3 +96,31 @@ def test_phash_pipeline_finds_planted_dups(ray_session):
     assert len(missed) <= 1, f"missed planted dups: {missed}"
     false_pos = got - expected
     assert not false_pos, f"false positives: {false_pos}"
+
+
+def test_hamming_pairs_recall_guarantee(ray_session):
+    """Pigeonhole: any pair within hamming ≤3 of a 64-bit hash shares
+    at least one exact 16-bit band, so (uncapped) recall is total."""
+    import pandas as pd
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        hamming_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    bases = rng.integers(0, 2**63, 40, dtype=np.uint64)
+    rows = []
+    for i, b in enumerate(bases):
+        rows.append((2 * i, np.int64(b.astype(np.int64))))
+        flip = np.uint64(0)
+        for bit in rng.choice(64, rng.integers(1, 4), replace=False):
+            flip |= np.uint64(1) << np.uint64(bit)
+        rows.append((2 * i + 1, np.int64((b ^ flip).astype(np.int64))))
+    df = pd.DataFrame(rows, columns=["doc_id", "h"])
+    pairs = hamming_pairs(
+        ray.data.from_pandas(df), max_hamming=3, id_col="doc_id",
+        hash_col="h").to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    expected = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert expected <= got  # total recall for planted ≤3-bit flips

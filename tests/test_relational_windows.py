@@ -191,3 +191,31 @@ def test_grouped_first_last_ordered(ray_session):
                              ["ts", "event_id"], "v",
                              num_partitions=4).to_pandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
+
+
+def test_windowed_cumagg_min_max_count(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        windowed_cumagg,
+    )
+
+    ev = _events(np.random.default_rng(17))
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    for agg, ref in [
+        ("max", s.groupby("user_id")["v"].cummax()),
+        ("min", s.groupby("user_id")["v"].cummin()),
+        ("count", (s.groupby("user_id")["v"].cumcount() + 1)),
+    ]:
+        expected = s.copy()
+        expected["out"] = ref.to_numpy()
+        got = windowed_cumagg(_ds(ray_session, ev), ["user_id"], "ts",
+                              "v", "out", "event_id", agg=agg,
+                              num_partitions=4).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(got),
+                                      _sorted(expected),
+                                      check_dtype=False)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        windowed_cumagg(_ds(ray_session, ev), ["user_id"], "ts", "v",
+                        "out", "event_id", agg="avg")
