@@ -255,22 +255,22 @@ def hamming_pairs(hash_ds, max_hamming: int = 3, id_col: str = "doc_id",
     this exchange."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, hashes = [], [], [], []
-        for i, h in zip(
-            batch.column(id_col).to_pylist(), batch.column(hash_col).to_pylist()
-        ):
-            u = np.uint64(h).item() & 0xFFFFFFFFFFFFFFFF
-            for b in range(4):
-                ids.append(i)
-                bands.append(b)
-                keys.append((u >> (16 * b)) & 0xFFFF)
-                hashes.append(h)
+        # fully vectorized 4-band explode: shift/mask per band (4 numpy
+        # ops), ids/hashes repeated via one take — no per-row Python
+        n = batch.num_rows
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False)
+        u = h.astype(np.int64).view(np.uint64)
+        keys = np.empty((n, 4), np.int32)
+        for b in range(4):
+            keys[:, b] = ((u >> np.uint64(16 * b))
+                          & np.uint64(0xFFFF)).astype(np.int32)
+        rep = np.repeat(np.arange(n, dtype=np.int64), 4)
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
-                "key": pa.array(keys, pa.int32()),
-                id_col: pa.array(ids),
-                "__h64": pa.array(hashes, pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys.reshape(-1)),
+                id_col: pc.take(batch.column(id_col), pa.array(rep)),
+                "__h64": pa.array(np.repeat(h.astype(np.int64), 4)),
             }
         )
 
