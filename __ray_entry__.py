@@ -706,6 +706,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def lineitem_qty_mad_by_flag(sf_dir: str):
+        """Exact per-group median absolute deviation — the robust
+        spread companion to `lineitem_qty_var_by_flag`°; one exchange,
+        interpolated-median convention on both passes (DuckDB mad)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_mad,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity"])
+        return grouped_mad(li, ["l_returnflag"], "l_quantity",
+                           num_partitions=4)
+
+    def events_type_transitions(sf_dir: str):
+        """Markov transition counts over each user's event sequence —
+        LEAD() per user (one exchange) then a counted groupby with a
+        per-batch combiner; the session-mining primitive."""
+        from ray.data.aggregate import Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_lead,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_id", "user_id", "ts", "event_type"])
+        led = window_lead(ev, ["user_id"], "ts", "event_type",
+                          "next_type", "event_id", num_partitions=16)
+
+        def combine(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b.column("next_type")))
+            agg = (b.select(["event_type", "next_type"])
+                   .group_by(["event_type", "next_type"])
+                   .aggregate([([], "count_all")]))
+            return agg.rename_columns(["event_type", "next_type", "n"])
+
+        return (led.map_batches(combine, batch_format="pyarrow")
+                .groupby(["event_type", "next_type"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def top2_parts_per_brand_by_revenue(sf_dir: str):
+        """Two-level top-k: revenue aggregates per (brand, part) —
+        brand broadcast from the pruned part read, per-batch combiner,
+        one exchange — then window_topk's combiner ranks the top 2
+        parts per brand. Revenue is INTEGER CENTS rounded per row
+        (half-away, DuckDB round parity) so the distributed int64 sum
+        is order-independent and the ranking/oracle comparison is
+        exact by construction — no float-summation-order boundary
+        flips."""
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_topk,
+        )
+
+        brand = dict(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "part.parquet"),
+                columns=["p_partkey", "p_brand"],
+            ).to_pandas().itertuples(index=False, name=None)
+        )
+        brand_ref = ray.put(brand)
+
+        def combine(pdf):
+            import pandas as pd2
+
+            bm = ray.get(brand_ref)
+            rev = (pdf["l_extendedprice"]
+                   * (1.0 - pdf["l_discount"]) * 100.0)
+            cents = np.floor(rev + 0.5).astype(np.int64)
+            out = pd2.DataFrame({
+                "p_brand": pdf["l_partkey"].map(bm),
+                "l_partkey": pdf["l_partkey"],
+                "revenue_cents": cents,
+            })
+            return out.groupby(["p_brand", "l_partkey"], sort=False,
+                               as_index=False)["revenue_cents"].sum()
+
+        summed = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_partkey", "l_extendedprice", "l_discount"],
+            )
+            .map_batches(combine, batch_format="pandas")
+            .groupby(["p_brand", "l_partkey"])
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        )
+
+        return window_topk(summed, ["p_brand"], "revenue_cents", 2,
+                           tie_col="l_partkey", num_partitions=8)
+
     def events_user_running_max(sf_dir: str):
         """Running MAX(value) per user in event order — windowed_cumagg
         (cumsum's shape, accumulator swapped); one user-keyed
@@ -5052,6 +5144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_next_purchase": events_asof_next_purchase,
         "events_user_running_max": events_user_running_max,
         "docs_normalized_text": docs_normalized_text,
+        "lineitem_qty_mad_by_flag": lineitem_qty_mad_by_flag,
+        "events_type_transitions": events_type_transitions,
+        "top2_parts_per_brand_by_revenue": top2_parts_per_brand_by_revenue,
         "docs_bpe_vocab": docs_bpe_vocab,
         "docs_bpe_piece_counts": docs_bpe_piece_counts,
         "docs_bigram_logprob": docs_bigram_logprob,
@@ -6549,6 +6644,33 @@ def oracle_sql() -> dict[str, str]:
         "events_type_freq_cms": """
             SELECT event_type AS value, count(*) AS est
             FROM events GROUP BY event_type
+        """,
+        "lineitem_qty_mad_by_flag": """
+            SELECT l_returnflag, round(mad(l_quantity), 6) AS mad
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_type_transitions": """
+            SELECT event_type, next_type, count(*) AS n FROM (
+                SELECT event_type, lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) AS next_type FROM events)
+            WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        """,
+        "top2_parts_per_brand_by_revenue": """
+            SELECT p_brand, l_partkey, revenue_cents FROM (
+                SELECT p_brand, l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                * (1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents,
+                       row_number() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY sum(CAST(round(l_extendedprice
+                                * (1 - l_discount) * 100) AS BIGINT))
+                                    DESC, l_partkey) AS rn
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY p_brand, l_partkey)
+            WHERE rn <= 2
         """,
         "events_user_running_max": """
             SELECT event_id, user_id, ts, value,

@@ -2434,3 +2434,28 @@ def approx_frequencies(ds, col: str, probes: list, depth: int = 4,
         "value": pa.array(probes),
         "est": pa.array(est.astype(np.int64), pa.int64()),
     }))
+
+
+def grouped_mad(ds, keys: list[str], value_col: str, out_col: str = "mad",
+                ndigits: int = 6, num_partitions: int = 64):
+    """Per-group median absolute deviation (the robust spread measure):
+    ``median(|x - median(x)|)`` with the interpolated median on both
+    passes (numpy/DuckDB ``mad()`` convention).  Exact — a group's
+    values co-locate through ONE hash exchange (same bounded-group
+    contract as the exact median); both passes are vectorized pandas
+    ``groupby().transform``/``median`` over the whole partition."""
+    cols = list(dict.fromkeys(keys + [value_col]))
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf.groupby(keys, sort=False, dropna=False)[
+            value_col].transform("median")
+        pdf = pdf.assign(__dev=(pdf[value_col] - med).abs())
+        out = pdf.groupby(keys, sort=False, dropna=False,
+                          as_index=False)["__dev"].median()
+        out[out_col] = out["__dev"].round(ndigits)
+        return out.drop(columns=["__dev"])
+
+    slim = ds.map_batches(lambda b: b.select(cols),
+                          batch_format="pyarrow")
+    return grouped_apply(slim, keys, part,
+                         num_partitions=num_partitions)
