@@ -706,6 +706,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def events_props_k_sum(sf_dir: str):
+        """Semi-structured extraction: JSON `props` column → typed
+        int64 → per-type exact sum; JSON parse is a pure map stage
+        (per-record by nature, like html→text), aggregation rides a
+        per-batch combiner + one groupby."""
+        from ray.data.aggregate import Sum
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            json_extract_scalar,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "props"])
+        typed = json_extract_scalar(ev, "props", "k", "k_val")
+
+        def combine(b: pa.Table) -> pa.Table:
+            agg = b.group_by(["event_type"]).aggregate([("k_val", "sum")])
+            return agg.rename_columns(["event_type", "k_sum"])
+
+        return (typed.map_batches(combine, batch_format="pyarrow")
+                .groupby("event_type")
+                .aggregate(Sum("k_sum", alias_name="k_sum")))
+
+    def events_window_unique_users(sf_dir: str):
+        """Distinct users per 6-hour tumbling window (the DAU-style
+        metric): window key derived map-side, then the distinct-count
+        operator's per-batch-dedup combiner + one exchange."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            distinct_count,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+        size_us = 6 * 3600 * 1_000_000
+
+        def window(b: pa.Table) -> pa.Table:
+            us = pc.cast(b.column("ts"), pa.int64())
+            w = pc.multiply(
+                pc.divide(us, size_us), pa.scalar(size_us, pa.int64()))
+            return pa.table({"window_us": pc.cast(w, pa.int64()),
+                             "user_id": b.column("user_id")})
+
+        keyed = ev.map_batches(window, batch_format="pyarrow")
+        return distinct_count(keyed, ["window_us"], "user_id",
+                              "unique_users", num_partitions=8)
+
     def lineitem_qty_mad_by_flag(sf_dir: str):
         """Exact per-group median absolute deviation — the robust
         spread companion to `lineitem_qty_var_by_flag`°; one exchange,
@@ -5144,6 +5189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_next_purchase": events_asof_next_purchase,
         "events_user_running_max": events_user_running_max,
         "docs_normalized_text": docs_normalized_text,
+        "events_props_k_sum": events_props_k_sum,
+        "events_window_unique_users": events_window_unique_users,
         "lineitem_qty_mad_by_flag": lineitem_qty_mad_by_flag,
         "events_type_transitions": events_type_transitions,
         "top2_parts_per_brand_by_revenue": top2_parts_per_brand_by_revenue,
@@ -6644,6 +6691,18 @@ def oracle_sql() -> dict[str, str]:
         "events_type_freq_cms": """
             SELECT event_type AS value, count(*) AS est
             FROM events GROUP BY event_type
+        """,
+        "events_props_k_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS k_sum
+            FROM events GROUP BY event_type
+        """,
+        "events_window_unique_users": """
+            SELECT (epoch_us(ts) // 21600000000) * 21600000000
+                       AS window_us,
+                   count(DISTINCT user_id) AS unique_users
+            FROM events GROUP BY 1
         """,
         "lineitem_qty_mad_by_flag": """
             SELECT l_returnflag, round(mad(l_quantity), 6) AS mad

@@ -397,3 +397,28 @@ def normalize_text(docs_ds, id_col: str = "doc_id",
         return pa.table({id_col: batch.column(id_col), out_col: t})
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def json_extract_scalar(ds, col: str, key: str, out_col: str):
+    """Extract one top-level scalar from a JSON-string column (the
+    semi-structured side-car pattern — event ``props``, crawl metadata)
+    as an int64 column, null on missing/malformed rows.
+
+    Per-row ``json.loads`` inside the batch — JSON parse is inherently
+    per-record (the same shape as html→text extraction); the stage is
+    a pure map, zero exchanges, and drops the raw JSON immediately so
+    downstream blocks carry only the typed column."""
+    import json
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = []
+        for s in batch.column(col).to_pylist():
+            try:
+                v = json.loads(s).get(key)
+                vals.append(int(v) if v is not None else None)
+            except (ValueError, TypeError):
+                vals.append(None)
+        return batch.drop_columns([col]).append_column(
+            out_col, pa.array(vals, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
