@@ -1,0 +1,116 @@
+"""Hypothesis differential tests: randomized small frames cross-checked
+against pandas/python references for the window and set operators.
+Example counts are small — each example executes a Ray pipeline."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(max_examples=5, deadline=None,
+                    suppress_health_check=list(HealthCheck))
+
+
+def _frame(draw, n):
+    ks = draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+    vs = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+    return pd.DataFrame({
+        "k": np.array(ks, np.int64),
+        "v": np.array(vs, np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(4, 40))
+    return _frame(draw, n)
+
+
+@given(frames())
+@SETTINGS
+def test_window_lag_matches_pandas(ray_session, df):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        window_lag,
+    )
+
+    got = window_lag(ray.data.from_pandas(df), ["k"], "v", "v",
+                     "prev_v", "id", num_partitions=3).to_pandas()
+    s = df.sort_values(["k", "v", "id"], kind="stable")
+    expected = s.assign(prev_v=s.groupby("k")["v"].shift(1))
+    cols = ["k", "v", "id", "prev_v"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(["k", "id"]).reset_index(drop=True)[cols],
+        expected.sort_values(["k", "id"]).reset_index(drop=True)[cols],
+        check_dtype=False)
+
+
+@given(frames(), frames())
+@SETTINGS
+def test_intersect_except_match_python_sets(ray_session, a, b):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    left = ray.data.from_pandas(a[["k", "v"]])
+    right = ray.data.from_pandas(b[["k", "v"]])
+    sa = set(map(tuple, a[["k", "v"]].itertuples(index=False)))
+    sb = set(map(tuple, b[["k", "v"]].itertuples(index=False)))
+
+    gi = intersect_distinct(left, right, ["k", "v"],
+                            num_partitions=3).to_pandas()
+    got_i = set(map(tuple, gi.itertuples(index=False))) if len(gi) else set()
+    assert got_i == (sa & sb)
+
+    ge = except_distinct(left, right, ["k", "v"],
+                         num_partitions=3).to_pandas()
+    got_e = set(map(tuple, ge.itertuples(index=False))) if len(ge) else set()
+    assert got_e == (sa - sb)
+
+
+@given(frames())
+@SETTINGS
+def test_grouped_first_last_matches_pandas(ray_session, df):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_first_last,
+    )
+
+    got = grouped_first_last(
+        ray.data.from_pandas(df), ["k"], ["v", "id"], "v",
+        num_partitions=3).to_pandas()
+    s = df.sort_values(["k", "v", "id"], kind="stable")
+    f = s.drop_duplicates("k", keep="first")[["k", "v"]]
+    la = s.drop_duplicates("k", keep="last")[["k", "v"]]
+    expected = f.rename(columns={"v": "first_val"}).merge(
+        la.rename(columns={"v": "last_val"}), on="k")
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True),
+        expected.sort_values("k").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_json_extract_malformed_rows_null(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        json_extract_scalar,
+    )
+
+    df = pd.DataFrame({
+        "id": np.arange(5, dtype=np.int64),
+        "props": ['{"k": 3}', "not json", '{"other": 1}', "",
+                  '{"k": null}'],
+    })
+    got = json_extract_scalar(ray.data.from_pandas(df), "props", "k",
+                              "k_val").to_pandas()
+    got = got.sort_values("id")
+    assert got["k_val"].tolist()[0] == 3
+    assert got["k_val"].isna().tolist() == [False, True, True, True, True]
