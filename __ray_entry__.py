@@ -706,6 +706,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def lineitem_numeric_profile(sf_dir: str):
+        """Column profiling / stats collection in one streaming pass —
+        per-column (rows, nulls, min, max, total), each batch reduces
+        to |cols| partial rows; the planner-statistics shape."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            profile_numeric,
+        )
+
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        li = _read(sf_dir, "lineitem").select_columns(cols)
+
+        def round_total(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("total"), "total",
+                pc.round(b.column("total"), ndigits=2,
+                         round_mode="half_towards_infinity"),
+            )
+
+        return profile_numeric(li, cols).map_batches(
+            round_total, batch_format="pyarrow")
+
     def events_props_k_sum(sf_dir: str):
         """Semi-structured extraction: JSON `props` column → typed
         int64 → per-type exact sum; JSON parse is a pure map stage
@@ -5189,6 +5210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_next_purchase": events_asof_next_purchase,
         "events_user_running_max": events_user_running_max,
         "docs_normalized_text": docs_normalized_text,
+        "lineitem_numeric_profile": lineitem_numeric_profile,
         "events_props_k_sum": events_props_k_sum,
         "events_window_unique_users": events_window_unique_users,
         "lineitem_qty_mad_by_flag": lineitem_qty_mad_by_flag,
@@ -6691,6 +6713,28 @@ def oracle_sql() -> dict[str, str]:
         "events_type_freq_cms": """
             SELECT event_type AS value, count(*) AS est
             FROM events GROUP BY event_type
+        """,
+        "lineitem_numeric_profile": """
+            SELECT 'l_quantity' AS column, count(*) AS n_rows,
+                   count(*) - count(l_quantity) AS n_nulls,
+                   CAST(min(l_quantity) AS DOUBLE) AS min,
+                   CAST(max(l_quantity) AS DOUBLE) AS max,
+                   round(sum(l_quantity), 2) AS total
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   count(*) - count(l_extendedprice),
+                   min(l_extendedprice), max(l_extendedprice),
+                   round(sum(l_extendedprice), 2) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   count(*) - count(l_discount),
+                   min(l_discount), max(l_discount),
+                   round(sum(l_discount), 2) FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*), count(*) - count(l_tax),
+                   min(l_tax), max(l_tax), round(sum(l_tax), 2)
+            FROM lineitem
         """,
         "events_props_k_sum": """
             SELECT event_type,

@@ -35,6 +35,10 @@ class PipelineConfig:
     with_context: bool = False
     context_size: int = 1
     vector_weight: float = 0.5  # reference core/retrieval.py:597-600
+    # entity alias near-merge cosine threshold (reference hard-codes
+    # 0.96, core/triplets.py); >1.0 disables near-merges — exact-name
+    # canonicalization only, which makes incremental merge_kg exact
+    alias_threshold: float = 0.96
 
     # language filter (north_star requirement; reference assumes English)
     languages: tuple[str, ...] = ("en",)

@@ -327,3 +327,93 @@ def build_kg(
         "entity_nodes": entity_nodes_ds,
         "edges": edges_ds,
     }
+
+
+def merge_kg(tables_a: dict, tables_b: dict) -> dict:
+    """INCREMENTAL KG update: merge a new corpus increment's KG tables
+    into an existing KG without rebuilding — the periodic-crawl
+    production path (build the increment alone, then one additive
+    merge; full re-canonicalization stays an offline batch job).
+
+    Merge rules per table (all exact because the aggregates are
+    associative):
+    - ``chunks`` / ``terms`` / ``triples`` / ``chunk_vectors`` /
+      ``documents`` / ``linked_triples``: plain union — rows are keyed
+      by doc/chunk ids, disjoint across corpora by construction.
+    - ``term_nodes``: one exchange on (term, term_type), chunk_count
+      sums (chunk sets are disjoint).
+    - ``entity_nodes``: one exchange on entity_id — mention_count
+      sums, aliases union (sorted distinct), name/embedding are
+      id-determined (first), triplet_part joins to "both" when the
+      sides disagree.
+    - ``edges``: one exchange on (src, dst, pred) — weight sums,
+      provenance chunk_id takes the min (deterministic
+      representative), pred_embedding is pred-determined (first).
+
+    EXACTNESS CONTRACT (documented divergence from a full rebuild):
+    the increment is canonicalized with its OWN alias dictionary, so
+    a merge equals a full rebuild exactly iff no ≥similarity-threshold
+    alias pair BRIDGES the two corpora (tested equality on stable
+    corpora in tests/test_kg_merge.py). A bridging alias yields two
+    entity ids a rebuild would merge — the standard
+    incremental-vs-recanonicalize trade-off."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    out: dict = {}
+    for name in ("documents", "chunks", "terms", "triples",
+                 "chunk_vectors", "linked_triples"):
+        if name in tables_a and name in tables_b:
+            out[name] = tables_a[name].union(tables_b[name])
+
+    def merge_term_nodes(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["term", "term_type"]).aggregate(
+            [("chunk_count", "sum")]
+        )
+        return agg.rename_columns(["term", "term_type", "chunk_count"])
+
+    out["term_nodes"] = grouped_apply(
+        tables_a["term_nodes"].union(tables_b["term_nodes"]),
+        ["term", "term_type"], merge_term_nodes,
+        num_partitions=16, batch_format="pyarrow",
+    )
+
+    def merge_entities(pdf: pd.DataFrame) -> pd.DataFrame:
+        def fold(g: pd.DataFrame) -> pd.Series:
+            parts = set(g["triplet_part"])
+            part = (g["triplet_part"].iloc[0] if len(parts) == 1
+                    else "both")
+            aliases = sorted({a for al in g["aliases"] for a in al})
+            return pd.Series({
+                "name": g["name"].iloc[0],
+                "embedding": g["embedding"].iloc[0],
+                "triplet_part": part,
+                "aliases": aliases,
+                "mention_count": int(g["mention_count"].sum()),
+            })
+
+        return (pdf.groupby("entity_id", sort=False)
+                .apply(fold, include_groups=False).reset_index())
+
+    out["entity_nodes"] = grouped_apply(
+        tables_a["entity_nodes"].union(tables_b["entity_nodes"]),
+        ["entity_id"], merge_entities, num_partitions=16,
+    )
+
+    def merge_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = ["src_entity_id", "dst_entity_id", "pred"]
+        pdf = pdf.sort_values(keys + ["chunk_id"], kind="stable")
+        agg = pdf.groupby(keys, sort=False, as_index=False).agg(
+            chunk_id=("chunk_id", "first"),
+            weight=("weight", "sum"),
+            pred_embedding=("pred_embedding", "first"),
+        )
+        return agg
+
+    out["edges"] = grouped_apply(
+        tables_a["edges"].union(tables_b["edges"]),
+        ["src_entity_id", "dst_entity_id", "pred"], merge_edges,
+        num_partitions=16,
+    )
+    return out

@@ -2459,3 +2459,44 @@ def grouped_mad(ds, keys: list[str], value_col: str, out_col: str = "mad",
                           batch_format="pyarrow")
     return grouped_apply(slim, keys, part,
                          num_partitions=num_partitions)
+
+
+def profile_numeric(ds, cols: list[str], num_partitions: int = 4):
+    """Column profiling (the data-quality / stats-collection pass) for
+    numeric columns: one streaming pass emits per-column
+    (n_rows, n_nulls, min, max, total) — each batch reduces to
+    |cols| partial rows, one tiny exchange merges them.  The planner-
+    statistics shape: constant-size output regardless of data size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = batch.column(c)
+            n = batch.num_rows
+            nulls = col.null_count
+            if n > nulls:
+                mn = float(pc.min(col).as_py())
+                mx = float(pc.max(col).as_py())
+                tot = float(pc.sum(col).as_py())
+            else:
+                mn, mx, tot = np.inf, -np.inf, 0.0
+            rows.append({"column": c, "n_rows": n, "n_nulls": nulls,
+                         "min": mn, "max": mx, "total": tot})
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("column", pa.string()), ("n_rows", pa.int64()),
+            ("n_nulls", pa.int64()), ("min", pa.float64()),
+            ("max", pa.float64()), ("total", pa.float64()),
+        ]))
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        agg = tbl.group_by(["column"]).aggregate(
+            [("n_rows", "sum"), ("n_nulls", "sum"), ("min", "min"),
+             ("max", "max"), ("total", "sum")]
+        )
+        return agg.rename_columns(
+            ["column", "n_rows", "n_nulls", "min", "max", "total"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(partials, ["column"], merge,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

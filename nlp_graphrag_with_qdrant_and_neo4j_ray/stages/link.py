@@ -80,7 +80,8 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000
 
     from .shuffle import grouped_apply
 
-    model, dim, threshold = cfg.embedding_model, cfg.vector_size, 0.96
+    model, dim = cfg.embedding_model, cfg.vector_size
+    threshold = getattr(cfg, "alias_threshold", 0.96)
 
     # per-batch distinct only — no global dedup shuffle: the per-bucket
     # merge below dedups keys itself, so cross-batch duplicate names just
