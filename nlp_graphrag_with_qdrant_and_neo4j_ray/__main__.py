@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 
@@ -181,6 +182,35 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    """Incremental update: merge two built KG dirs (base + increment)
+    into a third without rebuilding — pipelines/kg.merge_kg semantics
+    and exactness contract (see its docstring)."""
+    ray = _ray()
+    import ray.data
+
+    from .pipelines.kg import merge_kg
+
+    names = ("documents", "chunks", "terms", "term_nodes", "triples",
+             "chunk_vectors", "entity_nodes", "edges")
+
+    def load(d: str) -> dict:
+        return {n: ray.data.read_parquet(f"{d}/{n}") for n in names
+                if os.path.isdir(f"{d}/{n}")}
+
+    merged = merge_kg(load(args.base), load(args.increment))
+    counts = {}
+    for name, ds in merged.items():
+        path = os.path.join(args.out, name)
+        os.makedirs(path, exist_ok=True)
+        ds.write_parquet(path)
+        counts[name] = ray.data.read_parquet(path).count()
+    print(json.dumps({"out": args.out, "tables": counts}))
+    if getattr(ray, "_cli_owns_session", True):
+        ray.shutdown()
+    return 0
+
+
 def cmd_reset(args: argparse.Namespace) -> int:
     shutil.rmtree(args.out, ignore_errors=True)
     print(json.dumps({"reset": args.out}))
@@ -253,6 +283,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="dir (parquet) / url (qdrant) / bolt uri (neo4j)")
     px.add_argument("--tables", default="chunks,terms,edges")
     px.set_defaults(fn=cmd_export)
+
+    pm = sub.add_parser(
+        "merge", help="merge a KG increment into a base KG (additive)")
+    pm.add_argument("base")
+    pm.add_argument("increment")
+    pm.add_argument("out")
+    pm.set_defaults(fn=cmd_merge)
 
     pr = sub.add_parser("reset", help="delete an output dir (S8 parity)")
     pr.add_argument("--out", required=True)

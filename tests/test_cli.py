@@ -40,3 +40,25 @@ def test_cli_env_check(ray_session, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["fixture_roundtrip"] is True
     assert info["cluster_cpus"] >= 1
+
+
+def test_cli_merge(ray_session, tmp_path, capsys):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.__main__ import main
+
+    a = str(tmp_path / "kga")
+    b = str(tmp_path / "kgb")
+    out = str(tmp_path / "merged")
+    assert main(["ingest", "--pages", "synth:20", "--out", a]) == 0
+    ja = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["ingest", "--pages", "synth:30", "--out", b]) == 0
+    jb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main(["merge", a, b, out]) == 0
+    jm = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc-keyed tables union exactly; keyed tables merge to >= max side
+    assert jm["tables"]["chunks"] == (ja["tables"]["chunks"]
+                                      + jb["tables"]["chunks"])
+    assert jm["tables"]["edges"] >= max(ja["tables"]["edges"],
+                                        jb["tables"]["edges"])
+    assert jm["tables"]["edges"] <= (ja["tables"]["edges"]
+                                     + jb["tables"]["edges"])
