@@ -465,6 +465,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def embedding_knn_pq(sf_dir: str):
+        """Product-quantization ANN (Jégou ADC): codebooks trained in
+        streaming Lloyd passes, corpus encoded to m=8 bytes/vector
+        (384× compression of the 768-d float32), scan = m LUT gathers
+        per vector with a per-batch top-k combiner. The third ANN scale
+        path next to LSH and IVF; recall-vs-brute pinned by
+        tests/test_pq.py."""
+        emb = _read(sf_dir, "embeddings")
+        qv = _query_vec(sf_dir)
+        hits = sim.knn_pq(emb, qv, dim=len(qv), k=10, m=8, nbits=6,
+                          iters=3).take_all()
+        return pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in hits], pa.int64()),
+            "adc_dist": pa.array([round(r["adc_dist"], 6) for r in hits],
+                                 pa.float64()),
+        })
+
     def embedding_knn_join(sf_dir: str):
         """Broadcast kNN join: vectors 0-4 are the query side, the rest
         the corpus; exact cosine top-3 per query with ascending-id tie
@@ -5080,6 +5097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_clusters": embedding_kmeans_clusters,
         "embedding_knn_lsh": embedding_knn_lsh,
         "embedding_knn_ivf": embedding_knn_ivf,
+        "embedding_knn_pq": embedding_knn_pq,
         "embedding_near_dups": embedding_near_dups,
         "embedding_label_counts": embedding_label_counts,
         "decode_image_features": decode_image_features,

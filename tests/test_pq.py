@@ -1,0 +1,87 @@
+"""Product quantization: ADC math exactness, partitioning-independent
+codes, and recall vs brute-force cosine on clustered data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _clustered(n_clusters=16, per=25, dim=32, seed=5, noise=0.6):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 3.0
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(size=(per, dim)) * noise
+        rows.append(pts)
+    x = np.concatenate(rows)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    return pd.DataFrame({
+        "vec_id": np.arange(len(x), dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in x],
+    }), x
+
+
+def _ds(ray, df, blocks=4):
+    import ray.data
+
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def test_adc_table_matches_reconstruction(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        adc_table,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    df, x = _clustered()
+    ds = _ds(ray_session, df)
+    books = pq_train_codebooks(ds, dim=32, m=4, nbits=4, iters=3)
+    assert books.shape == (4, 16, 8)
+    q = x[7]
+    lut = adc_table(q, books)
+    codes = {r["vec_id"]: np.asarray(r["code"])
+             for r in pq_encode(ds, books).take_all()}
+    # LUT-summed distance == explicit ||q_s - centroid||^2 sum
+    for vid in (0, 11, 200):
+        c = codes[vid]
+        via_lut = lut[np.arange(4), c].sum()
+        explicit = sum(
+            ((q[s * 8:(s + 1) * 8] - books[s][c[s]]) ** 2).sum()
+            for s in range(4))
+        assert via_lut == pytest.approx(explicit, rel=1e-12)
+
+
+def test_codes_partitioning_independent(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    df, _ = _clustered()
+    a = _ds(ray_session, df, 2)
+    b = _ds(ray_session, df, 16)
+    books = pq_train_codebooks(a, dim=32, m=4, nbits=4, iters=2)
+    ca = sorted((r["vec_id"], tuple(r["code"]))
+                for r in pq_encode(a, books).take_all())
+    cb = sorted((r["vec_id"], tuple(r["code"]))
+                for r in pq_encode(b, books).take_all())
+    assert ca == cb
+
+
+def test_knn_pq_recall_vs_brute(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_brute,
+        knn_pq,
+    )
+
+    df, x = _clustered()
+    ds = _ds(ray_session, df)
+    q = x[42]  # a point inside cluster 1
+    brute = [r["vec_id"] for r in
+             knn_brute(ds, q.tolist(), k=10).take_all()]
+    approx = [r["vec_id"] for r in
+              knn_pq(ds, q.tolist(), dim=32, k=10, m=8,
+                     nbits=6, iters=4).take_all()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.7, (brute, approx)
