@@ -490,6 +490,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  pa.float64()),
         })
 
+    def embedding_knn_ivfpq(sf_dir: str):
+        """IVF-PQ serving ANN (the FAISS-style billion-vector layout):
+        coarse lists + PQ codebooks trained once, m-byte codes
+        persisted PARTITIONED BY LIST — a query reads only its nprobe
+        probed partitions and ADC-scans compressed codes. Sublinear
+        reads × 384× candidate compression."""
+        emb = _read(sf_dir, "embeddings")
+        qv = _query_vec(sf_dir)
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+        hits = sim.knn_ivfpq(
+            emb, qv, dim=len(qv), k=10, nlist=16, nprobe=4, m=8,
+            nbits=6, iters=3,
+            index_dir=os.path.join(tempfile.gettempdir(),
+                                   f"ivfcache-{tag}"),
+            fingerprint=f"{st.st_mtime_ns}:{st.st_size}",
+        ).take_all()
+        return pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in hits], pa.int64()),
+            "adc_dist": pa.array([round(r["adc_dist"], 6) for r in hits],
+                                 pa.float64()),
+        })
+
     def embedding_knn_join(sf_dir: str):
         """Broadcast kNN join: vectors 0-4 are the query side, the rest
         the corpus; exact cosine top-3 per query with ascending-id tie
@@ -5106,6 +5130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_lsh": embedding_knn_lsh,
         "embedding_knn_ivf": embedding_knn_ivf,
         "embedding_knn_pq": embedding_knn_pq,
+        "embedding_knn_ivfpq": embedding_knn_ivfpq,
         "embedding_near_dups": embedding_near_dups,
         "embedding_label_counts": embedding_label_counts,
         "decode_image_features": decode_image_features,

@@ -835,33 +835,12 @@ def knn_pq(embeddings_ds, query_vec, dim: int, k: int = 10, m: int = 8,
     vectors L2 order == cosine order, so this approximates the brute
     cosine ranking at ~dim·4/m× memory compression (recall bound
     tested vs brute)."""
-    import ray
-
     if codebooks is None:
         codebooks = pq_train_codebooks(embeddings_ds, dim, m=m,
                                        nbits=nbits, iters=iters,
                                        id_col=id_col, emb_col=emb_col)
-    lut = adc_table(query_vec, codebooks)
-    lut_ref = ray.put(lut)
     codes = pq_encode(embeddings_ds, codebooks, id_col, emb_col)
-
-    def scan(batch: pa.Table) -> pa.Table:
-        t = ray.get(lut_ref)
-        mm = t.shape[0]
-        c = np.asarray(batch.column("code").combine_chunks()
-                       .flatten().to_numpy(zero_copy_only=False)
-                       ).reshape(-1, mm)
-        dist = t[np.arange(mm)[None, :], c].sum(1)
-        order = np.argsort(dist, kind="stable")[:10 * k]
-        return pa.table({
-            id_col: pc.take(batch.column(id_col),
-                            pa.array(order)),
-            "adc_dist": pa.array(dist[order], pa.float64()),
-        })
-
-    scanned = codes.map_batches(scan, batch_format="pyarrow",
-                                batch_size=65536)
-    return scanned.sort(["adc_dist", id_col]).limit(k)
+    return _adc_scan(codes, adc_table(query_vec, codebooks), id_col, k)
 
 
 def ensure_pq_codebooks(index_dir: str, embeddings_ds, dim: int,
@@ -901,3 +880,141 @@ def ensure_pq_codebooks(index_dir: str, embeddings_ds, dim: int,
         shutil.rmtree(path)
     os.rename(tmp, path)
     return books
+
+
+def _adc_scan(codes_ds, lut: np.ndarray, id_col: str, k: int):
+    """Scan a (id, code) dataset with an ADC lookup table — per-batch
+    top-k combiner, global sort over ≤ blocks × 10k rows."""
+    import ray
+
+    lut_ref = ray.put(lut)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        t = ray.get(lut_ref)
+        mm = t.shape[0]
+        c = np.asarray(batch.column("code").combine_chunks()
+                       .flatten().to_numpy(zero_copy_only=False)
+                       ).reshape(-1, mm)
+        dist = t[np.arange(mm)[None, :], c].sum(1)
+        order = np.argsort(dist, kind="stable")[:10 * k]
+        return pa.table({
+            id_col: pc.take(batch.column(id_col), pa.array(order)),
+            "adc_dist": pa.array(dist[order], pa.float64()),
+        })
+
+    scanned = codes_ds.map_batches(scan, batch_format="pyarrow",
+                                   batch_size=65536)
+    return scanned.sort(["adc_dist", id_col]).limit(k)
+
+
+def ensure_ivfpq_index(index_dir: str, embeddings_ds, dim: int,
+                       nlist: int = 64, m: int = 8, nbits: int = 8,
+                       iters: int = 5, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       fingerprint: str = "", resume: bool = True):
+    """IVF-PQ serving index (the FAISS-style production ANN layout):
+    k-means coarse lists + PQ codebooks trained once, and the CODE
+    table (id, m-byte code) written partitioned by list assignment —
+    a query reads only its probed lists' code partitions and pays m
+    LUT gathers per candidate.  No-residual variant (codes encode the
+    raw vector, FAISS ``by_residual=False``) — simpler, and exactness
+    within a list is already delegated to the ADC bound.  Atomic
+    publish + fingerprint invalidation as everywhere.  Returns
+    ``(centroids, codebooks, codes_path)``."""
+    import json
+    import os
+
+    import ray
+
+    tag = f"ivfpq-d{dim}-n{nlist}-m{m}-b{nbits}-i{iters}"
+    path = os.path.join(index_dir, tag)
+    marker = os.path.join(path, "_SUCCESS")
+    want = json.dumps({"fingerprint": fingerprint, "tag": tag})
+    codes_path = os.path.join(path, "codes")
+    if resume and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return (np.load(os.path.join(path, "centroids.npy")),
+                        np.load(os.path.join(path, "codebooks.npy")),
+                        codes_path)
+
+    cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
+                             emb_col)
+    books = pq_train_codebooks(embeddings_ds, dim, m=m, nbits=nbits,
+                               iters=iters, id_col=id_col,
+                               emb_col=emb_col)
+    import shutil
+    import tempfile
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=index_dir, prefix=tag + ".__tmp__")
+    np.save(os.path.join(tmp, "centroids.npy"), cents)
+    np.save(os.path.join(tmp, "codebooks.npy"), books)
+    ref = ray.put((cents, books))
+    mm, ksub, dsub = books.shape
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        c, bk = ray.get(ref)
+        x = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        lists = np.argmax(x @ c.T, axis=1).astype(np.int64)
+        codes = np.empty((batch.num_rows, mm), np.uint8)
+        for s in range(mm):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            d = ((xs * xs).sum(1)[:, None]
+                 - 2.0 * xs @ bk[s].T
+                 + (bk[s] * bk[s]).sum(1)[None, :])
+            codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), mm),
+            "list_id": pa.array(lists, pa.int64()),
+        })
+
+    embeddings_ds.map_batches(
+        assign_encode, batch_format="pyarrow", batch_size=8192
+    ).write_parquet(os.path.join(tmp, "codes"),
+                    partition_cols=["list_id"])
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(want)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return (np.load(os.path.join(path, "centroids.npy")),
+            np.load(os.path.join(path, "codebooks.npy")), codes_path)
+
+
+def knn_ivfpq(embeddings_ds, query_vec, dim: int, k: int = 10,
+              nlist: int = 64, nprobe: int = 8, m: int = 8,
+              nbits: int = 8, iters: int = 5, id_col: str = "vec_id",
+              emb_col: str = "embedding", index_dir: str = None,
+              fingerprint: str = ""):
+    """IVF-PQ approximate top-k: probe the ``nprobe`` nearest lists,
+    ADC-scan ONLY those partitions' m-byte codes — sublinear reads AND
+    compressed candidates (the combination that serves billion-vector
+    corpora).  ``index_dir`` is required (this is a serving structure
+    by nature; batch-mode full-scan PQ is :func:`knn_pq`)."""
+    import glob
+    import os
+
+    if index_dir is None:
+        raise ValueError("knn_ivfpq is serving-mode only: pass index_dir")
+    cents, books, codes_path = ensure_ivfpq_index(
+        index_dir, embeddings_ds, dim, nlist=nlist, m=m, nbits=nbits,
+        iters=iters, id_col=id_col, emb_col=emb_col,
+        fingerprint=fingerprint,
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probes = np.argsort(-(cents @ q))[:nprobe].tolist()
+    paths = [
+        f for i in probes
+        for f in sorted(glob.glob(
+            os.path.join(codes_path, f"list_id={i}", "*.parquet")))
+    ]
+    if not paths:  # pragma: no cover - defensive
+        return knn_brute(embeddings_ds, q, k, id_col, emb_col)
+    import ray.data
+
+    codes = ray.data.read_parquet(paths, columns=[id_col, "code"])
+    return _adc_scan(codes, adc_table(q, books), id_col, k)

@@ -85,3 +85,28 @@ def test_knn_pq_recall_vs_brute(ray_session):
                      nbits=6, iters=4).take_all()]
     recall = len(set(brute) & set(approx)) / 10
     assert recall >= 0.7, (brute, approx)
+
+
+def test_knn_ivfpq_matches_pq_within_probed_lists(ray_session, tmp_path):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_brute,
+        knn_ivfpq,
+    )
+
+    df, x = _clustered()
+    ds = _ds(ray_session, df)
+    q = x[42]
+    brute = [r["vec_id"] for r in
+             knn_brute(ds, q.tolist(), k=10).take_all()]
+    approx = [r["vec_id"] for r in
+              knn_ivfpq(ds, q.tolist(), dim=32, k=10, nlist=16,
+                        nprobe=4, m=8, nbits=6, iters=4,
+                        index_dir=str(tmp_path)).take_all()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.7, (brute, approx)
+    # serving the same query again hits the persisted index
+    again = [r["vec_id"] for r in
+             knn_ivfpq(ds, q.tolist(), dim=32, k=10, nlist=16,
+                       nprobe=4, m=8, nbits=6, iters=4,
+                       index_dir=str(tmp_path)).take_all()]
+    assert again == approx
