@@ -954,7 +954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = _read(sf_dir, "documents").select_columns(["text"])
         wc = {r["word"]: r["n"]
-              for r in word_counts(docs, num_partitions=16).take_all()}
+              for r in word_counts(docs, num_partitions=16,
+                                   max_vocab=500_000).take_all()}
         merges = train_bpe(wc, 50)
         return ray.data.from_arrow(pa.table({
             "rank": pa.array(range(len(merges)), pa.int64()),
@@ -975,7 +976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = _read(sf_dir, "documents").select_columns(["text"])
         wc = {r["word"]: r["n"]
-              for r in word_counts(docs, num_partitions=16).take_all()}
+              for r in word_counts(docs, num_partitions=16,
+                                   max_vocab=500_000).take_all()}
         merges = train_bpe(wc, 50)
         return bpe_apply(docs, merges, num_partitions=16)
 

@@ -33,9 +33,17 @@ END = "</w>"
 
 
 def word_counts(docs_ds, text_col: str = "text",
-                num_partitions: int = 16):
+                num_partitions: int = 16, max_vocab: int | None = None):
     """Exact corpus word frequencies (word, n) — per-batch combiner,
-    one hash exchange; output bounded by the vocabulary."""
+    one hash exchange; output bounded by the vocabulary.
+
+    ``max_vocab`` caps the result to the top-``max_vocab`` words by
+    (count desc, word) — the standard BPE-training truncation (a web
+    corpus's raw distinct-word table is 10⁸+ rows of typo/url tail
+    that contributes nothing to merge counts).  The cap is EXACT:
+    counts are complete before truncation, each partition keeps its
+    own top-``max_vocab``, and the final sort sees ≤ partitions×cap
+    rows."""
 
     def partial(batch: pa.Table) -> pa.Table:
         flat = pc.list_flatten(pc.split_pattern(batch.column(text_col),
@@ -47,12 +55,21 @@ def word_counts(docs_ds, text_col: str = "text",
 
     def reduce_(tbl: pa.Table) -> pa.Table:
         agg = tbl.group_by(["word"]).aggregate([("n", "sum")])
-        return agg.rename_columns(["word", "n"])
+        agg = agg.rename_columns(["word", "n"])
+        if max_vocab is not None and agg.num_rows > max_vocab:
+            agg = agg.sort_by([("n", "descending"),
+                               ("word", "ascending")]
+                              ).slice(0, max_vocab)
+        return agg
 
     partials = docs_ds.map_batches(partial, batch_format="pyarrow")
-    return grouped_apply(partials, ["word"], reduce_,
-                         num_partitions=num_partitions,
-                         batch_format="pyarrow")
+    counts = grouped_apply(partials, ["word"], reduce_,
+                           num_partitions=num_partitions,
+                           batch_format="pyarrow")
+    if max_vocab is None:
+        return counts
+    return counts.sort(["n", "word"],
+                       descending=[True, False]).limit(max_vocab)
 
 
 def train_bpe(vocab: dict[str, int], num_merges: int) -> list[tuple[str, str]]:

@@ -161,9 +161,15 @@ def kmeans_centroids(embeddings_ds, dim: int, nlist: int = 64, iters: int = 5,
                 }
             )
 
-        agg = embeddings_ds.map_batches(
-            partial, batch_format="pyarrow", batch_size=8192
-        ).take_all()  # nlist rows per input block — tiny
+        # tree-reduce: nlist rows per input BLOCK is O(blocks) at web
+        # scale, so partials merge through one tiny keyed exchange and
+        # the driver folds exactly nlist rows
+        agg = _reduce_cluster_partials(
+            embeddings_ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=8192
+            ),
+            ["cluster"],
+        )
         sums = np.zeros_like(cents)
         counts = np.zeros(cents.shape[0], dtype=np.int64)
         for r in agg:
@@ -172,6 +178,31 @@ def kmeans_centroids(embeddings_ds, dim: int, nlist: int = 64, iters: int = 5,
         nonempty = counts > 0
         cents[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
     return cents
+
+
+def _reduce_cluster_partials(partials_ds, keys: list[str]) -> list[dict]:
+    """Merge per-block (keys…, sum:list, count) partial rows through
+    ONE keyed exchange (associative elementwise-sum), returning the
+    bounded per-key list — never O(blocks) rows on the driver."""
+    from ..stages.shuffle import grouped_apply
+
+    def reduce_(pdf: pd.DataFrame) -> pd.DataFrame:
+        def fold(g: pd.DataFrame) -> pd.Series:
+            arr = np.stack(g["sum"].to_numpy())
+            # canonical row order before the float fold: partition row
+            # order follows shuffle arrival, and float addition is not
+            # associative — lexsorting keeps k-means bit-deterministic
+            arr = arr[np.lexsort(arr.T)]
+            return pd.Series({
+                "sum": arr.sum(axis=0).tolist(),
+                "count": int(g["count"].sum()),
+            })
+
+        return (pdf.groupby(keys, sort=False)
+                .apply(fold, include_groups=False).reset_index())
+
+    return grouped_apply(partials_ds, keys, reduce_,
+                         num_partitions=8).take_all()
 
 
 def ensure_ivf_centroids(index_dir: str, embeddings_ds, dim: int,
@@ -769,9 +800,15 @@ def pq_train_codebooks(embeddings_ds, dim: int, m: int = 8,
                 ("count", pa.int64()),
             ]))
 
-        agg = embeddings_ds.map_batches(
-            partial, batch_format="pyarrow", batch_size=8192
-        ).take_all()  # m × ksub rows per block — tiny
+        # same tree-reduce as kmeans_centroids: m×ksub rows per BLOCK
+        # merge through one keyed exchange; the driver folds exactly
+        # m×ksub rows regardless of corpus size
+        agg = _reduce_cluster_partials(
+            embeddings_ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=8192
+            ),
+            ["sub", "cluster"],
+        )
         sums = np.zeros((m, ksub, dsub))
         counts = np.zeros((m, ksub), dtype=np.int64)
         for r in agg:

@@ -79,3 +79,15 @@ def test_distributed_word_counts_and_apply(ray_session):
     assert got == expected
     # total piece mass conserves total character+boundary mass
     assert sum(len(p.replace(END, "#")) for p in got) > 0
+
+
+def test_word_counts_max_vocab_exact_topk(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"text": ["a a a a b b b c c d", "d a b e"]})
+    ds = ray.data.from_pandas(df)
+    top = {(r["word"], r["n"])
+           for r in word_counts(ds, num_partitions=3,
+                                max_vocab=2).take_all()}
+    # counts complete BEFORE the cap: a=5, b=4 win over c=2, d=2, e=1
+    assert top == {("a", 5), ("b", 4)}
