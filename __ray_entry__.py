@@ -871,7 +871,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         flips."""
         import ray
         import ray.data
-        from ray.data.aggregate import Sum
 
         from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
             window_topk,
@@ -900,15 +899,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return out.groupby(["p_brand", "l_partkey"], sort=False,
                                as_index=False)["revenue_cents"].sum()
 
-        summed = (
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        def reduce_(pdf):
+            return pdf.groupby(["p_brand", "l_partkey"], sort=False,
+                               as_index=False)["revenue_cents"].sum()
+
+        summed = grouped_apply(
             ray.data.read_parquet(
                 os.path.join(sf_dir, "lineitem.parquet"),
                 columns=["l_partkey", "l_extendedprice", "l_discount"],
-            )
-            .map_batches(combine, batch_format="pandas")
-            .groupby(["p_brand", "l_partkey"])
-            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        )
+            ).map_batches(combine, batch_format="pandas"),
+            ["p_brand", "l_partkey"], reduce_, num_partitions=8,
+        )  # grouped_apply, not the slow native string-key Aggregate
 
         return window_topk(summed, ["p_brand"], "revenue_cents", 2,
                            tie_col="l_partkey", num_partitions=8)
