@@ -755,6 +755,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(cols)
         return except_distinct(before, after, cols, num_partitions=16)
 
+    def lineitem_price_geomean(sf_dir: str):
+        """Geometric mean per return flag — the multiplicative-average
+        sufficient statistic (Σ ln x, n) rides a per-batch combiner +
+        one tiny groupby; exp at the end."""
+        from ray.data.aggregate import Sum
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_extendedprice"])
+
+        def combine(b: pa.Table) -> pa.Table:
+            ln = pc.ln(pc.cast(b.column("l_extendedprice"),
+                               pa.float64()))
+            t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                          "__ln": ln})
+            agg = t.group_by(["l_returnflag"]).aggregate(
+                [("__ln", "sum"), ([], "count_all")])
+            return agg.rename_columns(["l_returnflag", "s", "n"])
+
+        summed = (li.map_batches(combine, batch_format="pyarrow")
+                  .groupby("l_returnflag")
+                  .aggregate(Sum("s", alias_name="s"),
+                             Sum("n", alias_name="n")))
+
+        def finish(b: pa.Table) -> pa.Table:
+            g = pc.exp(pc.divide(b.column("s"),
+                                 pc.cast(b.column("n"), pa.float64())))
+            return pa.table({
+                "l_returnflag": b.column("l_returnflag"),
+                "geomean": pc.round(g, ndigits=4,
+                                    round_mode="half_towards_infinity"),
+            })
+
+        return summed.map_batches(finish, batch_format="pyarrow")
+
+    def orders_custkey_skew_profile(sf_dir: str):
+        """Key-skew profile (the pre-shuffle planning statistic the
+        skew_join threshold feeds on): per-key counts via one exchange,
+        then (n_keys, max, p50 by the 1-based ceil(q·n) quantile_disc
+        convention) from the key-cardinality-bounded count column."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(["o_custkey"])
+
+        def combine(pdf):
+            return (pdf.groupby("o_custkey", as_index=False)
+                    .size().rename(columns={"size": "n"}))
+
+        def reduce_(pdf):
+            return (pdf.groupby("o_custkey", as_index=False)["n"].sum())
+
+        counts = grouped_apply(
+            orders.map_batches(combine, batch_format="pandas"),
+            ["o_custkey"], reduce_, num_partitions=8)
+        sizes = np.sort(np.array(
+            [r["n"] for r in counts.take_all()], np.int64))
+        # the count column is bounded by key cardinality (customers)
+        p50 = int(sizes[int(np.ceil(0.5 * len(sizes))) - 1])
+        return pa.table({
+            "n_keys": pa.array([len(sizes)], pa.int64()),
+            "max_n": pa.array([int(sizes[-1])], pa.int64()),
+            "p50_n": pa.array([p50], pa.int64()),
+        })
+
     def lineitem_numeric_profile(sf_dir: str):
         """Column profiling / stats collection in one streaming pass —
         per-column (rows, nulls, min, max, total), each batch reduces
@@ -5268,6 +5333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_next_purchase": events_asof_next_purchase,
         "events_user_running_max": events_user_running_max,
         "docs_normalized_text": docs_normalized_text,
+        "lineitem_price_geomean": lineitem_price_geomean,
+        "orders_custkey_skew_profile": orders_custkey_skew_profile,
         "lineitem_numeric_profile": lineitem_numeric_profile,
         "events_props_k_sum": events_props_k_sum,
         "events_window_unique_users": events_window_unique_users,
@@ -6771,6 +6838,18 @@ def oracle_sql() -> dict[str, str]:
         "events_type_freq_cms": """
             SELECT event_type AS value, count(*) AS est
             FROM events GROUP BY event_type
+        """,
+        "lineitem_price_geomean": """
+            SELECT l_returnflag,
+                   round(exp(avg(ln(l_extendedprice))), 4) AS geomean
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "orders_custkey_skew_profile": """
+            WITH c AS (SELECT count(*) AS n FROM orders
+                       GROUP BY o_custkey)
+            SELECT count(*) AS n_keys, max(n) AS max_n,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n
+            FROM c
         """,
         "lineitem_numeric_profile": """
             SELECT 'l_quantity' AS column, count(*) AS n_rows,
