@@ -703,6 +703,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hamming_pairs(hashes, max_hamming=6, id_col="media_num",
                              hash_col="phash")
 
+    def audio_dup_pairs(sf_dir: str):
+        """Audio near-dup detection — real PCM16 WAV payloads (vendored
+        codec) → actor-pool energy-envelope fingerprint (gain-
+        invariant, `functions/media.audio_hash64`) → the shared
+        hamming-pair exchange. Planted dups: ids 1000+i are gain-
+        changed noisy re-encodes of clip i; recall/precision pinned by
+        tests/test_audio_fp.py."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+            encode_wav,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            hamming_pairs,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            audio_fingerprints,
+        )
+
+        n_base = 120
+
+        def clip(seed: int) -> np.ndarray:
+            rng = np.random.default_rng(seed)
+            env = np.abs(np.cumsum(rng.normal(size=8000)))
+            env = env / env.max()
+            return env * rng.normal(size=8000) * 0.3
+
+        def gen(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in batch.column("id").to_pylist():
+                i = int(i)
+                base = i % n_base
+                x = clip(base)
+                if i >= n_base:
+                    noise = np.random.default_rng(10_000 + i)
+                    x = x * 0.7 + noise.normal(size=x.size) * 0.002
+                mid = base if i < n_base else 1000 + base
+                rows.append({
+                    "media_id": f"aud-{mid:07d}",
+                    "kind": "audio",
+                    "payload": encode_wav(16000, x),
+                    "mime": "audio/wav",
+                    "source_url": f"https://fixture.test/aud/{mid}",
+                })
+            return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+        media = ray.data.range(n_base + 30).map_batches(
+            gen, batch_format="pyarrow", batch_size=64)
+        hashes = audio_fingerprints(media).map_batches(
+            lambda b: pa.table({
+                "num": pc.cast(pc.utf8_slice_codeunits(
+                    b.column("media_id"), 4, 99), pa.int64()),
+                "ahash": b.column("ahash"),
+            }),
+            batch_format="pyarrow",
+        )
+        return hamming_pairs(hashes, max_hamming=6, id_col="num",
+                             hash_col="ahash")
+
     def events_users_both_halves(sf_dir: str):
         """SQL INTERSECT — distinct users active in BOTH halves of the
         month; per-side distinct combiners, one value-keyed exchange."""
@@ -5328,6 +5388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup_keep_best": docs_exact_dedup_keep_best,
         "images_resized": images_resized,
         "images_phash_dups": images_phash_dups,
+        "audio_dup_pairs": audio_dup_pairs,
         "events_users_both_halves": events_users_both_halves,
         "discontinued_part_suppliers": discontinued_part_suppliers,
         "events_asof_next_purchase": events_asof_next_purchase,

@@ -328,3 +328,23 @@ def dhash64(img: np.ndarray) -> int:
     grid = area_resize(gray2d(img), 8, 9)
     bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
     return int(np.packbits(bits).view(np.dtype(">u8"))[0])
+
+
+def audio_hash64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: RMS energy over 65 equal segments,
+    one bit per consecutive-segment comparison — the audio analogue of
+    the image dHash (gain-invariant: comparisons are unchanged under
+    global amplitude scaling; robust to small noise), so near-duplicate
+    recordings (re-encodes, gain changes, light noise) land within a
+    small hamming distance and ride the same band-bucket + XOR-popcount
+    pair machinery."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size == 0:
+        return 0
+    bounds = np.linspace(0, x.size, 66).astype(np.int64)
+    sq = np.concatenate([[0.0], np.cumsum(x * x)])
+    seg = sq[bounds[1:]] - sq[bounds[:-1]]
+    widths = np.maximum(bounds[1:] - bounds[:-1], 1)
+    rms = np.sqrt(seg / widths)
+    bits = rms[1:] > rms[:-1]
+    return int(np.packbits(bits).view(np.dtype(">u8"))[0])

@@ -434,3 +434,61 @@ def resize_images(media_ds, out_h: int = 64, out_w: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioFingerprint(DecodeAudio):
+    """Actor-pool stage: decode (same precedence chain as
+    :class:`DecodeAudio`) → 64-bit energy-envelope fingerprint
+    (``functions/media.audio_hash64``) as a bit-preserving signed
+    int64 — near-duplicate recordings feed the text/image hamming-pair
+    exchange unchanged."""
+
+    def __init__(self):
+        super().__init__(num_frames=16)  # frames unused; decode chain
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.media import audio_hash64, decode_wav
+
+        ids, hashes = [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if payload.startswith(_MAGIC):
+                body = np.frombuffer(payload[19:], dtype=np.uint8)
+                samples = (body.astype(np.float64) - 128.0) / 128.0
+            elif self._sf is not None:  # pragma: no cover
+                import io
+
+                data, _rate = self._sf.read(io.BytesIO(payload))
+                samples = np.asarray(data, dtype=np.float64).reshape(
+                    len(data), -1)[:, 0]
+            elif payload.startswith(b"RIFF"):
+                _rate, samples = decode_wav(payload)
+            else:
+                raise NotImplementedError(
+                    "audio fingerprint requires soundfile, a PCM16 WAV "
+                    "payload, or a synthetic fixture"
+                )
+            ids.append(mid)
+            hashes.append(
+                int(np.uint64(audio_hash64(samples)).astype(np.int64))
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "ahash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def audio_fingerprints(media_ds, concurrency=(1, 4),
+                       batch_size: int = 64):
+    """Audio fingerprinting as an actor-pool map_batches; 16 bytes per
+    clip downstream."""
+    return media_ds.map_batches(
+        AudioFingerprint,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
