@@ -201,8 +201,10 @@ def _reduce_cluster_partials(partials_ds, keys: list[str]) -> list[dict]:
         return (pdf.groupby(keys, sort=False)
                 .apply(fold, include_groups=False).reset_index())
 
+    # to_pandas, not take_all: row-based take_all over pandas blocks
+    # converts per row — measured ~0.6 ms/row, meaningful × iterations
     return grouped_apply(partials_ds, keys, reduce_,
-                         num_partitions=8).take_all()
+                         num_partitions=8).to_pandas().to_dict("records")
 
 
 def ensure_ivf_centroids(index_dir: str, embeddings_ds, dim: int,
