@@ -389,6 +389,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dd.ngram_jaccard_verify(docs, cand, n=3, threshold=0.6)
 
+    def simhash_vs_jaccard_eval(sf_dir: str):
+        """Detector evaluation (the threshold/band tuning loop as one
+        query): precision/recall/F1 of the CHEAP detector (SimHash
+        hamming ≤3) against the expensive verified truth (exact
+        char-3-gram Jaccard ≥0.6 over LSH candidates) — pair sets stay
+        Datasets, canonicalization is map-side, the hit count is one
+        INTERSECT exchange (`pipelines/dedup.dedup_eval`)."""
+        docs = _read(sf_dir, "documents")
+        pred = dd.simhash_pairs(docs, max_hamming=3).select_columns(
+            ["doc_a", "doc_b"])
+        cand = dd.minhash_lsh_pairs(docs, threshold=0.5).select_columns(
+            ["doc_a", "doc_b"])
+        true = dd.ngram_jaccard_verify(
+            docs, cand, n=3, threshold=0.6).select_columns(
+            ["doc_a", "doc_b"])
+        return dd.dedup_eval(pred, true)
+
     def dup_clusters(sf_dir: str):
         """Near-dup pairs → duplicate clusters (distributed min-label
         connected components): the training-data step after LSH pair
@@ -5410,6 +5427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_extracted_s_words": docs_extracted_s_words,
         "events_type_freq_cms": events_type_freq_cms,
         "docs_minhash_deduped": docs_minhash_deduped,
+        "simhash_vs_jaccard_eval": simhash_vs_jaccard_eval,
         "embeddings_semantic_dedup": embeddings_semantic_dedup,
     }
 

@@ -1118,3 +1118,61 @@ def edit1_fuzzy_pairs(ds, value_col: str, num_partitions: int = 64,
     return grouped_apply(dedup_local, ["name_a", "name_b"], pair_distinct,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def dedup_eval(pred_pairs, true_pairs, a_col: str = "doc_a",
+               b_col: str = "doc_b", num_partitions: int = 16):
+    """Evaluate a near-dup detector: precision/recall/F1 of predicted
+    pairs against a ground-truth pair set — the measurement loop for
+    tuning thresholds/bands on a labeled sample.
+
+    Scale shape: pairs canonicalize to (min, max) orientation map-side;
+    the intersection is ONE value-keyed exchange
+    (:func:`relational.intersect_distinct`); the three counts are tiny
+    aggregates.  Returns a one-row Dataset
+    (n_pred, n_true, n_hit, precision, recall, f1)."""
+    import ray.data
+
+    from .relational import intersect_distinct
+
+    def canon(ds):
+        def fn(b: pa.Table) -> pa.Table:
+            a = b.column(a_col)
+            bb = b.column(b_col)
+            lo = pc.min_element_wise(a, bb)
+            hi = pc.max_element_wise(a, bb)
+            t = pa.table({"lo": lo, "hi": hi})
+            return t.group_by(["lo", "hi"]).aggregate([])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    p = canon(pred_pairs)
+    t = canon(true_pairs)
+    # distinct across batches before counting (per-batch distinct is
+    # only a combiner)
+    from ..stages.shuffle import grouped_apply
+
+    def distinct(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(["lo", "hi"]).aggregate([])
+
+    p = grouped_apply(p, ["lo", "hi"], distinct,
+                      num_partitions=num_partitions,
+                      batch_format="pyarrow")
+    t = grouped_apply(t, ["lo", "hi"], distinct,
+                      num_partitions=num_partitions,
+                      batch_format="pyarrow")
+    n_pred = p.count()
+    n_true = t.count()
+    n_hit = intersect_distinct(p, t, ["lo", "hi"],
+                               num_partitions=num_partitions).count()
+    prec = n_hit / n_pred if n_pred else 0.0
+    rec = n_hit / n_true if n_true else 0.0
+    f1 = (2 * prec * rec / (prec + rec)) if (prec + rec) else 0.0
+    return ray.data.from_arrow(pa.table({
+        "n_pred": pa.array([n_pred], pa.int64()),
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "precision": pa.array([round(prec, 6)], pa.float64()),
+        "recall": pa.array([round(rec, 6)], pa.float64()),
+        "f1": pa.array([round(f1, 6)], pa.float64()),
+    }))

@@ -498,3 +498,21 @@ def test_grouped_centroids_matches_numpy(ray_session):
         got = out[out["label"] == lab].sort_values("dim")["centroid"] \
             .to_numpy()
         np.testing.assert_allclose(got, np.round(ref, 6), atol=1e-6)
+
+
+def test_dedup_eval_precision_recall(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import dedup_eval
+
+    # true: {1-2, 3-4, 5-6}; pred: {2-1 (reversed dup), 3-4, 7-8}
+    true = pd.DataFrame({"doc_a": [1, 3, 5], "doc_b": [2, 4, 6]})
+    pred = pd.DataFrame({"doc_a": [2, 2, 3, 7],
+                         "doc_b": [1, 1, 4, 8]})
+    out = dedup_eval(ray.data.from_pandas(pred),
+                     ray.data.from_pandas(true)).take_all()[0]
+    assert out["n_pred"] == 3 and out["n_true"] == 3  # dedup + canon
+    assert out["n_hit"] == 2
+    assert out["precision"] == round(2 / 3, 6)
+    assert out["recall"] == round(2 / 3, 6)
