@@ -4849,6 +4849,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  "o_totalprice", out_col="price_rank",
                                  num_partitions=8)
 
+    def orders_price_rank(sf_dir: str):
+        """RANK() window (ties share, gaps remain) — DENSE_RANK's
+        sibling; one exchange on the priority key."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_rank,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        )
+        return window_rank(orders, ["o_orderpriority"], "o_totalprice",
+                           out_col="price_rank", num_partitions=8)
+
     def events_first_last_value(sf_dir: str):
         """Ordered FIRST/LAST per user — each batch ships at most two
         rows per user (its local first and last), one exchange."""
@@ -5396,6 +5409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot_measures": lineitem_unpivot_measures,
         "events_next_event_type": events_next_event_type,
         "orders_price_dense_rank": orders_price_dense_rank,
+        "orders_price_rank": orders_price_rank,
         "events_first_last_value": events_first_last_value,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -6824,6 +6838,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_dense_rank": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    dense_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice) AS price_rank
+            FROM orders
+        """,
+        "orders_price_rank": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   rank() OVER (
                        PARTITION BY o_orderpriority
                        ORDER BY o_totalprice) AS price_rank
             FROM orders

@@ -2500,3 +2500,21 @@ def profile_numeric(ds, cols: list[str], num_partitions: int = 4):
     return grouped_apply(partials, ["column"], merge,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def window_rank(ds, keys: list[str], order_col: str,
+                out_col: str = "rank", num_partitions: int = 64):
+    """SQL ``RANK() OVER (PARTITION BY keys ORDER BY order_col)`` —
+    ties share a rank and leave gaps (pandas ``rank(method="min")``);
+    :func:`window_dense_rank`'s sibling, same one-exchange shape."""
+
+    def rk(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out[out_col] = (
+            pdf.groupby(keys, sort=False, dropna=False)[order_col]
+            .rank(method="min")
+            .astype(np.int64)
+        )
+        return out
+
+    return grouped_apply(ds, keys, rk, num_partitions=num_partitions)

@@ -219,3 +219,21 @@ def test_windowed_cumagg_min_max_count(ray_session):
     with pytest.raises(ValueError):
         windowed_cumagg(_ds(ray_session, ev), ["user_id"], "ts", "v",
                         "out", "event_id", agg="avg")
+
+
+def test_window_rank_ties_share_with_gaps(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        window_rank,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 3,
+        "v": [10.0, 10.0, 20.0, 30.0, 30.0, 1.0, 1.0, 2.0],
+    })
+    got = window_rank(_ds(ray_session, df), ["g"], "v",
+                      out_col="r", num_partitions=3).to_pandas()
+    expected = df.copy()
+    expected["r"] = df.groupby("g")["v"].rank(method="min").astype(
+        np.int64)
+    # a: 1,1,3,4,4 (gap after the tie); b: 1,1,3
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
