@@ -4862,6 +4862,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return window_rank(orders, ["o_orderpriority"], "o_totalprice",
                            out_col="price_rank", num_partitions=8)
 
+    def orders_price_cume_dist(sf_dir: str):
+        """CUME_DIST() window — fraction of the priority class at or
+        below each order's price; PERCENT_RANK's sibling, one
+        exchange."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            window_cume_dist,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        )
+        return window_cume_dist(orders, ["o_orderpriority"],
+                                "o_totalprice", out_col="cd",
+                                num_partitions=8)
+
     def events_first_last_value(sf_dir: str):
         """Ordered FIRST/LAST per user — each batch ships at most two
         rows per user (its local first and last), one exchange."""
@@ -5410,6 +5425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_event_type": events_next_event_type,
         "orders_price_dense_rank": orders_price_dense_rank,
         "orders_price_rank": orders_price_rank,
+        "orders_price_cume_dist": orders_price_cume_dist,
         "events_first_last_value": events_first_last_value,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -6847,6 +6863,13 @@ def oracle_sql() -> dict[str, str]:
                    rank() OVER (
                        PARTITION BY o_orderpriority
                        ORDER BY o_totalprice) AS price_rank
+            FROM orders
+        """,
+        "orders_price_cume_dist": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   round(cume_dist() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice), 6) AS cd
             FROM orders
         """,
         "events_first_last_value": """

@@ -2518,3 +2518,24 @@ def window_rank(ds, keys: list[str], order_col: str,
         return out
 
     return grouped_apply(ds, keys, rk, num_partitions=num_partitions)
+
+
+def window_cume_dist(ds, keys: list[str], order_col: str,
+                     out_col: str = "cume_dist",
+                     num_partitions: int = 64, ndigits: int = 6):
+    """SQL ``CUME_DIST() OVER (PARTITION BY keys ORDER BY order_col)``
+    — count(rows ≤ current)/n, ties sharing the MAX rank;
+    :func:`window_percent_rank`'s sibling, same one-exchange shape and
+    DuckDB-parity rounding."""
+
+    def cd(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf.groupby(keys, sort=False, dropna=False)[order_col]
+        rank = grp.rank(method="max")
+        n = grp.transform("size")
+        out = pdf.copy()
+        val = rank.to_numpy(np.float64) / n.to_numpy(np.float64)
+        scale = 10.0 ** ndigits
+        out[out_col] = np.floor(val * scale + 0.5) / scale
+        return out
+
+    return grouped_apply(ds, keys, cd, num_partitions=num_partitions)
