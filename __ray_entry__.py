@@ -5268,7 +5268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_apply(combined, ["fingerprint"], keep_best,
                              num_partitions=16)
 
-    return {
+    reg = {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
         "kg_chunks": kg_chunks,
@@ -5459,6 +5459,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_deduped": docs_minhash_deduped,
         "simhash_vs_jaccard_eval": simhash_vs_jaccard_eval,
         "embeddings_semantic_dedup": embeddings_semantic_dedup,
+    }
+    # SQL-oracled entries lead (stable order within each group): the
+    # driver's correctness pass checks a fixed-size window of the
+    # registry, so front-loading the oracle-checkable queries maximizes
+    # rows it can verify hash-exactly; rows-only (no_oracle) entries —
+    # KG/embedding/multimodal shapes DuckDB can't express — follow.
+    oracled = set(oracle_sql())
+    return {
+        **{k: v for k, v in reg.items() if k in oracled},
+        **{k: v for k, v in reg.items() if k not in oracled},
     }
 
 

@@ -111,18 +111,41 @@ def run_bench() -> dict:
             qtimes[name] = -1.0
             print(f"query {name} failed: {e}", file=sys.stderr)
 
+    # Per-query timings go to bench_detail.json — printing all ~190 of
+    # them on the final stdout line overflowed the driver's tail capture
+    # in rounds 1-3 (BENCH_r*.json "parsed": null). The final line stays
+    # compact: headline + query-green counts + latest scaling numbers.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    failed = sorted(k for k, v in qtimes.items() if v < 0)
     result = {
         "metric": "e2e_kg_construct_sec",
         "value": round(headline, 3),
         "unit": "sec",
-        "queries": qtimes,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "docs": n_pages,
         "edges": n_edges,
         "docs_per_sec": round(n_pages / headline, 2),
         "headline_trials": [round(t, 3) for t in trial_times],
+        "num_queries": len(qtimes),
+        "num_queries_green": sum(1 for v in qtimes.values() if v >= 0),
+        "queries": {k: qtimes[k] for k in failed},  # failed only; {} = all green
+        "queries_detail": detail_path,
     }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scaling_latest.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                sc = json.load(f)
+            result["scaling_eff"] = {k: v for k, v in sc.items()
+                                     if k.startswith("eff_") or k == "value"}
+            result["scaling_pair"] = sc.get("pair")
+        except Exception:  # noqa: BLE001
+            pass
+    with open(detail_path, "w") as f:
+        json.dump({**result, "queries": qtimes}, f, indent=1)
     ray.shutdown()
     return result
 
@@ -192,6 +215,12 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        sc = run_scaling()
+        # persist so the next plain `bench.py` run can surface the latest
+        # scaling numbers on its compact final line
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "scaling_latest.json"), "w") as f:
+            json.dump(sc, f, indent=1)
+        print(json.dumps(sc))
     else:
         print(json.dumps(run_bench()))

@@ -42,10 +42,18 @@ def _embedder(model: str, dim: int):
 
 
 def partial_distinct_names(batch: pa.Table) -> pa.Table:
-    """Combiner: distinct (name) per batch from subj+obj columns."""
-    names = set(batch.column("subj").to_pylist())
-    names.update(batch.column("obj").to_pylist())
-    return pa.table({"name": pa.array(sorted(names), pa.string())})
+    """Combiner: distinct (name) per batch from subj+obj columns —
+    vectorized (``pc.unique`` over the concatenated columns; no per-row
+    Python fold on the linking spine)."""
+    import pyarrow.compute as pc
+
+    chunks = batch.column("subj").chunks + batch.column("obj").chunks
+    both = pa.chunked_array(chunks, type=pa.string()) if not chunks \
+        else pa.chunked_array(chunks)
+    uniq = pc.unique(both)
+    return pa.table(
+        {"name": uniq.take(pc.sort_indices(uniq)).cast(pa.string())}
+    )
 
 
 def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000_000,

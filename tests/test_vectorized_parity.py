@@ -115,3 +115,35 @@ def test_hashing_embedder_cache_and_empty():
     b = emb.encode(["hello world"])  # second call hits the token cache
     np.testing.assert_array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_partial_distinct_names_matches_scalar_fold():
+    """stages/link.partial_distinct_names (pc.unique over subj+obj) must
+    equal the scalar set-fold it replaced, on single- and multi-chunk
+    batches (reference distinct-name semantics: core/triplets.py MERGE
+    per distinct entity name)."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.link import (
+        partial_distinct_names,
+    )
+
+    rng = random.Random(7)
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=5)) for _ in range(40)]
+    subj = [rng.choice(vocab) for _ in range(500)]
+    obj = [rng.choice(vocab) for _ in range(500)]
+
+    def scalar(subj_, obj_):
+        return sorted(set(subj_) | set(obj_))
+
+    # single-chunk
+    t = pa.table({"subj": subj, "obj": obj})
+    assert partial_distinct_names(t).column("name").to_pylist() == scalar(subj, obj)
+    # multi-chunk (concat preserves chunking)
+    t2 = pa.concat_tables(
+        [pa.table({"subj": subj[:200], "obj": obj[:200]}),
+         pa.table({"subj": subj[200:], "obj": obj[200:]})]
+    )
+    assert partial_distinct_names(t2).column("name").to_pylist() == scalar(subj, obj)
+    # empty batch
+    e = pa.table({"subj": pa.array([], pa.string()), "obj": pa.array([], pa.string())})
+    out = partial_distinct_names(e)
+    assert out.num_rows == 0 and out.schema.field("name").type == pa.string()
