@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.shuffle import grouped_apply
+from ..stages.shuffle import arrow_out, grouped_apply
 
 # row kinds on the shared exchange schema (key, __salt, dst, val, kind)
 _EDGE = 0     # key = src, dst = neighbor, val = src's weight share
@@ -165,7 +165,9 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         edges = grouped_apply(
             cold, ["key"], inv_deg, num_partitions=num_partitions,
         ).union(
-            raw.map_batches(split_hot, batch_format="pandas")
+            # arrow_out: this side unions with grouped_apply's Arrow
+            # blocks — one block type per batcher
+            raw.map_batches(arrow_out(split_hot), batch_format="pandas")
         ).materialize()
     else:
         edges = grouped_apply(raw, ["key"], inv_deg,
@@ -336,11 +338,11 @@ def label_propagation(edges_ds, src_col: str = "src",
             "kind": pa.array(np.full(n, M_EDGE, np.int8)),
         })
 
-    # normalize to pandas blocks: the per-round union with the pandas
-    # state blocks must not mix block types inside one batcher
+    # edges stay Arrow blocks — grouped_apply state blocks are Arrow
+    # too, so the per-round union is one block type per batcher
     edges = edges_ds.map_batches(
         to_edges, batch_format="pyarrow"
-    ).map_batches(lambda pdf: pdf, batch_format="pandas").materialize()
+    ).materialize()
 
     # seed: every node (src ∪ dst) labels itself (weight 0 ⇒ real
     # neighbor messages win ties against the keep-alive)

@@ -7,13 +7,21 @@ group-dispatch overhead on 500 docs). The scalable shape is:
 
     add __part = stable_hash(keys) % num_partitions        (map_batches)
     groupby(__part)                                        (one shuffle)
-    per partition: ONE vectorized pandas groupby over keys (map_groups)
+    per partition: ONE vectorized local groupby over keys  (map_groups)
 
 One shuffle, ``num_partitions`` function calls total, local group logic
 fully vectorized. Skew note: a hot KEY still lands in one partition, but
 per-key work here is per-row-linear (the combiners upstream cap per-key
 row counts), so partitions stay balanced; key-salting (see
 stages/link.py) handles the head-key case before this exchange.
+
+The EXCHANGE is always zero-copy Arrow (blocks ship as Arrow through the
+object store; a pandas-block exchange pickles per block and was measured
+~25% slower with higher variance on string-heavy keys — BASELINE.md
+round-3/4 A/Bs). ``batch_format`` only selects what ``partition_fn``
+receives: ``"pyarrow"`` hands it the partition ``pa.Table`` directly;
+``"pandas"`` converts once per partition on both sides, for local logic
+that needs pandas kernels (``merge_asof``-style windows).
 """
 
 from __future__ import annotations
@@ -32,86 +40,55 @@ def _stable_part(df: pd.DataFrame, keys: list[str], num_partitions: int) -> pd.S
     return (h % num_partitions).astype("int64")
 
 
-def grouped_map(ds, keys: list[str], group_fn, num_partitions: int = 64,
-                batch_size: int = 65536):
-    """Apply ``group_fn(pdf) -> DataFrame`` to every distinct ``keys``
-    group, dispatched partition-wise. ``group_fn`` receives one group's
-    rows (a pandas DataFrame, like Dataset.map_groups) and returns a
-    DataFrame."""
+def arrow_out(fn):
+    """Wrap a pandas ``map_batches`` fn so its OUTPUT blocks are Arrow —
+    for stages whose result unions with Arrow-block datasets (one block
+    type per batcher; grouped_apply outputs are always Arrow now)."""
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            df[_PART] = pd.Series([], dtype="int64")
-            return df
-        df = df.copy()
-        df[_PART] = _stable_part(df, keys, num_partitions)
-        return df
+    def wrapped(pdf: pd.DataFrame):
+        out = fn(pdf)
+        if isinstance(out, pa.Table):
+            return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=[_PART])
-        outs = [
-            group_fn(g)
-            for _, g in pdf.groupby(keys, sort=True, dropna=False)
-        ]
-        outs = [o for o in outs if o is not None and len(o)]
-        if not outs:
-            return pdf.iloc[0:0]
-        return pd.concat(outs, ignore_index=True)
-
-    return (
-        ds.map_batches(add_part, batch_format="pandas", batch_size=batch_size)
-        .groupby(_PART)
-        .map_groups(per_partition, batch_format="pandas")
-    )
+    return wrapped
 
 
 def grouped_apply(ds, keys: list[str], partition_fn, num_partitions: int = 64,
                   batch_size: int = 65536, batch_format: str = "pandas"):
-    """Like :func:`grouped_map` but hands the WHOLE partition to
+    """Hash-partition ``ds`` on ``keys`` and hand each WHOLE partition to
     ``partition_fn`` (which does its own local groupby over ``keys``) —
     for logic that vectorizes across groups (aggregations, windowing).
 
-    ``batch_format="pyarrow"`` keeps BOTH sides of the exchange
-    zero-copy Arrow: the partition column is computed from a pandas view
-    of the KEY columns only (same ``hash_pandas_object`` everywhere) and
-    appended to the Arrow batch, and ``partition_fn`` receives/returns a
-    ``pa.Table`` — no full-table Arrow→pandas→Arrow round-trip for
-    string-heavy tables (VERDICT r2 finding 6; measurement in
-    BASELINE.md)."""
+    The partition column is computed from a pandas view of the KEY
+    columns only (same ``hash_pandas_object`` everywhere) and appended to
+    the Arrow batch; blocks ride the exchange as Arrow regardless of
+    ``batch_format``. With ``batch_format="pandas"`` the partition
+    converts to a DataFrame once on entry and the result converts back
+    once on exit — the per-block pickle exchange of the old pandas path
+    is gone (VERDICT r2 finding 6 / r3 next-step 2; BASELINE.md A/Bs).
+    """
+
+    def add_part_arrow(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(_PART, pa.array([], pa.int64()))
+        part = _stable_part(batch.select(keys).to_pandas(), keys,
+                            num_partitions)
+        return batch.append_column(_PART, pa.array(part.to_numpy()))
 
     if batch_format == "pyarrow":
-        def add_part_arrow(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column(
-                    _PART, pa.array([], pa.int64())
-                )
-            part = _stable_part(batch.select(keys).to_pandas(), keys,
-                                num_partitions)
-            return batch.append_column(_PART, pa.array(part.to_numpy()))
-
-        def per_partition_arrow(batch: pa.Table) -> pa.Table:
+        def per_partition(batch: pa.Table) -> pa.Table:
             return partition_fn(batch.drop_columns([_PART]))
-
-        return (
-            ds.map_batches(add_part_arrow, batch_format="pyarrow",
-                           batch_size=batch_size)
-            .groupby(_PART)
-            .map_groups(per_partition_arrow, batch_format="pyarrow")
-        )
-
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            df[_PART] = pd.Series([], dtype="int64")
-            return df
-        df = df.copy()
-        df[_PART] = _stable_part(df, keys, num_partitions)
-        return df
-
-    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        return partition_fn(pdf.drop(columns=[_PART]))
+    else:
+        def per_partition(batch: pa.Table) -> pa.Table:
+            out = partition_fn(batch.drop_columns([_PART]).to_pandas())
+            if isinstance(out, pa.Table):
+                return out
+            return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
-        ds.map_batches(add_part, batch_format="pandas", batch_size=batch_size)
+        ds.map_batches(add_part_arrow, batch_format="pyarrow",
+                       batch_size=batch_size)
         .groupby(_PART)
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(per_partition, batch_format="pyarrow")
     )

@@ -53,43 +53,47 @@ def test_content_hash_stable():
     assert len(content_hash("x")) == 32
 
 
-def test_grouped_map_matches_naive_groupby(ray_session):
+def test_grouped_apply_matches_naive_groupby(ray_session):
+    import pyarrow as pa
     import ray.data
 
-    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
-        grouped_apply,
-        grouped_map,
-    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import grouped_apply
 
     rows = [{"k": f"k{i % 17}", "v": i} for i in range(500)]
     ds = ray.data.from_items(rows)
-
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"k": [g["k"].iloc[0]], "s": [int(g["v"].sum())]})
-
-    got = {r["k"]: r["s"] for r in grouped_map(ds, ["k"], per_group, 8).take_all()}
     df = pd.DataFrame(rows)
     want = df.groupby("k")["v"].sum().to_dict()
-    assert got == want
 
     def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf.groupby("k", sort=True).agg(s=("v", "sum")).reset_index()
 
-    got2 = {r["k"]: r["s"] for r in grouped_apply(ds, ["k"], per_partition, 8).take_all()}
+    got = {r["k"]: r["s"] for r in grouped_apply(ds, ["k"], per_partition, 8).take_all()}
+    assert got == want
+
+    # the Arrow-native partition_fn flavor must agree, and the exchange
+    # must produce Arrow blocks in BOTH flavors (pandas fns convert at
+    # the partition boundary only)
+    def per_partition_arrow(t: pa.Table) -> pa.Table:
+        g = t.group_by(["k"]).aggregate([("v", "sum")])
+        return g.rename_columns(["k", "s"])
+
+    out = grouped_apply(ds, ["k"], per_partition_arrow, 8,
+                        batch_format="pyarrow")
+    got2 = {r["k"]: r["s"] for r in out.take_all()}
     assert got2 == want
 
 
-def test_grouped_map_empty_dataset(ray_session):
+def test_grouped_apply_empty_dataset(ray_session):
     import ray.data
 
-    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import grouped_map
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import grouped_apply
 
     ds = ray.data.from_items([{"k": "a", "v": 1}]).filter(lambda r: False)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
 
-    assert grouped_map(ds, ["k"], per_group, 4).count() == 0
+    assert grouped_apply(ds, ["k"], per_partition, 4).count() == 0
 
 
 def test_multimodal_decode(ray_session):
