@@ -234,6 +234,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "payload_text": pa.array([], pa.string()),
              "score": pa.array([], pa.float64())})
 
+    def kg_vector_topk_ivf(sf_dir: str):
+        """Serving twin of kg_vector_topk (VERDICT r3 item 9): the chunk
+        vectors get a persisted list-partitioned IVF index under the KG
+        cache dir, fingerprinted on the chunk_vectors checkpoint (stale
+        KG → rebuild), so a warm query reads only its nprobe probed list
+        partitions instead of brute-scanning the table. Top-k identity
+        vs brute on the fixture is pinned by tests/test_query_layer.py;
+        kg_vector_topk (exact brute) stays the parity baseline."""
+        t = _kg_tables(sf_dir)
+        kg_dir = _kg_dir(sf_dir)
+        st = os.stat(os.path.join(kg_dir, "chunk_vectors", "_SUCCESS"))
+        hits = q.vector_topk_ivf(
+            t["chunk_vectors"], "Who founded Hugging Face?",
+            index_dir=os.path.join(kg_dir, "vecindex"),
+            fingerprint=f"{st.st_mtime_ns}:{st.st_size}",
+            k=10, cfg=CFG,
+        ).take_all()
+        return pa.table({
+            "chunk_id": pa.array([r["chunk_id"] for r in hits],
+                                 pa.string()),
+            "score": pa.array([round(r["score"], 6) for r in hits],
+                              pa.float64()),
+        })
+
     def _term_index(sf_dir: str):
         """Serving-path index (built lazily once per KG dir): terms
         re-materialized hash-partitioned + sorted by term with
@@ -471,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(bucketize, batch_format="pyarrow",
                              batch_size=65536),
             ["bucket"], chain, num_partitions=16,
+            batch_format="pandas",
         )
         return dd.connected_components(pairs)
 
@@ -902,7 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         counts = grouped_apply(
             orders.map_batches(combine, batch_format="pandas"),
-            ["o_custkey"], reduce_, num_partitions=8)
+            ["o_custkey"], reduce_, num_partitions=8,
+            batch_format="pandas")
         # to_pandas, not take_all: row-based take_all over pandas
         # blocks converts per row (measured 9.6 s for 15k rows!)
         sizes = np.sort(
@@ -1073,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 columns=["l_partkey", "l_extendedprice", "l_discount"],
             ).map_batches(combine, batch_format="pandas"),
             ["p_brand", "l_partkey"], reduce_, num_partitions=8,
+            batch_format="pandas",
         )  # grouped_apply, not the slow native string-key Aggregate
 
         return window_topk(summed, ["p_brand"], "revenue_cents", 2,
@@ -1597,8 +1624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return out[["user_id", "n_events", "sum_value", "window_start_h"]]
 
         return grouped_apply(
-            _read(sf_dir, "events"), ["user_id"], windows, num_partitions=32
-        )
+            _read(sf_dir, "events"), ["user_id"], windows, num_partitions=32,
+                          batch_format="pandas")
 
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
@@ -2595,6 +2622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = grouped_apply(
             scored.map_batches(keep, batch_format="pyarrow"),
             ["h"], dedup_part, num_partitions=16,
+            batch_format="pandas",
         )
 
         def shard(batch: pa.Table) -> pa.Table:
@@ -2767,7 +2795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return grouped_apply(ev, ["user_id"], roll, num_partitions=32)
+        return grouped_apply(ev, ["user_id"], roll, num_partitions=32,
+                          batch_format="pandas")
 
     def customers_without_urgent_orders(sf_dir: str):
         """Distributed anti-join (NOT EXISTS): customers with no
@@ -4558,6 +4587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         partials = grouped_apply(
             li.map_batches(prune, batch_format="pyarrow"),
             ["l_partkey"], per_part, num_partitions=16,
+            batch_format="pandas",
         )
         total = partials.sum("__s") or 0.0
         return pd.DataFrame(
@@ -4633,6 +4663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         best = grouped_apply(
             li.map_batches(combine, batch_format="pyarrow"),
             ["l_partkey"], argmin, num_partitions=16,
+            batch_format="pandas",
         )
 
         def attach(batch: pa.Table) -> pa.Table:
@@ -5282,7 +5313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         combined = docs.map_batches(fp, batch_format="pandas")
         return grouped_apply(combined, ["fingerprint"], keep_best,
-                             num_partitions=16)
+                             num_partitions=16,
+                          batch_format="pandas")
 
     reg = {
         # KG pipeline
@@ -5298,6 +5330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_stats": kg_doc_stats,
         # query layer
         "kg_vector_topk": kg_vector_topk,
+        "kg_vector_topk_ivf": kg_vector_topk_ivf,
         "kg_term_index_build": kg_term_index_build,
         "kg_term_search": kg_term_search,
         "kg_hybrid_retrieve": kg_hybrid_retrieve,

@@ -133,6 +133,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         hot_rows = grouped_apply(
             raw.map_batches(src_stats, batch_format="pyarrow"),
             ["key"], merge_stats, num_partitions=num_partitions,
+            batch_format="pandas",
         ).take_all()
         hot = {r["key"]: r["__w"] for r in hot_rows}
     hot_keys = frozenset(hot)
@@ -164,14 +165,15 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         )
         edges = grouped_apply(
             cold, ["key"], inv_deg, num_partitions=num_partitions,
-        ).union(
+                          batch_format="pandas").union(
             # arrow_out: this side unions with grouped_apply's Arrow
             # blocks — one block type per batcher
             raw.map_batches(arrow_out(split_hot), batch_format="pandas")
         ).materialize()
     else:
         edges = grouped_apply(raw, ["key"], inv_deg,
-                              num_partitions=num_partitions).materialize()
+                              num_partitions=num_partitions,
+                          batch_format="pandas").materialize()
 
     def replicate_to_salts(agg: pd.DataFrame,
                            last: bool) -> pd.DataFrame:
@@ -224,6 +226,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     state = grouped_apply(
         edges.map_batches(node_rows, batch_format="pyarrow"),
         ["key"], distinct_seed, num_partitions=num_partitions,
+        batch_format="pandas",
     )
 
     def ranks_of(pdf: pd.DataFrame) -> pd.Series:
@@ -268,7 +271,7 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
             state.union(edges), ["key", "__salt"],
             lambda pdf, _last=last: fused_round(pdf, _last),
             num_partitions=num_partitions,
-        ).materialize()
+                          batch_format="pandas").materialize()
 
     def final_rank(pdf: pd.DataFrame) -> pd.DataFrame:
         r = ranks_of(pdf)
@@ -278,7 +281,8 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         })
 
     ranks = grouped_apply(state, ["key", "__salt"], final_rank,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions,
+                      batch_format="pandas")
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -365,6 +369,7 @@ def label_propagation(edges_ds, src_col: str = "src",
     state = grouped_apply(
         edges.map_batches(node_rows, batch_format="pyarrow"),
         ["key"], distinct_nodes, num_partitions=num_partitions,
+        batch_format="pandas",
     )
 
     def labels_of(pdf: pd.DataFrame) -> pd.Series:
@@ -402,7 +407,8 @@ def label_propagation(edges_ds, src_col: str = "src",
         # per-round materialize: see pagerank's loop note (lazy chained
         # unions re-execute upstream rounds — measured superlinear)
         state = grouped_apply(state.union(edges), ["key"], fused_round,
-                              num_partitions=num_partitions).materialize()
+                              num_partitions=num_partitions,
+                          batch_format="pandas").materialize()
 
     def final_labels(pdf: pd.DataFrame) -> pd.DataFrame:
         lab = labels_of(pdf)
@@ -410,7 +416,8 @@ def label_propagation(edges_ds, src_col: str = "src",
                              label_col: lab.to_numpy()})
 
     return grouped_apply(state, ["key"], final_labels,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 # ---- shared undirected-graph plumbing (triangle_count, k_core) ----------

@@ -399,7 +399,7 @@ def merge_kg(tables_a: dict, tables_b: dict) -> dict:
     out["entity_nodes"] = grouped_apply(
         tables_a["entity_nodes"].union(tables_b["entity_nodes"]),
         ["entity_id"], merge_entities, num_partitions=16,
-    )
+                      batch_format="pandas")
 
     def merge_edges(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = ["src_entity_id", "dst_entity_id", "pred"]
@@ -415,5 +415,5 @@ def merge_kg(tables_a: dict, tables_b: dict) -> dict:
         tables_a["edges"].union(tables_b["edges"]),
         ["src_entity_id", "dst_entity_id", "pred"], merge_edges,
         num_partitions=16,
-    )
+                      batch_format="pandas")
     return out

@@ -225,7 +225,8 @@ def window_topk(ds, keys: list[str], order_col: str, k: int,
 
     combined = ds.map_batches(local_topk, batch_format="pandas")
     return grouped_apply(combined, keys, local_topk,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def distinct_count(ds, keys: list[str], value_col: str, out_col: str,
@@ -332,7 +333,8 @@ def grouped_quantile(ds, keys: list[str], value_col: str, q: float,
     slim = ds.map_batches(
         lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
     )
-    return grouped_apply(slim, keys, quant, num_partitions=num_partitions)
+    return grouped_apply(slim, keys, quant, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def rollup_sum(ds, keys: list[str], value_col: str,
@@ -608,7 +610,8 @@ def grouped_approx_distinct(ds, keys: list[str], value_col: str,
     )
     combined = slim.map_batches(partial, batch_format="pandas")
     return grouped_apply(combined, keys, merge,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def grouped_median(ds, keys: list[str], value_col: str, out_col: str,
@@ -630,7 +633,8 @@ def grouped_median(ds, keys: list[str], value_col: str, out_col: str,
     slim = ds.map_batches(
         lambda b: b.select(keys + [value_col]), batch_format="pyarrow"
     )
-    return grouped_apply(slim, keys, med, num_partitions=num_partitions)
+    return grouped_apply(slim, keys, med, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -783,7 +787,7 @@ def grouped_concat(ds, keys: list[str], value_col: str, order_col: str,
         return out
 
     slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
-    return grouped_apply(slim, keys, concat)
+    return grouped_apply(slim, keys, concat, batch_format="pandas")
 
 
 def heavy_hitters(ds, value_col: str, k: int, count_col: str = "n",
@@ -953,7 +957,8 @@ def window_ntile(ds, keys: list[str], order_col: str, tiles: int,
         return out
 
     slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
-    return grouped_apply(slim, keys, ntile, num_partitions=num_partitions)
+    return grouped_apply(slim, keys, ntile, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def copartition_agg_join(fact, dim, key: str, dim_key: str,
@@ -1015,7 +1020,8 @@ def windowed_cumsum(ds, keys: list[str], order_col: str, value_col: str,
         return out
 
     slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
-    return grouped_apply(slim, keys, cumsum, num_partitions=num_partitions)
+    return grouped_apply(slim, keys, cumsum, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def windowed_cumagg(ds, keys: list[str], order_col: str, value_col: str,
@@ -1042,7 +1048,8 @@ def windowed_cumagg(ds, keys: list[str], order_col: str, value_col: str,
         return out
 
     slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
-    return grouped_apply(slim, keys, run, num_partitions=num_partitions)
+    return grouped_apply(slim, keys, run, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def grouped_mode(ds, keys: list[str], value_col: str,
@@ -1072,7 +1079,8 @@ def grouped_mode(ds, keys: list[str], value_col: str,
     )
     combined = slim.map_batches(partial, batch_format="pandas")
     return grouped_apply(combined, keys, final,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def cube_sum(ds, keys: list[str], value_col: str, sentinel: str = "ALL",
@@ -1201,7 +1209,8 @@ def grouped_quantile_sketch(ds, keys: list[str], value_col: str,
     )
     sketched = slim.map_batches(sketch, batch_format="pandas")
     return grouped_apply(sketched, keys, finalize,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def full_outer_join(left, right, left_key: str, right_key: str,
@@ -1245,7 +1254,8 @@ def window_lag(ds, keys: list[str], order_col: str, value_col: str,
         return out
 
     slim = ds.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
-    return grouped_apply(slim, keys, lag, num_partitions=num_partitions)
+    return grouped_apply(slim, keys, lag, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
@@ -1299,6 +1309,7 @@ def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
     parts = grouped_apply(
         ds.map_batches(sketch, batch_format="pandas"),
         [value_col], merge_truncate, num_partitions=num_partitions,
+        batch_format="pandas",
     ).take_all()
     if not parts:
         return pa.table({value_col: pa.array([], pa.string()),
@@ -1319,7 +1330,8 @@ def approx_heavy_hitters(ds, value_col: str, k: int, capacity: int = 4096,
 
     exact = grouped_apply(ds.map_batches(recount, batch_format="pandas"),
                           [value_col], total,
-                          num_partitions=num_partitions).take_all()
+                          num_partitions=num_partitions,
+                          batch_format="pandas").take_all()
     tbl = pa.Table.from_pylist(exact) if exact else pa.table(
         {value_col: pa.array([], pa.string()),
          "__c": pa.array([], pa.int64())}
@@ -1827,7 +1839,8 @@ def window_percent_rank(ds, keys: list[str], order_col: str,
         out[out_col] = np.floor(val * scale + 0.5) / scale
         return out
 
-    return grouped_apply(ds, keys, pr, num_partitions=num_partitions)
+    return grouped_apply(ds, keys, pr, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def funnel_counts(events, stages: list[str], user_col: str = "user_id",
@@ -1959,7 +1972,8 @@ def grouped_argmax(ds, keys: list[str], order_cols: list[str],
 
     combined = ds.map_batches(local_max, batch_format="pandas")
     return grouped_apply(combined, keys, local_max,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
@@ -2057,7 +2071,8 @@ def fill_gaps(ds, key_col: str, ts_col: str, out_col: str = "n",
 
     combined = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_apply(combined, [key_col], fill,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def hopping_window_agg(ds, keys: list[str], ts_col: str,
@@ -2164,7 +2179,8 @@ def window_dense_rank(ds, keys: list[str], order_col: str,
         )
         return out
 
-    return grouped_apply(ds, keys, dr, num_partitions=num_partitions)
+    return grouped_apply(ds, keys, dr, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def grouped_first_last(ds, keys: list[str], order_cols: list[str],
@@ -2200,7 +2216,8 @@ def grouped_first_last(ds, keys: list[str], order_cols: list[str],
 
     combined = ds.map_batches(local, batch_format="pandas")
     return grouped_apply(combined, keys, final,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def approx_count_distinct(ds, cols: list[str], keys: list[str] | None = None,
@@ -2252,7 +2269,8 @@ def approx_count_distinct(ds, cols: list[str], keys: list[str] | None = None,
 
         partials = grouped_apply(
             ds.map_batches(local, batch_format="pandas"),
-            ["__salt"], merge_salt, num_partitions=8)
+            ["__salt"], merge_salt, num_partitions=8,
+            batch_format="pandas")
         # ≤64 rows × 4 KB — bounded fold, independent of corpus size
         acc = hll.new_registers(p)
         for row in partials.take_all():
@@ -2289,7 +2307,8 @@ def approx_count_distinct(ds, cols: list[str], keys: list[str] | None = None,
 
     combined = ds.map_batches(local_grouped, batch_format="pandas")
     return grouped_apply(combined, keys, merge_keys,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def grouped_entropy(ds, keys: list[str], value_col: str,
@@ -2325,7 +2344,8 @@ def grouped_entropy(ds, keys: list[str], value_col: str,
 
     combined = ds.map_batches(combine, batch_format="pandas")
     return grouped_apply(combined, keys, part,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def _tagged_distinct_union(left, right, cols: list[str]):
@@ -2423,7 +2443,8 @@ def approx_frequencies(ds, col: str, probes: list, depth: int = 4,
 
     partials = grouped_apply(
         ds.map_batches(local, batch_format="pandas"),
-        ["__salt"], merge_salt, num_partitions=8)
+        ["__salt"], merge_salt, num_partitions=8,
+        batch_format="pandas")
     acc = cms.new_counts(depth, width)
     for row in partials.take_all():  # ≤32 rows — bounded fold
         acc = cms.merge_counts(
@@ -2458,7 +2479,8 @@ def grouped_mad(ds, keys: list[str], value_col: str, out_col: str = "mad",
     slim = ds.map_batches(lambda b: b.select(cols),
                           batch_format="pyarrow")
     return grouped_apply(slim, keys, part,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def profile_numeric(ds, cols: list[str], num_partitions: int = 4):
@@ -2517,7 +2539,8 @@ def window_rank(ds, keys: list[str], order_col: str,
         )
         return out
 
-    return grouped_apply(ds, keys, rk, num_partitions=num_partitions)
+    return grouped_apply(ds, keys, rk, num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def window_cume_dist(ds, keys: list[str], order_col: str,
@@ -2538,4 +2561,5 @@ def window_cume_dist(ds, keys: list[str], order_col: str,
         out[out_col] = np.floor(val * scale + 0.5) / scale
         return out
 
-    return grouped_apply(ds, keys, cd, num_partitions=num_partitions)
+    return grouped_apply(ds, keys, cd, num_partitions=num_partitions,
+                      batch_format="pandas")

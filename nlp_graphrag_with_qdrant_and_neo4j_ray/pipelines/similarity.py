@@ -204,7 +204,8 @@ def _reduce_cluster_partials(partials_ds, keys: list[str]) -> list[dict]:
     # to_pandas, not take_all: row-based take_all over pandas blocks
     # converts per row — measured ~0.6 ms/row, meaningful × iterations
     return grouped_apply(partials_ds, keys, reduce_,
-                         num_partitions=8).to_pandas().to_dict("records")
+                         num_partitions=8,
+                      batch_format="pandas").to_pandas().to_dict("records")
 
 
 def ensure_ivf_centroids(index_dir: str, embeddings_ds, dim: int,
@@ -529,7 +530,8 @@ def cosine_near_dup_pairs(embeddings_ds, dim: int, threshold: float = 0.95,
     from ..stages.shuffle import grouped_apply
 
     return grouped_apply(bucketed, ["bucket"], partition_pairs,
-                         num_partitions=64)
+                         num_partitions=64,
+                      batch_format="pandas")
 
 
 def grouped_centroids(embeddings_ds, label_col: str = "label",
@@ -580,7 +582,8 @@ def grouped_centroids(embeddings_ds, label_col: str = "label",
 
     sk = embeddings_ds.map_batches(partial, batch_format="pyarrow")
     out = grouped_apply(sk, [label_col], final,
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions,
+                      batch_format="pandas")
 
     def rounded(b: pa.Table) -> pa.Table:
         return pa.table({

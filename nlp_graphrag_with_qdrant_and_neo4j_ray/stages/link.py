@@ -141,7 +141,7 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000
         distinct.map_batches(keyed, batch_format="pyarrow", batch_size=65536),
         ["bucket"],
         merge_bucket,
-        num_partitions=256,
+        num_partitions=256, batch_format="pandas",
     ).materialize()  # small by construction; read twice below (count + use)
     n_alias = merged.count()
 
@@ -221,7 +221,8 @@ def _spill_alias(merged_ds, spill_dir: str, num_partitions: int) -> SpilledAlias
     # grouped_apply partitions by the same _stable_part hash the repair
     # stage will use, so alias rows land in the file their names hash to
     grouped_apply(merged_ds, ["name"], write_part,
-                  num_partitions=num_partitions).materialize()
+                  num_partitions=num_partitions,
+                      batch_format="pandas").materialize()
     return SpilledAlias(spill_dir, num_partitions)
 
 
@@ -324,7 +325,7 @@ def link_triples(triples_ds, alias, cfg: PipelineConfig):
                 [name_col],
                 _make_repair_fn(alias, name_col, id_col),
                 num_partitions=alias.num_partitions,
-            )
+                              batch_format="pandas")
     return linked
 
 
@@ -426,11 +427,11 @@ def entity_nodes(linked_ds, cfg: PipelineConfig, num_partitions: int = 256):
         partial_entities, batch_format="pyarrow", batch_size=65536
     )
     level1 = grouped_apply(
-        partials, ["entity_id", "salt"], merge_salted_partition, num_partitions
-    )
+        partials, ["entity_id", "salt"], merge_salted_partition, num_partitions,
+                      batch_format="pandas")
     return grouped_apply(
-        level1, ["entity_id"], make_final_entity_partition(cfg), num_partitions
-    )
+        level1, ["entity_id"], make_final_entity_partition(cfg), num_partitions,
+                      batch_format="pandas")
 
 
 # ------------------------------ edges --------------------------------------

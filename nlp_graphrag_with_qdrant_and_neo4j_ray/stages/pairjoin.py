@@ -161,7 +161,8 @@ def verify_pairs(
         )
 
     matched = grouped_apply(pay.union(req), ["key"], join_partition,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                      batch_format="pandas")
 
     def per_pair_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -179,7 +180,8 @@ def verify_pairs(
         )
 
     return grouped_apply(matched, ["pair_a", "pair_b"], per_pair_partition,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                      batch_format="pandas")
 
 
 def pairs_payload_type(items_ds, payload_col: str) -> pa.DataType:

@@ -55,7 +55,7 @@ def arrow_out(fn):
 
 
 def grouped_apply(ds, keys: list[str], partition_fn, num_partitions: int = 64,
-                  batch_size: int = 65536, batch_format: str = "pandas"):
+                  batch_size: int = 65536, batch_format: str = "pyarrow"):
     """Hash-partition ``ds`` on ``keys`` and hand each WHOLE partition to
     ``partition_fn`` (which does its own local groupby over ``keys``) —
     for logic that vectorizes across groups (aggregations, windowing).
@@ -63,10 +63,12 @@ def grouped_apply(ds, keys: list[str], partition_fn, num_partitions: int = 64,
     The partition column is computed from a pandas view of the KEY
     columns only (same ``hash_pandas_object`` everywhere) and appended to
     the Arrow batch; blocks ride the exchange as Arrow regardless of
-    ``batch_format``. With ``batch_format="pandas"`` the partition
-    converts to a DataFrame once on entry and the result converts back
-    once on exit — the per-block pickle exchange of the old pandas path
-    is gone (VERDICT r2 finding 6 / r3 next-step 2; BASELINE.md A/Bs).
+    ``batch_format``. The DEFAULT hands ``partition_fn`` a zero-copy
+    ``pyarrow.Table`` (the builder's A/B showed ~25% faster and
+    lower-variance on string-heavy keys — BASELINE.md r3/r4);
+    ``batch_format="pandas"`` is the opt-in for partition logic that
+    needs pandas kernels (``merge_asof``-style, ``ngroup`` folds) and
+    converts once on partition entry and once on exit.
     """
 
     def add_part_arrow(batch: pa.Table) -> pa.Table:

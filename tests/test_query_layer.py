@@ -38,6 +38,38 @@ def test_vector_topk_is_exact_cosine(kg):
     assert abs(best - hits[0]["score"]) < 1e-5
 
 
+def test_vector_topk_ivf_matches_brute(kg, tmp_path):
+    """Serving-mode IVF search (VERDICT r3 item 9) returns the same
+    top-k as exact brute on the fixture, cold and warm (warm reads only
+    the persisted probed list partitions — no retrain, no full scan)."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        vector_topk,
+        vector_topk_ivf,
+    )
+
+    want = sorted(
+        (h["chunk_id"], round(h["score"], 6))
+        for h in vector_topk(kg["chunk_vectors"], "Hugging Face company",
+                             k=5, cfg=CFG).take_all()
+    )
+    idx = str(tmp_path / "vecindex")
+    for _ in range(2):  # cold build, then warm serve off the index
+        got = sorted(
+            (h["chunk_id"], round(h["score"], 6))
+            for h in vector_topk_ivf(
+                kg["chunk_vectors"], "Hugging Face company",
+                index_dir=idx, k=5, cfg=CFG,
+            ).take_all()
+        )
+        assert got == want
+    import os
+
+    # the index persisted: quantizer + list-partitioned vectors
+    tagdirs = [d for d in os.listdir(idx) if d.startswith("ivfx-")]
+    assert tagdirs
+    assert os.path.exists(os.path.join(idx, tagdirs[0], "_SUCCESS"))
+
+
 def test_term_search_scores(kg):
     from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import term_search
 

@@ -67,7 +67,8 @@ def test_grouped_apply_matches_naive_groupby(ray_session):
     def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf.groupby("k", sort=True).agg(s=("v", "sum")).reset_index()
 
-    got = {r["k"]: r["s"] for r in grouped_apply(ds, ["k"], per_partition, 8).take_all()}
+    got = {r["k"]: r["s"] for r in grouped_apply(
+        ds, ["k"], per_partition, 8, batch_format="pandas").take_all()}
     assert got == want
 
     # the Arrow-native partition_fn flavor must agree, and the exchange
@@ -93,7 +94,8 @@ def test_grouped_apply_empty_dataset(ray_session):
     def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf
 
-    assert grouped_apply(ds, ["k"], per_partition, 4).count() == 0
+    assert grouped_apply(ds, ["k"], per_partition, 4,
+                         batch_format="pandas").count() == 0
 
 
 def test_multimodal_decode(ray_session):
