@@ -158,13 +158,15 @@ def build_kg(
     # driver threads so the streaming executors overlap (the n-gram task
     # stage fills CPUs the actor pools leave idle)
     def _terms_branch():
-        from ..schemas import TERMS
+        from ..schemas import TERMS, TERMS_DICT
+        from ..stages.ngram import _dict_out
 
+        terms_schema = TERMS_DICT if _dict_out() else TERMS
         return checkpointed_handoff(
             "terms",
             lambda: chunks.map_batches(
                 quarantined(make_ngram_fn(cfg, rec("ngram")), "chunk_id",
-                            TERMS, qrec("ngram")),
+                            terms_schema, qrec("ngram")),
                 batch_format="pyarrow",
                 batch_size=cfg.chunk_batch_size,
             ),

@@ -186,9 +186,14 @@ def term_search(terms_ds, query: str, k: int = 10,
         else:  # raw edge list: weight per occurrence row
             vals = pa.array([wanted[t] for t in
                              hit.column("term").to_pylist()], pa.float64())
-        # per-batch combiner: sum scores per chunk before the exchange
+        # per-batch combiner: sum scores per chunk before the exchange.
+        # chunk_id decodes to string here (raw terms blocks are
+        # dict-encoded; the exchange concatenates blocks, and Arrow 16
+        # cannot unify differing dictionaries downstream)
         part = (
-            pa.table({"chunk_id": hit.column("chunk_id"), "score": vals})
+            pa.table({"chunk_id": pc.cast(hit.column("chunk_id"),
+                                          pa.string()),
+                      "score": vals})
             .group_by("chunk_id")
             .aggregate([("score", "sum")])
             .rename_columns(["chunk_id", "score"])

@@ -68,6 +68,23 @@ TERMS = pa.schema(
     ]
 )
 
+# dictionary-encoded physical layout of TERMS — what the n-gram explode
+# actually emits (VERDICT r3 item 3): chunk_id repeats ~15×/chunk and
+# term_type has 3 values, so dict indices cut the explode's object-store
+# footprint ~3× (the terms table is the build's largest, and its store
+# traffic is what pushes high-parallelism runs into spill). Parquet
+# round-trips the dict types; consumers decode per block at entry
+# (cross-block group_by over differing dictionaries is not implemented
+# in Arrow 16 — see stages/ngram.decode_terms).
+TERMS_DICT = pa.schema(
+    [
+        ("chunk_id", pa.dictionary(pa.int32(), pa.string())),
+        ("term", pa.dictionary(pa.int32(), pa.string())),
+        ("term_type", pa.dictionary(pa.int32(), pa.string())),
+        ("position", pa.int32()),
+    ]
+)
+
 # distinct Term node table (Cypher MERGE on (text, type), core/nlp_graph.py:93)
 TERM_NODES = pa.schema(
     [

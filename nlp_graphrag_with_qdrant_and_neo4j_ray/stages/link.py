@@ -178,8 +178,9 @@ def collect_alias_dict(triples_ds, cfg: PipelineConfig, max_aliases: int = 2_000
 class SpilledAlias:
     """Handle to a hash-partitioned on-disk alias table
     (``part-<i>.parquet`` with columns ``name, merged_key``; ``i`` is the
-    same ``pd.util.hash_pandas_object % num_partitions`` the shuffle layer
-    uses). Linking against it is a partition-aligned map-side join: the
+    same ``shuffle._hash_rows % num_partitions`` the shuffle layer
+    uses; written and read within one build, so the hash only needs
+    within-run stability). Linking against it is a partition-aligned map-side join: the
     repair stage shuffles triples on the entity-name column with the SAME
     hash, so each partition function reads exactly one alias part file."""
 

@@ -23,10 +23,35 @@ import pyarrow.compute as pc
 
 from ..config import PipelineConfig
 from ..functions.tokenize import STOPWORDS, word_tokenize
-from ..schemas import TERMS
+from ..schemas import TERMS, TERMS_DICT
 from ..state.lineage import LineageRecorder, first_fragment
 
 _TYPE_NAMES = pa.array(["unigram", "bigram", "trigram"], pa.string())
+_TYPE_NAMES_DICT = pc.dictionary_encode(_TYPE_NAMES)
+
+
+def _dict_out() -> bool:
+    """Physical terms layout knob: dict-encoded (default) vs plain
+    strings — ``GRAFT_TERMS_DICT=0`` keeps the old layout for A/Bs."""
+    import os
+
+    return os.environ.get("GRAFT_TERMS_DICT", "1") != "0"
+
+
+def decode_terms(batch: pa.Table) -> pa.Table:
+    """Per-block decode of the dict-encoded terms layout back to the
+    logical string schema. Safe per BLOCK (one dictionary each);
+    cross-block aggregation over dict columns is what Arrow 16 cannot
+    do (``ArrowNotImplementedError: Unifying differing dictionaries``),
+    which is why consumers call this at batch entry instead of the
+    table carrying strings end-to-end."""
+    cols = {}
+    for name in batch.column_names:
+        col = batch.column(name)
+        if pa.types.is_dictionary(col.type):
+            col = pc.cast(col, col.type.value_type)
+        cols[name] = col
+    return pa.table(cols)
 
 
 def _positions_within(rows: np.ndarray, n_chunks: int) -> np.ndarray:
@@ -53,15 +78,7 @@ def ngram_table(chunk_ids: list[str], texts: list[str],
     tok_lists = [word_tokenize(t) for t in texts]
     lengths = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
     total = int(lengths.sum())
-    empty = pa.table(
-        {
-            "chunk_id": pa.array([], pa.string()),
-            "term": pa.array([], pa.string()),
-            "term_type": pa.array([], pa.string()),
-            "position": pa.array([], pa.int32()),
-        },
-        schema=TERMS,
-    )
+    empty = (TERMS_DICT if _dict_out() else TERMS).empty_table()
     if total == 0:
         return empty
     import pandas as pd
@@ -136,19 +153,42 @@ def ngram_table(chunk_ids: list[str], texts: list[str],
         else tri_terms,
     ])
     # reference row order: per chunk — unigram block, bigram block,
-    # trigram block, positions ascending
+    # trigram block, positions ascending. Output is the dict-encoded
+    # physical layout (TERMS_DICT): chunk_id indices point straight at
+    # the batch's chunk_ids, term_type at the 3 type names, and term
+    # dict-encodes once over the (already deduped-per-unique-token)
+    # concat — the explode's blocks ride the object store and the
+    # parquet checkpoint at ~1/3 the bytes of the plain-string layout.
     order = np.lexsort((pos, rank, all_rows))
     order_pa = pa.array(order, pa.int64())
+    if not _dict_out():  # plain-string layout (A/B baseline)
+        return pa.table(
+            {
+                "chunk_id": pc.take(pa.array(chunk_ids, pa.string()),
+                                    pa.array(all_rows[order], pa.int64())),
+                "term": pc.take(terms, order_pa),
+                "term_type": pc.take(_TYPE_NAMES,
+                                     pa.array(rank[order], pa.int8())),
+                "position": pa.array(pos[order].astype(np.int32),
+                                     pa.int32()),
+            },
+            schema=TERMS,
+        )
+    chunk_dict = pa.DictionaryArray.from_arrays(
+        pa.array(all_rows[order].astype(np.int32), pa.int32()),
+        pa.array(chunk_ids, pa.string()),
+    )
     return pa.table(
         {
-            "chunk_id": pc.take(pa.array(chunk_ids, pa.string()),
-                                pa.array(all_rows[order], pa.int64())),
-            "term": pc.take(terms, order_pa),
-            "term_type": pc.take(_TYPE_NAMES,
-                                 pa.array(rank[order], pa.int8())),
+            "chunk_id": chunk_dict,
+            "term": pc.take(pc.dictionary_encode(terms), order_pa),
+            "term_type": pa.DictionaryArray.from_arrays(
+                pa.array(rank[order].astype(np.int32), pa.int32()),
+                _TYPE_NAMES,
+            ),
             "position": pa.array(pos[order].astype(np.int32), pa.int32()),
         },
-        schema=TERMS,
+        schema=TERMS_DICT,
     )
 
 
@@ -177,7 +217,7 @@ def partial_distinct_terms(batch: pa.Table) -> pa.Table:
     (matches the Cypher MERGE edge semantics). Emits ≤1 row per key per
     batch so the following groupby shuffles partials, not the edge list."""
     seen = (
-        batch.select(["term", "term_type", "chunk_id"])
+        decode_terms(batch.select(["term", "term_type", "chunk_id"]))
         .group_by(["term", "term_type", "chunk_id"])
         .aggregate([])
     )

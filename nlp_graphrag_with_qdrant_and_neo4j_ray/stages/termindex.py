@@ -148,7 +148,10 @@ def _distinct_chunks(terms_ds) -> int:
     distinct chunk count via per-batch partial distinct + one groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        return batch.select(["chunk_id"]).group_by("chunk_id").aggregate([])
+        cid = batch.column("chunk_id")
+        if pa.types.is_dictionary(cid.type):  # dict-encoded terms block
+            cid = pc.cast(cid, cid.type.value_type)
+        return pa.table({"chunk_id": cid}).group_by("chunk_id").aggregate([])
 
     return (
         terms_ds.map_batches(partial, batch_format="pyarrow",
@@ -218,6 +221,11 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
                           "rows": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
+        from .ngram import decode_terms
+
+        # raw terms blocks arrive dict-encoded; the index's sort/equal/
+        # hash machinery (and its persisted part files) work on strings
+        batch = decode_terms(batch)
         # per-batch tf combiner: terms arrive chunk-grouped, so the same
         # (term, chunk) repeats within a batch — aggregating tf here
         # shrinks what hits disk AND what compaction re-reads

@@ -68,8 +68,15 @@ def test_ngram_table_matches_scalar_loop():
     texts = [_random_text(rng) for _ in range(80)]
     texts += ["", "   ", "the of and", "one", "a b", "x y z w"]
     cids = [f"c{i}" for i in range(len(texts))]
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.ngram import decode_terms
+
     for remove_stop in (True, False):
         vec = ngram_table(cids, texts, remove_stop)
+        # physical layout is dict-encoded (TERMS_DICT); values must be
+        # byte-identical to the scalar loop after the per-block decode
+        assert all(pa.types.is_dictionary(vec.schema.field(c).type)
+                   for c in ("chunk_id", "term", "term_type"))
+        vec = decode_terms(vec).cast(TERMS)
         ref = _scalar_ngram_table(cids, texts, remove_stop)
         assert vec.schema.equals(ref.schema)
         assert vec.equals(ref), "vectorized ngram explode diverged from scalar"
