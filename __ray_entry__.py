@@ -234,22 +234,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "payload_text": pa.array([], pa.string()),
              "score": pa.array([], pa.float64())})
 
-    def kg_vector_topk_ivf(sf_dir: str):
-        """Serving twin of kg_vector_topk (VERDICT r3 item 9): the chunk
-        vectors get a persisted list-partitioned IVF index under the KG
-        cache dir, fingerprinted on the chunk_vectors checkpoint (stale
-        KG → rebuild), so a warm query reads only its nprobe probed list
-        partitions instead of brute-scanning the table. Top-k identity
-        vs brute on the fixture is pinned by tests/test_query_layer.py;
-        kg_vector_topk (exact brute) stays the parity baseline."""
-        t = _kg_tables(sf_dir)
+    def _vec_index_args(sf_dir: str):
         kg_dir = _kg_dir(sf_dir)
         st = os.stat(os.path.join(kg_dir, "chunk_vectors", "_SUCCESS"))
+        return (os.path.join(kg_dir, "vecindex"),
+                f"{st.st_mtime_ns}:{st.st_size}")
+
+    def kg_vector_index_build(sf_dir: str):
+        """One-time IVF index build over the KG chunk vectors as its own
+        entry (same split as kg_term_index_build / kg_term_search, so
+        kg_vector_topk_ivf below reports pure serving latency): k-means
+        quantizer + the vectors written parquet-partitioned by list
+        assignment, fingerprinted on the chunk_vectors checkpoint (stale
+        KG → rebuild). Returns the per-list row manifest."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            ensure_ivf_index,
+        )
+
+        t = _kg_tables(sf_dir)
+        index_dir, fp = _vec_index_args(sf_dir)
+        _, lists_path = ensure_ivf_index(
+            index_dir,
+            t["chunk_vectors"].select_columns(["chunk_id", "embedding"]),
+            dim=CFG.vector_size, nlist=16, id_col="chunk_id",
+            emb_col="embedding", fingerprint=fp,
+        )
+        import glob
+
+        import pyarrow.parquet as pq
+
+        rows = []
+        for d in sorted(glob.glob(os.path.join(lists_path, "list_id=*"))):
+            n = sum(pq.read_metadata(f).num_rows
+                    for f in glob.glob(os.path.join(d, "*.parquet")))
+            rows.append({"list_id": int(d.rsplit("=", 1)[1]), "rows": n})
+        return pa.Table.from_pylist(rows)
+
+    def kg_vector_topk_ivf(sf_dir: str):
+        """Serving twin of kg_vector_topk (VERDICT r3 item 9): reads
+        ONLY the query's nprobe probed list partitions of the persisted
+        IVF index (built by kg_vector_index_build; a cold call builds it
+        once) instead of brute-scanning the chunk_vectors table. Top-k
+        identity vs brute on the fixture is pinned by
+        tests/test_query_layer.py; kg_vector_topk (exact brute) stays
+        the parity baseline."""
+        t = _kg_tables(sf_dir)
+        index_dir, fp = _vec_index_args(sf_dir)
         hits = q.vector_topk_ivf(
             t["chunk_vectors"], "Who founded Hugging Face?",
-            index_dir=os.path.join(kg_dir, "vecindex"),
-            fingerprint=f"{st.st_mtime_ns}:{st.st_size}",
-            k=10, cfg=CFG,
+            index_dir=index_dir, fingerprint=fp, k=10, cfg=CFG,
         ).take_all()
         return pa.table({
             "chunk_id": pa.array([r["chunk_id"] for r in hits],
@@ -5330,6 +5363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_stats": kg_doc_stats,
         # query layer
         "kg_vector_topk": kg_vector_topk,
+        "kg_vector_index_build": kg_vector_index_build,
         "kg_vector_topk_ivf": kg_vector_topk_ivf,
         "kg_term_index_build": kg_term_index_build,
         "kg_term_search": kg_term_search,

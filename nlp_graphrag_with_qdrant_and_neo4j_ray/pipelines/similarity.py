@@ -41,7 +41,15 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def knn_brute(embeddings_ds, query_vec, k: int = 10,
               id_col: str = "vec_id", emb_col: str = "embedding"):
-    """Exact cosine top-k. Returns Dataset (vec_id, score) sorted desc."""
+    """Exact cosine top-k. Returns Dataset (vec_id, score) sorted desc.
+
+    Per-batch top-k COMBINER before the sort: each batch forwards only
+    the rows whose score ties-or-beats its k-th best (``>= s_k`` keeps
+    every tie participant, so the global (score desc, id asc) winner
+    set is EXACTLY preserved), and the final all-to-all sorts
+    ≤ blocks × ~k survivors instead of every scored row (a 100 k-row
+    probe set across 192 small blocks sorted in 9.8 s before; ~0.5 s
+    after — BASELINE.md r4)."""
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
 
@@ -49,9 +57,14 @@ def knn_brute(embeddings_ds, query_vec, k: int = 10,
         m = _as_matrix(batch, emb_col).astype(np.float64)
         m = _normalize(m)
         s = m @ q
-        return pa.table(
+        out = pa.table(
             {id_col: batch.column(id_col), "score": pa.array(s, pa.float64())}
         )
+        n = len(s)
+        if n <= k:
+            return out
+        s_k = np.partition(s, n - k)[n - k]  # k-th largest
+        return out.filter(pa.array(s >= s_k))
 
     return (
         embeddings_ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
@@ -291,9 +304,16 @@ def ensure_ivf_index(index_dir: str, embeddings_ds, dim: int,
         lists = np.argmax(m @ c.T, axis=1).astype(np.int64)
         return batch.append_column("list_id", pa.array(lists, pa.int64()))
 
+    # sort by list before the partitioned write: write_parquet's
+    # partition_cols split each BLOCK per list, so 128 input blocks ×
+    # nlist lists wrote ~24 fragments per list — per-file read overhead
+    # then dominated warm serving. Range-partitioned by the sort, each
+    # list lands in ~1-2 contiguous fragments (one-time build cost).
     embeddings_ds.map_batches(
         assign, batch_format="pyarrow", batch_size=8192
-    ).write_parquet(os.path.join(tmp, "lists"), partition_cols=["list_id"])
+    ).sort("list_id").write_parquet(
+        os.path.join(tmp, "lists"), partition_cols=["list_id"]
+    )
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write(want)
     if os.path.exists(path):
