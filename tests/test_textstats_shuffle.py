@@ -84,6 +84,29 @@ def test_grouped_apply_matches_naive_groupby(ray_session):
     assert got2 == want
 
 
+def test_hash_rows_layout_invariant():
+    """The partition hash must depend only on VALUES: same hashes for a
+    contiguous table, a multi-chunk table (map_batches batches can span
+    blocks), and a dict-encoded key column (terms layout) — otherwise
+    the same key could land in different partitions of one exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import _hash_rows
+
+    vals = ["a", "b", "c", "d", None, "ee"]
+    contiguous = pa.table({"k": pa.array(vals), "v": list(range(6))})
+    chunked = pa.concat_tables([contiguous.slice(0, 2),
+                                contiguous.slice(2)])
+    dicted = pa.table({"k": pc.dictionary_encode(pa.array(vals)),
+                       "v": list(range(6))})
+    want = _hash_rows(contiguous, ["k"]).tolist()
+    assert _hash_rows(chunked, ["k"]).tolist() == want
+    assert _hash_rows(dicted, ["k"]).tolist() == want
+    # two-column keys combine per row
+    assert len(set(_hash_rows(contiguous, ["k", "v"]).tolist())) == 6
+
+
 def test_grouped_apply_empty_dataset(ray_session):
     import ray.data
 
