@@ -212,21 +212,67 @@ def make_ngram_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None):
     return ngram
 
 
+_PARTIAL_TERMS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("term_type", pa.string()),
+        ("chunk_id", pa.string()),       # null ⇒ pre-counted partial
+        ("chunk_count", pa.int64()),
+    ]
+)
+
+
 def partial_distinct_terms(batch: pa.Table) -> pa.Table:
     """Combiner: per-batch (term, term_type) → count of DISTINCT chunks
-    (matches the Cypher MERGE edge semantics). Emits ≤1 row per key per
-    batch so the following groupby shuffles partials, not the edge list."""
-    seen = (
-        decode_terms(batch.select(["term", "term_type", "chunk_id"]))
+    (matches the Cypher MERGE edge semantics). Emits ~1 row per key per
+    batch so the following groupby shuffles partials, not the edge list.
+
+    EXACT under batch splits (r4 fix): a chunk whose rows straddle a
+    batch boundary was distinct-counted once per batch and then
+    double-counted by the downstream SUM — measured +5,495 over the
+    true 221,406,734 distinct (term, type, chunk) triples at 250 k
+    pages (kg_term_nodes has no SQL oracle and the e2e fixtures never
+    split a chunk, so three rounds missed it). Explode rows are
+    chunk-contiguous, so only a batch's FIRST and LAST chunk can span
+    batches: their rows ship as raw distinct (term, term_type,
+    chunk_id) triples (``chunk_id`` set, ``chunk_count`` 0) and dedup
+    at the reducer; interior chunks — in exactly one batch by
+    construction — pre-count as before (``chunk_id`` null)."""
+    if batch.num_rows == 0:
+        return _PARTIAL_TERMS_SCHEMA.empty_table()
+    batch = decode_terms(batch.select(["term", "term_type", "chunk_id"]))
+    cid = batch.column("chunk_id")
+    edge_ids = pa.array([cid[0].as_py(), cid[-1].as_py()], pa.string())
+    on_edge = pc.is_in(cid, value_set=edge_ids)
+
+    boundary = (
+        batch.filter(on_edge)
         .group_by(["term", "term_type", "chunk_id"])
         .aggregate([])
     )
-    return seen.group_by(["term", "term_type"]).aggregate([("chunk_id", "count")]).rename_columns(
-        ["term", "term_type", "chunk_count"]
+    boundary = boundary.append_column(
+        "chunk_count", pa.array(np.zeros(boundary.num_rows, np.int64))
+    )
+
+    interior = (
+        batch.filter(pc.invert(on_edge))
+        .group_by(["term", "term_type", "chunk_id"])
+        .aggregate([])
+        .group_by(["term", "term_type"])
+        .aggregate([("chunk_id", "count")])
+        .rename_columns(["term", "term_type", "chunk_count"])
+    )
+    interior = interior.add_column(
+        2, "chunk_id", pa.array([None] * interior.num_rows, pa.string())
+    )
+    return pa.concat_tables(
+        [boundary.select(_PARTIAL_TERMS_SCHEMA.names).cast(_PARTIAL_TERMS_SCHEMA),
+         interior.select(_PARTIAL_TERMS_SCHEMA.names).cast(_PARTIAL_TERMS_SCHEMA)]
     )
 
 
-def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 256):
+def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 256,
+               batch_size: int = 262144):
     """terms edge list → distinct Term node table with chunk_count.
 
     Partition-wise (stages/shuffle.py) rather than
@@ -240,12 +286,31 @@ def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 256):
     from .shuffle import grouped_apply
 
     partials = terms_ds.map_batches(
-        partial_distinct_terms, batch_format="pyarrow", batch_size=262144
+        partial_distinct_terms, batch_format="pyarrow", batch_size=batch_size
     )
 
     def agg_partition(batch: pa.Table) -> pa.Table:
+        cid = batch.column("chunk_id")
+        pre = (
+            batch.filter(pc.is_null(cid))
+            .group_by(["term", "term_type"])
+            .aggregate([("chunk_count", "sum")])
+            .rename_columns(["term", "term_type", "chunk_count"])
+        )
+        # boundary triples: dedup across batches, THEN count — the
+        # exactness half of the combiner contract (see
+        # partial_distinct_terms)
+        bnd = (
+            batch.filter(pc.is_valid(cid))
+            .group_by(["term", "term_type", "chunk_id"])
+            .aggregate([])
+            .group_by(["term", "term_type"])
+            .aggregate([("chunk_id", "count")])
+            .rename_columns(["term", "term_type", "chunk_count"])
+        )
         return (
-            batch.group_by(["term", "term_type"])
+            pa.concat_tables([pre, bnd])
+            .group_by(["term", "term_type"])
             .aggregate([("chunk_count", "sum")])
             .rename_columns(["term", "term_type", "chunk_count"])
         )
