@@ -464,6 +464,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified-truth checkpoint `simhash_vs_jaccard_eval` reuses."""
         return _truth_pairs(sf_dir)
 
+    def docs_jaccard_exact_pairs(sf_dir: str):
+        """EXACT all-pairs char-3-gram Jaccard ≥ 0.5 — the recall-1.0
+        text baseline next to the LSH detectors (the text analogue of
+        exact_cosine_pairs), SQL-oracled. Distribution: gram-keyed
+        exchange — |A∩B| is the per-(a,b) count of shared grams, so no
+        n² driver loop; per-doc gram-set sizes broadcast. Skew
+        contract: a gram shared by d docs contributes d(d-1)/2 pair
+        rows in its partition — bounded here by the 200-doc subset
+        (the unbounded variant needs stop-gram pruning, the same
+        contract as the LSH bucket caps)."""
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = (_read(sf_dir, "documents")
+                .select_columns(["doc_id", "text"])
+                .sort("doc_id").limit(200))
+
+        def grams(batch: pa.Table) -> pa.Table:
+            ids, out = [], []
+            # 200 docs total — not a hot path; per-doc set build is the
+            # natural shape for distinct char n-grams
+            for did, txt in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+                t = (txt or "").lower()
+                gs = {t[i:i + 3] for i in range(max(len(t) - 2, 0))}
+                ids.extend([did] * len(gs))
+                out.extend(gs)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "gram": pa.array(out, pa.string())})
+
+        gram_ds = docs.map_batches(grams, batch_format="pyarrow")
+        sizes = {r["doc_id"]: r["count()"] for r in
+                 gram_ds.groupby("doc_id").count().take_all()}
+        sizes_ref = ray.put(sizes)
+
+        def pair_counts(pdf) -> Any:
+            j = pdf.merge(pdf, on="gram")
+            j = j[j["doc_id_x"] < j["doc_id_y"]]
+            return (j.groupby(["doc_id_x", "doc_id_y"], sort=False)
+                    .size().reset_index(name="c")
+                    .rename(columns={"doc_id_x": "doc_a",
+                                     "doc_id_y": "doc_b"}))
+
+        inter = grouped_apply(gram_ds, ["gram"], pair_counts,
+                              num_partitions=16, batch_format="pandas")
+
+        def finish(pdf) -> Any:
+            s = ray.get(sizes_ref)
+            g = pdf.groupby(["doc_a", "doc_b"], sort=False)["c"].sum().reset_index()
+            na = g["doc_a"].map(s).to_numpy()
+            nb = g["doc_b"].map(s).to_numpy()
+            c = g["c"].to_numpy()
+            jac = c / (na + nb - c)
+            keep = jac >= 0.5  # filter on the UNROUNDED value (as SQL)
+            g["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
+            return g[keep][["doc_a", "doc_b", "jaccard"]]
+
+        return grouped_apply(inter, ["doc_a", "doc_b"], finish,
+                             num_partitions=8,
+                             batch_format="pandas").sort(["doc_a", "doc_b"])
+
     def simhash_vs_jaccard_eval(sf_dir: str):
         """Detector evaluation (the threshold/band tuning loop as one
         query): precision/recall/F1 of the CHEAP detector (SimHash
@@ -5418,6 +5482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
+        "docs_jaccard_exact_pairs": docs_jaccard_exact_pairs,
         "dup_clusters": dup_clusters,
         "dup_clusters_chain": dup_clusters_chain,
         "embedding_knn_top10": embedding_knn_top10,
@@ -5676,6 +5741,29 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keeper, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        # exact all-pairs char-3-gram Jaccard over the first 200 docs:
+        # distinct grams per doc, shared-gram join = intersection size
+        "docs_jaccard_exact_pairs": """
+            WITH d AS (SELECT doc_id, lower(text) AS t
+                       FROM documents ORDER BY doc_id LIMIT 200),
+            g AS (SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+                  FROM (SELECT doc_id, t,
+                               unnest(generate_series(
+                                   1, greatest(length(t) - 2, 0))) AS i
+                        FROM d)),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS c
+                      FROM g a JOIN g b
+                        ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
         """,
         "token_counts_full": r"""
             SELECT doc_id,
