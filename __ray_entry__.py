@@ -528,6 +528,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              num_partitions=8,
                              batch_format="pandas").sort(["doc_a", "doc_b"])
 
+    def embedding_cosine_exact_pairs(sf_dir: str):
+        """EXACT all-pairs cosine ≥ 0.4 over the embeddings table — the
+        recall-1.0 baseline next to embedding_near_dups (whose LSH
+        bucketing trades recall for work), now SQL-oracled. Triangle-
+        blocked all-pairs exchange (see similarity.exact_cosine_pairs
+        for the scale contract: exact all-pairs is the verifier you run
+        AFTER a candidate generator at corpus scale)."""
+        emb = _read(sf_dir, "embeddings").select_columns(
+            ["vec_id", "embedding"])
+        return sim.exact_cosine_pairs(emb, threshold=0.4,
+                                      num_blocks=8).sort(["id_a", "id_b"])
+
     def simhash_vs_jaccard_eval(sf_dir: str):
         """Detector evaluation (the threshold/band tuning loop as one
         query): precision/recall/F1 of the CHEAP detector (SimHash
@@ -5483,6 +5495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": simhash_dup_pairs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "docs_jaccard_exact_pairs": docs_jaccard_exact_pairs,
+        "embedding_cosine_exact_pairs": embedding_cosine_exact_pairs,
         "dup_clusters": dup_clusters,
         "dup_clusters_chain": dup_clusters_chain,
         "embedding_knn_top10": embedding_knn_top10,
@@ -5741,6 +5754,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keeper, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "embedding_cosine_exact_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                       6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         """,
         # exact all-pairs char-3-gram Jaccard over the first 200 docs:
         # distinct grams per doc, shared-gram join = intersection size
