@@ -394,9 +394,13 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         1_000_000 // fps, size_image * fps, 0, 0x10, len(frames), 0, 1,
         size_image, w, h, 0, 0, 0, 0,
     )
+    # fccType fccHandler flags prio lang init scale rate start length
+    # bufsize quality samplesize rcFrame(left,top,right,bottom) — the
+    # trailing I is rcFrame.left/top; append right/bottom for the full
+    # 8-byte RECT of AVISTREAMHEADER (56-byte body).
     strh = (b"vids" + b"DIB " + struct.pack(
         "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
-        size_image, 0xFFFFFFFF, 0, 0))
+        size_image, 0xFFFFFFFF, 0, 0) + struct.pack("<HH", w, h))
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image,
                        0, 0, 0, 0)
     hdrl = _riff_list(
@@ -434,20 +438,30 @@ def decode_avi(payload: bytes):
     fps = 0.0
     compression = None
     bitcount = 0
+    top_down = False
     frames_raw: list[bytes] = []
+    # The strf that defines the video format is the one FOLLOWING a
+    # 'vids' strh inside the same strl — a later audio strf (e.g.
+    # WAVE_FORMAT_EXTENSIBLE, 40 bytes) must not overwrite it.
+    cur_stream = b""
 
     def walk(start: int, end: int) -> None:
-        nonlocal w, h, fps, compression, bitcount
+        nonlocal w, h, fps, compression, bitcount, top_down, cur_stream
         for tag, off, size in _riff_walk(payload, start, end):
             if tag == b"LIST":
                 walk(off + 4, off + size)
-            elif tag == b"strh" and payload[off:off + 4] == b"vids":
-                scale, rate = struct.unpack("<II", payload[off + 20:off + 28])
-                fps = rate / scale if scale else 0.0
-            elif tag == b"strf" and size >= 40:
+            elif tag == b"strh":
+                cur_stream = payload[off:off + 4]
+                if cur_stream == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", payload[off + 20:off + 28])
+                    fps = rate / scale if scale else 0.0
+            elif (tag == b"strf" and size >= 40 and cur_stream == b"vids"
+                  and compression is None):
                 (_, bw, bh, _, bc, comp) = struct.unpack(
                     "<IiiHHI", payload[off:off + 20])
                 w, h, bitcount, compression = bw, abs(bh), bc, comp
+                top_down = bh < 0  # negative biHeight = top-down rows
             elif tag in (b"00db", b"00dc"):
                 frames_raw.append(payload[off:off + size])
 
@@ -464,7 +478,9 @@ def decode_avi(payload: bytes):
     for raw in frames_raw:
         rows = np.frombuffer(raw, np.uint8)[: stride * h].reshape(h, stride)
         bgr = rows[:, : w * 3].reshape(h, w, 3)
-        frames.append(bgr[::-1, :, ::-1].copy())  # bottom-up BGR → RGB
+        if not top_down:
+            bgr = bgr[::-1]  # positive biHeight = bottom-up rows
+        frames.append(bgr[:, :, ::-1].copy())  # BGR → RGB
     return w, h, fps, frames
 
 
@@ -602,7 +618,6 @@ def parse_mp4(payload: bytes) -> dict:
     # stsd → first VisualSampleEntry: codec fourcc + width/height
     ps, pe = full([b"stsd"])
     entry_tag = payload[ps + 8:ps + 12]
-    ew = pe  # entry payload starts after the entry box header
     entry_off = ps + 12
     width, height = struct.unpack(
         ">HH", payload[entry_off + 24:entry_off + 28])

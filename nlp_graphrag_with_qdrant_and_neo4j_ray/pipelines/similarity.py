@@ -153,7 +153,8 @@ def kmeans_centroids(embeddings_ds, dim: int, nlist: int = 64, iters: int = 5,
     over the full (lazy) dataset — which re-executed the upstream
     parquet read once per iteration (measured: 6 full scans of a
     250 k × 768 chunk-vector table for iters=5, ~28 s of a 43 s index
-    build). Now: ONE pass takes a deterministic hash sample of
+    build). Now: TWO bounded passes — a count() to size the sampling
+    fraction, then a deterministic hash sample of
     ``train_per_centroid × nlist`` rows (partition-independent — the
     keep/drop decision is a pure function of the id), and Lloyd runs
     vectorized on the driver over that bounded matrix (≤ ~a few MB by

@@ -252,6 +252,8 @@ class SampleVideoFrames:
                 frames = [f.to_ndarray(format="rgb24")
                           for f in container.decode(stream)]
             total = len(frames)
+            if total == 0:
+                raise ValueError("video container has no decodable frames")
             pick = np.linspace(0, total - 1, self.num_frames).astype(int)
             feats = [self._hist_feat(frames[f]) for f in pick]
             h, w = frames[0].shape[:2]
@@ -261,6 +263,8 @@ class SampleVideoFrames:
 
             w, h, _fps, frames = decode_avi(payload)
             total = len(frames)
+            if total == 0:
+                raise ValueError("AVI container has no video frames")
             pick = np.linspace(0, total - 1, self.num_frames).astype(int)
             feats = [self._hist_feat(frames[f]) for f in pick]
             return w, h, total, np.concatenate(feats)
@@ -269,8 +273,9 @@ class SampleVideoFrames:
 
             info = parse_mp4(payload)
             total = len(info["samples"])
-            pick = np.linspace(0, max(total - 1, 0),
-                               self.num_frames).astype(int)
+            if total == 0:
+                raise ValueError("MP4 container has an empty sample table")
+            pick = np.linspace(0, total - 1, self.num_frames).astype(int)
             feats = [self._hist_feat(decode_mp4_raw_frame(payload, info, f))
                      for f in pick]
             return info["width"], info["height"], total, np.concatenate(feats)

@@ -27,7 +27,6 @@ from ..schemas import TERMS, TERMS_DICT
 from ..state.lineage import LineageRecorder, first_fragment
 
 _TYPE_NAMES = pa.array(["unigram", "bigram", "trigram"], pa.string())
-_TYPE_NAMES_DICT = pc.dictionary_encode(_TYPE_NAMES)
 
 
 def _dict_out() -> bool:

@@ -334,3 +334,97 @@ def test_vendored_pdf_roundtrip_and_ingest(ray_session, tmp_path):
 
     with pytest.raises(Exception):
         extract_pdf_text(b"not a pdf")
+
+
+def test_avi_multistream_and_topdown_decode():
+    """ADVICE r4: a post-video audio strf (>=40 bytes) must not
+    overwrite the video format, and negative biHeight (top-down rows)
+    must not be vertically flipped."""
+    import struct as _struct
+
+    import numpy as np
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+        decode_avi,
+        encode_avi,
+    )
+
+    # Frame with a distinct top row so a flip is detectable.
+    frame = np.zeros((4, 4, 3), np.uint8)
+    frame[0, :, :] = 200
+    avi = bytearray(encode_avi([frame]))
+
+    # strh body must now carry the full 8-byte rcFrame (56-byte body).
+    i = bytes(avi).find(b"strh")
+    (strh_size,) = _struct.unpack("<I", avi[i + 4:i + 8])
+    assert strh_size == 56
+
+    # Splice a fake 'auds' strl (strh + 40-byte strf that would parse
+    # as a bogus video format) right after the existing video strl,
+    # inside hdrl. Easiest robust check: append it as a trailing LIST
+    # chunk after 'movi' — decode_avi walks every chunk, so a naive
+    # binding would still pick it up.
+    auds_strh = b"auds" + b"\x00" * 52
+    bogus_strf = _struct.pack("<IiiHHI", 40, 9999, -9999, 1, 32, 777)
+    bogus_strf += b"\x00" * (40 - len(bogus_strf))
+    strl = (b"LIST" + _struct.pack(
+        "<I", 4 + 8 + len(auds_strh) + 8 + len(bogus_strf)) + b"strl"
+        + b"strh" + _struct.pack("<I", len(auds_strh)) + auds_strh
+        + b"strf" + _struct.pack("<I", len(bogus_strf)) + bogus_strf)
+    out = bytearray(avi) + strl
+    out[4:8] = _struct.pack("<I", len(out) - 8)
+    w, h, _fps, frames = decode_avi(bytes(out))
+    assert (w, h) == (4, 4)
+    np.testing.assert_array_equal(frames[0], frame)
+
+    # Top-down variant: flip biHeight's sign and pre-flip the stored
+    # rows (encode_avi writes bottom-up) — decode must return the same
+    # logical frame without flipping.
+    td = bytearray(encode_avi([frame[::-1]]))
+    j = bytes(td).find(b"strf")
+    bh_off = j + 8 + 8  # biHeight at offset 8 into BITMAPINFOHEADER
+    (bh,) = _struct.unpack("<i", td[bh_off:bh_off + 4])
+    td[bh_off:bh_off + 4] = _struct.pack("<i", -bh)
+    _w, _h, _f, td_frames = decode_avi(bytes(td))
+    np.testing.assert_array_equal(td_frames[0], frame)
+
+
+def test_zero_frame_containers_raise_cleanly():
+    """ADVICE r4: frame-less containers get a ValueError naming the
+    payload, not an IndexError from negative linspace indices."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+        encode_avi,
+        encode_mp4_raw,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+        SampleVideoFrames,
+    )
+
+    frame = np.zeros((4, 4, 3), np.uint8)
+    sampler = SampleVideoFrames(num_frames=2, feature_dim=8)
+
+    # AVI with the movi frames stripped: rebuild with zero 00db chunks.
+    avi = bytearray(encode_avi([frame]))
+    movi_at = bytes(avi).find(b"LIST", 12)
+    # find the movi LIST specifically
+    while avi[movi_at + 8:movi_at + 12] != b"movi":
+        movi_at = bytes(avi).find(b"LIST", movi_at + 1)
+    empty_movi = b"LIST" + _struct.pack("<I", 4) + b"movi"
+    out = bytes(avi[:movi_at]) + empty_movi
+    out = out[:4] + _struct.pack("<I", len(out) - 8) + out[8:]
+    with _pytest.raises(ValueError, match="no video frames"):
+        sampler._sample(out)
+
+    # MP4 with an empty sample table: zero out stsz's sample_count in a
+    # one-frame file (encode_mp4_raw itself rejects zero frames).
+    mp4 = bytearray(encode_mp4_raw([frame], fps=4))
+    k = bytes(mp4).find(b"stsz")
+    # stsz full box: tag(4) ver/flags(4) sample_size(4) sample_count(4)
+    mp4[k + 8:k + 16] = _struct.pack(">II", 0, 0)
+    with _pytest.raises(ValueError, match="empty sample table"):
+        sampler._sample(bytes(mp4))
