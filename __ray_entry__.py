@@ -5662,9 +5662,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # registry, so front-loading the oracle-checkable queries maximizes
     # rows it can verify hash-exactly; rows-only (no_oracle) entries —
     # KG/embedding/multimodal shapes DuckDB can't express — follow.
+    # Within the oracled group, entries NEVER checked by a prior
+    # driver window (CORRECTNESS_r*.json) lead, so cumulative
+    # driver-verified coverage grows round over round (VERDICT r4
+    # task 6) instead of re-checking the same 50.
     oracled = set(oracle_sql())
+    checked: set[str] = set()
+    try:
+        import glob as _glob
+        import json as _json
+        from pathlib import Path as _Path
+
+        here = _Path(__file__).resolve().parent
+        for f in sorted(_glob.glob(str(here / "CORRECTNESS_r*.json"))):
+            checked.update(_json.load(open(f)))
+    except Exception:
+        pass  # no prior windows → plain oracled-first order
     return {
-        **{k: v for k, v in reg.items() if k in oracled},
+        **{k: v for k, v in reg.items()
+           if k in oracled and k not in checked},
+        **{k: v for k, v in reg.items() if k in oracled and k in checked},
         **{k: v for k, v in reg.items() if k not in oracled},
     }
 

@@ -15,6 +15,7 @@ import duckdb
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -88,6 +89,22 @@ def main() -> None:
         if status != "OK":
             failures.append((name, status))
         print(f"  {name}: {status} ({len(got)} rows, {dt:.1f}s)")
+
+    # Cross-table invariant audit of the KG checkpoints this run built
+    # (VERDICT r4 task 7): the conservation-law class of check that
+    # caught the r4 term_nodes chunk_count overcount — no SQL oracle
+    # covers combiner bugs that only fire at batch boundaries, so the
+    # audit is part of every contract run, not a one-off.
+    from check_invariants import main as invariants_main
+
+    kg_dir = E._kg_dir(sf_dir)
+    if os.path.isdir(kg_dir):
+        print(f"\ninvariant audit of {kg_dir}:")
+        inv_failures = invariants_main(kg_dir)
+        if inv_failures:
+            failures.append(("kg_invariants", f"{inv_failures} violations"))
+    else:
+        print(f"\ninvariant audit skipped: {kg_dir} not built this run")
 
     print("\nFAILURES:", len(failures))
     for name, why in failures:

@@ -82,7 +82,7 @@ def main(base: str) -> int:
           cv[0] == cv[1] == ch, f"vectors={cv[0]} distinct={cv[1]} chunks={ch}")
 
     print(f"FAILURES: {failures}")
-    return 1 if failures else 0
+    return failures
 
 
 if __name__ == "__main__":
@@ -90,4 +90,4 @@ if __name__ == "__main__":
     if not base or not os.path.isdir(base):
         print(__doc__)
         sys.exit(2)
-    sys.exit(main(base.rstrip("/")))
+    sys.exit(1 if main(base.rstrip("/")) else 0)
