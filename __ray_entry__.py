@@ -277,11 +277,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         once) instead of brute-scanning the chunk_vectors table. Top-k
         identity vs brute on the fixture is pinned by
         tests/test_query_layer.py; kg_vector_topk (exact brute) stays
-        the parity baseline."""
-        t = _kg_tables(sf_dir)
+        the parity baseline.
+
+        Warm serving never touches the KG pipeline (VERDICT r4 task 3):
+        the chunk_vectors checkpoint is located by os.stat alone, and
+        the Dataset thunk is only resolved if the index must be built
+        (the fingerprint already pins staleness against the
+        checkpoint)."""
+        if not os.path.exists(os.path.join(
+                _kg_dir(sf_dir), "chunk_vectors", "_SUCCESS")):
+            _kg_tables(sf_dir)  # cold: build the KG checkpoints once
         index_dir, fp = _vec_index_args(sf_dir)
         hits = q.vector_topk_ivf(
-            t["chunk_vectors"], "Who founded Hugging Face?",
+            lambda: _kg_tables(sf_dir)["chunk_vectors"],
+            "Who founded Hugging Face?",
             index_dir=index_dir, fingerprint=fp, k=10, cfg=CFG,
         ).take_all()
         return pa.table({

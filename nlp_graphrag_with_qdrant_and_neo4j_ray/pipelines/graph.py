@@ -49,13 +49,122 @@ def _dst_salt(dst: pd.Series, salt_buckets: int) -> np.ndarray:
             % salt_buckets).to_numpy(np.int64)
 
 
+# ---- small-graph fast path (VERDICT r4 task 4) ---------------------------
+#
+# Below this many edges, the per-round fixed exchange latency dominates
+# (measured: 5.3-10.2 s for 5 rounds on a 74 k-edge KG at sf0.1 — pure
+# fixed cost); the whole edge list fits one worker with room to spare
+# (5 M edges × ~50 B ≈ 250 MB), so the graph is solved vectorized
+# inside ONE Ray task instead. Same recurrences, same tie-breaks, same
+# rounding — distributed == local is pinned by tests/test_graph.py.
+# The probe is `limit(threshold+1).count()`, which early-stops on big
+# inputs, so at 100 TB scale the check costs a bounded partial read.
+LOCAL_EDGES_THRESHOLD = 5_000_000
+
+
+def _edges_below(edges_ds, threshold: int | None):
+    """None, or the list of Arrow-block refs when the edge list is
+    small enough for the single-task solver. ONE bounded pass: the
+    limit(threshold+1) materialization early-stops on big inputs, and
+    when the limit did not truncate it already IS the whole edge list,
+    so the refs hand off zero-copy without a second execution."""
+    if threshold is None:
+        return None
+    capped = edges_ds.limit(threshold + 1).materialize()
+    if capped.count() > threshold:
+        return None
+    return capped.to_arrow_refs() or None  # empty → distributed path
+
+
+def _factorize_edges(tbl: pa.Table, src_col: str, dst_col: str,
+                     weight_col: str | None):
+    """(sorted unique node values, src idx, dst idx, weights)."""
+    src = tbl.column(src_col).to_numpy(zero_copy_only=False)
+    dst = tbl.column(dst_col).to_numpy(zero_copy_only=False)
+    w = (pc.cast(tbl.column(weight_col), pa.float64()).to_numpy(
+        zero_copy_only=False)
+        if weight_col else np.ones(len(src), np.float64))
+    nodes, codes = np.unique(np.concatenate([src, dst]),
+                             return_inverse=True)
+    return nodes, codes[:len(src)], codes[len(src):], w
+
+
+def _pagerank_local(tbl: pa.Table, src_col: str, dst_col: str,
+                    weight_col: str | None, iters: int, damping: float,
+                    rank_col: str, ndigits: int, seeds) -> pa.Table:
+    """Single-task PageRank/PPR — the exact recurrence of
+    :func:`pagerank` (r1 = base + d·s, then ``iters`` scatter/gather
+    steps), vectorized with np.add.at."""
+    nodes, s_idx, d_idx, w = _factorize_edges(tbl, src_col, dst_col,
+                                              weight_col)
+    n = len(nodes)
+    sumw = np.zeros(n)
+    np.add.at(sumw, s_idx, w)
+    share = w / sumw[s_idx]
+    if seeds is None:
+        svec = np.ones(n)
+        base = np.full(n, 1.0 - damping)
+    else:
+        svec = np.asarray(pd.Series(nodes).isin(seeds), np.float64)
+        base = (1.0 - damping) * svec
+    r = base + damping * svec
+    for _ in range(iters):
+        c = np.zeros(n)
+        np.add.at(c, d_idx, share * r[s_idx])
+        r = base + damping * c
+    return pa.table({
+        "node": pa.array(nodes),
+        rank_col: pc.round(pa.array(r, pa.float64()), ndigits,
+                           round_mode="half_towards_infinity"),
+    })
+
+
+def _lpa_local(tbl: pa.Table, src_col: str, dst_col: str,
+               weight_col: str | None, iters: int, directed: bool,
+               label_col: str) -> pa.Table:
+    """Single-task synchronous LPA — same update and tie-break as
+    :func:`label_propagation` (argmax summed incoming weight, ties to
+    the smaller label value; weight-0 self message keeps isolated
+    nodes alive). ``nodes`` from np.unique is SORTED, so comparing
+    label indices == comparing label values."""
+    nodes, s_idx, d_idx, w = _factorize_edges(tbl, src_col, dst_col,
+                                              weight_col)
+    n = np.int64(len(nodes))
+    if not directed:
+        s_idx, d_idx = (np.concatenate([s_idx, d_idx]),
+                        np.concatenate([d_idx, s_idx]))
+        w = np.concatenate([w, w])
+    self_idx = np.arange(n)
+    lab = self_idx.copy()
+    for _ in range(iters):
+        msg_dst = np.concatenate([d_idx, self_idx])
+        msg_lab = np.concatenate([lab[s_idx], lab])
+        msg_w = np.concatenate([w, np.zeros(int(n))])
+        key = msg_dst.astype(np.int64) * n + msg_lab
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk))
+        np.add.at(sums, inv, msg_w)
+        g_dst, g_lab = uk // n, uk % n
+        order = np.lexsort((g_lab, -sums, g_dst))
+        gd = g_dst[order]
+        first = np.ones(len(gd), bool)
+        first[1:] = gd[1:] != gd[:-1]
+        lab = lab.copy()
+        lab[gd[first]] = g_lab[order][first]
+    return pa.table({
+        "node": pa.array(nodes),
+        label_col: pa.array(nodes[lab]),
+    })
+
+
 def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
              weight_col: str | None = None,
              iters: int = 5, damping: float = 0.85,
              rank_col: str = "pr", ndigits: int = 6,
              seeds: frozenset | set | None = None,
              hot_degree: int | None = None, salt_buckets: int = 8,
-             num_partitions: int = 16):
+             num_partitions: int = 16,
+             local_threshold: int | None = LOCAL_EDGES_THRESHOLD):
     """Fixed-iteration PageRank (the standard simplified recurrence
     ``r(v) = (1-d) + d·Σ_{u→v} r(u)·share(u→v)``, ranks initialized to
     1.0, dangling mass dropped — Page et al. 1999's original per-node
@@ -102,7 +211,31 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     Node ids may be any hashable Arrow type (int ids, entity-name
     strings).
+
+    ``local_threshold``: at or below this many edges the graph solves
+    vectorized inside ONE Ray task (:func:`_pagerank_local`) — the
+    per-round exchange latency is pure fixed cost there; above it the
+    distributed rounds run. ``None`` forces distributed.
     """
+    import ray
+
+    refs = _edges_below(edges_ds, local_threshold)
+    if refs is not None:
+        cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+
+        @ray.remote
+        def solve(*blocks):
+            tbls = ([b.select(cols) for b in blocks if b.num_rows]
+                    or [blocks[0].select(cols)])
+            tbl = pa.concat_tables(tbls)
+            return _pagerank_local(tbl, src_col, dst_col, weight_col,
+                                   iters, damping, rank_col, ndigits,
+                                   seeds)
+
+        import ray.data
+
+        return ray.data.from_arrow(ray.get(solve.remote(*refs)))
+
     def to_edges(b: pa.Table) -> pa.Table:
         w = (pc.cast(b.column(weight_col), pa.float64()) if weight_col
              else pa.array(np.ones(b.num_rows), pa.float64()))
@@ -299,7 +432,8 @@ def label_propagation(edges_ds, src_col: str = "src",
                       weight_col: str | None = None,
                       iters: int = 5, directed: bool = False,
                       label_col: str = "community",
-                      num_partitions: int = 16):
+                      num_partitions: int = 16,
+                      local_threshold: int | None = LOCAL_EDGES_THRESHOLD):
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007): every node starts in its own community; each round it
     adopts the incoming-neighbor label with the largest total edge
@@ -317,7 +451,28 @@ def label_propagation(edges_ds, src_col: str = "src",
     are about adjacency, not direction).  Hub treatment mirrors
     pagerank's ``hot_degree`` pattern (not wired here — communities on
     KG entity graphs sit behind the canonicalization that already
-    splits heads)."""
+    splits heads).
+
+    ``local_threshold``: same small-graph fast path as
+    :func:`pagerank` (one Ray task, identical update + tie-break)."""
+    import ray
+
+    refs = _edges_below(edges_ds, local_threshold)
+    if refs is not None:
+        cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+
+        @ray.remote
+        def solve(*blocks):
+            tbls = ([b.select(cols) for b in blocks if b.num_rows]
+                    or [blocks[0].select(cols)])
+            tbl = pa.concat_tables(tbls)
+            return _lpa_local(tbl, src_col, dst_col, weight_col, iters,
+                              directed, label_col)
+
+        import ray.data
+
+        return ray.data.from_arrow(ray.get(solve.remote(*refs)))
+
     M_EDGE, M_LABEL = 0, 1
 
     def to_edges(b: pa.Table) -> pa.Table:

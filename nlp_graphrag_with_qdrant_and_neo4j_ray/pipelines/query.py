@@ -101,12 +101,20 @@ def vector_topk_ivf(chunk_vectors_ds, query: str, index_dir: str,
     table per query (VERDICT r3 item 9). Returns Dataset
     (chunk_id, score) sorted desc. :func:`vector_topk` (exact brute)
     stays the parity baseline; top-k identity on the fixture is pinned
-    by tests/test_query_layer.py."""
+    by tests/test_query_layer.py. ``chunk_vectors_ds`` may be a
+    zero-arg callable — resolved only on a cold index build, so warm
+    serving never constructs the KG pipeline (VERDICT r4 task 3)."""
     from .similarity import knn_ivf
 
     qv = embed_query(query, cfg)
+    src = (
+        (lambda: chunk_vectors_ds().select_columns(
+            ["chunk_id", "embedding"]))
+        if callable(chunk_vectors_ds)
+        else chunk_vectors_ds.select_columns(["chunk_id", "embedding"])
+    )
     return knn_ivf(
-        chunk_vectors_ds.select_columns(["chunk_id", "embedding"]),
+        src,
         qv, dim=cfg.vector_size, k=k, nlist=nlist, nprobe=nprobe,
         id_col="chunk_id", emb_col="embedding",
         index_dir=index_dir, fingerprint=fingerprint,

@@ -262,6 +262,9 @@ def ensure_ivf_centroids(index_dir: str, embeddings_ds, dim: int,
     return cents
 
 
+_IVF_PROC_CACHE: dict[str, tuple[np.ndarray, str]] = {}
+
+
 def ensure_ivf_index(index_dir: str, embeddings_ds, dim: int,
                      nlist: int = 64, iters: int = 5,
                      id_col: str = "vec_id", emb_col: str = "embedding",
@@ -273,7 +276,13 @@ def ensure_ivf_index(index_dir: str, embeddings_ds, dim: int,
     IVF sublinear — instead of re-scanning (and re-assigning) the whole
     embeddings table per query, which is what the centroids-only cache
     still did.  Same atomic-publish + fingerprint invalidation as the
-    term index.  Returns ``(centroids, lists_path)``."""
+    term index.  Returns ``(centroids, lists_path)``.
+
+    ``embeddings_ds`` may be a zero-arg callable returning the Dataset
+    — it is resolved ONLY on a build, so a warm serving call never
+    constructs (or resumes) the source pipeline (VERDICT r4 task 3).
+    Warm centroids are also cached in-process keyed on the marker
+    content, skipping the np.load per query."""
     import json
     import os
 
@@ -284,12 +293,19 @@ def ensure_ivf_index(index_dir: str, embeddings_ds, dim: int,
     marker = os.path.join(path, "_SUCCESS")
     want = json.dumps({"fingerprint": fingerprint, "tag": tag})
     lists_path = os.path.join(path, "lists")
-    if resume and os.path.exists(marker):
-        with open(marker) as f:
-            if f.read() == want:
-                return (np.load(os.path.join(path, "centroids.npy")),
-                        lists_path)
+    if resume:
+        cached = _IVF_PROC_CACHE.get(marker)
+        if cached is not None and cached[1] == want:
+            return cached[0], lists_path
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if f.read() == want:
+                    cents = np.load(os.path.join(path, "centroids.npy"))
+                    _IVF_PROC_CACHE[marker] = (cents, want)
+                    return cents, lists_path
 
+    if callable(embeddings_ds):
+        embeddings_ds = embeddings_ds()
     cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
                              emb_col)
     import shutil
@@ -336,7 +352,9 @@ def knn_ivf(embeddings_ds, query_vec, dim: int, k: int = 10, nlist: int = 64,
     parquet partitions — sublinear serving, no full scan, no per-query
     assignment pass. Without ``index_dir`` the quantizer trains
     in-process and assignment is a shuffle-free per-batch filter
-    (batch mode)."""
+    (batch mode). ``embeddings_ds`` may be a zero-arg callable — in
+    serving mode it is only resolved on a cold index build, so a warm
+    query never constructs the source pipeline (VERDICT r4 task 3)."""
     import os
 
     import ray
@@ -358,12 +376,16 @@ def knn_ivf(embeddings_ds, query_vec, dim: int, k: int = 10, nlist: int = 64,
                 os.path.join(lists_path, f"list_id={i}", "*.parquet")))
         ]
         if not paths:  # pragma: no cover - defensive
+            if callable(embeddings_ds):
+                embeddings_ds = embeddings_ds()
             return knn_brute(embeddings_ds, q, k, id_col, emb_col)
         import ray.data
 
         candidates = ray.data.read_parquet(paths, columns=[id_col, emb_col])
         return knn_brute(candidates, q, k, id_col, emb_col)
 
+    if callable(embeddings_ds):
+        embeddings_ds = embeddings_ds()
     cents = kmeans_centroids(embeddings_ds, dim, nlist, iters, id_col,
                              emb_col)
     probes = set(np.argsort(-(cents @ q))[:nprobe].tolist())

@@ -45,7 +45,7 @@ def test_pagerank_int_graph_matches_power_iteration(ray_session):
     edges = [(int(a), int(b))
              for a, b in rng.integers(0, 40, (300, 2))]
     out = pagerank(_edges_ds(ray_session, edges, 5), iters=5,
-                   num_partitions=4).to_pandas()
+                   num_partitions=4, local_threshold=None).to_pandas()
     ref = _ref_pagerank(edges)
     got = out.set_index("node")["pr"].to_dict()
     assert set(got) == set(ref)
@@ -58,7 +58,7 @@ def test_pagerank_string_nodes_and_sinks(ray_session):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
              ("x", "a")]
     out = pagerank(_edges_ds(ray_session, edges, 2), iters=5,
-                   num_partitions=3).to_pandas()
+                   num_partitions=3, local_threshold=None).to_pandas()
     ref = _ref_pagerank(edges)
     got = out.set_index("node")["pr"].to_dict()
     assert got == {n: pytest.approx(v, abs=2e-6) for n, v in ref.items()}
@@ -73,7 +73,7 @@ def test_pagerank_partitioning_independent(ray_session):
     outs = []
     for blocks, parts in ((1, 2), (6, 5)):
         out = pagerank(_edges_ds(ray_session, edges, blocks), iters=4,
-                       num_partitions=parts).to_pandas()
+                       num_partitions=parts, local_threshold=None).to_pandas()
         outs.append(out.sort_values("node").reset_index(drop=True))
     # deterministic to the rounding digit regardless of partitioning
     pd.testing.assert_frame_equal(outs[0], outs[1])
@@ -86,7 +86,7 @@ def test_pagerank_weighted_matches_reference(ray_session):
     out = pagerank(
         _edges_ds(ray_session, edges, 2, cols=("src", "dst", "w")),
         weight_col="w", iters=5, num_partitions=3,
-    ).to_pandas()
+        local_threshold=None).to_pandas()
     nodes = sorted({x for s, t, _ in edges for x in (s, t)})
     wsum = {}
     for s, _, w in edges:
@@ -110,11 +110,11 @@ def test_pagerank_salted_hub_equals_unsalted(ray_session):
     edges = [(0, int(t)) for t in range(1, 61)]
     edges += [(int(a), int(b)) for a, b in rng.integers(0, 61, (150, 2))]
     plain = pagerank(_edges_ds(ray_session, edges, 4), iters=5,
-                     num_partitions=4).to_pandas() \
+                     num_partitions=4, local_threshold=None).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     salted = pagerank(_edges_ds(ray_session, edges, 4), iters=5,
                       hot_degree=20, salt_buckets=4,
-                      num_partitions=4).to_pandas() \
+                      num_partitions=4, local_threshold=None).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(salted, plain)
     # exactly one row per node — replication never leaks duplicates
@@ -131,11 +131,11 @@ def test_pagerank_salted_weighted_string_hub(ray_session):
     cols = ("src", "dst", "w")
     plain = pagerank(_edges_ds(ray_session, edges, 3, cols=cols),
                      weight_col="w", iters=4,
-                     num_partitions=3).to_pandas() \
+                     num_partitions=3, local_threshold=None).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     salted = pagerank(_edges_ds(ray_session, edges, 3, cols=cols),
                       weight_col="w", iters=4, hot_degree=10,
-                      salt_buckets=3, num_partitions=3).to_pandas() \
+                      salt_buckets=3, num_partitions=3, local_threshold=None).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(salted, plain)
     assert salted["node"].is_unique
@@ -146,7 +146,7 @@ def test_personalized_pagerank_matches_reference(ray_session):
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, (80, 2))]
     seeds = {0, 7}
     out = pagerank(_edges_ds(ray_session, edges, 3), iters=5,
-                   seeds=frozenset(seeds), num_partitions=3) \
+                   seeds=frozenset(seeds), num_partitions=3, local_threshold=None) \
         .to_pandas().set_index("node")["pr"].to_dict()
     # reference: r0 = s; r = 0.15*s + 0.85*incoming
     nodes = sorted({x for e in edges for x in e})
@@ -200,7 +200,7 @@ def test_label_propagation_two_cliques(ray_session):
     b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
     edges = a + b + [(4, 10), (20, 21)]
     out = label_propagation(_edges_ds(ray_session, edges, 4), iters=5,
-                            num_partitions=3).to_pandas()
+                            num_partitions=3, local_threshold=None).to_pandas()
     lab = out.set_index("node")["community"].to_dict()
     ref = _ref_lpa(edges)
     assert lab == ref
@@ -226,6 +226,7 @@ def test_label_propagation_weighted_directed_and_partitioning(ray_session):
             _edges_ds(ray_session, edges, blocks,
                       cols=("src", "dst", "w")),
             weight_col="w", iters=4, num_partitions=parts,
+            local_threshold=None,
         ).to_pandas().sort_values("node").reset_index(drop=True)
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
@@ -241,12 +242,12 @@ def test_graph_ops_self_loops_and_parallel_edges(ray_session):
     # self-loop + duplicate parallel edges: both count toward weight
     edges = [(1, 1), (1, 2), (1, 2), (2, 3), (3, 1)]
     pr = pagerank(_edges_ds(ray_session, edges, 2), iters=4,
-                  num_partitions=2).to_pandas() \
+                  num_partitions=2, local_threshold=None).to_pandas() \
         .set_index("node")["pr"].to_dict()
     ref = _ref_pagerank(edges, iters=4)
     assert pr == {n: pytest.approx(v, abs=2e-6) for n, v in ref.items()}
     lab = label_propagation(_edges_ds(ray_session, edges, 2), iters=4,
-                            num_partitions=2).to_pandas()
+                            num_partitions=2, local_threshold=None).to_pandas()
     assert set(lab["node"]) == {1, 2, 3}
     assert lab.set_index("node")["community"].to_dict() == _ref_lpa(
         edges, iters=4)
@@ -348,3 +349,53 @@ def test_k_core_matches_brute_peeling(ray_session):
     # the K6 clique survives k=4 with within-core degrees >= 5... at least 5
     got = k_core(ds, 5, num_partitions=4).to_pandas()
     assert set(got.node) >= set(range(100, 106))
+
+
+def test_pagerank_local_equals_distributed(ray_session):
+    """VERDICT r4 task 4: the small-graph single-task fast path must
+    produce exactly the distributed result — weighted string graph
+    with a hub, both plain and personalized (seeded)."""
+    rng = np.random.default_rng(7)
+    names = [f"ent{i:02d}" for i in range(30)]
+    edges = [(names[int(a)], names[int(b)], float(w))
+             for a, b, w in zip(rng.integers(0, 30, 400),
+                                rng.integers(0, 30, 400),
+                                rng.integers(1, 5, 400))]
+    # hub: one node with many out-edges
+    edges += [("hub", names[i % 30], 1.0) for i in range(90)]
+    ds = _edges_ds(ray_session, edges, 4, cols=("src", "dst", "w"))
+    kw = dict(src_col="src", dst_col="dst", weight_col="w", iters=5)
+    for seeds in (None, frozenset({"ent03", "hub"})):
+        dist = pagerank(ds, seeds=seeds, num_partitions=3,
+                        local_threshold=None, **kw).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        loc = pagerank(ds, seeds=seeds, **kw).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(loc, dist, check_dtype=False)
+
+
+def test_label_propagation_local_equals_distributed(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        label_propagation,
+    )
+
+    rng = np.random.default_rng(11)
+    # two dense clusters + a few random bridges, weighted
+    edges = []
+    for base in (0, 20):
+        for _ in range(120):
+            a, b = rng.integers(base, base + 20, 2)
+            edges.append((f"n{a:02d}", f"n{b:02d}",
+                          float(rng.integers(1, 4))))
+    edges += [("n03", "n23", 1.0), ("n15", "n31", 1.0)]
+    ds = _edges_ds(ray_session, edges, 3, cols=("src", "dst", "w"))
+    for directed in (False, True):
+        for wcol in (None, "w"):
+            kw = dict(src_col="src", dst_col="dst", weight_col=wcol,
+                      iters=4, directed=directed)
+            dist = label_propagation(
+                ds, num_partitions=3, local_threshold=None, **kw
+            ).to_pandas().sort_values("node").reset_index(drop=True)
+            loc = label_propagation(ds, **kw).to_pandas() \
+                .sort_values("node").reset_index(drop=True)
+            pd.testing.assert_frame_equal(loc, dist, check_dtype=False)
