@@ -788,11 +788,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def video_frames_real_containers(sf_dir: str):
         """Frame-sampling over REAL video containers (VERDICT r3 item
-        5): deterministic AVI (RIFF/BI_RGB) and MP4 ('raw ' samples)
-        payloads built from the documents table's bytes, demuxed by the
-        vendored container walkers and decoded to real pixels by the
-        actor pool. Rows-only check; planted-frame pixel exactness is
-        pinned by tests/test_files_media_refetch.py."""
+        5): deterministic AVI (RIFF/BI_RGB), MJPEG-AVI (baseline JPEG
+        frames, functions/jpeg.py — VERDICT r4 task 5) and MP4 ('raw '
+        samples) payloads built from the documents table's bytes,
+        demuxed by the vendored container walkers and decoded to real
+        pixels by the actor pool. Rows-only check; planted-frame pixel
+        exactness is pinned by tests/test_files_media_refetch.py."""
         import ray.data
 
         from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
@@ -813,9 +814,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rng = np.random.RandomState(seed.astype(np.uint32))
             frames = [rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)
                       for _ in range(6)]
-            enc = encode_avi if int(r["doc_id"]) % 2 == 0 else encode_mp4_raw
+            pick = int(r["doc_id"]) % 3
+            if pick == 0:
+                payload = encode_avi(frames, fps=6)
+            elif pick == 1:
+                payload = encode_avi(frames, fps=6, codec="mjpg")
+            else:
+                payload = encode_mp4_raw(frames, fps=6)
             items.append({"media_id": f"vid-{int(r['doc_id']):05d}",
-                          "payload": enc(frames, fps=6)})
+                          "payload": payload})
         media = ray.data.from_items(items)
         return sample_video_frames(media, num_frames=4).select_columns(
             ["media_id", "width", "height", "n_frames_total", "n_bytes"]

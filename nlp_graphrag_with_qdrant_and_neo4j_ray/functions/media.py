@@ -370,12 +370,18 @@ def _riff_list(list_type: bytes, payload: bytes) -> bytes:
     return _riff_chunk(b"LIST", list_type + payload)
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+def encode_avi(frames: list[np.ndarray], fps: int = 10,
+               codec: str = "rgb24", quality: int = 95) -> bytes:
     """RGB frames (h,w,3 uint8, all same shape) → AVI bytes
-    (single 'vids' stream, uncompressed BI_RGB 24-bit: bottom-up BGR
-    rows padded to 4 bytes — the format every AVI reader decodes)."""
+    (single 'vids' stream). ``codec="rgb24"``: uncompressed BI_RGB
+    24-bit (bottom-up BGR rows padded to 4 bytes — the format every
+    AVI reader decodes). ``codec="mjpg"``: Motion-JPEG — each frame a
+    baseline JFIF image (functions/jpeg.py), the common compressed
+    AVI case."""
     if not frames:
         raise ValueError("need at least one frame")
+    if codec not in ("rgb24", "mjpg"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
     h, w = frames[0].shape[:2]
     stride = ((w * 3 + 3) // 4) * 4
     size_image = stride * h
@@ -389,6 +395,19 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         row[:, : w * 3] = bgr.reshape(h, w * 3)
         return row.tobytes()
 
+    if codec == "mjpg":
+        from .jpeg import encode_baseline_jpeg
+
+        payloads = [encode_baseline_jpeg(
+            np.ascontiguousarray(f, np.uint8), quality) for f in frames]
+        handler, compression = b"MJPG", b"MJPG"
+        frame_tag = b"00dc"  # compressed
+        size_image = max(len(p) for p in payloads)
+    else:
+        payloads = [dib(f) for f in frames]
+        handler, compression = b"DIB ", struct.pack("<I", 0)
+        frame_tag = b"00db"
+
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps, size_image * fps, 0, 0x10, len(frames), 0, 1,
@@ -398,19 +417,19 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     # bufsize quality samplesize rcFrame(left,top,right,bottom) — the
     # trailing I is rcFrame.left/top; append right/bottom for the full
     # 8-byte RECT of AVISTREAMHEADER (56-byte body).
-    strh = (b"vids" + b"DIB " + struct.pack(
+    strh = (b"vids" + handler + struct.pack(
         "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
         size_image, 0xFFFFFFFF, 0, 0) + struct.pack("<HH", w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image,
-                       0, 0, 0, 0)
+    strf = (struct.pack("<IiiHH", 40, w, h, 1, 24) + compression
+            + struct.pack("<IiiII", size_image, 0, 0, 0, 0))
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
         + _riff_list(b"strl", _riff_chunk(b"strh", strh)
                      + _riff_chunk(b"strf", strf)),
     )
-    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", dib(f))
-                                        for f in frames))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(frame_tag, p)
+                                        for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -468,11 +487,19 @@ def decode_avi(payload: bytes):
     walk(12, len(payload))
     if compression is None:
         raise ValueError("AVI has no video stream format (strf)")
+    if compression == 0x47504A4D:  # 'MJPG' — Motion-JPEG
+        from .jpeg import decode_baseline_jpeg
+
+        frames = [decode_baseline_jpeg(raw) for raw in frames_raw]
+        if frames:  # JPEG frames are top-down; trust the decoded shape
+            h, w = frames[0].shape[:2]
+        return w, h, fps, frames
     if compression != 0 or bitcount != 24:
         raise NotImplementedError(
             f"AVI codec 0x{compression:08x}/{bitcount}bpp not supported "
             f"(demuxed {len(frames_raw)} frames; vendored decode covers "
-            f"BI_RGB 24-bit; install pyav for compressed codecs)")
+            f"BI_RGB 24-bit and MJPG baseline; install pyav for other "
+            f"codecs)")
     stride = ((w * 3 + 3) // 4) * 4
     frames = []
     for raw in frames_raw:

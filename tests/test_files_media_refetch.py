@@ -117,7 +117,10 @@ def test_video_real_containers_planted_frames(ray_session):
 
 
 def test_avi_compressed_codec_is_honest():
-    """A compressed AVI stream demuxes but refuses to fake a decode."""
+    """An AVI stream in a codec the vendored decoders don't cover
+    (Cinepak) demuxes but refuses to fake a decode. (MJPG used to be
+    the unsupported fixture codec; functions/jpeg.py decodes it for
+    real now — see test_avi_mjpeg_planted_frames.)"""
     import struct as _struct
 
     import numpy as np
@@ -132,9 +135,77 @@ def test_avi_compressed_codec_is_honest():
     i = bytes(avi).find(b"strf")
     # BITMAPINFOHEADER biCompression field (offset 16 into the struct)
     comp_off = i + 8 + 16
-    avi[comp_off:comp_off + 4] = _struct.pack("<I", 0x47504A4D)  # 'MJPG'
-    with _pytest.raises(NotImplementedError, match="MJPG|codec"):
+    avi[comp_off:comp_off + 4] = b"cvid"  # Cinepak
+    with _pytest.raises(NotImplementedError, match="codec"):
         decode_avi(bytes(avi))
+
+
+def test_avi_mjpeg_planted_frames(ray_session):
+    """VERDICT r4 task 5: an MJPEG-AVI (baseline JPEG frames) decodes
+    hermetically through the vendored JPEG codec — flat planted frames
+    round-trip EXACTLY (constant blocks survive DCT quantization), so
+    the one-hot histogram assertion from the BI_RGB/MP4 test holds
+    verbatim."""
+    import numpy as np
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+        decode_avi,
+        encode_avi,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+        sample_video_frames,
+    )
+
+    dim = 8
+    values = [16, 80, 144, 240]
+    frames = [np.full((10, 13, 3), v, np.uint8) for v in values]
+    avi = encode_avi(frames, fps=4, codec="mjpg")
+
+    # direct decode: exact pixels back
+    w, h, fps, out_frames = decode_avi(avi)
+    assert (w, h) == (13, 10) and len(out_frames) == 4
+    for f, v in zip(out_frames, values):
+        np.testing.assert_array_equal(f, np.full((10, 13, 3), v, np.uint8))
+
+    # through the actor-pool sampling stage
+    media = ray.data.from_items([{"media_id": "mjpg0", "payload": avi}])
+    r = sample_video_frames(media, num_frames=4,
+                            feature_dim=dim).take_all()[0]
+    assert (r["width"], r["height"], r["n_frames_total"]) == (13, 10, 4)
+    feats = np.asarray(r["frame_features"]).reshape(4, dim)
+    for i, b in enumerate([0, 2, 4, 7]):
+        onehot = np.zeros(dim, np.float32)
+        onehot[b] = 1.0
+        np.testing.assert_allclose(feats[i], onehot, atol=1e-6)
+
+
+def test_jpeg_codec_roundtrip_and_gray():
+    """The vendored baseline JPEG codec: gradient round-trip within
+    tight error at q=100, grayscale single-component decode, honest
+    NotImplementedError on progressive scans."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    h, w = 24, 36
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    img = np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    # progressive SOF2 is refused, not mis-decoded
+    data = bytearray(encode_baseline_jpeg(img))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_baseline_jpeg(bytes(data))
 
 
 def test_resolve_chunk_texts_refetch(ray_session):
