@@ -21,6 +21,7 @@ Decomposition of the reference's per-triplet ``process_triplet``
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -342,9 +343,13 @@ def partial_entities(batch: pa.Table) -> pd.DataFrame:
         ["src_entity_id", "dst_entity_id", "subj", "obj", "salt", "chunk_id"]
     ).to_pandas()
     halves = []
+    # 'parts' rides the two exchanges as an int8 bitmask (1=subject,
+    # 2=object, 3=both) instead of repeated strings — fewer bytes on
+    # ~2 rows/triple and a vectorized min/max merge instead of a
+    # per-group Python string-set reduce (r5 scaling lever)
     for id_col, name_col, part in (
-        ("src_entity_id", "subj", "subject"),
-        ("dst_entity_id", "obj", "object"),
+        ("src_entity_id", "subj", np.int8(1)),
+        ("dst_entity_id", "obj", np.int8(2)),
     ):
         h = df[[id_col, name_col, "salt", "chunk_id"]].copy()
         h.columns = ["entity_id", "names", "salt", "chunk_id"]
@@ -362,16 +367,19 @@ def _merge_pipe_sets(series: pd.Series) -> str:
 def merge_salted_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     """Level-1 merge, vectorized across one hash partition: combine
     partials per (entity_id, salt)."""
-    return (
-        pdf.groupby(["entity_id", "salt"], sort=True)
-        .agg(
-            names=("names", _merge_pipe_sets),
-            parts=("parts", _merge_pipe_sets),
-            mention_count=("mention_count", "sum"),
-            chunk_id=("chunk_id", "min"),
-        )
-        .reset_index()
-    )
+    g = pdf.groupby(["entity_id", "salt"], sort=True)
+    out = g.agg(
+        names=("names", _merge_pipe_sets),
+        parts_mn=("parts", "min"),
+        parts_mx=("parts", "max"),
+        mention_count=("mention_count", "sum"),
+        chunk_id=("chunk_id", "min"),
+    ).reset_index()
+    out["parts"] = np.where(out.pop("parts_mn") == out["parts_mx"],
+                            out["parts_mx"], 3).astype(np.int8)
+    out.pop("parts_mx")
+    return out[["entity_id", "salt", "names", "parts", "mention_count",
+                "chunk_id"]]
 
 
 def make_final_entity_partition(cfg: PipelineConfig):
@@ -382,20 +390,19 @@ def make_final_entity_partition(cfg: PipelineConfig):
             pdf.groupby("entity_id", sort=True)
             .agg(
                 names=("names", _merge_pipe_sets),
-                parts=("parts", _merge_pipe_sets),
+                parts_mn=("parts", "min"),
+                parts_mx=("parts", "max"),
                 mention_count=("mention_count", "sum"),
             )
             .reset_index()
         )
         aliases = [sorted(n.split("|")) for n in merged["names"]]
         displays = [a[0] for a in aliases]
-        part = [
-            "both" if "|" in p else p for p in merged["parts"]
-        ]
+        code = np.where(merged["parts_mn"] == merged["parts_mx"],
+                        merged["parts_mx"], 3)
+        part = np.array(["", "subject", "object", "both"])[code].tolist()
         # one batched encode for the whole partition's display names
         emb = _embedder(model, dim).encode(displays, prefix="passage:")
-        import numpy as np
-
         return pa.table(
             {
                 "entity_id": pa.array(merged["entity_id"], pa.string()),
@@ -487,8 +494,6 @@ def edges(linked_ds, cfg: PipelineConfig, with_pred_embedding: bool = True):
     model, dim = cfg.embedding_model, cfg.vector_size
 
     def add_pred_embedding(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         preds = batch.column("pred").to_pylist()
         vocab = sorted(set(preds))
         vecs = _embedder(model, dim).encode(vocab, prefix="passage:")

@@ -211,10 +211,15 @@ def make_ngram_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None):
     return ngram
 
 
+# term_type rides the exchange as an int8 CODE (index into
+# _TYPE_NAMES), not the repeated string — at 1 M pages the partials
+# exchange ships ~80 M rows, and 0/1/2 as int8 is ~10 bytes/row less
+# sort traffic than 'unigram'/'bigram'/'trigram' strings (r5 scaling
+# lever; the reducer decodes codes back to names at output).
 _PARTIAL_TERMS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
-        ("term_type", pa.string()),
+        ("term_type", pa.int8()),        # index into _TYPE_NAMES
         ("chunk_id", pa.string()),       # null ⇒ pre-counted partial
         ("chunk_count", pa.int64()),
     ]
@@ -240,6 +245,13 @@ def partial_distinct_terms(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0:
         return _PARTIAL_TERMS_SCHEMA.empty_table()
     batch = decode_terms(batch.select(["term", "term_type", "chunk_id"]))
+    # string type names → int8 codes for the ride (decoded at the
+    # reducer); index_in is safe against parquet re-ordering dict
+    # values, unlike trusting the block's dictionary indices
+    codes = pc.cast(pc.index_in(batch.column("term_type"),
+                                value_set=_TYPE_NAMES), pa.int8())
+    batch = batch.set_column(
+        batch.schema.get_field_index("term_type"), "term_type", codes)
     cid = batch.column("chunk_id")
     edge_ids = pa.array([cid[0].as_py(), cid[-1].as_py()], pa.string())
     on_edge = pc.is_in(cid, value_set=edge_ids)
@@ -307,12 +319,16 @@ def term_nodes(terms_ds, cfg: PipelineConfig, num_partitions: int = 256,
             .aggregate([("chunk_id", "count")])
             .rename_columns(["term", "term_type", "chunk_count"])
         )
-        return (
+        out = (
             pa.concat_tables([pre, bnd])
             .group_by(["term", "term_type"])
             .aggregate([("chunk_count", "sum")])
             .rename_columns(["term", "term_type", "chunk_count"])
         )
+        # int8 codes rode the exchange; the output table speaks strings
+        names = pc.take(_TYPE_NAMES,
+                        pc.cast(out.column("term_type"), pa.int32()))
+        return out.set_column(1, "term_type", names)
 
     return grouped_apply(partials, ["term", "term_type"], agg_partition,
                          num_partitions=num_partitions,
