@@ -70,6 +70,35 @@ def test_vector_topk_ivf_matches_brute(kg, tmp_path):
     assert os.path.exists(os.path.join(idx, tagdirs[0], "_SUCCESS"))
 
 
+def test_vector_topk_ivf_local_matches_distributed(kg, tmp_path,
+                                                   monkeypatch):
+    """The small-probe local fast path (pyarrow read + fused einsum)
+    and the distributed knn_brute path over the SAME persisted index
+    return identical top-k at the round-6 contract. GRAFT_KNN_LOCAL_ROWS
+    picks the path: 0 forces every probe set onto the distributed
+    branch, a huge value forces the local one."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        vector_topk_ivf,
+    )
+
+    idx = str(tmp_path / "vecindex")
+
+    def run():
+        return sorted(
+            (h["chunk_id"], round(h["score"], 6))
+            for h in vector_topk_ivf(
+                kg["chunk_vectors"], "Hugging Face company",
+                index_dir=idx, k=5, cfg=CFG,
+            ).take_all()
+        )
+
+    monkeypatch.setenv("GRAFT_KNN_LOCAL_ROWS", "1000000")
+    local = run()
+    monkeypatch.setenv("GRAFT_KNN_LOCAL_ROWS", "0")
+    distributed = run()
+    assert local == distributed
+
+
 def test_term_search_scores(kg):
     from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import term_search
 
