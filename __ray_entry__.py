@@ -57,6 +57,37 @@ def _kg_tables(sf_dir: str):
     )
 
 
+def _kg_local_table(sf_dir: str, name: str, columns: list[str],
+                    max_rows: int):
+    """The published KG checkpoint table as an in-process pa.Table when
+    it is small — or None (big, or not built yet). Size is judged from
+    the parquet FOOTERS alone (a few KB of metadata I/O), the same
+    local-serving pattern as knn_ivf's small-probe path: below the
+    threshold a serving query pays zero Ray Dataset executions (each
+    costs ~1-3 s of fixed streaming-executor latency on this host);
+    above it the caller's distributed path is unchanged. Only ever
+    reads a published checkpoint (`_SUCCESS` present), so it can never
+    observe a half-written table."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    d = os.path.join(_kg_dir(sf_dir), name)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        return None
+    files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        total += _pq.ParquetFile(f).metadata.num_rows
+        if total > max_rows:
+            return None
+    return pa.concat_tables([
+        _pq.read_table(f, columns=columns) for f in files
+    ])
+
+
 def _as_string(ds, cols: list[str]):
     """Cast large_string columns to string for stable schema comparison."""
 
@@ -2668,19 +2699,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pagerank(docs.map_batches(edges, batch_format="pyarrow"),
                         iters=5, num_partitions=8)
 
+    _EDGE_COLS = ["src_entity_id", "dst_entity_id", "weight"]
+
+    def _kg_edges_local(sf_dir: str):
+        """In-process KG edge table for graph serving, or None (big KG
+        → the distributed rounds; GRAFT_KG_LOCAL_SERVE=0 forces them
+        for tests). A cold call builds the checkpoints once first."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines import graph as g
+
+        if os.environ.get("GRAFT_KG_LOCAL_SERVE", "1") == "0":
+            return None
+        if not os.path.exists(os.path.join(
+                _kg_dir(sf_dir), "edges", "_SUCCESS")):
+            _kg_tables(sf_dir)
+        return _kg_local_table(sf_dir, "edges", _EDGE_COLS,
+                               g.LOCAL_EDGES_THRESHOLD)
+
     def kg_entity_pagerank(sf_dir: str):
         """Entity importance over the real KG edge list (string node
         ids) — the GraphRAG analysis layer the reference lacks. Rows
         only: iterative, not SQL-expressible at reasonable cost over
         the KG tables; semantics pinned by tests/test_graph.py vs a
-        driver-side power iteration."""
+        driver-side power iteration. Small KGs serve fully in-process
+        straight off the published checkpoint (same recurrence —
+        graph._pagerank_local — zero Dataset executions; pinned
+        local == distributed by tests/test_graph.py and
+        tests/test_kg_local_serve.py)."""
         from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            _pagerank_local,
             pagerank,
         )
 
-        edges = _kg_tables(sf_dir)["edges"].select_columns(
-            ["src_entity_id", "dst_entity_id", "weight"]
-        )
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            return _pagerank_local(tbl, *_EDGE_COLS, iters=5,
+                                   damping=0.85, rank_col="pr",
+                                   ndigits=6, seeds=None)
+        edges = _kg_tables(sf_dir)["edges"].select_columns(_EDGE_COLS)
         return pagerank(edges, src_col="src_entity_id",
                         dst_col="dst_entity_id", weight_col="weight",
                         iters=5, num_partitions=8)
@@ -2811,6 +2866,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pagerank,
         )
 
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+                _pagerank_local,
+            )
+
+            # seeds: same (mention_count desc, entity_id asc) top-5 as
+            # the Dataset sort below, in-process off the checkpoint
+            ent = _kg_local_table(
+                sf_dir, "entity_nodes", ["entity_id", "mention_count"],
+                max_rows=20_000_000,
+            )
+            if ent is not None:
+                seeds = frozenset(
+                    ent.sort_by([("mention_count", "descending"),
+                                 ("entity_id", "ascending")])
+                    .slice(0, 5).column("entity_id").to_pylist()
+                )
+                ranked = _pagerank_local(tbl, *_EDGE_COLS, iters=5,
+                                         damping=0.85, rank_col="pr",
+                                         ndigits=6, seeds=seeds)
+                return ranked.sort_by(
+                    [("pr", "descending"), ("node", "ascending")]
+                ).slice(0, 20)
+
         t = _kg_tables(sf_dir)
         top = t["entity_nodes"].select_columns(
             ["entity_id", "mention_count"]
@@ -2835,6 +2915,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             label_propagation,
         )
 
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+                _lpa_local,
+            )
+
+            return _lpa_local(tbl, *_EDGE_COLS, iters=5,
+                              directed=False, label_col="community")
         edges = _kg_tables(sf_dir)["edges"].select_columns(
             ["src_entity_id", "dst_entity_id", "weight"]
         )

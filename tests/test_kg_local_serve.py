@@ -1,0 +1,33 @@
+"""Entry-level local serving (checkpoint pa.Table, zero Dataset
+executions) returns exactly what the distributed graph path returns.
+
+GRAFT_KG_LOCAL_SERVE=0 forces the Dataset path; the default serves
+small KGs in-process straight off the published checkpoint
+(`_kg_local_table`), so these tests pin the two paths row-for-row on
+the same sf0.001 KG."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+QUERIES = ["kg_entity_pagerank", "kg_entity_ppr", "kg_entity_communities"]
+
+
+def _frame(res) -> pd.DataFrame:
+    df = res.to_pandas()
+    return (df[sorted(df.columns)]
+            .sort_values(sorted(df.columns))
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_local_serve_matches_distributed(ray_session, monkeypatch, name):
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    monkeypatch.setenv("GRAFT_KG_LOCAL_SERVE", "1")
+    local = _frame(qs[name](SF))
+    monkeypatch.setenv("GRAFT_KG_LOCAL_SERVE", "0")
+    distributed = _frame(qs[name](SF))
+    assert len(local) == len(distributed) > 0
+    pd.testing.assert_frame_equal(local, distributed)
