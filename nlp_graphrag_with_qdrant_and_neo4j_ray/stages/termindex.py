@@ -124,6 +124,39 @@ class TermIndex:
             files, filter=pc.field("term").isin(terms)
         )
 
+    def matched_local(self, terms: list[str], max_rows: int):
+        """The matched posting rows as an in-process ``pa.Table`` when
+        the matched bucket files are small — or None (big buckets →
+        the caller's Dataset path). Size is judged from the parquet
+        FOOTERS alone before any data is read (the knn_ivf small-probe
+        pattern); the ``term IN`` filter is pushed into ``read_table``
+        so the term-sorted row groups prune exactly like the Dataset
+        read."""
+        import pyarrow.compute as pc  # noqa: F401 (parity with matched)
+        import pyarrow.parquet as pq
+
+        terms = sorted(set(terms))
+        files: list[str] = []
+        for b in sorted(set(term_buckets(terms, self.num_buckets))):
+            d = self.bucket_dir(b)
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        if not terms or not files:
+            return None
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(f).metadata.num_rows
+            if total > max_rows:
+                return None
+        return pa.concat_tables([
+            pq.read_table(f, filters=[("term", "in", terms)])
+            for f in files
+        ])
+
     def manifest(self):
         """Per-bucket build manifest (bucket, rows, n_terms) — the
         index-build receipt (one row per bucket)."""

@@ -250,6 +250,28 @@ def test_term_index_matches_full_scan(kg, tmp_path):
     assert idx.matched([]).count() == 0
 
 
+def test_term_search_local_matches_distributed(kg, tmp_path, monkeypatch):
+    """The small-match local path (matched_local: footer-judged pyarrow
+    read + in-process score/top-k) and the distributed exchange path
+    return identical results over the same index. GRAFT_TERM_LOCAL_ROWS
+    picks the path: 0 forces distributed."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import term_search
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.termindex import (
+        ensure_term_index,
+    )
+
+    idx = ensure_term_index(str(tmp_path), kg["terms"])
+    for query in ("galaxy patrol research", "Hugging Face company"):
+        for score in ("bm25", "ngram_order"):
+            monkeypatch.setenv("GRAFT_TERM_LOCAL_ROWS", "100000000")
+            local = [(r["chunk_id"], round(r["score"], 9)) for r in
+                     term_search(idx, query, k=10, score=score).take_all()]
+            monkeypatch.setenv("GRAFT_TERM_LOCAL_ROWS", "0")
+            dist = [(r["chunk_id"], round(r["score"], 9)) for r in
+                    term_search(idx, query, k=10, score=score).take_all()]
+            assert local == dist
+
+
 def test_hybrid_retrieve_with_triplets(kg, tmp_path):
     """retrieve_with_triplets (retrieval.py:607-637): hybrid chunks plus
     per-query-entity relationship hits, truncated per entity and
