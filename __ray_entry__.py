@@ -254,9 +254,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- query layer (O1-O5, J2-J5, A1-A2, M8) ----
 
+    def _chunk_vectors_local(sf_dir: str):
+        """In-process chunk_vectors checkpoint for exact vector serving,
+        or None (big table → the distributed scan; GRAFT_KG_LOCAL_SERVE=0
+        forces it). The gate is much tighter than knn_ivf's probe gate:
+        this path drags payload_text along (the brute contract returns
+        it), so past ~50 k rows a single-threaded read+decompress loses
+        to the parallel Dataset scan — measured 12.4 s local vs ~4 s
+        distributed at 206 k rows on a loaded host."""
+        if os.environ.get("GRAFT_KG_LOCAL_SERVE", "1") == "0":
+            return None
+        if not os.path.exists(os.path.join(
+                _kg_dir(sf_dir), "chunk_vectors", "_SUCCESS")):
+            _kg_tables(sf_dir)
+        return _kg_local_table(
+            sf_dir, "chunk_vectors",
+            ["chunk_id", "payload_text", "embedding"],
+            int(os.environ.get("GRAFT_VEC_LOCAL_ROWS", "50000")),
+        )
+
     def kg_vector_topk(sf_dir: str):
-        t = _kg_tables(sf_dir)
-        hits = q.vector_topk(t["chunk_vectors"], "Who founded Hugging Face?",
+        src = _chunk_vectors_local(sf_dir)
+        if src is None:
+            src = _kg_tables(sf_dir)["chunk_vectors"]
+        hits = q.vector_topk(src, "Who founded Hugging Face?",
                              k=10, cfg=CFG).take_all()
         for r in hits:
             r["score"] = round(r["score"], 6)
@@ -359,8 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              k=10, cfg=CFG)
 
     def kg_hybrid_retrieve(sf_dir: str):
-        t = _kg_tables(sf_dir)
-        rows = q.hybrid_retrieve(t["chunk_vectors"], _term_index(sf_dir),
+        src = _chunk_vectors_local(sf_dir)
+        if src is None:
+            src = _kg_tables(sf_dir)["chunk_vectors"]
+        rows = q.hybrid_retrieve(src, _term_index(sf_dir),
                                  "Hugging Face company", k=10, cfg=CFG)
         for r in rows:
             r["score"] = round(r["score"], 6)

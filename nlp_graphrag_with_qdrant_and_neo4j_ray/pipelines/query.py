@@ -64,8 +64,30 @@ def vector_topk(chunk_vectors_ds, query: str, k: int = 10,
     per-batch top-k COMBINER (each batch forwards only its k best rows,
     so payload strings never ride an all-to-all), then one tiny sort
     over ≤ blocks × k survivors. Global top-k == top-k of per-batch
-    top-ks, exactly. Returns a Dataset (chunk_id, payload_text, score)."""
+    top-ks, exactly. Returns a Dataset (chunk_id, payload_text, score).
+
+    ``chunk_vectors_ds`` may also be an in-process ``pa.Table`` (the
+    caller read a small checkpoint locally — `_kg_local_table`): then
+    the same float32 scoring and top-k run without a Dataset execution;
+    identical row-wise math, wrapped back into a Dataset."""
     qv = embed_query(query, cfg)
+
+    if isinstance(chunk_vectors_ds, pa.Table):
+        import ray.data
+
+        tbl = chunk_vectors_ds
+        mat = np.asarray(
+            tbl.column("embedding").combine_chunks().flatten()
+        ).reshape(tbl.num_rows, cfg.vector_size)
+        s = (mat.astype(np.float32) @ qv).astype(np.float64)
+        order = np.argsort(-s, kind="stable")[:k]
+        return ray.data.from_arrow(pa.table({
+            "chunk_id": tbl.column("chunk_id").combine_chunks().take(
+                pa.array(order)),
+            "payload_text": tbl.column("payload_text").combine_chunks()
+            .take(pa.array(order)),
+            "score": pa.array(s[order]),
+        }))
 
     def score(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch.column("embedding").combine_chunks().flatten()

@@ -10,7 +10,8 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-QUERIES = ["kg_entity_pagerank", "kg_entity_ppr", "kg_entity_communities"]
+QUERIES = ["kg_entity_pagerank", "kg_entity_ppr", "kg_entity_communities",
+           "kg_vector_topk", "kg_hybrid_retrieve"]
 
 
 def _frame(res) -> pd.DataFrame:
