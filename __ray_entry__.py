@@ -357,16 +357,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         re-materialized hash-partitioned + sorted by term with
         precomputed BM25 postings, so a query reads only its terms'
         bucket files. Fingerprinted on the terms checkpoint (stale KG →
-        rebuild); N for idf comes from the chunks table (resolved only
-        on an actual build)."""
+        rebuild). Warm loads never touch the KG pipeline: the terms
+        Dataset and N-for-idf ride as thunks resolved only on a build
+        (the ensure_ivf_index contract — was a ~0.7 s KG resume on
+        EVERY serving call)."""
         from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.termindex import (
             ensure_term_index,
         )
 
-        t = _kg_tables(sf_dir)
+        if not os.path.exists(os.path.join(
+                _kg_dir(sf_dir), "terms", "_SUCCESS")):
+            _kg_tables(sf_dir)  # cold: build the KG checkpoints once
         return ensure_term_index(
-            _kg_dir(sf_dir), t["terms"],
-            total_chunks=lambda: t["chunks"].count(),
+            _kg_dir(sf_dir),
+            lambda: _kg_tables(sf_dir)["terms"],
+            total_chunks=lambda: _kg_tables(sf_dir)["chunks"].count(),
         )
 
     def kg_term_index_build(sf_dir: str):
@@ -390,29 +395,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pylist(rows)
 
     def kg_context_windows(sf_dir: str):
-        t = _kg_tables(sf_dir)
         hits = q.graph_retrieve(_term_index(sf_dir), "mecha designs", k=5,
                                 cfg=CFG)
-        rows = q.with_context(t["chunks"], hits, context_size=1)
+        chunks = _chunks_meta_local(sf_dir)
+        if chunks is None:
+            chunks = _kg_tables(sf_dir)["chunks"]
+        rows = q.with_context(chunks, hits, context_size=1)
         return pa.Table.from_pylist(
             [{k: r[k] for k in ("chunk_id", "doc_id", "chunk_index",
                                 "is_match")} for r in rows]
+        )
+
+    def _chunks_meta_local(sf_dir: str):
+        """In-process (chunk_id, doc_id, chunk_index) projection of the
+        chunks checkpoint — no text column, so even a ~1 M-chunk corpus
+        is a few-MB read. None above the row gate or with
+        GRAFT_KG_LOCAL_SERVE=0."""
+        if os.environ.get("GRAFT_KG_LOCAL_SERVE", "1") == "0":
+            return None
+        if not os.path.exists(os.path.join(
+                _kg_dir(sf_dir), "chunks", "_SUCCESS")):
+            _kg_tables(sf_dir)
+        return _kg_local_table(
+            sf_dir, "chunks", ["chunk_id", "doc_id", "chunk_index"],
+            int(os.environ.get("GRAFT_CHUNKMETA_LOCAL_ROWS", "20000000")),
         )
 
     def kg_document_chain(sf_dir: str):
         """Chain walk (reference core/retrieval.py:419-467): ±2 chunks
         around a deterministic center (smallest chunk_id with index 1 —
         i.e. some multi-chunk document's second chunk). The center pick
-        is a Min aggregate, not a global sort (VERDICT r2 finding 5)."""
+        is a Min aggregate, not a global sort (VERDICT r2 finding 5).
+        Small corpora serve in-process off the text-free chunk-meta
+        projection (same Min + window semantics, zero Dataset
+        executions)."""
         from ray.data.aggregate import Min
 
-        t = _kg_tables(sf_dir)
-        chunks = t["chunks"]
-        center_id = chunks.filter(expr="chunk_index == 1").aggregate(
-            Min("chunk_id")
-        )["min(chunk_id)"]
-        if center_id is None:  # corpus of single-chunk docs: chain len 1
-            center_id = chunks.aggregate(Min("chunk_id"))["min(chunk_id)"]
+        chunks = _chunks_meta_local(sf_dir)
+        if chunks is not None:
+            at1 = chunks.filter(pc.equal(chunks.column("chunk_index"), 1))
+            pool = at1 if at1.num_rows else chunks
+            center_id = (pc.min(pool.column("chunk_id")).as_py()
+                         if pool.num_rows else None)
+        else:
+            chunks = _kg_tables(sf_dir)["chunks"]
+            center_id = chunks.filter(expr="chunk_index == 1").aggregate(
+                Min("chunk_id")
+            )["min(chunk_id)"]
+            if center_id is None:  # corpus of single-chunk docs
+                center_id = chunks.aggregate(Min("chunk_id"))["min(chunk_id)"]
         rows = q.get_document_chain(chunks, center_id,
                                     max_chunks=2) if center_id else []
         return pa.Table.from_pylist(
@@ -421,8 +452,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def kg_relationship_search(sf_dir: str):
-        t = _kg_tables(sf_dir)
-        rows = q.relationship_search(t["edges"], "Hugging Face", None, k=10)
+        src = None
+        if os.environ.get("GRAFT_KG_LOCAL_SERVE", "1") != "0":
+            if not os.path.exists(os.path.join(
+                    _kg_dir(sf_dir), "edges", "_SUCCESS")):
+                _kg_tables(sf_dir)
+            src = _kg_local_table(
+                sf_dir, "edges",
+                ["src_entity_id", "dst_entity_id", "pred", "chunk_id",
+                 "weight"],
+                int(os.environ.get("GRAFT_CHUNKMETA_LOCAL_ROWS",
+                                   "20000000")),
+            )
+        if src is None:
+            src = _kg_tables(sf_dir)["edges"]
+        rows = q.relationship_search(src, "Hugging Face", None, k=10)
         return pa.Table.from_pylist(rows) if rows else pa.table(
             {"src_entity_id": pa.array([], pa.string())})
 

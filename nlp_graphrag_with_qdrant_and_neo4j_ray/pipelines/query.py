@@ -176,9 +176,12 @@ def resolve_chunk_texts(hits: list[dict], chunks_ds,
 
 def term_search(terms_ds, query: str, k: int = 10,
                 cfg: PipelineConfig = DEFAULT_CONFIG,
-                score: str | None = None):
+                score: str | None = None, as_rows: bool = False):
     """Query n-grams ⋈ terms (broadcast semi-join) → SUM(score) per chunk
-    → top-k. Returns Dataset (chunk_id, score).
+    → top-k. Returns Dataset (chunk_id, score), or the same top-k as a
+    ``list[dict]`` with ``as_rows=True`` (serving callers that consume
+    rows anyway skip a Dataset wrap+take round-trip — ~0.9 s of fixed
+    executor latency per call on a loaded host).
 
     ``terms_ds`` may be the raw terms Dataset (full scan — batch-mode
     semantics) or a ``stages.termindex.TermIndex`` (serving mode: only
@@ -204,6 +207,8 @@ def term_search(terms_ds, query: str, k: int = 10,
                          "the precomputed statistics); raw terms Datasets "
                          "score by ngram_order")
     if not wanted:
+        if as_rows:
+            return []
         return terms_ds.limit(0).select_columns(["chunk_id"])
     value_set = pa.array(sorted(wanted))
 
@@ -241,6 +246,8 @@ def term_search(terms_ds, query: str, k: int = 10,
                           ("chunk_id", "ascending")])
                 .slice(0, k)
             )
+            if as_rows:
+                return out.to_pylist()
             return ray.data.from_arrow(out)
 
     def match(batch: pa.Table) -> pa.Table:
@@ -281,7 +288,7 @@ def term_search(terms_ds, query: str, k: int = 10,
         return s.sort_values(["score", "chunk_id"],
                              ascending=[False, True]).head(k)
 
-    return (
+    ds = (
         grouped_apply(
             terms_ds.map_batches(match, batch_format="pyarrow",
                                  batch_size=262144),
@@ -291,6 +298,9 @@ def term_search(terms_ds, query: str, k: int = 10,
         .sort(["score", "chunk_id"], descending=[True, False])
         .limit(k)
     )
+    if as_rows:
+        return ds.take(k)
+    return ds
 
 
 def entity_search(query: str):
@@ -314,7 +324,7 @@ def graph_retrieve(terms_ds, query: str, k: int = 10,
                    cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
     """GraphRetriever.retrieve_chunks (retrieval.py:316-371): term search ∪
     entity search (dead), dedup by chunk keeping max score (A2)."""
-    hits = term_search(terms_ds, query, k, cfg).take(k)
+    hits = term_search(terms_ds, query, k, cfg, as_rows=True)
     best: dict[str, float] = {}
     for r in list(hits) + entity_search(query):
         cid = r["chunk_id"]
@@ -376,7 +386,13 @@ def with_context(chunks_ds, hits: list[dict], context_size: int = 1) -> list[dic
         )
         return batch.filter(pc.is_in(key, value_set=keys))
 
-    ctx_rows = chunks_ds.map_batches(in_window, batch_format="pyarrow").take_all()
+    # chunks_ds may be an in-process pa.Table (a small checkpoint read
+    # locally — `_kg_local_table`): same filter, no Dataset execution
+    if isinstance(chunks_ds, pa.Table):
+        ctx_rows = in_window(chunks_ds).to_pylist()
+    else:
+        ctx_rows = chunks_ds.map_batches(
+            in_window, batch_format="pyarrow").take_all()
     score_of = {h["chunk_id"]: h["score"] for h in hits}
     out = []
     for r in ctx_rows:
@@ -386,7 +402,9 @@ def with_context(chunks_ds, hits: list[dict], context_size: int = 1) -> list[dic
                 "chunk_id": cid,
                 "doc_id": r["doc_id"],
                 "chunk_index": r["chunk_index"],
-                "text": r["text"],
+                # a pruned meta projection (no text column) is a valid
+                # input when the caller only needs the window shape
+                "text": r.get("text"),
                 "is_match": cid in score_of,
                 "score": score_of.get(cid, 0.0),
             }
@@ -444,7 +462,13 @@ def get_document_chain(chunks_ds, chunk_id: str, max_chunks: int = 5) -> list[di
         )
         return batch.filter(m)
 
-    rows = chunks_ds.map_batches(window, batch_format="pyarrow").take_all()
+    # chunks_ds may be an in-process pa.Table (small checkpoint read
+    # locally): same window filter, no Dataset execution
+    if isinstance(chunks_ds, pa.Table):
+        rows = window(chunks_ds).to_pylist()
+    else:
+        rows = chunks_ds.map_batches(
+            window, batch_format="pyarrow").take_all()
     # reference parity: unknown center chunk → [] (retrieval.py:443-447);
     # the id parse alone can't prove existence, the window scan does
     if chunk_id not in {r["chunk_id"] for r in rows}:
@@ -469,6 +493,10 @@ def relationship_search(edges_ds, entity_name: str, relation_keyword: str | None
         keep = [c for c in hit.column_names if c != "pred_embedding"]
         return hit.select(keep)
 
+    # edges_ds may be an in-process pa.Table (a small checkpoint read
+    # locally): same filter, first-k in the same storage order
+    if isinstance(edges_ds, pa.Table):
+        return match(edges_ds).slice(0, k).to_pylist()
     rows = edges_ds.map_batches(match, batch_format="pyarrow").take(k)
     return list(rows)
 

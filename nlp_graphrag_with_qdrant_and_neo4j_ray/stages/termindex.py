@@ -126,13 +126,18 @@ class TermIndex:
 
     def matched_local(self, terms: list[str], max_rows: int):
         """The matched posting rows as an in-process ``pa.Table`` when
-        the matched bucket files are small — or None (big buckets →
-        the caller's Dataset path). Size is judged from the parquet
-        FOOTERS alone before any data is read (the knn_ivf small-probe
-        pattern); the ``term IN`` filter is pushed into ``read_table``
-        so the term-sorted row groups prune exactly like the Dataset
-        read."""
-        import pyarrow.compute as pc  # noqa: F401 (parity with matched)
+        the matched ROW GROUPS are small — or None (big match → the
+        caller's Dataset path). The gate and the read are both
+        row-group-granular: buckets are sorted by term, so each row
+        group's term min/max statistics (in the footer — a few KB of
+        metadata I/O, no data read) prune exactly like the Dataset
+        read's filter pushdown; a query's few terms typically land in
+        1-2 of a bucket's ~25 groups. Parquet string statistics are
+        truncation-safe bounds (truncated max is incremented), so the
+        range check can only over-select, never miss."""
+        import bisect
+
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         terms = sorted(set(terms))
@@ -147,15 +152,41 @@ class TermIndex:
                 )
         if not terms or not files:
             return None
+        picked: list[tuple] = []
         total = 0
         for f in files:
-            total += pq.ParquetFile(f).metadata.num_rows
-            if total > max_rows:
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            try:
+                col = pf.schema_arrow.names.index("term")
+            except ValueError:  # pragma: no cover - defensive
                 return None
-        return pa.concat_tables([
-            pq.read_table(f, filters=[("term", "in", terms)])
-            for f in files
-        ])
+            groups = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col).statistics
+                if st is None or st.min is None or st.max is None:
+                    hit = True  # no stats → must read
+                else:
+                    # any wanted term inside [min, max]?
+                    i = bisect.bisect_left(terms, st.min)
+                    hit = i < len(terms) and terms[i] <= st.max
+                if hit:
+                    groups.append(g)
+                    total += md.row_group(g).num_rows
+                    if total > max_rows:
+                        return None
+            if groups:
+                picked.append((pf, groups))
+        value_set = pa.array(terms)
+        parts = []
+        for pf, groups in picked:
+            t = pf.read_row_groups(groups)
+            parts.append(
+                t.filter(pc.is_in(t.column("term"), value_set=value_set))
+            )
+        if not parts:  # every row group pruned: empty match, known schema
+            parts = [pq.ParquetFile(files[0]).schema_arrow.empty_table()]
+        return pa.concat_tables(parts)
 
     def manifest(self):
         """Per-bucket build manifest (bucket, rows, n_terms) — the
@@ -210,7 +241,10 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
     per-(term, term_type, chunk_id) postings with exact tf/df and the
     precomputed BM25 score (see module docstring), one sorted file per
     bucket. ``total_chunks`` may be an int, a zero-arg callable (resolved
-    only on an actual build), or None (exact distinct-chunk fallback)."""
+    only on an actual build), or None (exact distinct-chunk fallback).
+    ``terms_ds`` may likewise be a zero-arg callable returning the terms
+    Dataset — resolved only on a build, so a warm load never constructs
+    (or resumes) the KG pipeline (the ensure_ivf_index contract)."""
     path = os.path.join(out_dir, "terms_by_term")
     marker = os.path.join(path, SUCCESS)
     if fingerprint is None:
@@ -232,6 +266,8 @@ def ensure_term_index(out_dir: str, terms_ds, num_buckets: int | None = None,
 
     import ray.data
 
+    if callable(terms_ds):  # build only — warm loads returned above
+        terms_ds = terms_ds()
     if num_buckets is None:
         n_rows = terms_ds.count()
         num_buckets = int(max(8, min(65536,

@@ -11,7 +11,8 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 QUERIES = ["kg_entity_pagerank", "kg_entity_ppr", "kg_entity_communities",
-           "kg_vector_topk", "kg_hybrid_retrieve"]
+           "kg_vector_topk", "kg_hybrid_retrieve", "kg_document_chain",
+           "kg_context_windows", "kg_relationship_search", "kg_term_search"]
 
 
 def _frame(res) -> pd.DataFrame:
@@ -27,8 +28,10 @@ def test_local_serve_matches_distributed(ray_session, monkeypatch, name):
 
     qs = entry.queries()
     monkeypatch.setenv("GRAFT_KG_LOCAL_SERVE", "1")
+    monkeypatch.setenv("GRAFT_TERM_LOCAL_ROWS", "100000000")
     local = _frame(qs[name](SF))
     monkeypatch.setenv("GRAFT_KG_LOCAL_SERVE", "0")
+    monkeypatch.setenv("GRAFT_TERM_LOCAL_ROWS", "0")
     distributed = _frame(qs[name](SF))
     assert len(local) == len(distributed) > 0
     pd.testing.assert_frame_equal(local, distributed)
