@@ -394,6 +394,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             r["score"] = round(r["score"], 6)
         return pa.Table.from_pylist(rows)
 
+    def kg_hybrid_retrieve_ivf(sf_dir: str):
+        """Serving twin of kg_hybrid_retrieve: the vector leg comes from
+        the persisted IVF index (nprobe probed partitions only — the
+        reference's Qdrant leg is itself HNSW-approximate, so the ANN
+        composition is the faithful serving shape; kg_hybrid_retrieve's
+        exact brute leg stays the parity baseline), the graph leg from
+        the by-term index. Rows-only."""
+        if not os.path.exists(os.path.join(
+                _kg_dir(sf_dir), "chunk_vectors", "_SUCCESS")):
+            _kg_tables(sf_dir)
+        index_dir, fp = _vec_index_args(sf_dir)
+        vec = q.vector_topk_ivf(
+            lambda: _kg_tables(sf_dir)["chunk_vectors"],
+            "Hugging Face company",
+            index_dir=index_dir, fingerprint=fp, k=10, cfg=CFG,
+        ).take_all()
+        rows = q.hybrid_retrieve(None, _term_index(sf_dir),
+                                 "Hugging Face company", k=10, cfg=CFG,
+                                 vec_hits=vec)
+        for r in rows:
+            r["score"] = round(r["score"], 6)
+        return pa.Table.from_pylist(rows)
+
     def kg_context_windows(sf_dir: str):
         hits = q.graph_retrieve(_term_index(sf_dir), "mecha designs", k=5,
                                 cfg=CFG)
@@ -5650,6 +5673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_term_index_build": kg_term_index_build,
         "kg_term_search": kg_term_search,
         "kg_hybrid_retrieve": kg_hybrid_retrieve,
+        "kg_hybrid_retrieve_ivf": kg_hybrid_retrieve_ivf,
         "kg_context_windows": kg_context_windows,
         "kg_document_chain": kg_document_chain,
         "kg_relationship_search": kg_relationship_search,

@@ -336,10 +336,19 @@ def graph_retrieve(terms_ds, query: str, k: int = 10,
 
 
 def hybrid_retrieve(chunk_vectors_ds, terms_ds, query: str, k: int = 10,
-                    cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    vec_hits: list[dict] | None = None) -> list[dict]:
     """HybridRetriever (retrieval.py:533-605): min-max normalize each list,
-    weighted combine (vector_weight / 1-vector_weight), top-k."""
-    vec = vector_topk(chunk_vectors_ds, query, k, cfg).take(k)
+    weighted combine (vector_weight / 1-vector_weight), top-k.
+
+    ``vec_hits``: precomputed vector-leg hits (chunk_id, score) — the
+    serving composition where the vector side comes from an ANN index
+    (the reference's Qdrant leg is itself HNSW-approximate) instead of
+    the exact brute scan. When given, ``chunk_vectors_ds`` is unused."""
+    if vec_hits is not None:
+        vec = vec_hits
+    else:
+        vec = vector_topk(chunk_vectors_ds, query, k, cfg).take(k)
     gra = graph_retrieve(terms_ds, query, k, cfg)
     nv = _minmax(list(vec), "score")
     ng = _minmax(gra, "score")

@@ -22,6 +22,21 @@ def _frame(res) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def test_hybrid_ivf_high_recall_vs_exact(ray_session):
+    """The ANN-served hybrid twin is approximate by construction
+    (nprobe < nlist ⇒ recall < 1 — the same contract as the reference's
+    HNSW-backed Qdrant leg): require ≥0.9 recall@10 against the exact
+    hybrid, with full result shape."""
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    exact = _frame(qs["kg_hybrid_retrieve"](SF))
+    served = _frame(qs["kg_hybrid_retrieve_ivf"](SF))
+    assert len(served) == len(exact) == 10
+    overlap = len(set(exact["chunk_id"]) & set(served["chunk_id"]))
+    assert overlap >= 9
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_local_serve_matches_distributed(ray_session, monkeypatch, name):
     import __ray_entry__ as entry
