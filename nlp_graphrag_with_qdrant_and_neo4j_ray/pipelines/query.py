@@ -200,15 +200,15 @@ def term_search(terms_ds, query: str, k: int = 10,
     index = terms_ds if is_index else None
     if score is None:
         score = "bm25" if is_index else "ngram_order"
-    if is_index:  # TermIndex handle → pruned read
-        terms_ds = terms_ds.matched(sorted(wanted))
-    elif score == "bm25":
+    if not is_index and score == "bm25":
         raise ValueError("bm25 scoring needs a TermIndex (postings carry "
                          "the precomputed statistics); raw terms Datasets "
                          "score by ngram_order")
     if not wanted:
         if as_rows:
             return []
+        if is_index:
+            terms_ds = terms_ds.matched([])
         return terms_ds.limit(0).select_columns(["chunk_id"])
     value_set = pa.array(sorted(wanted))
 
@@ -219,7 +219,8 @@ def term_search(terms_ds, query: str, k: int = 10,
     # (~1-3 s fixed latency each on a loaded host). Same filter, same
     # per-chunk sum, same (score desc, chunk_id asc) tie-break; above
     # the threshold (or with GRAFT_TERM_LOCAL_ROWS=0) the distributed
-    # path below is unchanged.
+    # path below runs off the pruned matched() read, constructed only
+    # then.
     if index is not None:
         local_max = int(os.environ.get("GRAFT_TERM_LOCAL_ROWS",
                                        "2000000"))
@@ -249,6 +250,9 @@ def term_search(terms_ds, query: str, k: int = 10,
             if as_rows:
                 return out.to_pylist()
             return ray.data.from_arrow(out)
+
+    if is_index:  # distributed path: TermIndex handle → pruned read
+        terms_ds = index.matched(sorted(wanted))
 
     def match(batch: pa.Table) -> pa.Table:
         hit = batch.filter(pc.is_in(batch.column("term"), value_set=value_set))
