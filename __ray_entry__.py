@@ -811,6 +811,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  pa.float64()),
         })
 
+    def embedding_ann_recall_eval(sf_dir: str):
+        """Recall@10 of the ANN detectors (IVF nprobe/nlist list
+        probing, LSH multi-probe) against the exact broadcast-join
+        truth — the ANN family's tuning-loop query (the
+        simhash_vs_jaccard_eval pattern): ONE corpus pass scores truth
+        and both detectors for 20 queries via a broadcast query matrix
+        and per-batch candidate masks, a per-(method, query) top-k
+        combiner, and one exchange. Rows-only (k-means quantizer — not
+        SQL-expressible); the truth side's exactness is pinned by the
+        °-oracled embedding_knn_join."""
+        emb = _read(sf_dir, "embeddings").select_columns(
+            ["vec_id", "embedding"])
+        qv = _query_vec(sf_dir)
+        return sim.ann_recall_eval(emb, dim=len(qv), k=10, n_queries=20,
+                                   nlist=16, nprobe=4)
+
     def embedding_knn_join(sf_dir: str):
         """Broadcast kNN join: vectors 0-4 are the query side, the rest
         the corpus; exact cosine top-3 per query with ascending-id tie
@@ -5695,6 +5711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_chain": dup_clusters_chain,
         "embedding_knn_top10": embedding_knn_top10,
         "embedding_knn_join": embedding_knn_join,
+        "embedding_ann_recall_eval": embedding_ann_recall_eval,
         "embedding_pca_project": embedding_pca_project,
         "embedding_kmeans_clusters": embedding_kmeans_clusters,
         "embedding_knn_lsh": embedding_knn_lsh,

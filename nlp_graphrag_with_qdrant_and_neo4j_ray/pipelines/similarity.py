@@ -751,6 +751,138 @@ def knn_join(corpus_ds, query_ids, query_matrix, k: int = 3,
                          batch_format="pyarrow")
 
 
+def ann_recall_eval(embeddings_ds, dim: int, k: int = 10,
+                    n_queries: int = 20, nlist: int = 16, nprobe: int = 4,
+                    bits: int = 8, probe_radius: int = 2, seed: int = 42,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    num_partitions: int = 8, ndigits: int = 4):
+    """Recall@k of the ANN detectors against exact truth — the ANN
+    family's tuning-loop query (the `dedup_eval` pattern): how much
+    recall do IVF list-probing (nprobe/nlist) and LSH multi-probe
+    (bits/probe_radius) give up versus the exact broadcast join, per
+    parameter choice, measured on the corpus itself. Returns
+    pa.Table (method, recall_at_k, n_queries, k) with method ∈
+    {ivf, lsh}.
+
+    Scale shape: ONE corpus pass scores all three methods for all
+    ``n_queries`` queries simultaneously — the normalized query matrix,
+    IVF centroid lookup, and LSH probe-code sets broadcast once via
+    ``ray.put``; each batch computes a single q×b matmul, derives each
+    method's candidate mask from the batch's own assignments (rows
+    outside a query's probed lists/buckets score -inf), and forwards
+    only its per-(method, query) top-k (a combiner — ≤ 3·q·k rows leave
+    a batch regardless of size). One hash exchange on (method, qid)
+    merges partials; the driver folds 3·q·k rows into two recall
+    numbers. The corpus never shuffles. Queries are the ``n_queries``
+    smallest ids (deterministic); truth and detectors share the same
+    (score desc, id asc) tie-break so recall is exact, not
+    tie-dependent."""
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import grouped_apply
+
+    qrows = embeddings_ds.sort(id_col).limit(n_queries).take_all()
+    qids = np.asarray([r[id_col] for r in qrows], np.int64)
+    Q = _normalize(np.asarray([r[emb_col] for r in qrows], np.float64))
+
+    cents = kmeans_centroids(embeddings_ds, dim, nlist, 5, id_col, emb_col)
+    # (nlist, q) bool: is list l probed by query i?
+    probe_lists = np.zeros((nlist, len(qids)), bool)
+    for i in range(len(qids)):
+        probe_lists[np.argsort(-(cents @ Q[i]))[:nprobe], i] = True
+
+    import itertools
+
+    planes = _hyperplanes(dim, bits, seed)
+    qcodes = lsh_code(Q.astype(np.float32), planes)
+    probe_codes = []  # per query: sorted array of probed bucket codes
+    for c in qcodes:
+        codes = {int(c)}
+        for r in range(1, probe_radius + 1):
+            for flips in itertools.combinations(range(bits), r):
+                x = int(c)
+                for b in flips:
+                    x ^= 1 << b
+                codes.add(x)
+        probe_codes.append(np.asarray(sorted(codes), np.int64))
+    ref = ray.put((qids, Q, cents, probe_lists, planes, probe_codes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, Qm, c, plists, pl, pcodes = ray.get(ref)
+        empty = pa.table({
+            "method": pa.array([], pa.string()),
+            "qid": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        m = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        s = Qm @ m.T  # (q, b)
+        assign = np.argmax(m @ c.T, axis=1)           # IVF list per row
+        codes = lsh_code(m.astype(np.float32), pl)    # LSH bucket per row
+        masks = {
+            "brute": np.ones_like(s, bool),
+            "ivf": plists[assign].T,                  # (q, b)
+            "lsh": np.stack([np.isin(codes, pc_) for pc_ in pcodes]),
+        }
+        out = []
+        for method, mask in masks.items():
+            sm = np.where(mask, s, -np.inf)
+            kk = min(k, sm.shape[1])
+            order = np.lexsort(
+                (np.broadcast_to(ids, sm.shape), -sm), axis=1
+            )[:, :kk]
+            rows = np.arange(len(qi))[:, None]
+            sc = sm[rows, order]
+            keep = np.isfinite(sc).ravel()
+            out.append(pa.table({
+                "method": pa.array(
+                    np.repeat(method, keep.sum()), pa.string()),
+                "qid": pa.array(np.repeat(qi, kk)[keep], pa.int64()),
+                id_col: pa.array(ids[order].ravel()[keep], pa.int64()),
+                "score": pa.array(sc.ravel()[keep], pa.float64()),
+            }))
+        return pa.concat_tables(out) if out else empty
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.to_pandas().sort_values(
+            ["method", "qid", "score", id_col],
+            ascending=[True, True, False, True], kind="stable",
+        )
+        return pa.Table.from_pandas(
+            pdf.groupby(["method", "qid"], sort=True).head(k),
+            preserve_index=False,
+        )
+
+    top = grouped_apply(
+        embeddings_ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=8192),
+        ["method", "qid"], merge, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    ).take_all()
+
+    truth: dict[int, set] = {}
+    pred: dict[str, dict[int, set]] = {"ivf": {}, "lsh": {}}
+    for r in top:
+        d = truth if r["method"] == "brute" else pred[r["method"]]
+        d.setdefault(r["qid"], set()).add(r[id_col])
+    rows = []
+    for method in ("ivf", "lsh"):
+        hits = sum(len(pred[method].get(q_, set()) & t)
+                   for q_, t in truth.items())
+        denom = sum(len(t) for t in truth.values())
+        rows.append({
+            "method": method,
+            "recall_at_k": round(hits / denom, ndigits) if denom else 1.0,
+            "n_queries": len(truth),
+            "k": k,
+        })
+    return pa.Table.from_pylist(rows)
+
+
 def embedding_pca(ds, n_components: int = 2, id_col: str = "vec_id",
                   emb_col: str = "embedding", ndigits: int = 6):
     """Distributed PCA projection of an embedding column — the classic

@@ -516,3 +516,33 @@ def test_dedup_eval_precision_recall(ray_session):
     assert out["n_hit"] == 2
     assert out["precision"] == round(2 / 3, 6)
     assert out["recall"] == round(2 / 3, 6)
+
+
+def test_ann_recall_eval_full_probe_is_exact(vectors_ds):
+    """The ANN recall eval's semantic pin: probing EVERY IVF list
+    (nprobe == nlist) and EVERY LSH bucket (probe_radius == bits) makes
+    both detectors identical to brute, so recall@k must be exactly 1.0;
+    restricted probing can only stay at or below it."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        ann_recall_eval,
+    )
+
+    ds, _rows = vectors_ds
+    full = {
+        r["method"]: r["recall_at_k"]
+        for r in ann_recall_eval(
+            ds, dim=32, k=5, n_queries=6, nlist=4, nprobe=4,
+            bits=4, probe_radius=4,
+        ).to_pylist()
+    }
+    assert full == {"ivf": 1.0, "lsh": 1.0}
+
+    narrow = {
+        r["method"]: r["recall_at_k"]
+        for r in ann_recall_eval(
+            ds, dim=32, k=5, n_queries=6, nlist=4, nprobe=1,
+            bits=8, probe_radius=0,
+        ).to_pylist()
+    }
+    assert 0.0 <= narrow["ivf"] <= 1.0
+    assert 0.0 <= narrow["lsh"] <= 1.0
