@@ -4170,6 +4170,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return assign_splits(docs, id_col="doc_id")
 
+    def docs_training_shards(sf_dir: str):
+        """Resumable training-shard writer: deterministic md5 global
+        order → 8 fixed shards, each published as ONE atomically-renamed
+        Parquet file whose footer carries its manifest row; a re-run
+        reads footers only and recomputes exactly the missing shards.
+        Returns the manifest, which the DuckDB oracle replays from the
+        raw table (shard = first 8 md5 hex chars mod 8)."""
+        import shutil
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+            write_training_shards,
+        )
+
+        out_dir = _kg_dir(sf_dir) + "-shards"
+        if os.environ.get("GRAFT_SHARDS_FRESH"):
+            shutil.rmtree(out_dir, ignore_errors=True)
+        return write_training_shards(
+            lambda: _read(sf_dir, "documents").select_columns(
+                ["doc_id", "text"]
+            ),
+            out_dir,
+            n_shards=8,
+        )
+
     def events_tumbling_counts(sf_dir: str):
         """Tumbling 5-minute event-time windows per event type: window
         assignment is a derived column, so the streaming window
@@ -5813,6 +5837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merged_changelog": orders_merged_changelog,
         "orders_price_band_join_banded": orders_price_band_join_banded,
         "docs_train_val_test_split": docs_train_val_test_split,
+        "docs_training_shards": docs_training_shards,
         "events_tumbling_counts": events_tumbling_counts,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -7164,6 +7189,22 @@ def oracle_sql() -> dict[str, str]:
                            - 1 AS slot
                 FROM documents
             )
+        """,
+        "docs_training_shards": """
+            SELECT shard_id, count(*) AS n_docs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT)
+                       AS n_bytes,
+                   min(key) AS min_key, max(key) AS max_key
+            FROM (
+                SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 8
+                           AS shard_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS key,
+                       text
+                FROM documents
+            )
+            GROUP BY shard_id
+            ORDER BY shard_id
         """,
         "events_tumbling_counts": """
             SELECT event_type,

@@ -1,0 +1,146 @@
+"""Deterministic, resumable training-shard writer.
+
+The last stage of a training-data pipeline: give every document a
+pseudo-random but DETERMINISTIC position (hash of its id — no RNG
+state, stable under re-partitioning, re-runs and corpus growth, the
+same argument as :func:`pipelines.clean.assign_splits`), bucket the
+corpus into ``n_shards`` fixed shards, and publish each shard as ONE
+atomically-renamed Parquet file whose footer carries its manifest row.
+A re-run scans footers only (a few KB of metadata I/O per shard) and
+recomputes exactly the shards whose files are missing — the "resumable
+output" contract: a failed 100 TB run skips finished partitions.
+
+Scale shape: shard assignment is map-side; the only exchange is one
+hash partition on ``shard_id`` (each shard lands wholly in one task,
+so no two writers race on a file); per-shard work is a local sort +
+one streamed Parquet write. At 100 TB you raise ``n_shards`` so a
+shard fits a worker's heap — the layout (many independent files +
+footer manifests) is exactly what a multi-node resume needs.
+
+The reference has no training-export stage; this is a beyond-reference
+operator (SURVEY.md "beyond-reference training-data operators").
+md5 is per-row Python here ONLY so a DuckDB oracle can replay the
+assignment byte-for-byte (the :func:`clean.assign_splits` precedent);
+production assignment would ride the vectorized shuffle-layer hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+MANIFEST_META_KEY = b"graft_shard_manifest"
+
+_MANIFEST_SCHEMA = pa.schema([
+    ("shard_id", pa.int64()),
+    ("n_docs", pa.int64()),
+    ("n_bytes", pa.int64()),
+    ("min_key", pa.string()),
+    ("max_key", pa.string()),
+])
+
+
+def _shard_path(out_dir: str, shard_id: int) -> str:
+    return os.path.join(out_dir, f"shard-{shard_id:05d}.parquet")
+
+
+def assign_shards(docs, n_shards: int, id_col: str = "doc_id"):
+    """Append ``shard_key`` (md5 hex of the id — the global pseudo-random
+    order) and ``shard_id`` (first 8 hex chars mod ``n_shards``)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in batch.column(id_col).to_pylist()]
+        sid = [int(k[:8], 16) % n_shards for k in keys]
+        return (batch
+                .append_column("shard_key", pa.array(keys, pa.string()))
+                .append_column("shard_id", pa.array(sid, pa.int64())))
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def _manifest_row(shard_id: int, tbl: pa.Table, text_col: str) -> dict:
+    nb = pc.sum(pc.binary_length(tbl.column(text_col))).as_py() or 0
+    keys = tbl.column("shard_key")
+    return {
+        "shard_id": int(shard_id),
+        "n_docs": tbl.num_rows,
+        "n_bytes": int(nb),
+        "min_key": pc.min(keys).as_py(),
+        "max_key": pc.max(keys).as_py(),
+    }
+
+
+def _read_footer_manifest(path: str) -> dict | None:
+    meta = pq.read_metadata(path).metadata or {}
+    raw = meta.get(MANIFEST_META_KEY)
+    return json.loads(raw) if raw is not None else None
+
+
+def write_training_shards(docs_thunk, out_dir: str, n_shards: int = 8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Write ``n_shards`` training shards under ``out_dir`` and return
+    the manifest (one row per shard: ``shard_id, n_docs, n_bytes,
+    min_key, max_key``), recomputing only shards whose files are
+    missing. ``docs_thunk`` is a zero-arg Dataset constructor — the
+    :func:`ensure_ivf_index` contract: a fully-resumed run never
+    constructs the input pipeline at all."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import grouped_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    done: dict[int, dict] = {}
+    for sid in range(n_shards):
+        path = _shard_path(out_dir, sid)
+        if os.path.exists(path):
+            row = _read_footer_manifest(path)
+            if row is not None:
+                done[sid] = row
+    todo = [sid for sid in range(n_shards) if sid not in done]
+
+    rows = list(done.values())
+    if todo:
+        ds = assign_shards(docs_thunk(), n_shards, id_col=id_col)
+        if len(todo) < n_shards:
+            todo_arr = pa.array(todo, pa.int64())
+            ds = ds.map_batches(
+                lambda b: b.filter(pc.is_in(b.column("shard_id"),
+                                            value_set=todo_arr)),
+                batch_format="pyarrow",
+            )
+
+        def write_partition(tbl: pa.Table) -> pa.Table:
+            out = []
+            sids = tbl.column("shard_id").to_numpy(zero_copy_only=False)
+            for sid in sorted(set(sids.tolist())):
+                shard = tbl.filter(pc.equal(tbl.column("shard_id"),
+                                            pa.scalar(sid, pa.int64())))
+                order = pc.sort_indices(
+                    shard,
+                    sort_keys=[("shard_key", "ascending"),
+                               (id_col, "ascending")],
+                )
+                shard = shard.take(order).drop_columns(["shard_id"])
+                row = _manifest_row(sid, shard, text_col)
+                meta = dict(shard.schema.metadata or {})
+                meta[MANIFEST_META_KEY] = json.dumps(row).encode()
+                final = _shard_path(out_dir, sid)
+                tmp = final + f".tmp.{os.getpid()}"
+                pq.write_table(shard.replace_schema_metadata(meta), tmp)
+                os.replace(tmp, final)
+                out.append(row)
+            return pa.Table.from_pylist(out, schema=_MANIFEST_SCHEMA)
+
+        written = grouped_apply(
+            ds, ["shard_id"], write_partition,
+            num_partitions=min(n_shards, 64),
+        )
+        rows.extend(written.take_all())  # bounded: n_shards manifest rows
+
+    rows.sort(key=lambda r: r["shard_id"])
+    return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)

@@ -1,0 +1,97 @@
+"""Training-shard writer: manifest parity vs DuckDB, resumability
+(only missing shards recompute), exactly-once coverage, and
+partitioning-independence of the written shards."""
+
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+    _shard_path,
+    write_training_shards,
+)
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF_DIR, "documents.parquet")
+
+ORACLE = """
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           min(key) AS min_key, max(key) AS max_key
+    FROM (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {n} AS shard_id,
+               md5(CAST(doc_id AS VARCHAR)) AS key, text
+        FROM read_parquet('{docs}')
+    )
+    GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+def _docs_thunk():
+    import ray.data
+
+    return ray.data.read_parquet(DOCS).select_columns(["doc_id", "text"])
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "shards")
+
+
+def _oracle(n):
+    return duckdb.sql(ORACLE.format(n=n, docs=DOCS)).arrow()
+
+
+def test_manifest_matches_duckdb(ray_session, out_dir):
+    got = write_training_shards(_docs_thunk, out_dir, n_shards=8)
+    want = _oracle(8)
+    assert got.equals(want.cast(got.schema))
+
+
+def test_shards_cover_corpus_exactly_once_and_sorted(ray_session, out_dir):
+    write_training_shards(_docs_thunk, out_dir, n_shards=8)
+    ids = []
+    for sid in range(8):
+        tbl = pq.read_table(_shard_path(out_dir, sid))
+        keys = tbl.column("shard_key").to_pylist()
+        pairs = list(zip(keys, tbl.column("doc_id").to_pylist()))
+        assert pairs == sorted(pairs)  # deterministic within-shard order
+        ids.extend(p[1] for p in pairs)
+    src = pq.read_table(DOCS, columns=["doc_id"]).column("doc_id").to_pylist()
+    assert sorted(ids) == sorted(src)
+
+
+def test_resume_recomputes_only_missing_shards(ray_session, out_dir):
+    first = write_training_shards(_docs_thunk, out_dir, n_shards=8)
+    mtimes = {s: os.path.getmtime(_shard_path(out_dir, s)) for s in range(8)}
+    os.unlink(_shard_path(out_dir, 3))
+
+    again = write_training_shards(_docs_thunk, out_dir, n_shards=8)
+    assert again.equals(first)
+    for sid in range(8):
+        mt = os.path.getmtime(_shard_path(out_dir, sid))
+        if sid == 3:
+            assert mt > mtimes[sid]
+        else:
+            assert mt == mtimes[sid]  # untouched — footer-only resume
+
+
+def test_fully_resumed_run_never_builds_input(ray_session, out_dir):
+    write_training_shards(_docs_thunk, out_dir, n_shards=4)
+
+    def boom():  # the thunk contract: not called when nothing is missing
+        raise AssertionError("input pipeline constructed on warm resume")
+
+    got = write_training_shards(boom, out_dir, n_shards=4)
+    assert got.equals(_oracle(4).cast(got.schema))
+
+
+def test_partitioning_independence(ray_session, out_dir):
+    def shredded():
+        return _docs_thunk().repartition(13)
+
+    got = write_training_shards(shredded, out_dir, n_shards=8)
+    assert got.equals(_oracle(8).cast(got.schema))
