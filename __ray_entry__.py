@@ -811,6 +811,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  pa.float64()),
         })
 
+    def embedding_knn_ivfpq_rerank(sf_dir: str):
+        """IVF-PQ + exact re-rank (FAISS IndexRefineFlat pattern): the
+        ADC scan nominates 4×k candidates from compressed codes, then
+        only those rows are re-read in full precision from the flat IVF
+        index (same deterministic quantizer → candidates provably live
+        in probed partitions) and rescored exactly. Scores are TRUE
+        cosines, so any nominee in the exact top-k lands with its exact
+        score."""
+        emb = _read(sf_dir, "embeddings")
+        qv = _query_vec(sf_dir)
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        st = os.stat(src)
+        tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+        hits = sim.knn_ivfpq_rerank(
+            emb, qv, dim=len(qv), k=10, rerank_factor=4, nlist=16,
+            nprobe=4, m=8, nbits=6, iters=3,
+            index_dir=os.path.join(tempfile.gettempdir(),
+                                   f"ivfcache-{tag}"),
+            fingerprint=f"{st.st_mtime_ns}:{st.st_size}",
+        ).take_all()
+        return pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in hits], pa.int64()),
+            "score": pa.array([round(r["score"], 6) for r in hits],
+                              pa.float64()),
+        })
+
     def embedding_ann_recall_eval(sf_dir: str):
         """Recall@10 of the ANN detectors (IVF nprobe/nlist list
         probing, LSH multi-probe) against the exact broadcast-join
@@ -5742,6 +5768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_ivf": embedding_knn_ivf,
         "embedding_knn_pq": embedding_knn_pq,
         "embedding_knn_ivfpq": embedding_knn_ivfpq,
+        "embedding_knn_ivfpq_rerank": embedding_knn_ivfpq_rerank,
         "embedding_near_dups": embedding_near_dups,
         "embedding_label_counts": embedding_label_counts,
         "decode_image_features": decode_image_features,

@@ -452,6 +452,98 @@ def knn_ivf(embeddings_ds, query_vec, dim: int, k: int = 10, nlist: int = 64,
     return knn_brute(candidates, q, k, id_col, emb_col)
 
 
+def knn_ivfpq_rerank(embeddings_ds, query_vec, dim: int, k: int = 10,
+                     rerank_factor: int = 4, nlist: int = 64,
+                     nprobe: int = 8, m: int = 8, nbits: int = 8,
+                     iters: int = 5, id_col: str = "vec_id",
+                     emb_col: str = "embedding", index_dir: str = None,
+                     fingerprint: str = ""):
+    """IVF-PQ with exact re-rank (the FAISS ``IndexRefineFlat``
+    production pattern): the compressed ADC scan nominates
+    ``rerank_factor × k`` candidates cheaply (m bytes/vector over the
+    probed lists), then ONLY those candidates are re-read in full
+    precision from the flat IVF index and rescored exactly — PQ's
+    quantization error is confined to the nomination stage, so top-k
+    quality approaches IVF-flat at PQ's scan cost. Both indexes share
+    the deterministic k-means quantizer (same input, params, seed), so
+    every nominated candidate provably lives in a probed flat
+    partition — the re-read is sublinear too, pruned to the probed
+    lists and filtered to candidate ids at the parquet layer. Returns
+    the knn_brute schema: Dataset (id, score) sorted (desc, id asc)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    if index_dir is None:
+        raise ValueError("knn_ivfpq_rerank is serving-mode only: "
+                         "pass index_dir")
+    cand = knn_ivfpq(
+        embeddings_ds, query_vec, dim, k=max(k, rerank_factor * k),
+        nlist=nlist, nprobe=nprobe, m=m, nbits=nbits, iters=iters,
+        id_col=id_col, emb_col=emb_col, index_dir=index_dir,
+        fingerprint=fingerprint,
+    ).take_all()  # bounded: rerank_factor × k nominee rows
+    cand_ids = [r[id_col] for r in cand]
+
+    cents, lists_path = ensure_ivf_index(
+        index_dir, embeddings_ds, dim, nlist, iters, id_col, emb_col,
+        fingerprint,
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probes = np.argsort(-(cents @ q))[:nprobe].tolist()
+    paths = [
+        f for i in probes
+        for f in sorted(glob.glob(
+            os.path.join(lists_path, f"list_id={i}", "*.parquet")))
+    ]
+    if not paths:  # pragma: no cover - defensive
+        if callable(embeddings_ds):
+            embeddings_ds = embeddings_ds()
+        return knn_brute(embeddings_ds, q, k, id_col, emb_col)
+
+    # The candidate set is ≤ rerank_factor × k rows by construction, so
+    # the exact pass is footer/stats-pruned parquet reads of just those
+    # rows — in-process below the same row threshold knn_ivf uses for
+    # its local fast path, a filtered Dataset scan of the probed
+    # partitions above it.
+    local_max = int(os.environ.get("GRAFT_KNN_LOCAL_ROWS", "300000"))
+    nrows = 0
+    for f in paths:
+        nrows += pq.ParquetFile(f).metadata.num_rows
+        if nrows > local_max:
+            break
+    id_filter = pc.field(id_col).isin(cand_ids)
+    if nrows <= local_max:
+        t = pa.concat_tables([
+            pq.read_table(f, columns=[id_col, emb_col], filters=id_filter)
+            for f in paths
+        ])
+        mat = _as_matrix(t, emb_col)
+        dots = np.einsum("ij,j->i", mat, q, dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat, dtype=np.float64))
+        nrm[nrm == 0] = 1.0
+        out = pa.table({
+            id_col: t.column(id_col).combine_chunks(),
+            "score": pa.array(dots / nrm, pa.float64()),
+        }).sort_by([("score", "descending"), (id_col, "ascending")])
+        return ray.data.from_arrow(out.slice(0, k))
+
+    flat = ray.data.read_parquet(paths, columns=[id_col, emb_col])
+    id_set = pa.array(cand_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col),
+                                     value_set=id_set))
+
+    return knn_brute(
+        flat.map_batches(keep, batch_format="pyarrow"),
+        q, k, id_col, emb_col,
+    )
+
+
 def exact_cosine_pairs(embeddings_ds, threshold: float,
                        num_blocks: int = 8,
                        id_col: str = "vec_id", emb_col: str = "embedding",

@@ -110,3 +110,76 @@ def test_knn_ivfpq_matches_pq_within_probed_lists(ray_session, tmp_path):
                        nprobe=4, m=8, nbits=6, iters=4,
                        index_dir=str(tmp_path)).take_all()]
     assert again == approx
+
+
+def test_ivfpq_rerank_scores_exact_and_recall_monotone(ray_session,
+                                                       tmp_path):
+    """Re-ranked scores are TRUE cosines (agree with brute per id) and
+    recall@k is >= plain IVF-PQ's on the same index params."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_brute,
+        knn_ivfpq,
+        knn_ivfpq_rerank,
+    )
+
+    df, x = _clustered()
+    ds = _ds(ray_session, df)
+    q = x[42]
+    exact = {r["vec_id"]: r["score"] for r in
+             knn_brute(ds, q.tolist(), k=400).take_all()}
+    brute_top = sorted(exact, key=lambda i: (-exact[i], i))[:10]
+    plain = [r["vec_id"] for r in
+             knn_ivfpq(ds, q.tolist(), dim=32, k=10, nlist=16, nprobe=4,
+                       m=8, nbits=6, iters=4,
+                       index_dir=str(tmp_path)).take_all()]
+    rer = knn_ivfpq_rerank(ds, q.tolist(), dim=32, k=10, rerank_factor=4,
+                           nlist=16, nprobe=4, m=8, nbits=6, iters=4,
+                           index_dir=str(tmp_path)).take_all()
+    for r in rer:
+        assert r["score"] == pytest.approx(exact[r["vec_id"]], abs=1e-9)
+    r_plain = len(set(brute_top) & set(plain)) / 10
+    r_rerank = len(set(brute_top) & {r["vec_id"] for r in rer}) / 10
+    assert r_rerank >= r_plain, (r_rerank, r_plain)
+
+
+def test_ivfpq_rerank_full_probe_equals_exact(ray_session, tmp_path):
+    """nprobe=nlist + a candidate pool covering the corpus makes the
+    re-ranked top-k EXACTLY the brute-force top-k (ids and scores)."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_brute,
+        knn_ivfpq_rerank,
+    )
+
+    df, x = _clustered()
+    ds = _ds(ray_session, df)
+    q = x[7]
+    brute = knn_brute(ds, q.tolist(), k=10).take_all()
+    rer = knn_ivfpq_rerank(ds, q.tolist(), dim=32, k=10,
+                           rerank_factor=len(df) // 10 + 1, nlist=16,
+                           nprobe=16, m=8, nbits=6, iters=4,
+                           index_dir=str(tmp_path)).take_all()
+    assert [r["vec_id"] for r in rer] == [r["vec_id"] for r in brute]
+    for a, b in zip(rer, brute):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_ivfpq_rerank_local_equals_distributed(ray_session, tmp_path,
+                                               monkeypatch):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+        knn_ivfpq_rerank,
+    )
+
+    df, x = _clustered()
+    ds = _ds(ray_session, df)
+    q = x[3]
+
+    def run():
+        return [(r["vec_id"], round(r["score"], 12)) for r in
+                knn_ivfpq_rerank(ds, q.tolist(), dim=32, k=10,
+                                 rerank_factor=4, nlist=16, nprobe=4,
+                                 m=8, nbits=6, iters=4,
+                                 index_dir=str(tmp_path)).take_all()]
+
+    local = run()
+    monkeypatch.setenv("GRAFT_KNN_LOCAL_ROWS", "0")
+    assert run() == local
