@@ -182,6 +182,30 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shards(args: argparse.Namespace) -> int:
+    """Write deterministic, resumable training shards from a documents
+    parquet (footer-manifest layout; re-runs recompute only missing
+    shard files) and print the manifest."""
+    ray = _ray()
+    import ray.data
+
+    from .pipelines.shards import write_training_shards
+
+    manifest = write_training_shards(
+        lambda: ray.data.read_parquet(args.docs).select_columns(
+            [args.id_col, args.text_col]
+        ),
+        args.out,
+        n_shards=args.n_shards,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    print(json.dumps(manifest.to_pylist()))
+    if getattr(ray, "_cli_owns_session", True):
+        ray.shutdown()
+    return 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     """Incremental update: merge two built KG dirs (base + increment)
     into a third without rebuilding — pipelines/kg.merge_kg semantics
@@ -283,6 +307,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="dir (parquet) / url (qdrant) / bolt uri (neo4j)")
     px.add_argument("--tables", default="chunks,terms,edges")
     px.set_defaults(fn=cmd_export)
+
+    ps = sub.add_parser(
+        "shards", help="write resumable training shards from a "
+                       "documents parquet")
+    ps.add_argument("--docs", required=True, help="documents parquet path")
+    ps.add_argument("--out", required=True, help="shard output dir")
+    ps.add_argument("--n-shards", type=int, default=8)
+    ps.add_argument("--id-col", default="doc_id")
+    ps.add_argument("--text-col", default="text")
+    ps.set_defaults(fn=cmd_shards)
 
     pm = sub.add_parser(
         "merge", help="merge a KG increment into a base KG (additive)")

@@ -62,3 +62,20 @@ def test_cli_merge(ray_session, tmp_path, capsys):
                                         jb["tables"]["edges"])
     assert jm["tables"]["edges"] <= (ja["tables"]["edges"]
                                      + jb["tables"]["edges"])
+
+
+def test_cli_shards(ray_session, tmp_path, capsys):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "shards")
+    assert main(["shards", "--docs", docs, "--out", out,
+                 "--n-shards", "4"]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["shard_id"] for r in manifest] == [0, 1, 2, 3]
+    assert sum(r["n_docs"] for r in manifest) > 0
+    # re-run resumes from footers and prints the identical manifest
+    assert main(["shards", "--docs", docs, "--out", out,
+                 "--n-shards", "4"]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again == manifest
