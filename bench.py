@@ -171,8 +171,12 @@ def run_bench() -> dict:
             result["scaling_pair"] = sc.get("pair")
         except Exception:  # noqa: BLE001
             pass
-    with open(detail_path, "w") as f:
-        json.dump({**result, "queries": qtimes}, f, indent=1)
+    # Subprocess legs (trial isolation, scaling) run with
+    # GRAFT_SKIP_QUERIES=1 and must NOT clobber the full per-query
+    # detail the parent (or a prior full run) wrote.
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        with open(detail_path, "w") as f:
+            json.dump({**result, "queries": qtimes}, f, indent=1)
     ray.shutdown()
     return result
 
