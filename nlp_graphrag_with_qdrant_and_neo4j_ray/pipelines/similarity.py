@@ -847,28 +847,35 @@ def ann_recall_eval(embeddings_ds, dim: int, k: int = 10,
                     n_queries: int = 20, nlist: int = 16, nprobe: int = 4,
                     bits: int = 8, probe_radius: int = 2, seed: int = 42,
                     id_col: str = "vec_id", emb_col: str = "embedding",
-                    num_partitions: int = 8, ndigits: int = 4):
+                    num_partitions: int = 8, ndigits: int = 4,
+                    m: int = 8, nbits: int = 6, rerank_factor: int = 4):
     """Recall@k of the ANN detectors against exact truth — the ANN
     family's tuning-loop query (the `dedup_eval` pattern): how much
-    recall do IVF list-probing (nprobe/nlist) and LSH multi-probe
-    (bits/probe_radius) give up versus the exact broadcast join, per
-    parameter choice, measured on the corpus itself. Returns
-    pa.Table (method, recall_at_k, n_queries, k) with method ∈
-    {ivf, lsh}.
+    recall do IVF list-probing (nprobe/nlist), LSH multi-probe
+    (bits/probe_radius), full-scan PQ/ADC (m/nbits), IVF-PQ, and
+    IVF-PQ + exact re-rank (rerank_factor) give up versus the exact
+    broadcast join, per parameter choice, measured on the corpus
+    itself. Returns pa.Table (method, recall_at_k, n_queries, k) with
+    method ∈ {ivf, lsh, pq, ivfpq, ivfpq_rerank}.
 
-    Scale shape: ONE corpus pass scores all three methods for all
+    Scale shape: ONE corpus pass scores every method for all
     ``n_queries`` queries simultaneously — the normalized query matrix,
-    IVF centroid lookup, and LSH probe-code sets broadcast once via
-    ``ray.put``; each batch computes a single q×b matmul, derives each
-    method's candidate mask from the batch's own assignments (rows
-    outside a query's probed lists/buckets score -inf), and forwards
-    only its per-(method, query) top-k (a combiner — ≤ 3·q·k rows leave
-    a batch regardless of size). One hash exchange on (method, qid)
-    merges partials; the driver folds 3·q·k rows into two recall
-    numbers. The corpus never shuffles. Queries are the ``n_queries``
-    smallest ids (deterministic); truth and detectors share the same
-    (score desc, id asc) tie-break so recall is exact, not
-    tie-dependent."""
+    IVF centroid lookup, LSH probe-code sets, PQ codebooks and
+    per-query ADC LUTs broadcast once via ``ray.put``; each batch
+    computes a single q×b matmul plus an m-gather ADC matrix, derives
+    each method's candidate mask from the batch's own assignments
+    (rows outside a query's probed lists/buckets score -inf), and
+    forwards only its per-(method, query) top-k (a combiner — O(q·k)
+    rows per method leave a batch regardless of size; the re-rank
+    method forwards its rerank_factor×k nominee pool carrying BOTH the
+    ADC distance and the true cosine, so the merge can replay the
+    exact two-stage semantics: global top-C by ADC, then top-k of
+    those by true cosine). One hash exchange on (method, qid) merges
+    partials; the driver folds the few-hundred survivor rows into the
+    recall numbers. The corpus never shuffles. Queries are the
+    ``n_queries`` smallest ids (deterministic); truth and detectors
+    share the same (score desc, id asc) tie-break so recall is exact,
+    not tie-dependent."""
     import ray
     import ray.data
 
@@ -898,55 +905,97 @@ def ann_recall_eval(embeddings_ds, dim: int, k: int = 10,
                     x ^= 1 << b
                 codes.add(x)
         probe_codes.append(np.asarray(sorted(codes), np.int64))
-    ref = ray.put((qids, Q, cents, probe_lists, planes, probe_codes))
+    books = pq_train_codebooks(embeddings_ds, dim, m=m, nbits=nbits,
+                               iters=3, id_col=id_col, emb_col=emb_col)
+    luts = np.stack([adc_table(Q[i], books) for i in range(len(qids))])
+    C = rerank_factor * k
+    ref = ray.put((qids, Q, cents, probe_lists, planes, probe_codes,
+                   books, luts))
 
     def partial(batch: pa.Table) -> pa.Table:
-        qi, Qm, c, plists, pl, pcodes = ray.get(ref)
+        qi, Qm, c, plists, pl, pcodes, bk, lt = ray.get(ref)
         empty = pa.table({
             "method": pa.array([], pa.string()),
             "qid": pa.array([], pa.int64()),
             id_col: pa.array([], pa.int64()),
             "score": pa.array([], pa.float64()),
+            "adc": pa.array([], pa.float64()),
         })
         if batch.num_rows == 0:
             return empty
-        m = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        x = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        s = Qm @ m.T  # (q, b)
-        assign = np.argmax(m @ c.T, axis=1)           # IVF list per row
-        codes = lsh_code(m.astype(np.float32), pl)    # LSH bucket per row
-        masks = {
-            "brute": np.ones_like(s, bool),
-            "ivf": plists[assign].T,                  # (q, b)
-            "lsh": np.stack([np.isin(codes, pc_) for pc_ in pcodes]),
+        s = Qm @ x.T  # (q, b)
+        assign = np.argmax(x @ c.T, axis=1)           # IVF list per row
+        codes = lsh_code(x.astype(np.float32), pl)    # LSH bucket per row
+        mm, _ksub, dsub = bk.shape
+        pq_codes = np.empty((len(ids), mm), np.intp)  # PQ code per row
+        for sub in range(mm):
+            xs = x[:, sub * dsub:(sub + 1) * dsub]
+            d = ((xs * xs).sum(1)[:, None]
+                 - 2.0 * xs @ bk[sub].T
+                 + (bk[sub] * bk[sub]).sum(1)[None, :])
+            pq_codes[:, sub] = np.argmin(d, axis=1)
+        adc = np.zeros((len(qi), len(ids)), np.float64)  # (q, b)
+        for sub in range(mm):
+            adc += lt[:, sub, pq_codes[:, sub]]
+        ivf_mask = plists[assign].T                   # (q, b)
+        # (selection score, reported score, pool size) per method. The
+        # PQ family selects by NEGATED ADC distance (asc dist == desc
+        # score, id-asc tie-break — _adc_scan's exact order); the
+        # re-rank method reports the TRUE cosine and rides the ADC
+        # distance along so the merge can replay nomination exactly.
+        specs = {
+            "brute": (s, s, k),
+            "ivf": (np.where(ivf_mask, s, -np.inf), s, k),
+            "lsh": (np.where(
+                np.stack([np.isin(codes, pc_) for pc_ in pcodes]),
+                s, -np.inf), s, k),
+            "pq": (-adc, -adc, k),
+            "ivfpq": (np.where(ivf_mask, -adc, -np.inf), -adc, k),
+            "ivfpq_rerank": (np.where(ivf_mask, -adc, -np.inf), s, C),
         }
         out = []
-        for method, mask in masks.items():
-            sm = np.where(mask, s, -np.inf)
-            kk = min(k, sm.shape[1])
+        for method, (sel, rep, pool) in specs.items():
+            kk = min(pool, sel.shape[1])
             order = np.lexsort(
-                (np.broadcast_to(ids, sm.shape), -sm), axis=1
+                (np.broadcast_to(ids, sel.shape), -sel), axis=1
             )[:, :kk]
             rows = np.arange(len(qi))[:, None]
-            sc = sm[rows, order]
-            keep = np.isfinite(sc).ravel()
+            keep = np.isfinite(sel[rows, order]).ravel()
             out.append(pa.table({
                 "method": pa.array(
                     np.repeat(method, keep.sum()), pa.string()),
                 "qid": pa.array(np.repeat(qi, kk)[keep], pa.int64()),
                 id_col: pa.array(ids[order].ravel()[keep], pa.int64()),
-                "score": pa.array(sc.ravel()[keep], pa.float64()),
+                "score": pa.array(rep[rows, order].ravel()[keep],
+                                  pa.float64()),
+                "adc": pa.array(adc[rows, order].ravel()[keep],
+                                pa.float64()),
             }))
         return pa.concat_tables(out) if out else empty
 
     def merge(tbl: pa.Table) -> pa.Table:
-        pdf = tbl.to_pandas().sort_values(
+        pdf = tbl.to_pandas()
+        rer = pdf[pdf["method"] == "ivfpq_rerank"]
+        rest = pdf[pdf["method"] != "ivfpq_rerank"].sort_values(
             ["method", "qid", "score", id_col],
             ascending=[True, True, False, True], kind="stable",
-        )
+        ).groupby(["method", "qid"], sort=True).head(k)
+        if len(rer):
+            # exact two-stage replay: global top-C nominees by ADC
+            # distance (asc, id asc), then top-k of those by true
+            # cosine (desc, id asc)
+            rer = rer.sort_values(
+                ["method", "qid", "adc", id_col],
+                ascending=[True, True, True, True], kind="stable",
+            ).groupby(["method", "qid"], sort=True).head(C)
+            rer = rer.sort_values(
+                ["method", "qid", "score", id_col],
+                ascending=[True, True, False, True], kind="stable",
+            ).groupby(["method", "qid"], sort=True).head(k)
         return pa.Table.from_pandas(
-            pdf.groupby(["method", "qid"], sort=True).head(k),
-            preserve_index=False,
+            pd.concat([rest, rer]), preserve_index=False,
         )
 
     top = grouped_apply(
@@ -956,13 +1005,14 @@ def ann_recall_eval(embeddings_ds, dim: int, k: int = 10,
         batch_format="pyarrow",
     ).take_all()
 
+    methods = ("ivf", "lsh", "pq", "ivfpq", "ivfpq_rerank")
     truth: dict[int, set] = {}
-    pred: dict[str, dict[int, set]] = {"ivf": {}, "lsh": {}}
+    pred: dict[str, dict[int, set]] = {mth: {} for mth in methods}
     for r in top:
         d = truth if r["method"] == "brute" else pred[r["method"]]
         d.setdefault(r["qid"], set()).add(r[id_col])
     rows = []
-    for method in ("ivf", "lsh"):
+    for method in methods:
         hits = sum(len(pred[method].get(q_, set()) & t)
                    for q_, t in truth.items())
         denom = sum(len(t) for t in truth.values())

@@ -521,8 +521,12 @@ def test_dedup_eval_precision_recall(ray_session):
 def test_ann_recall_eval_full_probe_is_exact(vectors_ds):
     """The ANN recall eval's semantic pin: probing EVERY IVF list
     (nprobe == nlist) and EVERY LSH bucket (probe_radius == bits) makes
-    both detectors identical to brute, so recall@k must be exactly 1.0;
-    restricted probing can only stay at or below it."""
+    the exact-scoring detectors identical to brute, so recall@k must be
+    exactly 1.0 — and because the re-rank stage rescores nominees with
+    TRUE cosines, ivfpq_rerank also hits 1.0 whenever its nomination
+    pool covers the true top-k, even though plain PQ/IVF-PQ stay below
+    it (quantization error). Restricted probing can only stay at or
+    below the full-probe numbers."""
     from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
         ann_recall_eval,
     )
@@ -535,7 +539,10 @@ def test_ann_recall_eval_full_probe_is_exact(vectors_ds):
             bits=4, probe_radius=4,
         ).to_pylist()
     }
-    assert full == {"ivf": 1.0, "lsh": 1.0}
+    assert full["ivf"] == 1.0 and full["lsh"] == 1.0
+    assert full["ivfpq_rerank"] == 1.0  # exact rescore of nominees
+    assert 0.0 <= full["pq"] <= 1.0 and 0.0 <= full["ivfpq"] <= 1.0
+    assert full["ivfpq_rerank"] >= full["ivfpq"]
 
     narrow = {
         r["method"]: r["recall_at_k"]
@@ -544,5 +551,7 @@ def test_ann_recall_eval_full_probe_is_exact(vectors_ds):
             bits=8, probe_radius=0,
         ).to_pylist()
     }
-    assert 0.0 <= narrow["ivf"] <= 1.0
-    assert 0.0 <= narrow["lsh"] <= 1.0
+    for mth in ("ivf", "lsh", "pq", "ivfpq", "ivfpq_rerank"):
+        assert 0.0 <= narrow[mth] <= 1.0
+    # re-rank can only help: same nomination mask, exact rescoring
+    assert narrow["ivfpq_rerank"] >= narrow["ivfpq"]
