@@ -41,6 +41,63 @@ def _kg_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"kgcache-{tag}")
 
 
+def _warc_fixture(sf_dir: str, fmt: str, n_shards: int = 4) -> list[str]:
+    """Deterministic WARC/WET fixture shards built from the sf_dir's
+    documents table (FIXTURES.md pattern: real container bytes, no
+    external data). ``fmt`` is ``"wet"`` (conversion records carrying
+    text) or ``"warc"`` (response records carrying full HTTP captures of
+    render_html output). Cached under /tmp keyed on the source file's
+    stat fingerprint; the build is a bounded local pass over the small
+    testdata table — fixture GENERATION is test scaffolding, the read
+    path under test is the streaming datasource."""
+    import datetime as _dt
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import render_html
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.warc import (
+        encode_warc_pages,
+        encode_wet_pages,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.blake2b(f"{sf_dir}:{fmt}".encode(), digest_size=6).hexdigest()
+    d = os.path.join(tempfile.gettempdir(), f"warcfix-{tag}")
+    marker = os.path.join(d, "_FINGERPRINT")
+    fp = f"{st.st_mtime_ns}:{st.st_size}:{fmt}:v1"
+    paths = [os.path.join(d, f"part-{s:02d}.{fmt}.gz") for s in range(n_shards)]
+    try:
+        if open(marker).read() == fp and all(os.path.exists(p) for p in paths):
+            return paths
+    except OSError:
+        pass
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
+    epoch = _dt.datetime(2025, 3, 28)
+    shards: list[list[dict]] = [[] for _ in range(n_shards)]
+    for r in tbl.sort_by("doc_id").to_pylist():
+        did = f"{r['source']}-{r['doc_id']}"
+        url = f"https://crawl.example/{r['source']}/{did}"
+        row = {
+            "url": url,
+            "warc_ts": epoch + _dt.timedelta(seconds=int(r["doc_id"])),
+            "text": r["text"] or "",
+            "lang": r["lang"],
+            "html": render_html(did, r["text"] or ""),
+        }
+        shards[int(r["doc_id"]) % n_shards].append(row)
+    os.makedirs(d, exist_ok=True)
+    enc = encode_wet_pages if fmt == "wet" else encode_warc_pages
+    for s, rows in enumerate(shards):
+        tmp = paths[s] + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(enc(rows, filename=os.path.basename(paths[s])))
+        os.replace(tmp, paths[s])
+    with open(marker, "w") as f:
+        f.write(fp)
+    return paths
+
+
 def _kg_tables(sf_dir: str):
     """Build (or resume from checkpoint) the KG over this sf_dir's
     documents table mapped into the pages schema. Cached across queries
@@ -137,6 +194,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """S1+M2+M3: pages → lang-filtered documents; html→text must be
         byte-identical to the source text column (SQL-checkable)."""
         pages = pages_from_documents(sf_dir, augment=False)
+        docs = pages.map_batches(
+            make_extract_fn(CFG), batch_format="pyarrow", batch_size=64
+        )
+        return _as_string(docs, ["doc_id", "url", "text", "n_chars"])
+
+    def wet_pages_roundtrip(sf_dir: str):
+        """WARC/WET archive source (sources/warc.py): documents →
+        deterministic per-record-gzipped WET shards on disk → streamed
+        back through the FileBasedDatasource (bounded blocks off the
+        multi-member gzip stream, never the whole archive in heap);
+        url/text/lang must round-trip byte-exactly — the oracle replays
+        the url construction in SQL. Extends the reference's loose-file
+        ingest seam (cli/main.py:115-156) to the archive format a
+        100 TB web corpus actually arrives in."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.warc import (
+            read_warc_as_pages,
+        )
+
+        pages = read_warc_as_pages(_warc_fixture(sf_dir, "wet"),
+                                   records_per_block=256)
+        return _as_string(pages, ["url", "text", "lang"])
+
+    def warc_extract_documents(sf_dir: str):
+        """WARC ``response`` records (full HTTP/1.1 captures, one gzip
+        member per record) → streamed pages → the UNCHANGED extract
+        stage; extracted text must be byte-identical to the source text
+        column. Proves the whole archive path: gzip-member stream →
+        record parse → HTTP split → html→text."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.warc import (
+            read_warc_as_pages,
+        )
+
+        pages = read_warc_as_pages(_warc_fixture(sf_dir, "warc"),
+                                   records_per_block=256)
         docs = pages.map_batches(
             make_extract_fn(CFG), batch_format="pyarrow", batch_size=64
         )
@@ -5723,6 +5814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     reg = {
         # KG pipeline
         "kg_extract_documents": kg_extract_documents,
+        "wet_pages_roundtrip": wet_pages_roundtrip,
+        "warc_extract_documents": warc_extract_documents,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6024,6 +6117,26 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents
             WHERE lang = 'en'
+        """,
+        # WET archive round-trip: encode → gzip-member stream → parse
+        # must reproduce the source table's url/text/lang byte-exactly
+        "wet_pages_roundtrip": """
+            SELECT 'https://crawl.example/' || source || '/' || source
+                       || '-' || CAST(doc_id AS VARCHAR) AS url,
+                   text, lang
+            FROM documents
+        """,
+        # WARC response records through the unchanged extract stage:
+        # same byte-identity contract as kg_extract_documents, but all
+        # langs pass (response records carry no language header, so the
+        # pages rows all land with the default 'en')
+        "warc_extract_documents": """
+            SELECT source || '-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   'https://crawl.example/' || source || '/' || source
+                       || '-' || CAST(doc_id AS VARCHAR) AS url,
+                   text,
+                   length(text) AS n_chars
+            FROM documents
         """,
         "ws_token_counts": r"""
             SELECT doc_id,
