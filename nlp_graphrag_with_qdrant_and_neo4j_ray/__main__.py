@@ -50,6 +50,14 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     if args.pages.startswith("synth:"):
         n = int(args.pages.split(":", 1)[1])
         factory = lambda: pages_dataset(n, "cli")  # noqa: E731
+    elif args.pages.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")) or (
+        os.path.isdir(args.pages)
+        and any(f.endswith((".warc", ".warc.gz", ".wet", ".wet.gz"))
+                for f in os.listdir(args.pages))
+    ):
+        from .sources.warc import read_warc_as_pages
+
+        factory = lambda: read_warc_as_pages(args.pages)  # noqa: E731
     else:
         import ray.data
 
@@ -274,7 +282,8 @@ def main(argv: list[str] | None = None) -> int:
 
     pi = sub.add_parser("ingest", help="build the KG from a pages parquet")
     pi.add_argument("--pages", required=True,
-                    help="pages parquet path, or synth:N for N fixture pages")
+                    help="pages parquet path, a WARC/WET archive file or "
+                         "directory, or synth:N for N fixture pages")
     pi.add_argument("--out", required=True)
     pi.add_argument("--fresh", action="store_true", help="ignore checkpoints")
     pi.set_defaults(fn=cmd_ingest)

@@ -31,7 +31,14 @@ def make_extract_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None)
         rows_in = batch.num_rows
         kept = batch.filter(pc.is_in(batch.column("lang"), value_set=langs))
         urls = kept.column("url").to_pylist()
-        texts = [extract_text(h) for h in kept.column("html").to_pylist()]
+        # html→text for raw captures; WET-style rows (pre-extracted text,
+        # no html payload — sources/warc.py conversion records) pass
+        # their text column through unchanged
+        texts = [
+            extract_text(h) if h else (t or "")
+            for h, t in zip(kept.column("html").to_pylist(),
+                            kept.column("text").to_pylist())
+        ]
         out = pa.table(
             {
                 "doc_id": pa.array([doc_id_from_url(u) for u in urls], pa.string()),

@@ -224,6 +224,30 @@ class TestRaySource:
         assert got.names == PAGES.names
         assert [str(t) for t in got.types] == [str(f.type) for f in PAGES]
 
+    def test_cli_ingest_from_wet_archive(self, ray_session, tmp_path, capsys):
+        """`ingest --pages <dir of .wet.gz>` builds the full KG straight
+        from archives — no intermediate parquet conversion step."""
+        import json
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.__main__ import main
+
+        d = os.path.join(str(tmp_path), "archives")
+        os.makedirs(d)
+        rows = [
+            {"url": f"https://crawl.example/c/doc-{i}", "warc_ts": TS,
+             "text": (f"Hugging Face released Transformers in doc {i}. "
+                      f"The library supports PyTorch."),
+             "lang": "en", "html": b""}
+            for i in range(12)
+        ]
+        with open(os.path.join(d, "part-0.wet.gz"), "wb") as f:
+            f.write(encode_wet_pages(rows))
+        out = os.path.join(str(tmp_path), "kg")
+        assert main(["ingest", "--pages", d, "--out", out]) == 0
+        j = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert j["tables"]["chunks"] == 12
+        assert j["tables"]["edges"] > 0
+
     def test_warc_response_through_extract_stage(self, ray_session, tmp_path):
         """Full archive path: WARC response records → pages → the
         unchanged extract stage → byte-identical text."""
