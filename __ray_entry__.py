@@ -199,6 +199,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _as_string(docs, ["doc_id", "url", "text", "n_chars"])
 
+    def _messy_urls(sf_dir: str):
+        """Deterministic messy-URL table from documents (oracle
+        scaffolding for the web-pipeline operators): mixed-case schemes
+        and hosts, default ports, tracking params, fragments, www
+        prefixes and multi-label public suffixes — every rule
+        pipelines/web.py canonicalizes, replayable in SQL."""
+        ds = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                src = r["source"]
+                core = (src.upper() if i % 6 == 0 else src) + str(i % 3)
+                host = (("www." if i % 2 == 1 else "") + core + "."
+                        + ("co.uk" if i % 5 == 0 else "com"))
+                scheme = "HTTPS" if i % 3 == 0 else "https"
+                port = ":443" if i % 4 == 0 else ""
+                q = (f"?utm_source=feed&id={i}" if i % 2 == 0
+                     else f"?id={i}&utm_campaign=z")
+                frag = f"#s{i}" if i % 3 == 1 else ""
+                rows.append({
+                    "doc_id": i,
+                    "url": f"{scheme}://{host}{port}/{src}/doc-{i}{q}{frag}",
+                })
+            return pa.Table.from_pylist(rows)
+
+        return ds.map_batches(mk, batch_format="pyarrow")
+
+    def url_canonicalized(sf_dir: str):
+        """URL canonicalization + registrable-domain extraction
+        (pipelines/web.py): vectorized pyarrow regex kernels; the
+        oracle reconstructs the expected canonical form rule-by-rule
+        in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            add_url_columns,
+        )
+
+        return add_url_columns(_messy_urls(sf_dir)).select_columns(
+            ["doc_id", "canonical_url", "domain"])
+
+    def pages_domain_counts(sf_dir: str):
+        """Docs per registrable domain — map-side derive, small
+        groupby."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            domain_counts,
+        )
+
+        return domain_counts(_messy_urls(sf_dir))
+
+    def docs_domain_capped(sf_dir: str):
+        """RefinedWeb-style anti-domination cap: ≤3 docs per
+        registrable domain, picked by deterministic md5(url) rank —
+        one hash-partition exchange, group heads vectorized per
+        partition. Oracle replays the rank with row_number()."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            cap_per_domain,
+        )
+
+        return cap_per_domain(_messy_urls(sf_dir), 3,
+                              num_partitions=8).select_columns(
+            ["doc_id", "domain"])
+
     def wet_pages_roundtrip(sf_dir: str):
         """WARC/WET archive source (sources/warc.py): documents →
         deterministic per-record-gzipped WET shards on disk → streamed
@@ -5816,6 +5879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_documents": kg_extract_documents,
         "wet_pages_roundtrip": wet_pages_roundtrip,
         "warc_extract_documents": warc_extract_documents,
+        "url_canonicalized": url_canonicalized,
+        "pages_domain_counts": pages_domain_counts,
+        "docs_domain_capped": docs_domain_capped,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6047,6 +6113,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracles
 # --------------------------------------------------------------------------
 
+# the deterministic messy-url construction of queries()._messy_urls in
+# SQL — shared CTE for the three web-pipeline oracles
+_WEB_URLS_CTE = """
+    WITH u0 AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 6 = 0 THEN upper(source) ELSE source END
+                 || CAST(doc_id % 3 AS VARCHAR) AS core,
+             CASE WHEN doc_id % 5 = 0 THEN 'co.uk' ELSE 'com' END AS suffix,
+             CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END AS www
+      FROM documents
+    ), u AS (
+      SELECT doc_id, source, core, suffix,
+             www || core || '.' || suffix AS host,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+               || '://' || www || core || '.' || suffix
+               || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+               || '/' || source || '/doc-' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                    ELSE '?id=' || CAST(doc_id AS VARCHAR)
+                         || '&utm_campaign=z' END)
+               || (CASE WHEN doc_id % 3 = 1
+                    THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END)
+                 AS messy_url
+      FROM u0
+    )
+"""
+
+
 def _stopword_list_sql() -> str:
     """The vendored NLTK stopword list as a DuckDB list literal (the
     stopword_ratio oracle needs the same vocabulary)."""
@@ -6137,6 +6232,31 @@ def oracle_sql() -> dict[str, str]:
                    text,
                    length(text) AS n_chars
             FROM documents
+        """,
+        # web-pipeline operators: the oracle reconstructs the messy url
+        # (same deterministic rules as _messy_urls) and the EXPECTED
+        # canonical form / domain / cap rule-by-rule in SQL
+        "url_canonicalized": _WEB_URLS_CTE + """
+            SELECT doc_id,
+                   'https://' || lower(host) || '/' || source || '/doc-'
+                       || CAST(doc_id AS VARCHAR) || '?id='
+                       || CAST(doc_id AS VARCHAR) AS canonical_url,
+                   lower(core) || '.' || suffix AS domain
+            FROM u
+        """,
+        "pages_domain_counts": _WEB_URLS_CTE + """
+            SELECT lower(core) || '.' || suffix AS domain,
+                   count(*) AS n_docs
+            FROM u GROUP BY 1
+        """,
+        "docs_domain_capped": _WEB_URLS_CTE + """
+            SELECT doc_id, domain FROM (
+                SELECT doc_id, lower(core) || '.' || suffix AS domain,
+                       row_number() OVER (
+                           PARTITION BY lower(core) || '.' || suffix
+                           ORDER BY md5(messy_url), messy_url) AS rn
+                FROM u
+            ) WHERE rn <= 3
         """,
         "ws_token_counts": r"""
             SELECT doc_id,

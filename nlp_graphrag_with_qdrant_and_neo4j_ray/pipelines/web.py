@@ -1,0 +1,191 @@
+"""Web-corpus URL operators: canonicalization, registrable domains,
+per-domain caps.
+
+The curation steps every published web-text pipeline applies before
+anything touches document CONTENT (CCNet, C4, RefinedWeb all document
+them): canonicalize URLs so re-crawls of the same resource collide,
+group by registrable domain, and cap any one domain's contribution so a
+handful of mega-sites can't dominate the training mix.
+
+All URL kernels are vectorized ``pyarrow.compute`` regex passes over the
+whole column — no per-row Python on these hot stages. The per-domain
+cap is a ``grouped_apply`` exchange (hash-partition on domain, one
+vectorized rank-and-filter per partition) — one all-to-all, the minimum
+for a group-wise rule, with the same skew caveat as every keyed
+exchange: a single domain above ~one partition of rows needs a salted
+pre-cap (cap within salted subgroups first, then exactly at the
+reducer), which composes with this operator unchanged.
+
+Canonicalization rules (deterministic, documented, intentionally
+conservative):
+- scheme and host lowercased; userinfo stripped
+- default ports dropped (``:80`` for http, ``:443`` for https)
+- fragment dropped
+- tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``ref``); remaining params keep their original ORDER (sorting params
+  changes semantics on some sites, so we don't)
+- empty ``?`` / dangling ``&`` cleaned up
+
+Registrable domain = last two host labels, or last three when the last
+two are a vendored multi-label public suffix (the high-traffic subset of
+the public-suffix list; the full list drops in as data without code
+changes).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.shuffle import grouped_apply
+
+# high-traffic multi-label public suffixes (public-suffix list subset)
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "net.mx",
+    "co.kr", "or.kr", "ne.kr",
+    "com.tr", "net.tr", "org.tr",
+    "co.za", "org.za", "net.za",
+    "com.ar", "com.sg", "com.hk", "com.tw", "co.nz", "co.id",
+)
+
+_TRACKING = r"(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)"
+
+
+def canonical_urls(urls: pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization (rules in the module docstring)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = pc.extract_regex(
+        urls, r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<hostport>[^/?#]*)"
+              r"(?P<rest>[^#]*)",
+    )
+    # rows that don't parse as absolute URLs pass through untouched
+    ok = pc.is_valid(parts)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    hostport = pc.utf8_lower(pc.struct_field(parts, "hostport"))
+    rest = pc.struct_field(parts, "rest")  # path + query, fragment excluded
+    # userinfo, then the scheme's default port
+    hostport = pc.replace_substring_regex(hostport, r"^[^@]*@", "")
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(hostport, r":80$", ""),
+        pc.if_else(
+            pc.equal(scheme, "https"),
+            pc.replace_substring_regex(hostport, r":443$", ""),
+            hostport,
+        ),
+    )
+    # drop tracking params wherever they sit in the query string
+    rest = pc.replace_substring_regex(
+        rest, r"([?&])" + _TRACKING + r"=[^&]*", r"\1")
+    # collapse the artifacts: "?&" → "?", "&&" → "&", trailing "?"/"&"
+    rest = pc.replace_substring_regex(rest, r"\?&+", "?")
+    rest = pc.replace_substring_regex(rest, r"&&+", "&")
+    rest = pc.replace_substring_regex(rest, r"[?&]+$", "")
+    canon = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    return pc.if_else(ok, canon, urls)
+
+
+def registrable_domains(hosts: pa.Array) -> pa.Array:
+    """Vectorized host → registrable domain (eTLD+1 under the vendored
+    suffix subset). Unparseable hosts (no dot) pass through."""
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    last2 = pc.extract_regex(hosts, r"(?P<d>[^.]+\.[^.]+)$")
+    last3 = pc.extract_regex(hosts, r"(?P<d>[^.]+\.[^.]+\.[^.]+)$")
+    d2 = pc.struct_field(last2, "d")
+    d3 = pc.struct_field(last3, "d")
+    is_multi = pc.is_in(d2, value_set=pa.array(MULTI_LABEL_SUFFIXES))
+    picked = pc.if_else(pc.and_kleene(is_multi, pc.is_valid(d3)), d3, d2)
+    return pc.if_else(pc.is_valid(d2), picked, hosts)
+
+
+def url_hosts(urls: pa.Array) -> pa.Array:
+    """Vectorized url → lowercased host (no userinfo, no port)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = pc.extract_regex(urls, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]*)")
+    host = pc.utf8_lower(pc.struct_field(parts, "h"))
+    host = pc.replace_substring_regex(host, r"^[^@]*@", "")
+    return pc.replace_substring_regex(host, r":[0-9]+$", "")
+
+
+def add_url_columns(ds, url_col: str = "url"):
+    """pages-like Dataset → + ``canonical_url``, ``domain`` columns
+    (one stateless vectorized map pass)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col)
+        canon = canonical_urls(urls)
+        dom = registrable_domains(url_hosts(canon))
+        return batch.append_column("canonical_url", canon).append_column(
+            "domain", dom)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def domain_counts(ds, url_col: str = "url"):
+    """Docs per registrable domain (map-side derive → small groupby)."""
+    from ray.data.aggregate import Count
+
+    def derive(batch: pa.Table) -> pa.Table:
+        dom = registrable_domains(url_hosts(batch.column(url_col)))
+        return pa.table({"domain": dom})
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def cap_per_domain(ds, max_per_domain: int, url_col: str = "url",
+                   num_partitions: int = 64):
+    """Keep at most ``max_per_domain`` rows per registrable domain,
+    chosen by a deterministic content-free rank (md5 of the url, ties
+    by url) so the sample is reproducible and unbiased by crawl order —
+    the RefinedWeb-style anti-domination cap.
+
+    Rank columns are derived map-side; one hash-partition exchange on
+    ``domain``; each partition sorts its (domain, rank) slice and keeps
+    group-wise heads vectorized.
+    """
+    import hashlib
+
+    def derive(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        dom = registrable_domains(url_hosts(urls))
+        rank = pa.array(
+            [hashlib.md5(u.encode()).hexdigest() for u in urls.to_pylist()],
+            pa.string(),
+        )
+        return batch.append_column("domain", dom).append_column("_rank", rank)
+
+    def head_per_domain(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.drop_columns(["_rank"])
+        part = part.sort_by(
+            [("domain", "ascending"), ("_rank", "ascending"),
+             (url_col, "ascending")]
+        )
+        import numpy as np
+
+        dom = part.column("domain").to_numpy(zero_copy_only=False)
+        new_group = np.r_[True, dom[1:] != dom[:-1]]
+        # position within each run of equal domains
+        idx = np.arange(len(dom))
+        start = np.maximum.accumulate(np.where(new_group, idx, 0))
+        keep = (idx - start) < max_per_domain
+        return part.filter(pa.array(keep)).drop_columns(["_rank"])
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    return grouped_apply(derived, ["domain"], head_per_domain,
+                         num_partitions=num_partitions)

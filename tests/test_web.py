@@ -1,0 +1,128 @@
+"""Web-corpus URL operators (pipelines/web.py): canonicalization,
+registrable domains, per-domain caps."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+    canonical_urls,
+    cap_per_domain,
+    domain_counts,
+    registrable_domains,
+    url_hosts,
+)
+
+
+def canon1(url: str) -> str:
+    return canonical_urls(pa.array([url]))[0].as_py()
+
+
+class TestCanonicalUrls:
+    @pytest.mark.parametrize("raw,want", [
+        # scheme + host lowercased, path case preserved
+        ("HTTPS://WWW.Example.COM/Path/Up", "https://www.example.com/Path/Up"),
+        # default ports dropped per scheme
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("http://a.com:80/x", "http://a.com/x"),
+        # non-default / cross-scheme ports kept
+        ("https://a.com:8443/x", "https://a.com:8443/x"),
+        ("http://a.com:443/x", "http://a.com:443/x"),
+        # userinfo stripped
+        ("https://user:pw@a.com/x", "https://a.com/x"),
+        # fragment dropped
+        ("https://a.com/x#sec", "https://a.com/x"),
+        # tracking params dropped wherever they sit; order of the rest kept
+        ("https://a.com/x?utm_source=t&id=1", "https://a.com/x?id=1"),
+        ("https://a.com/x?id=1&utm_medium=m&b=2", "https://a.com/x?id=1&b=2"),
+        ("https://a.com/x?gclid=g", "https://a.com/x"),
+        ("https://a.com/x?fbclid=f&ref=r&z=9", "https://a.com/x?z=9"),
+        # empty query artifacts cleaned
+        ("https://a.com/x?utm_a=1&utm_b=2", "https://a.com/x"),
+        # already-canonical urls are fixed points
+        ("https://a.com/x?id=1", "https://a.com/x?id=1"),
+        # non-URLs pass through untouched
+        ("not a url", "not a url"),
+        ("ftp://Mixed.Case/f", "ftp://mixed.case/f"),
+    ])
+    def test_rules(self, raw, want):
+        assert canon1(raw) == want
+
+    def test_idempotent(self):
+        urls = pa.array([
+            "HTTPS://U@B.Com:443/p?utm_x=1&q=2#f",
+            "http://x.co.uk:80/",
+        ])
+        once = canonical_urls(urls)
+        twice = canonical_urls(once)
+        assert once.to_pylist() == twice.to_pylist()
+
+    def test_null_propagates(self):
+        out = canonical_urls(pa.array(["https://a.com/x", None]))
+        assert out[1].as_py() is None
+
+
+class TestDomains:
+    @pytest.mark.parametrize("host,want", [
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.c.example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("shop.foo.com.au", "foo.com.au"),
+        ("localhost", "localhost"),  # no dot → passthrough
+    ])
+    def test_registrable(self, host, want):
+        assert registrable_domains(pa.array([host]))[0].as_py() == want
+
+    def test_url_hosts(self):
+        out = url_hosts(pa.array([
+            "https://User@WWW.A.com:8080/x", "no-scheme", None]))
+        assert out.to_pylist() == ["www.a.com", None, None]
+
+
+def _messy(n=120):
+    rows = []
+    for i in range(n):
+        dom = f"site{i % 5}.{'co.uk' if i % 2 else 'com'}"
+        rows.append({"doc_id": i,
+                     "url": f"https://{'www.' if i % 3 else ''}{dom}/d/{i}"})
+    return rows
+
+
+class TestDistributed:
+    def test_domain_counts(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_items(_messy()).repartition(7)
+        got = {r["domain"]: r["n_docs"]
+               for r in domain_counts(ds).take_all()}
+        want = pd.DataFrame(_messy())
+        want["domain"] = want.url.str.extract(r"(site\d\.(?:co\.uk|com))")
+        assert got == want.groupby("domain").size().to_dict()
+
+    def test_cap_matches_pandas_and_partition_independent(self, ray_session):
+        import ray.data
+
+        def local_cap(rows, k):
+            df = pd.DataFrame(rows)
+            df["domain"] = df.url.str.extract(r"(site\d\.(?:co\.uk|com))")
+            df["rank"] = df.url.map(
+                lambda u: hashlib.md5(u.encode()).hexdigest())
+            df = df.sort_values(["domain", "rank", "url"])
+            return set(df.groupby("domain").head(k).doc_id)
+
+        want = local_cap(_messy(), 4)
+        for parts in (1, 5):
+            ds = ray.data.from_items(_messy()).repartition(parts)
+            got = {r["doc_id"]
+                   for r in cap_per_domain(ds, 4, num_partitions=4).take_all()}
+            assert got == want
+
+    def test_cap_noop_when_groups_small(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_items(_messy(9))  # ≤2 docs per domain
+        assert cap_per_domain(ds, 3).count() == 9
