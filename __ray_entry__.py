@@ -262,6 +262,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               num_partitions=8).select_columns(
             ["doc_id", "domain"])
 
+    def _linked_pages(sf_dir: str):
+        """Deterministic link-bearing HTML pages from documents (web-graph
+        oracle scaffolding): each page carries one absolute anchor to a
+        doc_id-arithmetic target, one RELATIVE anchor (resolves to its own
+        host), and noise links (#fragment, mailto:, javascript:) the
+        extractor must drop. Host shapes exercise www-prefixes and
+        multi-label suffixes. The SQL oracle replays the arithmetic — the
+        Ray side genuinely parses the HTML."""
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        n_docs = docs.count()
+
+        def host(i: int) -> str:
+            return (("www." if i % 2 else "") + f"site{i % 10}."
+                    + ("co.uk" if i % 3 == 0 else "com"))
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                t1 = (i * 7 + 13) % n_docs
+                html = (
+                    f"<html><body><p>doc {i}</p>"
+                    f'<a href="https://{host(t1)}/d/doc-{t1}">out</a>'
+                    f"<a href='/d/doc-{(i + 1) % n_docs}'>next</a>"
+                    '<a href="#top">top</a><a href="mailto:a@b">m</a>'
+                    '<a href="javascript:void(0)">j</a>'
+                    "</body></html>"
+                ).encode()
+                rows.append({"url": f"https://{host(i)}/d/doc-{i}",
+                             "html": html})
+            return pa.Table.from_pylist(rows)
+
+        return docs.map_batches(mk, batch_format="pyarrow")
+
+    def web_host_link_graph(sf_dir: str):
+        """Raw captures → registrable-domain link graph (anchor
+        extraction with RFC 3986 relative resolution, noise-scheme
+        filtering, eTLD+1 mapping, pre-combined two-key groupby). The
+        oracle replays the planted link arithmetic in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            host_link_graph,
+        )
+
+        return host_link_graph(_linked_pages(sf_dir))
+
+    def web_host_pagerank(sf_dir: str):
+        """The classic crawl pipeline composed end-to-end: archives →
+        link extraction → host graph → weighted PageRank (the existing
+        pipelines/graph.pagerank, n_links as edge weight). Rows-only
+        check; the pagerank kernel itself is pinned by docs_pagerank's
+        unrolled SQL oracle and tests/test_graph.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            pagerank,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            host_link_graph,
+        )
+
+        g = host_link_graph(_linked_pages(sf_dir))
+        return pagerank(g, src_col="src_domain", dst_col="dst_domain",
+                        weight_col="n_links", iters=5).sort("node")
+
     def wet_pages_roundtrip(sf_dir: str):
         """WARC/WET archive source (sources/warc.py): documents →
         deterministic per-record-gzipped WET shards on disk → streamed
@@ -5882,6 +5944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalized": url_canonicalized,
         "pages_domain_counts": pages_domain_counts,
         "docs_domain_capped": docs_domain_capped,
+        "web_host_link_graph": web_host_link_graph,
+        "web_host_pagerank": web_host_pagerank,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6257,6 +6321,30 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(messy_url), messy_url) AS rn
                 FROM u
             ) WHERE rn <= 3
+        """,
+        # web-graph: the Ray side PARSES the planted anchors out of real
+        # HTML; the oracle replays the link arithmetic directly
+        "web_host_link_graph": """
+            WITH n AS (SELECT count(*) AS total FROM documents),
+            d AS (SELECT doc_id,
+                         'site' || CAST(doc_id % 10 AS VARCHAR) || '.'
+                           || CASE WHEN doc_id % 3 = 0 THEN 'co.uk'
+                                   ELSE 'com' END AS dom
+                  FROM documents),
+            e AS (
+              SELECT s.dom AS src_domain, t.dom AS dst_domain
+              FROM documents x, n
+              JOIN d s ON s.doc_id = x.doc_id
+              JOIN d t ON t.doc_id = (x.doc_id * 7 + 13) % n.total
+              UNION ALL
+              -- the RELATIVE anchor resolves against the page's own
+              -- host, so its destination domain is the source domain
+              SELECT s.dom AS src_domain, s.dom AS dst_domain
+              FROM documents x
+              JOIN d s ON s.doc_id = x.doc_id
+            )
+            SELECT src_domain, dst_domain, count(*) AS n_links
+            FROM e GROUP BY 1, 2
         """,
         "ws_token_counts": r"""
             SELECT doc_id,

@@ -57,3 +57,30 @@ def extract_text(raw: bytes) -> str:
     doc = "\n".join(line.strip() for line in doc.split("\n"))
     doc = _NL_RUN.sub("\n\n", doc)
     return doc.strip()
+
+
+_HREF = re.compile(r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)')""",
+                   re.IGNORECASE | re.DOTALL)
+_SKIP_SCHEMES = ("#", "mailto:", "javascript:", "tel:", "data:", "ftp:")
+
+
+def extract_links(raw: bytes, base_url: str) -> list[str]:
+    """All outgoing http(s) anchor targets of an HTML capture, relative
+    hrefs resolved against ``base_url`` (RFC 3986 via urljoin);
+    fragments-only / mailto / javascript / tel / data links dropped.
+    Order preserved, duplicates kept (multiplicity is signal for the
+    host-graph edge weights). Compiled-regex scan — the per-doc findall
+    IS the irreducible work of link extraction; no per-row Python beyond
+    it."""
+    from urllib.parse import urljoin
+
+    doc = decode_html(raw)
+    out: list[str] = []
+    for m in _HREF.finditer(doc):
+        href = (m.group(1) or m.group(2) or "").strip()
+        if not href or href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        url = urljoin(base_url, href)
+        if url.startswith(("http://", "https://")):
+            out.append(url)
+    return out

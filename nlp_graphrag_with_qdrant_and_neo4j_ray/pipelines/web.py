@@ -189,3 +189,48 @@ def cap_per_domain(ds, max_per_domain: int, url_col: str = "url",
     derived = ds.map_batches(derive, batch_format="pyarrow")
     return grouped_apply(derived, ["domain"], head_per_domain,
                          num_partitions=num_partitions)
+
+
+def extract_link_edges(ds, url_col: str = "url", html_col: str = "html"):
+    """pages-like Dataset → ``(src_url, dst_url)`` — one row per
+    extracted anchor (duplicates kept as edge-weight signal). A pure
+    map stage: the raw-archive → web-graph step of a crawl pipeline."""
+    from ..functions.html import extract_links
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src: list[str] = []
+        dst: list[str] = []
+        for u, h in zip(batch.column(url_col).to_pylist(),
+                        batch.column(html_col).to_pylist()):
+            for link in extract_links(h or b"", u):
+                src.append(u)
+                dst.append(link)
+        return pa.table({"src_url": pa.array(src, pa.string()),
+                         "dst_url": pa.array(dst, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def host_link_graph(ds, url_col: str = "url", html_col: str = "html"):
+    """pages → registrable-domain link graph
+    ``(src_domain, dst_domain, n_links)``: link extraction and domain
+    mapping are map stages; the only exchange is the final (pre-combined)
+    groupby on the two domain columns. Self-loops kept (same-domain
+    navigation links are real edges; callers filter if not wanted).
+    Feed the result to :func:`.graph.pagerank` for host ranking."""
+    from ray.data.aggregate import Count
+
+    def to_domains(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_domain": registrable_domains(url_hosts(
+                batch.column("src_url"))),
+            "dst_domain": registrable_domains(url_hosts(
+                batch.column("dst_url"))),
+        })
+
+    return (
+        extract_link_edges(ds, url_col, html_col)
+        .map_batches(to_domains, batch_format="pyarrow")
+        .groupby(["src_domain", "dst_domain"])
+        .aggregate(Count(alias_name="n_links"))
+    )

@@ -126,3 +126,67 @@ class TestDistributed:
 
         ds = ray.data.from_items(_messy(9))  # ≤2 docs per domain
         assert cap_per_domain(ds, 3).count() == 9
+
+
+class TestLinkGraph:
+    def test_extract_links_rules(self):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            extract_links,
+        )
+
+        html = (b'<a href="https://A.com/x">1</a>'
+                b"<a href='/rel/p'>2</a>"
+                b'<a href="#top">3</a><a href="mailto:a@b">4</a>'
+                b'<a href="JavaScript:void(0)">5</a>'
+                b'<a class="z" href="sub/page">6</a>'
+                b'<a href="https://A.com/x">dup kept</a>')
+        got = extract_links(html, "https://www.base.co.uk/d/doc-1")
+        assert got == [
+            "https://A.com/x",
+            "https://www.base.co.uk/rel/p",
+            "https://www.base.co.uk/d/sub/page",
+            "https://A.com/x",
+        ]
+
+    def test_host_link_graph(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            host_link_graph,
+        )
+
+        pages = ray.data.from_items([
+            {"url": "https://www.a.com/p1",
+             "html": b'<a href="https://b.co.uk/x">1</a>'
+                     b'<a href="/p2">rel</a>'},
+            {"url": "https://sub.a.com/p2",
+             "html": b'<a href="https://b.co.uk/y">1</a>'
+                     b'<a href="https://b.co.uk/z">2</a>'},
+            {"url": "https://b.co.uk/x", "html": b"<p>no links</p>"},
+        ]).repartition(3)
+        got = {(r["src_domain"], r["dst_domain"]): r["n_links"]
+               for r in host_link_graph(pages).take_all()}
+        assert got == {
+            ("a.com", "b.co.uk"): 3,   # www + sub collapse to a.com
+            ("a.com", "a.com"): 1,     # relative link → self-domain edge
+        }
+
+    def test_pagerank_composition(self, ray_session):
+        """host graph feeds the existing weighted pagerank; determinism
+        and mass sanity on a fixed 2-node graph (r_a=0.15+0.85*r_b …
+        fixed point 1.0 each at symmetric weights)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            pagerank,
+        )
+
+        g = ray.data.from_items([
+            {"src_domain": "a.com", "dst_domain": "b.com", "n_links": 2},
+            {"src_domain": "b.com", "dst_domain": "a.com", "n_links": 2},
+        ])
+        pr = {r["node"]: r["pr"]
+              for r in pagerank(g, src_col="src_domain",
+                                dst_col="dst_domain",
+                                weight_col="n_links", iters=5).take_all()}
+        assert pr == {"a.com": 1.0, "b.com": 1.0}
