@@ -324,6 +324,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pagerank(g, src_col="src_domain", dst_col="dst_domain",
                         weight_col="n_links", iters=5).sort("node")
 
+    def pages_recrawl_dedup(sf_dir: str):
+        """Re-crawl collapse (pipelines/web.dedup_recrawls): every doc
+        appears once under one messy decoration; every 4th doc is
+        RE-captured later under a different decoration of the SAME
+        canonical url. Canonicalize → keep latest capture per canonical
+        url. The oracle reconstructs which variant must survive."""
+        import datetime as _dt
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            dedup_recrawls,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        epoch = _dt.datetime(2025, 3, 28)
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                host, path = f"site{i % 5}.com", f"/d/doc-{i}"
+                rows.append({
+                    "doc_id": i,
+                    "url": f"HTTPS://{host}:443{path}?utm_source=feed&id={i}",
+                    "warc_ts": epoch + _dt.timedelta(seconds=i),
+                })
+                if i % 4 == 0:  # later re-capture, same canonical url
+                    rows.append({
+                        "doc_id": i,
+                        "url": f"https://{host}{path}?id={i}&utm_campaign=x#f",
+                        "warc_ts": epoch + _dt.timedelta(seconds=i + 500_000),
+                    })
+            return pa.Table.from_pylist(rows)
+
+        pages = docs.map_batches(mk, batch_format="pyarrow")
+        return dedup_recrawls(pages, num_partitions=8).select_columns(
+            ["doc_id", "canonical_url", "url"])
+
     def wet_pages_roundtrip(sf_dir: str):
         """WARC/WET archive source (sources/warc.py): documents →
         deterministic per-record-gzipped WET shards on disk → streamed
@@ -5946,6 +5983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_capped": docs_domain_capped,
         "web_host_link_graph": web_host_link_graph,
         "web_host_pagerank": web_host_pagerank,
+        "pages_recrawl_dedup": pages_recrawl_dedup,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6345,6 +6383,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_domain, dst_domain, count(*) AS n_links
             FROM e GROUP BY 1, 2
+        """,
+        # re-crawl collapse: both captures canonicalize to the same url;
+        # the later one (the i%4==0 re-capture) must survive
+        "pages_recrawl_dedup": """
+            SELECT doc_id,
+                   'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.com/d/doc-' || CAST(doc_id AS VARCHAR)
+                       || '?id=' || CAST(doc_id AS VARCHAR)
+                       AS canonical_url,
+                   CASE WHEN doc_id % 4 = 0 THEN
+                       'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com/d/doc-' || CAST(doc_id AS VARCHAR)
+                           || '?id=' || CAST(doc_id AS VARCHAR)
+                           || '&utm_campaign=x#f'
+                   ELSE
+                       'HTTPS://site' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.com:443/d/doc-' || CAST(doc_id AS VARCHAR)
+                           || '?utm_source=feed&id='
+                           || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
         """,
         "ws_token_counts": r"""
             SELECT doc_id,

@@ -234,3 +234,38 @@ def host_link_graph(ds, url_col: str = "url", html_col: str = "html"):
         .groupby(["src_domain", "dst_domain"])
         .aggregate(Count(alias_name="n_links"))
     )
+
+
+def dedup_recrawls(ds, url_col: str = "url", ts_col: str = "warc_ts",
+                   num_partitions: int = 64):
+    """Collapse re-crawls of the same resource: canonicalize urls, keep
+    the LATEST capture per canonical url (ties broken by the raw url,
+    ascending). This is WHY crawl pipelines canonicalize — the same page
+    recaptured under tracking-param / port / fragment variants must
+    collide before content-level dedup ever runs.
+
+    Canonical url is derived map-side; one hash-partition exchange on
+    it; each partition keeps run-heads after a vectorized
+    (canonical, ts desc) sort. The output keeps the ORIGINAL columns
+    plus ``canonical_url``.
+    """
+    import numpy as np
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "canonical_url", canonical_urls(batch.column(url_col)))
+
+    def keep_latest(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        part = part.sort_by([
+            ("canonical_url", "ascending"), (ts_col, "descending"),
+            (url_col, "ascending"),
+        ])
+        cu = part.column("canonical_url").to_numpy(zero_copy_only=False)
+        keep = np.r_[True, cu[1:] != cu[:-1]]
+        return part.filter(pa.array(keep))
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    return grouped_apply(derived, ["canonical_url"], keep_latest,
+                         num_partitions=num_partitions)

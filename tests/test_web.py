@@ -190,3 +190,51 @@ class TestLinkGraph:
                                 dst_col="dst_domain",
                                 weight_col="n_links", iters=5).take_all()}
         assert pr == {"a.com": 1.0, "b.com": 1.0}
+
+
+class TestRecrawlDedup:
+    def test_latest_capture_survives(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            dedup_recrawls,
+        )
+
+        t0 = datetime.datetime(2025, 1, 1)
+        rows = [
+            # three captures of one resource under different decorations
+            {"url": "HTTPS://a.com:443/p?utm_x=1&id=9",
+             "warc_ts": t0, "v": "old"},
+            {"url": "https://a.com/p?id=9#frag",
+             "warc_ts": t0 + datetime.timedelta(days=2), "v": "newest"},
+            {"url": "https://a.com/p?id=9&utm_y=2",
+             "warc_ts": t0 + datetime.timedelta(days=1), "v": "mid"},
+            # an unrelated page
+            {"url": "https://b.com/q", "warc_ts": t0, "v": "only"},
+        ]
+        for parts in (1, 4):
+            ds = ray.data.from_items(rows).repartition(parts)
+            got = {r["canonical_url"]: r["v"]
+                   for r in dedup_recrawls(ds, num_partitions=4).take_all()}
+            assert got == {"https://a.com/p?id=9": "newest",
+                           "https://b.com/q": "only"}
+
+    def test_ts_tie_breaks_by_raw_url(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            dedup_recrawls,
+        )
+
+        t0 = datetime.datetime(2025, 1, 1)
+        rows = [
+            {"url": "https://a.com/p?id=1&utm_b=2", "warc_ts": t0},
+            {"url": "https://a.com/p?id=1&utm_a=1", "warc_ts": t0},
+        ]
+        out = dedup_recrawls(ray.data.from_items(rows)).take_all()
+        assert len(out) == 1
+        assert out[0]["url"] == "https://a.com/p?id=1&utm_a=1"
