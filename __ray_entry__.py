@@ -361,6 +361,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_recrawls(pages, num_partitions=8).select_columns(
             ["doc_id", "canonical_url", "url"])
 
+    def docs_c4_line_filtered(sf_dir: str):
+        """C4 rule-based cleaning (pipelines/clean.c4_line_filter) over
+        deterministically synthesized multi-line pages: each doc gets a
+        punctuation-less salad line, good sentences, a too-short line, a
+        'javascript' line, and (by doc_id arithmetic) lorem-ipsum /
+        brace / too-few-good-lines page-kill variants — every published
+        rule fires. The oracle rebuilds the same lines and applies the
+        same rules with DuckDB list kernels."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            c4_line_filter,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                lines = [
+                    r["text"] or "",
+                    f"This document has a valid first sentence number {i}.",
+                    "Short line.",
+                    "Enable javascript to view the full content here.",
+                    "A second valid sentence keeps the document alive.",
+                    (f"Third valid sentence number {i} completes the "
+                     "document." if i % 5 else "no punct line here"),
+                    ("lorem ipsum dolor sit amet." if i % 7 == 0 else
+                     "short one." if i % 5 == 0 else
+                     "Extra good sentence appears right here today."),
+                    ("function f() { return 1; }" if i % 11 == 0 else
+                     "also short." if i % 5 == 0 else
+                     "Closing sentence ends the document nicely today."),
+                ]
+                ids.append(i)
+                texts.append("\n".join(lines))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.large_string())})
+
+        return _as_string(
+            c4_line_filter(docs.map_batches(synth, batch_format="pyarrow")),
+            ["doc_id", "text", "n_lines"],
+        )
+
     def wet_pages_roundtrip(sf_dir: str):
         """WARC/WET archive source (sources/warc.py): documents →
         deterministic per-record-gzipped WET shards on disk → streamed
@@ -5984,6 +6027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_link_graph": web_host_link_graph,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
+        "docs_c4_line_filtered": docs_c4_line_filtered,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6404,6 +6448,50 @@ def oracle_sql() -> dict[str, str]:
                            || CAST(doc_id AS VARCHAR)
                    END AS url
             FROM documents
+        """,
+        # C4 rule-based cleaning: the oracle rebuilds the synthesized
+        # lines and applies the SAME published rules with list kernels
+        "docs_c4_line_filtered": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                text || chr(10)
+                || 'This document has a valid first sentence number '
+                    || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                || 'Short line.' || chr(10)
+                || 'Enable javascript to view the full content here.'
+                    || chr(10)
+                || 'A second valid sentence keeps the document alive.'
+                    || chr(10)
+                || CASE WHEN doc_id % 5 <> 0 THEN
+                       'Third valid sentence number '
+                           || CAST(doc_id AS VARCHAR)
+                           || ' completes the document.'
+                   ELSE 'no punct line here' END || chr(10)
+                || CASE WHEN doc_id % 7 = 0 THEN
+                       'lorem ipsum dolor sit amet.'
+                   WHEN doc_id % 5 = 0 THEN 'short one.'
+                   ELSE 'Extra good sentence appears right here today.'
+                   END || chr(10)
+                || CASE WHEN doc_id % 11 = 0 THEN
+                       'function f() { return 1; }'
+                   WHEN doc_id % 5 = 0 THEN 'also short.'
+                   ELSE 'Closing sentence ends the document nicely today.'
+                   END AS t
+              FROM documents
+            ), f AS (
+              SELECT doc_id, t,
+                     list_filter(string_split(t, chr(10)), l ->
+                         regexp_matches(l, '[.!?"]$')
+                         AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                         AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM synth
+            )
+            SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+                   CAST(len(kept) AS BIGINT) AS n_lines
+            FROM f
+            WHERE len(kept) >= 3
+              AND NOT contains(lower(t), 'lorem ipsum')
+              AND NOT contains(t, '{')
         """,
         "ws_token_counts": r"""
             SELECT doc_id,

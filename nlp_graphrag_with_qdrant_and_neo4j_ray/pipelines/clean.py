@@ -422,3 +422,47 @@ def json_extract_scalar(ds, col: str, key: str, out_col: str):
             out_col, pa.array(vals, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_filter(ds, id_col: str = "doc_id", text_col: str = "text",
+                   min_words_per_line: int = 5, min_lines: int = 3):
+    """C4-style rule-based page cleaning (the published heuristics of
+    Raffel et al. 2020 §2.2, the complement of the corpus-frequency
+    boilerplate pass above): keep only lines that end in terminal
+    punctuation, have ≥ ``min_words_per_line`` whitespace words, and
+    don't mention "javascript"; then drop the whole page if fewer than
+    ``min_lines`` lines survive, if it contains "lorem ipsum", or if it
+    contains a ``{``. Pure stateless map stage — line scanning is the
+    irreducible per-doc work; no exchange anywhere.
+
+    Output: ``(id_col, text_col(kept lines re-joined), n_lines:int64)``.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, texts, counts = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            t = t or ""
+            if "lorem ipsum" in t.lower() or "{" in t:
+                continue
+            kept = [
+                line for line in t.split("\n")
+                if line.endswith(_C4_TERMINAL)
+                and len(line.split()) >= min_words_per_line
+                and "javascript" not in line.lower()
+            ]
+            if len(kept) < min_lines:
+                continue
+            ids.append(i)
+            texts.append("\n".join(kept))
+            counts.append(len(kept))
+        return pa.table({
+            id_col: pa.array(ids, batch.column(id_col).type),
+            text_col: pa.array(texts, pa.large_string()),
+            "n_lines": pa.array(counts, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -164,3 +164,38 @@ def test_repetition_scores_append_mode(ray_session):
     assert out["extra"].tolist() == ["p", "r"]
     assert out["n_tokens"].tolist() == [3, 2]
     assert out.loc[1, "top_token_frac"] == 1.0
+
+
+class TestC4LineFilter:
+    def test_rules(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            c4_line_filter,
+        )
+
+        good = "This sentence has exactly six words total."
+        docs = [
+            # every line rule: no-punct, short, javascript, then 3 good
+            {"doc_id": 1, "text": "\n".join([
+                "no terminal punctuation here at all",
+                "Too short.",
+                "Please enable JavaScript to continue reading this page.",
+                good, good, good])},
+            # page kills: lorem ipsum / brace / too few surviving lines
+            {"doc_id": 2, "text": "\n".join([good, good, good,
+                                             "lorem ipsum dolor."])},
+            {"doc_id": 3, "text": "\n".join([good, good, good,
+                                             "if (x) { y(); }"])},
+            {"doc_id": 4, "text": "\n".join([good, good])},
+            # quote-terminated lines count as terminal punctuation
+            {"doc_id": 5, "text": "\n".join(
+                ['He said "this is a full quote."'] + [good, good])},
+        ]
+        out = {r["doc_id"]: r
+               for r in c4_line_filter(
+                   ray.data.from_items(docs)).take_all()}
+        assert set(out) == {1, 5}
+        assert out[1]["text"] == "\n".join([good, good, good])
+        assert out[1]["n_lines"] == 3
+        assert out[5]["n_lines"] == 3
