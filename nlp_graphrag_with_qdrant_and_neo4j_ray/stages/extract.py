@@ -31,11 +31,13 @@ def make_extract_fn(cfg: PipelineConfig, lineage: LineageRecorder | None = None)
         rows_in = batch.num_rows
         kept = batch.filter(pc.is_in(batch.column("lang"), value_set=langs))
         urls = kept.column("url").to_pylist()
-        # html→text for raw captures; WET-style rows (pre-extracted text,
-        # no html payload — sources/warc.py conversion records) pass
-        # their text column through unchanged
+        # html→text for raw captures; WET-style rows (pre-extracted
+        # text, html EMPTY — sources/warc.py conversion records set
+        # b"") pass their text column through unchanged. html=NULL
+        # stays an error (→ per-row quarantine): a capture row with no
+        # payload at all is malformed, not pre-extracted.
         texts = [
-            extract_text(h) if h else (t or "")
+            (t or "") if (h is not None and len(h) == 0) else extract_text(h)
             for h, t in zip(kept.column("html").to_pylist(),
                             kept.column("text").to_pylist())
         ]
