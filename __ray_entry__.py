@@ -404,6 +404,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "n_lines"],
         )
 
+    def docs_wet_export(sf_dir: str):
+        """Archive EXPORT (pipelines/shards.write_wet_archives): publish
+        the documents table as resumable WET archives — the writer twin
+        of the streaming WARC source; curated corpora leave the engine
+        in the same format they arrived in. Returns the manifest; the
+        oracle replays the md5 shard assignment and byte counts."""
+        import shutil
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+            write_wet_archives,
+        )
+
+        out_dir = _kg_dir(sf_dir) + "-wet"
+        if os.environ.get("GRAFT_SHARDS_FRESH"):
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+        def thunk():
+            import datetime as _dt
+
+            docs = _read(sf_dir, "documents").select_columns(
+                ["doc_id", "text", "lang", "source"])
+            epoch = _dt.datetime(2025, 3, 28)
+
+            def mk(batch: pa.Table) -> pa.Table:
+                rows = []
+                for r in batch.to_pylist():
+                    did = f"{r['source']}-{r['doc_id']}"
+                    rows.append({
+                        "url": f"https://crawl.example/{r['source']}/{did}",
+                        "warc_ts": epoch,
+                        "text": r["text"] or "",
+                        "lang": r["lang"],
+                    })
+                return pa.Table.from_pylist(rows)
+
+            return docs.map_batches(mk, batch_format="pyarrow")
+
+        return write_wet_archives(thunk, out_dir, n_shards=8)
+
     def wet_pages_roundtrip(sf_dir: str):
         """WARC/WET archive source (sources/warc.py): documents →
         deterministic per-record-gzipped WET shards on disk → streamed
@@ -6028,6 +6067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
+        "docs_wet_export": docs_wet_export,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6358,6 +6398,27 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents
             WHERE lang = 'en'
+        """,
+        # WET export manifest: replay the md5(url) shard assignment
+        "docs_wet_export": """
+            SELECT shard_id, count(*) AS n_docs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT)
+                       AS n_bytes,
+                   min(key) AS min_key, max(key) AS max_key
+            FROM (
+                SELECT CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)
+                           % 8 AS shard_id,
+                       md5(url) AS key, text
+                FROM (
+                    SELECT 'https://crawl.example/' || source || '/'
+                               || source || '-'
+                               || CAST(doc_id AS VARCHAR) AS url,
+                           text
+                    FROM documents
+                )
+            )
+            GROUP BY shard_id
+            ORDER BY shard_id
         """,
         # WET archive round-trip: encode → gzip-member stream → parse
         # must reproduce the source table's url/text/lang byte-exactly

@@ -144,3 +144,90 @@ def write_training_shards(docs_thunk, out_dir: str, n_shards: int = 8,
 
     rows.sort(key=lambda r: r["shard_id"])
     return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)
+
+
+def _wet_paths(out_dir: str, shard_id: int) -> tuple[str, str]:
+    base = os.path.join(out_dir, f"shard-{shard_id:05d}.wet.gz")
+    return base, base + ".manifest.json"
+
+
+def write_wet_archives(pages_thunk, out_dir: str, n_shards: int = 8,
+                       url_col: str = "url", text_col: str = "text",
+                       lang_col: str = "lang",
+                       ts_col: str = "warc_ts") -> pa.Table:
+    """Publish a (cleaned) pages corpus as WET archives — the writer
+    twin of ``sources/warc.py``: the engine reads the format web corpora
+    arrive in AND re-publishes curated corpora in it. Same deterministic
+    resumable layout as :func:`write_training_shards` (shard =
+    ``md5(url)[:8] mod n``, one hash-partition exchange, per-shard local
+    sort, atomic rename), except each shard is ONE ``.wet.gz``
+    (one gzip member per record, ISO 28500 ``conversion`` records) with
+    its manifest row in a sidecar ``.manifest.json`` — gzip has no
+    parquet footer to carry it. A re-run stats sidecars only and
+    recomputes exactly the missing shards; ``pages_thunk`` is never
+    called on a fully-resumed run."""
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.warc import encode_wet_pages
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import grouped_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    done: dict[int, dict] = {}
+    for sid in range(n_shards):
+        arch, mani = _wet_paths(out_dir, sid)
+        if os.path.exists(arch) and os.path.exists(mani):
+            try:
+                done[sid] = json.load(open(mani))
+            except (OSError, ValueError):
+                pass  # unreadable sidecar → recompute the shard
+    todo = [sid for sid in range(n_shards) if sid not in done]
+
+    rows = list(done.values())
+    if todo:
+        ds = assign_shards(pages_thunk(), n_shards, id_col=url_col)
+        if len(todo) < n_shards:
+            todo_arr = pa.array(todo, pa.int64())
+            ds = ds.map_batches(
+                lambda b: b.filter(pc.is_in(b.column("shard_id"),
+                                            value_set=todo_arr)),
+                batch_format="pyarrow",
+            )
+
+        def write_partition(tbl: pa.Table) -> pa.Table:
+            out = []
+            sids = tbl.column("shard_id").to_numpy(zero_copy_only=False)
+            for sid in sorted(set(sids.tolist())):
+                shard = tbl.filter(pc.equal(tbl.column("shard_id"),
+                                            pa.scalar(sid, pa.int64())))
+                order = pc.sort_indices(
+                    shard,
+                    sort_keys=[("shard_key", "ascending"),
+                               (url_col, "ascending")],
+                )
+                shard = shard.take(order)
+                recs = [
+                    {"url": r[url_col], "warc_ts": r[ts_col],
+                     "text": r[text_col] or "", "lang": r.get(lang_col, "")}
+                    for r in shard.to_pylist()
+                ]
+                arch, mani = _wet_paths(out_dir, sid)
+                payload = encode_wet_pages(
+                    recs, filename=os.path.basename(arch))
+                row = _manifest_row(sid, shard, text_col)
+                tmp = arch + f".tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, arch)
+                tmpm = mani + f".tmp.{os.getpid()}"
+                with open(tmpm, "w") as f:
+                    json.dump(row, f)
+                os.replace(tmpm, mani)
+                out.append(row)
+            return pa.Table.from_pylist(out, schema=_MANIFEST_SCHEMA)
+
+        written = grouped_apply(
+            ds, ["shard_id"], write_partition,
+            num_partitions=min(n_shards, 64),
+        )
+        rows.extend(written.take_all())  # bounded: n_shards manifest rows
+
+    rows.sort(key=lambda r: r["shard_id"])
+    return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)

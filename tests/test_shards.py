@@ -95,3 +95,72 @@ def test_partitioning_independence(ray_session, out_dir):
 
     got = write_training_shards(shredded, out_dir, n_shards=8)
     assert got.equals(_oracle(8).cast(got.schema))
+
+
+class TestWetArchives:
+    @staticmethod
+    def _pages_thunk():
+        import datetime
+
+        import pyarrow as pa
+        import ray.data
+
+        ts = datetime.datetime(2025, 3, 28)
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = [{"url": f"https://x.example/d/{i}", "warc_ts": ts,
+                     "text": t or "", "lang": "en"}
+                    for i, t in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("text").to_pylist())]
+            return pa.Table.from_pylist(rows)
+
+        return ray.data.read_parquet(DOCS).select_columns(
+            ["doc_id", "text"]).map_batches(mk, batch_format="pyarrow")
+
+    def test_roundtrip_through_the_source(self, ray_session, out_dir):
+        import glob
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+            write_wet_archives,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.warc import (
+            read_warc_as_pages,
+        )
+
+        manifest = write_wet_archives(self._pages_thunk, out_dir,
+                                      n_shards=4)
+        assert sum(r["n_docs"] for r in manifest.to_pylist()) == 500
+        back = read_warc_as_pages(
+            sorted(glob.glob(out_dir + "/*.wet.gz"))).take_all()
+        got = {r["url"]: r["text"] for r in back}
+        want = {r["url"]: r["text"] for r in self._pages_thunk().take_all()}
+        assert got == want
+
+    def test_fully_resumed_run_never_builds_input(self, ray_session,
+                                                  out_dir):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+            write_wet_archives,
+        )
+
+        first = write_wet_archives(self._pages_thunk, out_dir, n_shards=4)
+
+        def boom():
+            raise AssertionError("thunk called on a fully-resumed run")
+
+        again = write_wet_archives(boom, out_dir, n_shards=4)
+        assert again.to_pylist() == first.to_pylist()
+
+    def test_recomputes_only_missing_shards(self, ray_session, out_dir):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+            write_wet_archives,
+        )
+
+        first = write_wet_archives(self._pages_thunk, out_dir, n_shards=4)
+        victim = os.path.join(out_dir, "shard-00002.wet.gz")
+        keeper = os.path.join(out_dir, "shard-00001.wet.gz")
+        kept_mtime = os.stat(keeper).st_mtime_ns
+        os.remove(victim)
+        again = write_wet_archives(self._pages_thunk, out_dir, n_shards=4)
+        assert again.to_pylist() == first.to_pylist()
+        assert os.path.exists(victim)
+        assert os.stat(keeper).st_mtime_ns == kept_mtime
