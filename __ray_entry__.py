@@ -443,6 +443,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return write_wet_archives(thunk, out_dir, n_shards=8)
 
+    def pages_crawl_diff(sf_dir: str):
+        """Incremental-crawl diff (pipelines/web.crawl_diff): snapshot A
+        is every doc under a utm-decorated url; snapshot B re-crawls
+        under a DIFFERENT decoration of the same canonical url (the
+        match must happen post-canonicalization), drops every 5th doc,
+        rewrites every 3rd's text, and adds a new url for every 7th.
+        Oracle replays the arithmetic; removed beats changed when both
+        rules hit (the doc isn't in B at all)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            crawl_diff,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+        def old_pages(batch: pa.Table) -> pa.Table:
+            rows = [{"url": f"https://c.example/d/doc-{r['doc_id']}"
+                            f"?utm_junk=1",
+                     "text": r["text"] or ""}
+                    for r in batch.to_pylist()]
+            return pa.Table.from_pylist(rows)
+
+        def new_pages(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                if i % 5 != 0:  # removed pages never reappear
+                    text = (r["text"] or "")
+                    if i % 3 == 0:
+                        text += " v2"
+                    rows.append({
+                        "url": f"HTTPS://c.example:443/d/doc-{i}",
+                        "text": text,
+                    })
+                if i % 7 == 0:
+                    rows.append({"url": f"https://c.example/new/doc-{i}",
+                                 "text": f"new page {i}"})
+            return pa.Table.from_pylist(rows)
+
+        old_ds = docs.map_batches(old_pages, batch_format="pyarrow")
+        new_ds = docs.map_batches(new_pages, batch_format="pyarrow")
+        return crawl_diff(old_ds, new_ds, num_partitions=8)
+
     def wet_pages_roundtrip(sf_dir: str):
         """WARC/WET archive source (sources/warc.py): documents →
         deterministic per-record-gzipped WET shards on disk → streamed
@@ -6068,6 +6110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
         "docs_wet_export": docs_wet_export,
+        "pages_crawl_diff": pages_crawl_diff,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6398,6 +6441,19 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents
             WHERE lang = 'en'
+        """,
+        # incremental-crawl diff: replay the snapshot arithmetic
+        "pages_crawl_diff": """
+            SELECT 'https://c.example/d/doc-' || CAST(doc_id AS VARCHAR)
+                       AS canonical_url,
+                   CASE WHEN doc_id % 5 = 0 THEN 'removed'
+                        WHEN doc_id % 3 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            UNION ALL
+            SELECT 'https://c.example/new/doc-' || CAST(doc_id AS VARCHAR),
+                   'added'
+            FROM documents WHERE doc_id % 7 = 0
         """,
         # WET export manifest: replay the md5(url) shard assignment
         "docs_wet_export": """

@@ -269,3 +269,54 @@ def dedup_recrawls(ds, url_col: str = "url", ts_col: str = "warc_ts",
     derived = ds.map_batches(derive, batch_format="pyarrow")
     return grouped_apply(derived, ["canonical_url"], keep_latest,
                          num_partitions=num_partitions)
+
+
+def crawl_diff(old_ds, new_ds, url_col: str = "url",
+               text_col: str = "text", num_partitions: int = 64):
+    """Diff two crawl snapshots by CANONICAL url + content fingerprint:
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (both, md5(text) differs), ``unchanged``. The incremental-crawl
+    primitive: re-process only ``added`` + ``changed`` pages instead of
+    the whole snapshot.
+
+    Each side derives (canonical_url, md5 fingerprint, side tag)
+    map-side; ONE hash-partition exchange on canonical_url co-locates a
+    url's two sides; the per-partition compare is a vectorized pandas
+    index-align. Inputs are expected url-unique per side (apply
+    :func:`dedup_recrawls` first if a side may carry re-captures).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def derive(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            canon = canonical_urls(batch.column(url_col))
+            fp = [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in batch.column(text_col).to_pylist()]
+            return pa.table({
+                "canonical_url": canon,
+                "fp": pa.array(fp, pa.string()),
+                "side": pa.array([side] * batch.num_rows, pa.int8()),
+            })
+        return fn
+
+    union = (old_ds.map_batches(derive(0), batch_format="pyarrow")
+             .union(new_ds.map_batches(derive(1), batch_format="pyarrow")))
+
+    def diff(pdf: pd.DataFrame) -> pd.DataFrame:
+        old = pdf[pdf.side == 0].set_index("canonical_url").fp
+        new = pdf[pdf.side == 1].set_index("canonical_url").fp
+        both = old.index.union(new.index)
+        o = old.reindex(both)
+        n = new.reindex(both)
+        status = np.where(
+            n.isna(), "removed",
+            np.where(o.isna(), "added",
+                     np.where(o != n, "changed", "unchanged")))
+        return pd.DataFrame({"canonical_url": both, "status": status})
+
+    return grouped_apply(union, ["canonical_url"], diff,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")

@@ -238,3 +238,35 @@ class TestRecrawlDedup:
         out = dedup_recrawls(ray.data.from_items(rows)).take_all()
         assert len(out) == 1
         assert out[0]["url"] == "https://a.com/p?id=1&utm_a=1"
+
+
+class TestCrawlDiff:
+    def test_all_statuses(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            crawl_diff,
+        )
+
+        old = ray.data.from_items([
+            # same canonical url re-captured under different decorations
+            {"url": "https://a.com/keep?utm_x=1", "text": "same"},
+            {"url": "https://a.com/edit#frag", "text": "before"},
+            {"url": "https://a.com/gone", "text": "bye"},
+        ])
+        new = ray.data.from_items([
+            {"url": "HTTPS://a.com:443/keep", "text": "same"},
+            {"url": "https://a.com/edit", "text": "after"},
+            {"url": "https://a.com/fresh", "text": "hi"},
+        ])
+        for parts in (1, 3):
+            got = {r["canonical_url"]: r["status"]
+                   for r in crawl_diff(old.repartition(parts),
+                                       new.repartition(parts),
+                                       num_partitions=4).take_all()}
+            assert got == {
+                "https://a.com/keep": "unchanged",
+                "https://a.com/edit": "changed",
+                "https://a.com/gone": "removed",
+                "https://a.com/fresh": "added",
+            }
