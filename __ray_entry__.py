@@ -485,6 +485,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         new_ds = docs.map_batches(new_pages, batch_format="pyarrow")
         return crawl_diff(old_ds, new_ds, num_partitions=8)
 
+    def docs_lang_rebalanced(sf_dir: str):
+        """Measure→act mix rebalancing (pipelines/clean.
+        rebalance_to_target): downsample per language so the surviving
+        corpus is 50% en / 12.5% each of de-fr-es-zh, keeping the
+        maximum corpus the targets allow. The oracle recomputes the
+        group counts, the binding group, the per-group rates and the
+        md5 thresholding entirely in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            rebalance_to_target,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+        targets = {"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125,
+                   "zh": 0.125}
+        return rebalance_to_target(docs, "lang", targets)
+
     def wet_pages_roundtrip(sf_dir: str):
         """WARC/WET archive source (sources/warc.py): documents →
         deterministic per-record-gzipped WET shards on disk → streamed
@@ -6111,6 +6127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_line_filtered": docs_c4_line_filtered,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
+        "docs_lang_rebalanced": docs_lang_rebalanced,
         "kg_chunks": kg_chunks,
         "kg_terms": kg_terms,
         "kg_term_nodes": kg_term_nodes,
@@ -6441,6 +6458,27 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents
             WHERE lang = 'en'
+        """,
+        # mix rebalancing: recompute counts, the binding group, rates
+        # and the md5 thresholding — all in SQL, same float order
+        "docs_lang_rebalanced": """
+            WITH t(lang, share) AS (
+                VALUES ('en', 0.5), ('de', 0.125), ('fr', 0.125),
+                       ('es', 0.125), ('zh', 0.125)
+            ), counts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), k AS (
+                SELECT min(n / share) AS kk
+                FROM counts JOIN t USING (lang)
+            ), rates AS (
+                SELECT lang, (share * kk) / n AS rate
+                FROM counts JOIN t USING (lang), k
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r USING (lang)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT)
+                      / 4294967296.0 < r.rate
         """,
         # incremental-crawl diff: replay the snapshot arithmetic
         "pages_crawl_diff": """

@@ -466,3 +466,50 @@ def c4_line_filter(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rebalance_to_target(ds, group_col: str, targets: dict[str, float],
+                        id_col: str = "doc_id"):
+    """Measure→act training-mix rebalancing: downsample each group so
+    the SURVIVING corpus matches a target share distribution (e.g.
+    rebalance languages to 50% en / 12.5% each of de-fr-es-zh) while
+    keeping as many documents as possible.
+
+    Phase 1 (measure): one grouped count — the exchange carries one row
+    per group; the driver folds a #groups-bounded table. The largest
+    achievable corpus is ``K = min_g(n_g / target_g)``; each group's
+    keep rate is ``target_g * K / n_g`` (≤ 1 by construction, with the
+    binding group kept whole). Groups absent from ``targets`` drop.
+
+    Phase 2 (act): map-side deterministic hash thresholding — a row
+    survives iff ``md5(id)``'s first 8 hex digits, read as a uniform in
+    [0,1), fall below its group's rate. No RNG state, reproducible
+    under any partitioning, and expected shares hit the target exactly.
+    md5 per row is for DuckDB-oracle parity (the clean.py sampling
+    precedent); production would ride the vectorized shuffle hash.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    counts = {r[group_col]: r["n"]
+              for r in ds.groupby(group_col)
+                         .aggregate(Count(alias_name="n")).take_all()
+              if r[group_col] in targets}
+    if not counts:
+        return ds.filter(lambda row: False)
+    biggest = min(counts[g] / targets[g] for g in counts)
+    rates = {g: targets[g] * biggest / counts[g] for g in counts}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        groups = batch.column(group_col).to_pylist()
+        mask = [
+            g in rates
+            and int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            / 2**32 < rates[g]
+            for i, g in zip(ids, groups)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -199,3 +199,35 @@ class TestC4LineFilter:
         assert out[1]["text"] == "\n".join([good, good, good])
         assert out[1]["n_lines"] == 3
         assert out[5]["n_lines"] == 3
+
+
+class TestRebalanceToTarget:
+    def test_binding_group_kept_whole_and_mix_hits_target(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            rebalance_to_target,
+        )
+
+        rows = ([{"doc_id": i, "lang": "en"} for i in range(100)]
+                + [{"doc_id": 1000 + i, "lang": "de"} for i in range(900)]
+                + [{"doc_id": 5000 + i, "lang": "xx"} for i in range(50)])
+        targets = {"en": 0.5, "de": 0.5}
+        for parts in (1, 6):
+            ds = ray.data.from_items(rows).repartition(parts)
+            out = rebalance_to_target(ds, "lang", targets).take_all()
+            by_lang = {}
+            for r in out:
+                by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+            # en binds (100/0.5 = 200 < 900/0.5): kept whole
+            assert len(by_lang["en"]) == 100
+            # de downsamples toward 100 (hash thresholding: expected
+            # value 100, binomial spread)
+            assert 70 <= len(by_lang["de"]) <= 130
+            # untargeted groups drop entirely
+            assert "xx" not in by_lang
+        # deterministic: same survivors on a rerun
+        again = rebalance_to_target(
+            ray.data.from_items(rows), "lang", targets).take_all()
+        assert {r["doc_id"] for r in again} == {
+            i for s in by_lang.values() for i in s}
