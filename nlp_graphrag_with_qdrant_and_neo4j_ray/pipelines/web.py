@@ -103,7 +103,10 @@ def registrable_domains(hosts: pa.Array) -> pa.Array:
     d3 = pc.struct_field(last3, "d")
     is_multi = pc.is_in(d2, value_set=pa.array(MULTI_LABEL_SUFFIXES))
     picked = pc.if_else(pc.and_kleene(is_multi, pc.is_valid(d3)), d3, d2)
-    return pc.if_else(pc.is_valid(d2), picked, hosts)
+    # IP-literal hosts have no registrable domain — pass through whole
+    is_ip = pc.match_substring_regex(hosts, r"^\d{1,3}(\.\d{1,3}){3}$")
+    keep_whole = pc.or_kleene(is_ip, pc.is_null(d2))
+    return pc.if_else(pc.fill_null(keep_whole, True), hosts, picked)
 
 
 def url_hosts(urls: pa.Array) -> pa.Array:

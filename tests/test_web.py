@@ -270,3 +270,8 @@ class TestCrawlDiff:
                 "https://a.com/gone": "removed",
                 "https://a.com/fresh": "added",
             }
+
+
+def test_ip_hosts_pass_through():
+    out = registrable_domains(pa.array(["192.168.0.1", "10.0.0.2"]))
+    assert out.to_pylist() == ["192.168.0.1", "10.0.0.2"]
