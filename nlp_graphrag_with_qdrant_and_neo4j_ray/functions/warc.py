@@ -71,7 +71,13 @@ def encode_warc_record(warc_type: str, headers: dict[str, str],
     fields = {"WARC-Type": warc_type, **headers,
               "Content-Length": str(len(body))}
     for k, v in fields.items():
-        out += [k.encode("ascii"), b": ", str(v).encode("utf-8"), _CRLF]
+        v = str(v)
+        if any(c in v for c in "\r\n\x00"):
+            # a CR/LF in a header value would let a hostile url inject
+            # records/headers into the archive — refuse loudly
+            raise ValueError(
+                f"WARC header {k} contains control characters: {v!r}")
+        out += [k.encode("ascii"), b": ", v.encode("utf-8"), _CRLF]
     out += [_CRLF, body, _CRLF, _CRLF]
     return b"".join(out)
 

@@ -277,3 +277,44 @@ class TestRaySource:
             .take_all()
         )
         assert {d["doc_id"]: d["text"] for d in docs} == texts
+
+
+class TestProperties:
+    def test_header_injection_refused(self):
+        with pytest.raises(ValueError, match="control characters"):
+            encode_warc_record(
+                "conversion",
+                {"WARC-Target-URI": "https://x/a\r\nWARC-Type: evil"},
+                b"",
+            )
+
+    def test_wet_roundtrip_property(self):
+        """decode(encode(rows)) == rows for adversarial text — including
+        bodies that CONTAIN 'WARC/1.0' version lines, blank-line runs
+        and partial records (Content-Length framing makes body content
+        inert)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        sane_url = st.from_regex(
+            r"https://[a-z]{1,8}\.example/[A-Za-z0-9._~%/-]{0,24}",
+            fullmatch=True)
+        body_text = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=400,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(
+            st.tuples(sane_url, body_text), min_size=1, max_size=5))
+        def prop(items):
+            rows = [{"url": u, "warc_ts": TS,
+                     "text": t + "\r\n\r\nWARC/1.0\r\nContent-Length: 3",
+                     "lang": "en"}
+                    for u, t in items]
+            recs = _parse_all(encode_wet_pages(rows))
+            pages = [p for h, b in recs if (p := record_to_page(h, b))]
+            assert [(p["url"], p["text"]) for p in pages] == [
+                (r["url"], r["text"]) for r in rows]
+
+        prop()
