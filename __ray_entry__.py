@@ -404,6 +404,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "n_lines"],
         )
 
+    def docs_gopher_quality(sf_dir: str):
+        """Gopher doc-level quality rules (pipelines/clean.gopher_quality
+        — Rae et al. 2021, Appendix A1.1) over deterministically
+        synthesized pages: doc_id % 8 picks a variant failing exactly
+        one rule (too few words / low alpha fraction / symbol-heavy /
+        all-bullet lines / ellipsis lines / 21-char mean words / no
+        stopwords) or passing all seven. The oracle rebuilds the same
+        pages and recomputes every signal with DuckDB list kernels."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            gopher_quality,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        line = ("the quick brown fox jumps over a lazy dog and then "
+                "that dog will have a quiet rest with friends today")
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            for i in batch.column("doc_id").to_pylist():
+                i = int(i)
+                v = i % 8
+                if v == 0:
+                    t = "Just a few words here."
+                elif v == 1:
+                    t = "\n".join([line, line, ("12345 " * 21).strip()])
+                elif v == 2:
+                    t = "\n".join([line, line, line,
+                                   ("# " * 8).strip()])
+                elif v == 3:
+                    t = "\n".join(["- " + line] * 3)
+                elif v == 4:
+                    t = "\n".join([line + "...", line + "...", line])
+                elif v == 5:
+                    t = ("the and that have with of to be "
+                         + "pneumonoultramicroscopic " * 52).strip()
+                elif v == 6:
+                    t = ("zebra mango guitar piano velvet copper "
+                         "meadow lantern " * 8).strip()
+                else:
+                    t = "\n".join([line, line, line])
+                ids.append(i)
+                texts.append(t)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.large_string())})
+
+        return gopher_quality(
+            docs.map_batches(synth, batch_format="pyarrow"))
+
     def docs_wet_export(sf_dir: str):
         """Archive EXPORT (pipelines/shards.write_wet_archives): publish
         the documents table as resumable WET archives — the writer twin
@@ -6125,6 +6173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
+        "docs_gopher_quality": docs_gopher_quality,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
         "docs_lang_rebalanced": docs_lang_rebalanced,
@@ -6647,6 +6696,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(kept) >= 3
               AND NOT contains(lower(t), 'lorem ipsum')
               AND NOT contains(t, '{')
+        """,
+        "docs_gopher_quality": r"""
+            WITH l AS (
+              SELECT 'the quick brown fox jumps over a lazy dog and '
+                  || 'then that dog will have a quiet rest with '
+                  || 'friends today' AS ln
+            ), synth AS (
+              SELECT d.doc_id,
+                CASE d.doc_id % 8
+                  WHEN 0 THEN 'Just a few words here.'
+                  WHEN 1 THEN ln || chr(10) || ln || chr(10)
+                      || trim(repeat('12345 ', 21))
+                  WHEN 2 THEN ln || chr(10) || ln || chr(10) || ln
+                      || chr(10) || trim(repeat('# ', 8))
+                  WHEN 3 THEN '- ' || ln || chr(10) || '- ' || ln
+                      || chr(10) || '- ' || ln
+                  WHEN 4 THEN ln || '...' || chr(10) || ln || '...'
+                      || chr(10) || ln
+                  WHEN 5 THEN trim('the and that have with of to be '
+                      || repeat('pneumonoultramicroscopic ', 52))
+                  WHEN 6 THEN trim(repeat('zebra mango guitar piano '
+                      || 'velvet copper meadow lantern ', 8))
+                  ELSE ln || chr(10) || ln || chr(10) || ln
+                END AS t
+              FROM documents d, l
+            ), w AS (
+              SELECT doc_id, t,
+                     list_filter(string_split_regex(t, '\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(t, chr(10)) AS lines
+              FROM synth
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                round(list_sum(list_transform(words,
+                    x -> CAST(length(x) AS DOUBLE)))
+                    / greatest(len(words), 1), 6) AS mean_word_len,
+                round((
+                    (length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) / 3
+                    + (length(t) - length(replace(t, '…', '')))
+                  ) / CAST(greatest(len(words), 1) AS DOUBLE),
+                  6) AS symbol_ratio,
+                round(len(list_filter(lines, x ->
+                    regexp_matches(x, '^(• |- |\* )')))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE),
+                    6) AS bullet_frac,
+                round(len(list_filter(lines, x ->
+                    regexp_matches(x, '(\.\.\.|…)$')))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE),
+                    6) AS ellipsis_frac,
+                round(len(list_filter(words, x ->
+                    regexp_matches(x, '[A-Za-z]')))
+                    / CAST(greatest(len(words), 1) AS DOUBLE),
+                    6) AS alpha_frac,
+                CAST(len(list_distinct(list_transform(
+                    list_filter(words, x -> list_contains(
+                        ['the','be','to','of','and','that','have',
+                         'with'], lower(x))),
+                    x -> lower(x)))) AS BIGINT) AS n_stopwords
+              FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, alpha_frac, n_stopwords,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3.0 AND 10.0
+                        AND symbol_ratio <= 0.1
+                        AND bullet_frac < 0.9
+                        AND ellipsis_frac < 0.3
+                        AND alpha_frac >= 0.8
+                        AND n_stopwords >= 2 AS BIGINT) AS keep
+            FROM s
         """,
         "ws_token_counts": r"""
             SELECT doc_id,

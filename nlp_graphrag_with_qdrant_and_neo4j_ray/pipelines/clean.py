@@ -468,6 +468,130 @@ def c4_line_filter(ds, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+_BULLET_RE = r"^(• |- |\* )"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def gopher_quality(ds, id_col: str = "doc_id", text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_frac: float = 0.8,
+                   min_stopwords: int = 2):
+    """Gopher doc-level quality rules (Rae et al. 2021, Appendix A1.1
+    — the published spec): keep a document iff its whitespace word
+    count is in [min_words, max_words], mean word length in
+    [min_mean_word_len, max_mean_word_len], symbol-to-word ratio
+    (``#`` + ``...``/``…`` occurrences per word) ≤ max_symbol_ratio,
+    < max_bullet_frac of lines start with a bullet, < max_ellipsis_frac
+    of lines end with an ellipsis, ≥ min_alpha_frac of words contain an
+    alphabetic character, and ≥ min_stopwords DISTINCT words from the
+    canonical 8-stopword set appear.  The complement of the C4 LINE
+    rules above — these are document-level signals.
+
+    Pure stateless map stage; the kernel is flatten + ``np.bincount``
+    folds (no per-row Python).  Fractions round half-away-from-zero to
+    6 digits and ``keep`` is judged on the ROUNDED values, both for
+    DuckDB-oracle parity.  Output per input doc: ``(id_col,
+    n_words:int64, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac:float64, n_stopwords:int64,
+    keep:int64)``."""
+
+    def signals(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        texts = pc.fill_null(batch.column(text_col), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+
+        words_list = pc.split_pattern_regex(texts, r"\s+")
+        wlens = pc.list_value_length(words_list).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        wdoc = np.repeat(np.arange(n), wlens)
+        words = pc.list_flatten(words_list)
+        nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        wd = wdoc[nonempty]
+        n_words = np.bincount(wd, minlength=n).astype(np.int64)
+        chars = pc.utf8_length(words).to_numpy(
+            zero_copy_only=False).astype(np.float64)[nonempty]
+        total_chars = np.bincount(wd, weights=chars, minlength=n)
+        alpha = pc.match_substring_regex(words, "[A-Za-z]").to_numpy(
+            zero_copy_only=False).astype(np.float64)[nonempty]
+        alpha_words = np.bincount(wd, weights=alpha, minlength=n)
+
+        sw_idx = pc.index_in(
+            pc.utf8_lower(words),
+            value_set=pa.array(list(_GOPHER_STOPWORDS)),
+        ).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(sw_idx)
+        keys = np.unique(wdoc[hit] * 8 + sw_idx[hit].astype(np.int64))
+        n_stop = np.bincount(keys // 8, minlength=n).astype(np.int64)
+
+        lines_list = pc.split_pattern(texts, "\n")
+        llens = pc.list_value_length(lines_list).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ldoc = np.repeat(np.arange(n), llens)
+        lines = pc.list_flatten(lines_list)
+        n_lines = np.maximum(np.bincount(ldoc, minlength=n), 1)
+        bullet = pc.match_substring_regex(lines, _BULLET_RE).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ellip = pc.match_substring_regex(lines, _ELLIPSIS_RE).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        bullet_lines = np.bincount(ldoc, weights=bullet, minlength=n)
+        ellip_lines = np.bincount(ldoc, weights=ellip, minlength=n)
+
+        symbols = (
+            pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+            + pc.count_substring(texts, "...").to_numpy(
+                zero_copy_only=False)
+            + pc.count_substring(texts, "…").to_numpy(
+                zero_copy_only=False)
+        ).astype(np.float64)
+
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        rnd = lambda num, den: pc.round(  # noqa: E731
+            pa.array(num / den, pa.float64()), 6,
+            round_mode="half_towards_infinity",
+        )
+        mean_len = rnd(total_chars, denom)
+        sym_ratio = rnd(symbols, denom)
+        bullet_frac = rnd(bullet_lines, n_lines.astype(np.float64))
+        ellip_frac = rnd(ellip_lines, n_lines.astype(np.float64))
+        alpha_frac = rnd(alpha_words, denom)
+
+        ml = mean_len.to_numpy(zero_copy_only=False)
+        keep = (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (ml >= min_mean_word_len) & (ml <= max_mean_word_len)
+            & (sym_ratio.to_numpy(zero_copy_only=False)
+               <= max_symbol_ratio)
+            & (bullet_frac.to_numpy(zero_copy_only=False)
+               < max_bullet_frac)
+            & (ellip_frac.to_numpy(zero_copy_only=False)
+               < max_ellipsis_frac)
+            & (alpha_frac.to_numpy(zero_copy_only=False)
+               >= min_alpha_frac)
+            & (n_stop >= min_stopwords)
+        )
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "mean_word_len": mean_len,
+            "symbol_ratio": sym_ratio,
+            "bullet_frac": bullet_frac,
+            "ellipsis_frac": ellip_frac,
+            "alpha_frac": alpha_frac,
+            "n_stopwords": pa.array(n_stop),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+    return ds.map_batches(signals, batch_format="pyarrow")
+
+
 def rebalance_to_target(ds, group_col: str, targets: dict[str, float],
                         id_col: str = "doc_id"):
     """Measure→act training-mix rebalancing: downsample each group so
