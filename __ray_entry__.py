@@ -452,6 +452,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return gopher_quality(
             docs.map_batches(synth, batch_format="pyarrow"))
 
+    def docs_paragraph_dedup(sf_dir: str):
+        """Corpus-wide exact paragraph dedup
+        (pipelines/dedup.paragraph_dedup — RefinedWeb/CCNet practice)
+        over synthesized multi-paragraph pages: every doc carries a
+        shared boilerplate paragraph (and doc_id%3 adds a shared
+        copyright one, doc_id%5 a whitespace-only one, doc_id%7 docs
+        are boilerplate-ONLY so all but the first drop entirely). The
+        oracle replays split → first-occurrence-by-(doc_id,para_idx) →
+        ordered reassembly with window functions."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            paragraph_dedup,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        b = "Subscribe to our newsletter for daily updates."
+        d = "Copyright notice all rights reserved."
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            for i in batch.column("doc_id").to_pylist():
+                i = int(i)
+                if i % 7 == 0:
+                    t = "\n\n".join([b, d])
+                else:
+                    paras = [f"Unique opening paragraph number {i}.",
+                             b,
+                             f"Unique closing paragraph number {i}."]
+                    if i % 3 == 0:
+                        paras.append(d)
+                    if i % 5 == 0:
+                        paras.append("")
+                    t = "\n\n".join(paras)
+                ids.append(i)
+                texts.append(t)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.large_string())})
+
+        return paragraph_dedup(
+            docs.map_batches(synth, batch_format="pyarrow"))
+
     def docs_wet_export(sf_dir: str):
         """Archive EXPORT (pipelines/shards.write_wet_archives): publish
         the documents table as resumable WET archives — the writer twin
@@ -6174,6 +6214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
         "docs_gopher_quality": docs_gopher_quality,
+        "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
         "docs_lang_rebalanced": docs_lang_rebalanced,
@@ -6696,6 +6737,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(kept) >= 3
               AND NOT contains(lower(t), 'lorem ipsum')
               AND NOT contains(t, '{')
+        """,
+        "docs_paragraph_dedup": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN
+                  'Subscribe to our newsletter for daily updates.'
+                  || chr(10) || chr(10)
+                  || 'Copyright notice all rights reserved.'
+                ELSE
+                  'Unique opening paragraph number '
+                  || CAST(doc_id AS VARCHAR) || '.'
+                  || chr(10) || chr(10)
+                  || 'Subscribe to our newsletter for daily updates.'
+                  || chr(10) || chr(10)
+                  || 'Unique closing paragraph number '
+                  || CAST(doc_id AS VARCHAR) || '.'
+                  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10)
+                       || 'Copyright notice all rights reserved.'
+                     ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10)
+                     ELSE '' END
+                END AS t
+              FROM documents
+            ), sp AS (
+              SELECT doc_id,
+                     string_split(t, chr(10) || chr(10)) AS paras
+              FROM synth
+            ), p AS (
+              SELECT doc_id, i - 1 AS para_idx, paras[i] AS para
+              FROM (SELECT doc_id, paras,
+                           unnest(generate_series(1, len(paras))) AS i
+                    FROM sp)
+              WHERE trim(paras[i],
+                         ' ' || chr(9) || chr(10) || chr(13)) <> ''
+            ), w AS (
+              SELECT doc_id, para_idx, para,
+                     row_number() OVER (PARTITION BY para
+                         ORDER BY doc_id, para_idx) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n_in
+              FROM p
+            )
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10)
+                              ORDER BY para_idx) AS text,
+                   CAST(max(n_in) AS BIGINT) AS n_paras_in,
+                   CAST(count(*) AS BIGINT) AS n_paras_kept
+            FROM w
+            WHERE rn = 1
+            GROUP BY doc_id
         """,
         "docs_gopher_quality": r"""
             WITH l AS (

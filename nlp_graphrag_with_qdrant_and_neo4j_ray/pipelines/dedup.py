@@ -1180,3 +1180,91 @@ def dedup_eval(pred_pairs, true_pairs, a_col: str = "doc_a",
         "recall": pa.array([round(rec, 6)], pa.float64()),
         "f1": pa.array([round(f1, 6)], pa.float64()),
     }))
+
+
+def paragraph_dedup(docs_ds, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n\n",
+                    num_partitions: int = 64):
+    """Corpus-wide exact PARAGRAPH dedup (the RefinedWeb / CCNet
+    curation practice): split every document on ``sep``, keep each
+    distinct paragraph's FIRST occurrence (lexicographic min of
+    ``(doc_id, para_idx)``) and remove every later copy, then
+    reassemble documents from their surviving paragraphs in original
+    order.  Paragraphs empty after trimming ``" \\t\\n\\r"`` are
+    dropped outright; documents left with zero paragraphs drop.
+
+    Emits one row per surviving document: ``(id_col, text_col,
+    n_paras_in:int64, n_paras_kept:int64)`` where ``n_paras_in``
+    counts the doc's non-empty paragraphs before dedup.
+
+    Scale shape (100 TB): explode is a pure vectorized map (Arrow
+    split + flatten, ``np.bincount`` folds); then exactly two hash
+    exchanges — (1) co-locate by exact paragraph text, per-partition
+    vectorized first-occurrence filter (a stable lexsort + first-dup
+    mask, no per-group Python), (2) re-group survivors by document for
+    the ordered rejoin.  Paragraph text must ride exchange (1) anyway
+    (the survivor's text is needed for reassembly), so there is no
+    separate hash leg; a hot paragraph (site-wide boilerplate) lands
+    on one partition but its per-row work is linear and the winner
+    filter shrinks it to one row.  No driver-side materialization.
+    Reference has no counterpart (training-data curation surface).
+    """
+    from ..stages.shuffle import grouped_apply
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out_schema = pa.schema([
+            batch.schema.field(id_col),
+            pa.field("para_idx", pa.int64()),
+            pa.field("para", pa.large_string()),
+            pa.field("n_paras_in", pa.int64()),
+        ])
+        if n == 0:
+            return out_schema.empty_table()
+        texts = pc.fill_null(batch.column(text_col), "")
+        paras = pc.split_pattern(texts, sep)
+        lens = pc.list_value_length(paras).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        didx = np.repeat(np.arange(n), lens)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pidx = np.arange(didx.shape[0]) - np.repeat(offs, lens)
+        flat = pc.list_flatten(paras)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(
+            pc.utf8_trim(flat, " \t\n\r"), "").to_numpy(
+            zero_copy_only=False)
+        n_in = np.bincount(
+            didx, weights=keep.astype(np.float64), minlength=n
+        ).astype(np.int64)
+        tbl = pa.table({
+            id_col: batch.column(id_col).take(pa.array(didx)),
+            "para_idx": pa.array(pidx),
+            "para": flat.cast(pa.large_string()),
+            "n_paras_in": pa.array(n_in[didx]),
+        })
+        return tbl.filter(pa.array(keep))
+
+    def first_occurrence(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["para", id_col, "para_idx"],
+                              kind="mergesort")
+        return pdf[~pdf["para"].duplicated()]
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, "para_idx"], kind="mergesort")
+        g = pdf.groupby(id_col, sort=False)
+        out = g.agg(
+            __text=("para", sep.join),
+            n_paras_in=("n_paras_in", "first"),
+            n_paras_kept=("para", "size"),
+        ).reset_index()
+        return out.rename(columns={"__text": text_col})[
+            [id_col, text_col, "n_paras_in", "n_paras_kept"]]
+
+    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+    winners = grouped_apply(exploded, ["para"], first_occurrence,
+                            num_partitions=num_partitions,
+                            batch_format="pandas")
+    return grouped_apply(winners, [id_col], rebuild,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")
