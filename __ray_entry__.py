@@ -4831,6 +4831,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return unigram_logprob(docs, num_partitions=16)
 
+    def docs_ppl_buckets(sf_dir: str):
+        """CCNet per-language perplexity terciles
+        (pipelines/textstats.ccnet_ppl_buckets — Wenzek et al. 2020):
+        unigram-LM score per doc, then equal-size head/middle/tail
+        NTILE(3) within each language by descending mean log-prob. The
+        oracle composes the unigram-logprob SQL with a window ntile."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            ccnet_ppl_buckets,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "lang"]
+        )
+        return ccnet_ppl_buckets(docs, num_partitions=16)
+
     def docs_tfidf_top_terms(sf_dir: str):
         """Per-document top-3 terms by TF-IDF (sklearn smooth idf) —
         keyword extraction. tf never shuffles (exact within the doc's
@@ -6362,6 +6377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_training_shards": docs_training_shards,
         "events_tumbling_counts": events_tumbling_counts,
         "docs_unigram_logprob": docs_unigram_logprob,
+        "docs_ppl_buckets": docs_ppl_buckets,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -8074,6 +8090,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY event_type, win
+        """,
+        "docs_ppl_buckets": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT count(*) AS total FROM tok),
+            s AS (
+                SELECT tok.doc_id,
+                       round(avg(log2(c.c / tot.total)), 6)
+                           AS mean_logprob
+                FROM tok JOIN c USING (tok) CROSS JOIN tot
+                GROUP BY tok.doc_id
+            ),
+            t AS (
+                SELECT s.doc_id, d.lang, s.mean_logprob,
+                       ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.mean_logprob, s.doc_id) AS tile
+                FROM s JOIN documents d USING (doc_id)
+            )
+            SELECT lang, mean_logprob, doc_id,
+                   CASE tile WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+                        ELSE 'head' END AS ppl_bucket
+            FROM t
         """,
         "docs_unigram_logprob": """
             WITH tok AS (

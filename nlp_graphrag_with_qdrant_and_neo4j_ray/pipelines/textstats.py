@@ -591,3 +591,46 @@ def bigram_logprob(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         [id_col], mean_reduce, num_partitions=num_partitions,
         batch_format="pyarrow",
     )
+
+
+def ccnet_ppl_buckets(docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text", lang_col: str = "lang",
+                      num_partitions: int = 64):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): score every document with the corpus unigram LM
+    (:func:`unigram_logprob`), then split each LANGUAGE's documents
+    into equal-size head / middle / tail terciles by ascending
+    perplexity — descending mean log-probability, ties by document id
+    (exact SQL ``NTILE(3)`` semantics via ``relational.window_ntile``).
+    ``head`` is the third of a language's documents the LM finds most
+    fluent — the slice CCNet keeps for training.
+
+    Scale shape: ``unigram_logprob``'s token-keyed exchanges, ONE
+    doc-keyed co-partitioned join to re-attach the language, and the
+    per-language ntile exchange — each language's rows land in one
+    partition (languages are few and near-balanced on web corpora; a
+    corpus-global tercile would instead need an order-statistic
+    cutoff pass).  Output: ``(lang, mean_logprob, id_col,
+    ppl_bucket)`` — one row per scored document."""
+    import pyarrow.compute as pc
+
+    from .relational import inner_join, window_ntile
+
+    scores = unigram_logprob(docs_ds, id_col, text_col,
+                             num_partitions=num_partitions)
+    langs = docs_ds.map_batches(
+        lambda b: b.select([id_col, lang_col]), batch_format="pyarrow"
+    )
+    joined = inner_join(scores, langs, id_col, id_col,
+                        [id_col, lang_col],
+                        num_partitions=num_partitions)
+    tiled = window_ntile(joined, [lang_col], "mean_logprob", 3,
+                         tie_col=id_col, num_partitions=num_partitions)
+    names = pa.array(["tail", "middle", "head"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        idx = pc.subtract(pc.cast(batch.column("tile"), pa.int64()), 1)
+        return batch.drop_columns(["tile"]).append_column(
+            "ppl_bucket", pc.take(names, idx))
+
+    return tiled.map_batches(label, batch_format="pyarrow")
