@@ -307,6 +307,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_link_graph(_linked_pages(sf_dir))
 
+    def web_anchor_texts(sf_dir: str):
+        """Anchor-text aggregation per destination domain
+        (pipelines/web.anchor_text_counts): each planted page carries
+        an absolute link whose anchor markup needs tag-stripping and
+        whitespace-collapsing, a relative link resolving to its own
+        host, and noise anchors (mailto:, #fragment) that must drop.
+        The oracle replays the planted arithmetic; the Ray side
+        genuinely parses the HTML."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            anchor_text_counts,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                t = (i * 3 + 1) % 10
+                html = (
+                    f"<html><body><p>page {i}</p>"
+                    f'<a href="https://site{t}.com/p" rel="nofollow">'
+                    f"<b>Read</b>\n  more {i % 4}</a>"
+                    "<a href='/about'>About  Us</a>"
+                    '<a href="#top">skip</a>'
+                    '<a href="mailto:x@y">ignore</a>'
+                    "</body></html>"
+                ).encode()
+                rows.append({"url": f"https://site{i % 10}.com/d/{i}",
+                             "html": html})
+            return pa.Table.from_pylist(rows)
+
+        return anchor_text_counts(
+            docs.map_batches(mk, batch_format="pyarrow"))
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6225,6 +6260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_counts": pages_domain_counts,
         "docs_domain_capped": docs_domain_capped,
         "web_host_link_graph": web_host_link_graph,
+        "web_anchor_texts": web_anchor_texts,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6667,6 +6703,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "web_anchor_texts": """
+            WITH e AS (
+              SELECT 'site' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR)
+                         || '.com' AS dst_domain,
+                     'Read more ' || CAST(doc_id % 4 AS VARCHAR)
+                         AS anchor
+              FROM documents
+              UNION ALL
+              SELECT 'site' || CAST(doc_id % 10 AS VARCHAR) || '.com',
+                     'About Us'
+              FROM documents
+            )
+            SELECT dst_domain, anchor, count(*) AS n_links
+            FROM e GROUP BY 1, 2
+        """,
         "web_host_link_graph": """
             WITH n AS (SELECT count(*) AS total FROM documents),
             d AS (SELECT doc_id,

@@ -84,3 +84,34 @@ def extract_links(raw: bytes, base_url: str) -> list[str]:
         if url.startswith(("http://", "https://")):
             out.append(url)
     return out
+
+
+_ANCHOR = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)')[^>]*>(.*?)</a>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_INNER_TAG = re.compile(r"<[^>]+>")
+_ANCHOR_WS = re.compile(r"\s+")
+
+
+def extract_anchor_texts(raw: bytes, base_url: str) -> list[tuple[str, str]]:
+    """``(target_url, anchor_text)`` pairs of an HTML capture — the
+    visible text of each link, with inner markup stripped and
+    whitespace collapsed (image-only anchors keep ``""``).  Same href
+    resolution and noise-scheme filtering as :func:`extract_links`;
+    anchors without a closing tag are skipped (the href-only scan above
+    stays the authority for link EDGES)."""
+    from urllib.parse import urljoin
+
+    doc = decode_html(raw)
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR.finditer(doc):
+        href = (m.group(1) or m.group(2) or "").strip()
+        if not href or href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        url = urljoin(base_url, href)
+        if not url.startswith(("http://", "https://")):
+            continue
+        text = _ANCHOR_WS.sub(" ", _INNER_TAG.sub("", m.group(3))).strip()
+        out.append((url, text))
+    return out

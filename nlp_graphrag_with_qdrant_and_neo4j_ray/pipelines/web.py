@@ -214,6 +214,40 @@ def extract_link_edges(ds, url_col: str = "url", html_col: str = "html"):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def anchor_text_counts(ds, url_col: str = "url", html_col: str = "html"):
+    """pages → ``(dst_domain, anchor, n_links)`` — how the web DESCRIBES
+    each target: anchor-text aggregation per registrable destination
+    domain, the classic target-side relevance/alias signal (search
+    ranking, KG alias mining — the web-scale sibling of the
+    entity-linker's alias dictionary).  Extraction and domain mapping
+    are map stages; the only exchange is the final pre-combined
+    two-key groupby.  Empty-text anchors (image links) aggregate under
+    ``""``."""
+    from ray.data.aggregate import Count
+
+    from ..functions.html import extract_anchor_texts
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dst: list[str] = []
+        txt: list[str] = []
+        for u, h in zip(batch.column(url_col).to_pylist(),
+                        batch.column(html_col).to_pylist()):
+            for link, text in extract_anchor_texts(h or b"", u):
+                dst.append(link)
+                txt.append(text)
+        return pa.table({
+            "dst_domain": registrable_domains(url_hosts(
+                pa.array(dst, pa.string()))),
+            "anchor": pa.array(txt, pa.string()),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["dst_domain", "anchor"])
+        .aggregate(Count(alias_name="n_links"))
+    )
+
+
 def host_link_graph(ds, url_col: str = "url", html_col: str = "html"):
     """pages → registrable-domain link graph
     ``(src_domain, dst_domain, n_links)``: link extraction and domain

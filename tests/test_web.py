@@ -275,3 +275,48 @@ class TestCrawlDiff:
 def test_ip_hosts_pass_through():
     out = registrable_domains(pa.array(["192.168.0.1", "10.0.0.2"]))
     assert out.to_pylist() == ["192.168.0.1", "10.0.0.2"]
+
+
+class TestAnchorTexts:
+    def test_extract_anchor_texts_unit(self):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            extract_anchor_texts,
+        )
+
+        html = (
+            b'<html><body>'
+            b'<a href="https://a.com/x"><b>Bold</b>\n  link</a>'
+            b"<a href='/rel' class=nav>Rel</a>"
+            b'<a href="https://b.com/img"><img src=i.png></a>'
+            b'<a href="mailto:x@y">noise</a>'
+            b'<a href="#top">frag</a>'
+            b'<a href="https://c.com/open">never closed'
+            b"</body></html>"
+        )
+        got = extract_anchor_texts(html, "https://site.com/base")
+        assert got == [
+            ("https://a.com/x", "Bold link"),       # tags stripped, ws collapsed
+            ("https://site.com/rel", "Rel"),        # relative resolved
+            ("https://b.com/img", ""),              # image-only anchor
+        ]
+
+    def test_anchor_text_counts_aggregates(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            anchor_text_counts,
+        )
+
+        page = (
+            b'<a href="https://t.com/1">Home</a>'
+            b'<a href="https://t.com/2">Home</a>'
+            b'<a href="https://www.t.com/3">Docs</a>'
+        )
+        pages = ray.data.from_items([
+            {"url": "https://s.com/a", "html": page},
+            {"url": "https://s.com/b", "html": page},
+        ])
+        got = {(r["dst_domain"], r["anchor"]): r["n_links"]
+               for r in anchor_text_counts(pages).take_all()}
+        # www. strips to the registrable domain; counts sum across pages
+        assert got == {("t.com", "Home"): 4, ("t.com", "Docs"): 2}
