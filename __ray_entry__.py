@@ -342,6 +342,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return anchor_text_counts(
             docs.map_batches(mk, batch_format="pyarrow"))
 
+    def pages_url_filtered(sf_dir: str):
+        """RefinedWeb-style URL filtering
+        (pipelines/web.url_block_filter): planted urls where doc_id%5
+        lands on a blocked domain, doc_id%4 carries a blocklist word in
+        the path (doc_id%8 uppercased — matching is case-insensitive),
+        the rest are clean. The oracle replays the arithmetic and the
+        substring counting in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            url_block_filter,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                host = ("blocked.com" if i % 5 == 0
+                        else f"site{i % 3}.com")
+                w = ("CASINO" if i % 8 == 0
+                     else "casino" if i % 4 == 0 else "article")
+                rows.append({
+                    "doc_id": i,
+                    "url": f"https://{host}/{w}/page-{i}",
+                })
+            return pa.Table.from_pylist(rows)
+
+        return url_block_filter(
+            docs.map_batches(mk, batch_format="pyarrow"),
+            blocked_domains=("blocked.com",),
+            blocked_words=("casino", "viagra"),
+        )
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6261,6 +6294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_capped": docs_domain_capped,
         "web_host_link_graph": web_host_link_graph,
         "web_anchor_texts": web_anchor_texts,
+        "pages_url_filtered": pages_url_filtered,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6703,6 +6737,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "pages_url_filtered": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN 'blocked.com'
+                     ELSE 'site' || CAST(doc_id % 3 AS VARCHAR)
+                          || '.com' END AS host,
+                CASE WHEN doc_id % 8 = 0 THEN 'CASINO'
+                     WHEN doc_id % 4 = 0 THEN 'casino'
+                     ELSE 'article' END AS w
+              FROM documents
+            ), v AS (
+              SELECT doc_id, host,
+                     'https://' || host || '/' || w || '/page-'
+                         || CAST(doc_id AS VARCHAR) AS url
+              FROM u
+            )
+            SELECT doc_id, url, host AS domain,
+                   CAST((length(lower(url))
+                         - length(replace(lower(url), 'casino', ''))) / 6
+                        + (length(lower(url))
+                         - length(replace(lower(url), 'viagra', ''))) / 6
+                        AS BIGINT) AS n_blockwords,
+                   CAST(host = 'blocked.com' AS BIGINT)
+                       AS blocked_domain,
+                   CAST(host <> 'blocked.com'
+                        AND NOT contains(lower(url), 'casino')
+                        AND NOT contains(lower(url), 'viagra')
+                        AS BIGINT) AS keep
+            FROM v
+        """,
         "web_anchor_texts": """
             WITH e AS (
               SELECT 'site' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR)

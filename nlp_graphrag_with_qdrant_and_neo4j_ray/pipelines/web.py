@@ -357,3 +357,57 @@ def crawl_diff(old_ds, new_ds, url_col: str = "url",
     return grouped_apply(union, ["canonical_url"], diff,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def url_block_filter(ds, blocked_domains: tuple[str, ...] = (),
+                     blocked_words: tuple[str, ...] = (),
+                     url_col: str = "url"):
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1 — the
+    UT1-blocklist + URL-word scoring step every crawl pipeline runs
+    BEFORE fetching content): a page drops when its registrable domain
+    is on the domain blocklist, or when any blocklist WORD occurs in
+    the lowercased URL.  Both lists are caller-supplied data (the
+    published pipelines ship curated lists; tests plant their own).
+
+    Pure map stage: registrable-domain mapping rides the existing
+    vectorized kernels; the domain check is one ``pc.is_in`` against
+    the (small, broadcast-by-closure) list and the word check ONE
+    ``pc.match_substring_regex`` with an alternation of
+    ``re.escape``-d words — no per-row Python, no exchange.  Output:
+    input columns + ``domain``, ``n_blockwords:int64``,
+    ``blocked_domain:int64``, ``keep:int64`` (ints for SQL-oracle
+    parity).  Callers filter on ``keep``; emitting the flags keeps the
+    operator auditable (WHY a page dropped is itself curation
+    metadata)."""
+    import re
+
+    import numpy as np
+
+    dom_set = pa.array(sorted(set(blocked_domains)), pa.string())
+    words = sorted(set(w.lower() for w in blocked_words))
+    word_res = [re.escape(w) for w in words]
+
+    def flags(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        dom = registrable_domains(url_hosts(urls))
+        low = pc.utf8_lower(urls)
+        if len(dom_set):
+            blocked = pc.is_in(dom, value_set=dom_set).to_numpy(
+                zero_copy_only=False)
+        else:
+            blocked = np.zeros(len(batch), bool)
+        n_words = np.zeros(len(batch), np.int64)
+        for wre in word_res:
+            n_words += pc.count_substring_regex(low, wre).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        keep = (~blocked) & (n_words == 0)
+        out = batch.append_column("domain", dom)
+        out = out.append_column(
+            "n_blockwords", pa.array(n_words))
+        out = out.append_column(
+            "blocked_domain", pa.array(blocked.astype(np.int64)))
+        return out.append_column("keep", pa.array(keep.astype(np.int64)))
+
+    return ds.map_batches(flags, batch_format="pyarrow")

@@ -320,3 +320,45 @@ class TestAnchorTexts:
                for r in anchor_text_counts(pages).take_all()}
         # www. strips to the registrable domain; counts sum across pages
         assert got == {("t.com", "Home"): 4, ("t.com", "Docs"): 2}
+
+
+class TestUrlBlockFilter:
+    def test_flags_and_keep(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            url_block_filter,
+        )
+
+        pages = ray.data.from_items([
+            {"url": "https://good.com/article/1"},
+            {"url": "https://bad.com/article/2"},          # domain block
+            {"url": "https://good.com/CASINO-night"},      # word, cased
+            {"url": "https://www.bad.com/casino"},         # both
+            {"url": "https://good.com/viagra/viagra"},     # word twice
+        ])
+        out = url_block_filter(
+            pages, blocked_domains=("bad.com",),
+            blocked_words=("casino", "viagra"),
+        ).take_all()
+        rows = {r["url"]: r for r in out}
+        assert rows["https://good.com/article/1"]["keep"] == 1
+        assert rows["https://bad.com/article/2"]["blocked_domain"] == 1
+        assert rows["https://good.com/CASINO-night"]["n_blockwords"] == 1
+        # www. subdomain still maps to the blocked registrable domain
+        assert rows["https://www.bad.com/casino"]["blocked_domain"] == 1
+        assert rows["https://www.bad.com/casino"]["n_blockwords"] == 1
+        assert rows["https://good.com/viagra/viagra"]["n_blockwords"] == 2
+        assert sum(r["keep"] for r in out) == 1
+
+    def test_empty_lists_keep_everything(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            url_block_filter,
+        )
+
+        pages = ray.data.from_items(
+            [{"url": f"https://s{i}.com/x"} for i in range(5)])
+        out = url_block_filter(pages).take_all()
+        assert all(r["keep"] == 1 for r in out)
