@@ -375,6 +375,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             blocked_words=("casino", "viagra"),
         )
 
+    def pages_robots_filtered(sf_dir: str):
+        """RFC 9309 robots filtering (pipelines/web.robots_filter +
+        functions/robots.py): four planted domains — nested
+        Allow-inside-Disallow (longest match must win), a plain
+        Disallow, an empty-Disallow allow-all file, and a domain with
+        NO robots row (RFC default allow). The oracle replays the
+        longest-match precedence with a window over prefix matches;
+        the Ray side genuinely parses the robots.txt text."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            robots_filter,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                host = f"site{i % 4}.com"
+                path = ("/private/page-" + str(i) if i % 3 == 0 else
+                        "/private/ok/page-" + str(i) if i % 3 == 1 else
+                        f"/public/page-{i}?q={i}")
+                rows.append({"doc_id": i,
+                             "url": f"https://{host}{path}"})
+            return pa.Table.from_pylist(rows)
+
+        import ray.data
+
+        robots = ray.data.from_items([
+            {"domain": "site0.com",
+             "robots_txt": ("# site0\nUser-agent: graftbot\n"
+                            "Disallow: /\n\nUser-agent: *\n"
+                            "Disallow: /private\n"
+                            "Allow: /private/ok\n")},
+            {"domain": "site1.com",
+             "robots_txt": "User-agent: *\nDisallow: /private\n"},
+            {"domain": "site2.com",
+             "robots_txt": "User-agent: *\nDisallow:\n"},
+            # site3.com has no robots row -> allow all
+        ])
+        return robots_filter(
+            docs.map_batches(mk, batch_format="pyarrow"), robots,
+            num_partitions=8)
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6295,6 +6339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_link_graph": web_host_link_graph,
         "web_anchor_texts": web_anchor_texts,
         "pages_url_filtered": pages_url_filtered,
+        "pages_robots_filtered": pages_robots_filtered,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6737,6 +6782,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "pages_robots_filtered": """
+            WITH p AS (
+              SELECT doc_id,
+                     'site' || CAST(doc_id % 4 AS VARCHAR) || '.com'
+                         AS domain,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                            '/private/page-' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 3 = 1 THEN
+                            '/private/ok/page-'
+                                || CAST(doc_id AS VARCHAR)
+                          ELSE '/public/page-'
+                                || CAST(doc_id AS VARCHAR)
+                                || '?q=' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents
+            ), r(domain, allow, prefix) AS (
+              VALUES ('site0.com', 0, '/private'),
+                     ('site0.com', 1, '/private/ok'),
+                     ('site1.com', 0, '/private')
+            ), m AS (
+              SELECT p.doc_id, r.allow,
+                     row_number() OVER (PARTITION BY p.doc_id
+                         ORDER BY length(r.prefix) DESC,
+                                  r.allow DESC) AS rn
+              FROM p JOIN r ON p.domain = r.domain
+                           AND starts_with(p.path, r.prefix)
+            )
+            SELECT p.doc_id,
+                   'https://' || p.domain || p.path AS url,
+                   p.domain, p.path,
+                   CAST(coalesce(b.allow, 1) AS BIGINT) AS allowed
+            FROM p LEFT JOIN (SELECT doc_id, allow FROM m
+                              WHERE rn = 1) b USING (doc_id)
+        """,
         "pages_url_filtered": """
             WITH u AS (
               SELECT doc_id,

@@ -411,3 +411,68 @@ def url_block_filter(ds, blocked_domains: tuple[str, ...] = (),
         return out.append_column("keep", pa.array(keep.astype(np.int64)))
 
     return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def robots_filter(pages, robots, agent: str = "*", url_col: str = "url",
+                  robots_col: str = "robots_txt",
+                  num_partitions: int = 64):
+    """Crawl-politeness filtering (RFC 9309, via
+    ``functions/robots.py``): join every page with its registrable
+    domain's robots.txt and keep the most-specific-rule verdict for
+    ``agent``.  Pages whose domain has no robots row — or an empty /
+    rule-less file — are allowed (the RFC default).
+
+    Scale shape: (domain, path) derive map-side on the pages,
+    domain derive on the robots side, then ONE co-partitioned union
+    exchange on the domain (``relational._copartition`` — the robots
+    side is one row per domain; a broadcast would not scale to the
+    ~10⁸ domains of a full crawl); each partition parses a domain's
+    robots ONCE and applies it to all that domain's pages vectorized
+    per rule.  Output: page columns + ``domain``, ``path``,
+    ``allowed:int64`` (flags kept for auditability, like
+    :func:`url_block_filter`)."""
+    import numpy as np
+
+    from ..functions.robots import parse_robots, robots_allowed
+    from .relational import _copartition
+
+    def derive(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        dom = registrable_domains(url_hosts(urls))
+        parts = pc.extract_regex(
+            urls, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(?P<p>[^#]*)")
+        p = pc.fill_null(pc.struct_field(parts, "p"), "")
+        p = pc.if_else(pc.equal(p, ""), "/", p)
+        return batch.append_column("domain", dom).append_column(
+            "path", p)
+
+    def derive_robots(batch: pa.Table) -> pa.Table:
+        return batch.select(["domain", robots_col])
+
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        n = lt.num_rows
+        allowed = np.ones(n, bool)
+        if n and rt.num_rows:
+            rules = {
+                d: parse_robots(t or "", agent)
+                for d, t in zip(rt.column("domain").to_pylist(),
+                                rt.column(robots_col).to_pylist())
+            }
+            doms = lt.column("domain").to_numpy(zero_copy_only=False)
+            paths = lt.column("path").to_numpy(zero_copy_only=False)
+            for dom, dom_rules in rules.items():
+                if not dom_rules:
+                    continue
+                mask = doms == dom
+                if mask.any():
+                    allowed[mask] = robots_allowed(paths[mask],
+                                                   dom_rules)
+        return lt.append_column(
+            "allowed", pa.array(allowed.astype(np.int64)))
+
+    derived = pages.map_batches(derive, batch_format="pyarrow")
+    rb = robots.map_batches(derive_robots, batch_format="pyarrow")
+    return _copartition(derived, rb, "domain", "domain",
+                        ["domain", robots_col], probe, num_partitions)
