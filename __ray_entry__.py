@@ -419,6 +419,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mk, batch_format="pyarrow"), robots,
             num_partitions=8)
 
+    def pages_html_metadata(sf_dir: str):
+        """HTML metadata mining (pipelines/web.page_metadata): planted
+        pages exercise inner-tag titles, entity escapes, flipped
+        attribute order on the description meta, and doc_id-arithmetic
+        absence of each field. The oracle replays the expected strings;
+        the Ray side genuinely parses the HTML."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            page_metadata,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                title = ("" if i % 7 == 0 else
+                         f"<title>Doc <b>{i}</b> &amp; more</title>")
+                desc = ("" if i % 5 == 0 else
+                        f'<meta name="description" content="About {i}">'
+                        if i % 2 == 0 else
+                        f'<meta content="Flip {i}" name="description">')
+                canon = ("" if i % 3 == 0 else
+                         f'<link rel="canonical" '
+                         f'href="https://c.com/{i}">')
+                og = ("" if i % 4 == 0 else
+                      f'<meta property="og:title" content="OG {i}">')
+                html = (f"<html><head>{title}{desc}{canon}{og}</head>"
+                        f"<body><p>body {i}</p></body></html>").encode()
+                rows.append({"url": f"https://m.com/{i}", "html": html})
+            return pa.Table.from_pylist(rows)
+
+        return page_metadata(docs.map_batches(mk, batch_format="pyarrow"))
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6340,6 +6374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_anchor_texts": web_anchor_texts,
         "pages_url_filtered": pages_url_filtered,
         "pages_robots_filtered": pages_robots_filtered,
+        "pages_html_metadata": pages_html_metadata,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6782,6 +6817,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "pages_html_metadata": """
+            SELECT 'https://m.com/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                             || ' & more' END AS title,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN
+                            'About ' || CAST(doc_id AS VARCHAR)
+                        ELSE 'Flip ' || CAST(doc_id AS VARCHAR)
+                   END AS meta_description,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 'https://c.com/'
+                             || CAST(doc_id AS VARCHAR)
+                   END AS canonical_url,
+                   CASE WHEN doc_id % 4 = 0 THEN NULL
+                        ELSE 'OG ' || CAST(doc_id AS VARCHAR)
+                   END AS og_title
+            FROM documents
+        """,
         "pages_robots_filtered": """
             WITH p AS (
               SELECT doc_id,

@@ -115,3 +115,51 @@ def extract_anchor_texts(raw: bytes, base_url: str) -> list[tuple[str, str]]:
         text = _ANCHOR_WS.sub(" ", _INNER_TAG.sub("", m.group(3))).strip()
         out.append((url, text))
     return out
+
+
+_TITLE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+_META_NC = re.compile(
+    r"""<meta\s[^>]*?name\s*=\s*["']description["'][^>]*?"""
+    r"""content\s*=\s*["']([^"']*)["']""",
+    re.IGNORECASE | re.DOTALL,
+)
+_META_CN = re.compile(
+    r"""<meta\s[^>]*?content\s*=\s*["']([^"']*)["'][^>]*?"""
+    r"""name\s*=\s*["']description["']""",
+    re.IGNORECASE | re.DOTALL,
+)
+_CANONICAL = re.compile(
+    r"""<link\s[^>]*?rel\s*=\s*["']canonical["'][^>]*?"""
+    r"""href\s*=\s*["']([^"']*)["']""",
+    re.IGNORECASE | re.DOTALL,
+)
+_OG_TITLE = re.compile(
+    r"""<meta\s[^>]*?property\s*=\s*["']og:title["'][^>]*?"""
+    r"""content\s*=\s*["']([^"']*)["']""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _clean_meta(value: str) -> str:
+    return _ANCHOR_WS.sub(" ", _html.unescape(value)).strip()
+
+
+def extract_metadata(raw: bytes) -> dict[str, str | None]:
+    """Page-level metadata a curation/KG pipeline mines from raw HTML:
+    ``title`` (inner tags stripped), ``meta_description`` (either
+    attribute order), ``canonical_url`` (the site's own dedup hint —
+    feed it to ``web.dedup_recrawls``) and ``og_title``.  Values are
+    entity-unescaped with whitespace collapsed; absent fields are
+    ``None``.  First occurrence wins, matching browser behavior."""
+    doc = decode_html(raw)
+    title = _TITLE.search(doc)
+    desc = _META_NC.search(doc) or _META_CN.search(doc)
+    canon = _CANONICAL.search(doc)
+    og = _OG_TITLE.search(doc)
+    return {
+        "title": _clean_meta(_INNER_TAG.sub("", title.group(1)))
+        if title else None,
+        "meta_description": _clean_meta(desc.group(1)) if desc else None,
+        "canonical_url": canon.group(1).strip() if canon else None,
+        "og_title": _clean_meta(og.group(1)) if og else None,
+    }

@@ -476,3 +476,33 @@ def robots_filter(pages, robots, agent: str = "*", url_col: str = "url",
     rb = robots.map_batches(derive_robots, batch_format="pyarrow")
     return _copartition(derived, rb, "domain", "domain",
                         ["domain", robots_col], probe, num_partitions)
+
+
+def page_metadata(pages, url_col: str = "url", html_col: str = "html"):
+    """pages → ``(url, title, meta_description, canonical_url,
+    og_title)`` — the page-level metadata a curation/KG pipeline mines
+    from raw HTML (titles and og:titles are entity-alias signal; the
+    canonical link is the site's OWN dedup hint, composable with
+    :func:`dedup_recrawls`).  Pure map stage, compiled-regex scans per
+    page (``functions/html.extract_metadata``); absent fields are
+    null."""
+    from ..functions.html import extract_metadata
+
+    def mine(batch: pa.Table) -> pa.Table:
+        metas = [
+            extract_metadata(h or b"")
+            for h in batch.column(html_col).to_pylist()
+        ]
+        out = pa.table({
+            url_col: batch.column(url_col),
+            "title": pa.array([m["title"] for m in metas], pa.string()),
+            "meta_description": pa.array(
+                [m["meta_description"] for m in metas], pa.string()),
+            "canonical_url": pa.array(
+                [m["canonical_url"] for m in metas], pa.string()),
+            "og_title": pa.array(
+                [m["og_title"] for m in metas], pa.string()),
+        })
+        return out
+
+    return pages.map_batches(mine, batch_format="pyarrow")

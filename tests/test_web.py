@@ -362,3 +362,57 @@ class TestUrlBlockFilter:
             [{"url": f"https://s{i}.com/x"} for i in range(5)])
         out = url_block_filter(pages).take_all()
         assert all(r["keep"] == 1 for r in out)
+
+
+class TestPageMetadata:
+    def test_extract_metadata_unit(self):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            extract_metadata,
+        )
+
+        html = (
+            b"<html><head>"
+            b"<title>My <i>Fancy</i>\n  Page &amp; Co</title>"
+            b'<meta content="Desc first" name="description">'
+            b'<link rel="canonical" href="https://c.com/x ">'
+            b'<meta property="og:title" content="OG &quot;T&quot;">'
+            b"</head><body></body></html>"
+        )
+        m = extract_metadata(html)
+        assert m["title"] == "My Fancy Page & Co"
+        assert m["meta_description"] == "Desc first"
+        assert m["canonical_url"] == "https://c.com/x"
+        assert m["og_title"] == 'OG "T"'
+
+    def test_absent_fields_are_none(self):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            extract_metadata,
+        )
+
+        m = extract_metadata(b"<html><body>no head</body></html>")
+        assert m == {"title": None, "meta_description": None,
+                     "canonical_url": None, "og_title": None}
+
+    def test_first_occurrence_wins(self):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            extract_metadata,
+        )
+
+        html = b"<title>First</title><title>Second</title>"
+        assert extract_metadata(html)["title"] == "First"
+
+    def test_page_metadata_distributed(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            page_metadata,
+        )
+
+        pages = ray.data.from_items([
+            {"url": "https://a.com/1",
+             "html": b"<title>T1</title>"},
+            {"url": "https://a.com/2", "html": b"<p>no meta</p>"},
+        ])
+        out = {r["url"]: r for r in page_metadata(pages).take_all()}
+        assert out["https://a.com/1"]["title"] == "T1"
+        assert out["https://a.com/2"]["title"] is None
