@@ -453,6 +453,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return page_metadata(docs.map_batches(mk, batch_format="pyarrow"))
 
+    def web_crawl_frontier(sf_dir: str):
+        """Frontier discovery (pipelines/web.crawl_frontier): each
+        planted page links to itself (crawled — must anti-join away),
+        to an external tracking-decorated target (uncrawled — must
+        survive, canonicalized) and to noise anchors. 60 distinct
+        frontier urls by doc_id arithmetic; the oracle replays counts
+        and distinct referring domains in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            crawl_frontier,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                url = f"https://site{i % 7}.com/d/{i}"
+                html = (
+                    f'<a href="https://ext{i % 3}.com/new/{i % 20}'
+                    f'?utm_source=x&id={i % 20}">ext</a>'
+                    f'<a href="/d/{i}">self</a>'
+                    '<a href="#x">noise</a>'
+                ).encode()
+                rows.append({"url": url, "html": html})
+            return pa.Table.from_pylist(rows)
+
+        return crawl_frontier(
+            docs.map_batches(mk, batch_format="pyarrow"),
+            num_partitions=8)
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6375,6 +6406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_filtered": pages_url_filtered,
         "pages_robots_filtered": pages_robots_filtered,
         "pages_html_metadata": pages_html_metadata,
+        "web_crawl_frontier": web_crawl_frontier,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6817,6 +6849,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "web_crawl_frontier": """
+            WITH e AS (
+              SELECT 'https://ext' || CAST(doc_id % 3 AS VARCHAR)
+                         || '.com/new/' || CAST(doc_id % 20 AS VARCHAR)
+                         || '?id=' || CAST(doc_id % 20 AS VARCHAR)
+                         AS frontier_url,
+                     'site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                         AS src_domain
+              FROM documents
+            )
+            SELECT frontier_url,
+                   CAST(count(DISTINCT src_domain) AS BIGINT)
+                       AS n_src_domains,
+                   count(*) AS n_links
+            FROM e GROUP BY frontier_url
+        """,
         "pages_html_metadata": """
             SELECT 'https://m.com/' || CAST(doc_id AS VARCHAR) AS url,
                    CASE WHEN doc_id % 7 = 0 THEN NULL

@@ -506,3 +506,49 @@ def page_metadata(pages, url_col: str = "url", html_col: str = "html"):
         return out
 
     return pages.map_batches(mine, batch_format="pyarrow")
+
+
+def crawl_frontier(pages, url_col: str = "url", html_col: str = "html",
+                   num_partitions: int = 64):
+    """Frontier discovery — the crawl loop's next-fetch list: anchor
+    targets the corpus has SEEN but not FETCHED, ranked by referring
+    evidence (distinct referring registrable domains, then total
+    in-links — the BFS/OPIC-style prioritization signal every crawler
+    keeps).
+
+    Composition of existing operators, all scale-shaped: link explode
+    (map) → canonicalize both sides (map) → EXACT
+    :func:`relational.bloom_anti_join` against the crawled
+    canonical-url set (bloom-negative discoveries — almost everything
+    on an expanding crawl — never shuffle; bloom-positive candidates
+    verify exactly) → a pre-combined two-key groupby per
+    (frontier_url, src_domain), then the per-url rollup
+    ``(n_src_domains, n_links)``."""
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import bloom_anti_join
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "frontier_url": canonical_urls(batch.column("dst_url")),
+            "src_domain": registrable_domains(url_hosts(
+                batch.column("src_url"))),
+        })
+
+    def crawled_set(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "crawled_url": canonical_urls(batch.column(url_col)),
+        })
+
+    discovered = extract_link_edges(pages, url_col, html_col).map_batches(
+        derive, batch_format="pyarrow")
+    crawled = pages.map_batches(crawled_set, batch_format="pyarrow")
+    frontier = bloom_anti_join(discovered, crawled, "frontier_url",
+                               "crawled_url",
+                               num_partitions=num_partitions)
+    pair = frontier.groupby(["frontier_url", "src_domain"]).aggregate(
+        Count(alias_name="n"))
+    return pair.groupby("frontier_url").aggregate(
+        Count(alias_name="n_src_domains"),
+        Sum("n", alias_name="n_links"),
+    )

@@ -416,3 +416,48 @@ class TestPageMetadata:
         out = {r["url"]: r for r in page_metadata(pages).take_all()}
         assert out["https://a.com/1"]["title"] == "T1"
         assert out["https://a.com/2"]["title"] is None
+
+
+class TestCrawlFrontier:
+    def test_discovered_not_fetched(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            crawl_frontier,
+        )
+
+        pages = ray.data.from_items([
+            # a.com/1 links to crawled a.com/2 and uncrawled new.com/x
+            {"url": "https://a.com/1",
+             "html": (b'<a href="https://a.com/2">in</a>'
+                      b'<a href="https://new.com/x?utm_source=s">n</a>')},
+            # b.com/2 — crawled under a decoration; links to new.com/x
+            # again from a second domain, and to itself (crawled)
+            {"url": "https://b.com/2",
+             "html": (b'<a href="https://new.com/x">n</a>'
+                      b'<a href="HTTPS://b.com:443/2">self</a>')},
+            {"url": "https://a.com/2", "html": b""},
+        ])
+        out = {r["frontier_url"]: r
+               for r in crawl_frontier(pages, num_partitions=4)
+               .take_all()}
+        # only the never-fetched target survives; the tracking-param
+        # variant collapses onto the clean canonical
+        assert set(out) == {"https://new.com/x"}
+        assert out["https://new.com/x"]["n_links"] == 2
+        assert out["https://new.com/x"]["n_src_domains"] == 2
+
+    def test_empty_when_closed_world(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            crawl_frontier,
+        )
+
+        pages = ray.data.from_items([
+            {"url": "https://a.com/1",
+             "html": b'<a href="https://a.com/2">x</a>'},
+            {"url": "https://a.com/2",
+             "html": b'<a href="https://a.com/1">y</a>'},
+        ])
+        assert crawl_frontier(pages, num_partitions=2).count() == 0
