@@ -484,6 +484,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mk, batch_format="pyarrow"),
             num_partitions=8)
 
+    def pages_main_content(sf_dir: str):
+        """jusText-style main-content extraction
+        (pipelines/web.main_content): planted pages alternate two block
+        layouts — a short block RESCUED between two good blocks vs
+        condemned next to a nav block, and a neargood block rescued by
+        a good neighbor vs condemned after a bad one. The Ray side runs
+        the real block classifier on real HTML; the oracle writes the
+        expected output text per layout from the same literals."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            main_content,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        ph = ("the sun is warm and the breeze is soft in the quiet "
+              "garden of our town ")
+        good = (ph * 3).strip()
+        nav = ('<a href="https://x.com/a">Home</a> '
+               '<a href="https://x.com/b">About</a>')
+        short = "Short note only."
+        near = ph.strip()
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                if i % 2 == 0:
+                    body = [good, short, good, nav, near]
+                else:
+                    body = [nav, short, good, near]
+                html = ("<html><body>"
+                        + "".join(f"<p>{b}</p>" for b in body)
+                        + "</body></html>").encode()
+                rows.append({"doc_id": i,
+                             "url": f"https://mc.com/{i}",
+                             "html": html})
+            return pa.Table.from_pylist(rows)
+
+        out = main_content(
+            docs.map_batches(mk, batch_format="pyarrow"),
+            stopwords=("the", "and", "of", "to", "a", "in", "is",
+                       "with"))
+        return out
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6407,6 +6450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_robots_filtered": pages_robots_filtered,
         "pages_html_metadata": pages_html_metadata,
         "web_crawl_frontier": web_crawl_frontier,
+        "pages_main_content": pages_main_content,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6849,6 +6893,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "pages_main_content": """
+            WITH c AS (
+              SELECT 'the sun is warm and the breeze is soft in the '
+                     || 'quiet garden of our town ' AS ph
+            )
+            SELECT 'https://mc.com/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                       trim(repeat(ph, 3)) || chr(10) || chr(10)
+                       || 'Short note only.' || chr(10) || chr(10)
+                       || trim(repeat(ph, 3))
+                   ELSE
+                       trim(repeat(ph, 3)) || chr(10) || chr(10)
+                       || trim(ph)
+                   END AS main_text,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 4 END
+                        AS BIGINT) AS n_blocks,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END
+                        AS BIGINT) AS n_good
+            FROM documents, c
+        """,
         "web_crawl_frontier": """
             WITH e AS (
               SELECT 'https://ext' || CAST(doc_id % 3 AS VARCHAR)

@@ -163,3 +163,92 @@ def extract_metadata(raw: bytes) -> dict[str, str | None]:
         "canonical_url": canon.group(1).strip() if canon else None,
         "og_title": _clean_meta(og.group(1)) if og else None,
     }
+
+
+_BLOCK_TAG = re.compile(
+    r"(?i)</?(?:p|div|h[1-6]|li|td|th|blockquote|article|section|"
+    r"header|footer|nav|table|tr|ul|ol|body|html|head)\b[^>]*>")
+_ANY_ANCHOR = re.compile(r"<a\s[^>]*>(.*?)</a>", re.IGNORECASE | re.DOTALL)
+
+
+def justext_blocks(raw: bytes, stopwords: tuple[str, ...],
+                   length_low: int = 70, length_high: int = 200,
+                   stopwords_low: float = 0.30,
+                   stopwords_high: float = 0.32,
+                   max_link_density: float = 0.2) -> list[tuple[str, str]]:
+    """jusText-style main-content block classification (Pomikálek 2011,
+    the published heuristics; thresholds are the paper's defaults).
+
+    Segmentation: the HTML splits at block-level tags; each non-empty
+    segment becomes one block (inline markup stays inside and is
+    stripped for the text).  Context-free pass per block over its
+    cleaned text:
+
+    - ``link_density`` (anchor-text chars / total chars) >
+      ``max_link_density`` → bad
+    - contains a copyright sign → bad
+    - shorter than ``length_low``: bad if it has any link chars, else
+      short (undecided)
+    - stopword density < ``stopwords_low`` → bad
+    - density ≥ ``stopwords_low``: good if longer than ``length_high``
+      and density ≥ ``stopwords_high``, else neargood
+
+    Neighborhood pass (the revised-algorithm rule, simplified and
+    documented): for each undecided block the nearest DEFINITE
+    (good/bad) neighbors before and after decide — ``neargood`` becomes
+    good if either side is good; ``short`` only if both are good;
+    everything else becomes bad.  Returns ``(text, label)`` per block
+    with final labels in document order."""
+    doc = decode_html(raw)
+    doc = _SCRIPT_STYLE.sub(" ", doc)
+    sw = {w.lower() for w in stopwords}
+    blocks: list[tuple[str, str]] = []
+    for seg in _BLOCK_TAG.split(doc):
+        link_chars = sum(
+            len(_clean_meta(_INNER_TAG.sub("", t)))
+            for t in _ANY_ANCHOR.findall(seg)
+        )
+        text = _clean_meta(_INNER_TAG.sub(" ", seg))
+        if not text:
+            continue
+        words = text.split()
+        stop_density = (sum(w.lower() in sw for w in words)
+                        / len(words)) if words else 0.0
+        link_density = link_chars / len(text)
+        if link_density > max_link_density or "©" in text:
+            label = "bad"
+        elif len(text) < length_low:
+            label = "bad" if link_chars else "short"
+        elif stop_density < stopwords_low:
+            label = "bad"
+        elif len(text) > length_high and stop_density >= stopwords_high:
+            label = "good"
+        else:
+            label = "neargood"
+        blocks.append((text, label))
+
+    labels = [lb for _, lb in blocks]
+    definite = [lb if lb in ("good", "bad") else None for lb in labels]
+    n = len(blocks)
+    prev_def = ["bad"] * n
+    nxt_def = ["bad"] * n
+    last = "bad"
+    for j in range(n):
+        prev_def[j] = last
+        if definite[j]:
+            last = definite[j]
+    last = "bad"
+    for j in range(n - 1, -1, -1):
+        nxt_def[j] = last
+        if definite[j]:
+            last = definite[j]
+    final = []
+    for j, (text, lb) in enumerate(blocks):
+        if lb == "neargood":
+            lb = ("good" if prev_def[j] == "good"
+                  or nxt_def[j] == "good" else "bad")
+        elif lb == "short":
+            lb = ("good" if prev_def[j] == "good"
+                  and nxt_def[j] == "good" else "bad")
+        final.append((text, lb))
+    return final

@@ -552,3 +552,33 @@ def crawl_frontier(pages, url_col: str = "url", html_col: str = "html",
         Count(alias_name="n_src_domains"),
         Sum("n", alias_name="n_links"),
     )
+
+
+def main_content(pages, stopwords: tuple[str, ...],
+                 url_col: str = "url", html_col: str = "html", **justext_kw):
+    """Structure-based main-content extraction
+    (``functions/html.justext_blocks`` — the jusText heuristics): keep
+    the final-good blocks joined with blank lines.  The third member of
+    the boilerplate-removal family — corpus-frequency
+    (``clean.strip_boilerplate``), line rules (``clean.c4_line_filter``)
+    and now DOM-block text/link density; pure map stage.  Output:
+    ``(url, main_text, n_blocks:int64, n_good:int64)`` — pages with no
+    good block keep ``main_text=""`` (callers filter)."""
+    from ..functions.html import justext_blocks
+
+    def extract(batch: pa.Table) -> pa.Table:
+        texts, nb, ng = [], [], []
+        for h in batch.column(html_col).to_pylist():
+            blocks = justext_blocks(h or b"", stopwords, **justext_kw)
+            good = [t for t, lb in blocks if lb == "good"]
+            texts.append("\n\n".join(good))
+            nb.append(len(blocks))
+            ng.append(len(good))
+        return pa.table({
+            url_col: batch.column(url_col),
+            "main_text": pa.array(texts, pa.large_string()),
+            "n_blocks": pa.array(nb, pa.int64()),
+            "n_good": pa.array(ng, pa.int64()),
+        })
+
+    return pages.map_batches(extract, batch_format="pyarrow")
