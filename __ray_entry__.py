@@ -527,6 +527,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        "with"))
         return out
 
+    def pages_sitemap_urls(sf_dir: str):
+        """Sitemap parsing (pipelines/web.sitemap_urls): every 10th
+        planted file is a sitemapindex pointing at two nested sitemaps;
+        the rest are urlsets whose entries carry arithmetic lastmod /
+        priority presence (and one entity-escaped loc). The oracle
+        replays the expected rows; the Ray side parses the XML."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            sitemap_urls,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                if i % 10 == 0:
+                    xml = (
+                        '<?xml version="1.0"?><sitemapindex>'
+                        f"<sitemap><loc>https://s{i % 4}.com/a.xml</loc>"
+                        "<lastmod>2025-01-01</lastmod></sitemap>"
+                        f"<sitemap><loc>https://s{i % 4}.com/b.xml</loc>"
+                        "</sitemap></sitemapindex>"
+                    )
+                else:
+                    ent = "&amp;" if i % 7 == 0 else ""
+                    lastmod = (f"<lastmod>2025-02-{i % 28 + 1:02d}"
+                               "</lastmod>" if i % 3 == 0 else "")
+                    prio = (f"<priority>0.{i % 9 + 1}</priority>"
+                            if i % 2 == 0 else "")
+                    xml = (
+                        '<?xml version="1.0"?><urlset>'
+                        f"<url><loc>https://s{i % 4}.com/p/{i}{ent}"
+                        f"</loc>{lastmod}{prio}</url>"
+                        "<url><lastmod>2024-01-01</lastmod></url>"
+                        "</urlset>"
+                    )
+                rows.append({"url": f"https://s{i % 4}.com/sitemap-{i}.xml",
+                             "xml": xml.encode()})
+            return pa.Table.from_pylist(rows)
+
+        return sitemap_urls(docs.map_batches(mk, batch_format="pyarrow"))
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6451,6 +6494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_html_metadata": pages_html_metadata,
         "web_crawl_frontier": web_crawl_frontier,
         "pages_main_content": pages_main_content,
+        "pages_sitemap_urls": pages_sitemap_urls,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6893,6 +6937,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "pages_sitemap_urls": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 4 AS k,
+                     'https://s' || CAST(doc_id % 4 AS VARCHAR)
+                         || '.com/sitemap-' || CAST(doc_id AS VARCHAR)
+                         || '.xml' AS sitemap_url
+              FROM documents
+            )
+            SELECT sitemap_url, 'sitemap' AS kind,
+                   'https://s' || CAST(k AS VARCHAR) || '.com/a.xml'
+                       AS loc,
+                   '2025-01-01' AS lastmod,
+                   CAST(NULL AS DOUBLE) AS priority
+            FROM d WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT sitemap_url, 'sitemap',
+                   'https://s' || CAST(k AS VARCHAR) || '.com/b.xml',
+                   NULL, NULL
+            FROM d WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT sitemap_url, 'url',
+                   'https://s' || CAST(k AS VARCHAR) || '.com/p/'
+                       || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 7 = 0 THEN '&'
+                          ELSE '' END,
+                   CASE WHEN doc_id % 3 = 0 THEN '2025-02-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2,
+                               '0') END,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN (doc_id % 9 + 1) / 10.0 END
+            FROM d WHERE doc_id % 10 <> 0
+        """,
         "pages_main_content": """
             WITH c AS (
               SELECT 'the sun is warm and the breeze is soft in the '

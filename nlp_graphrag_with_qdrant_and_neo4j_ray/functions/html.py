@@ -252,3 +252,44 @@ def justext_blocks(raw: bytes, stopwords: tuple[str, ...],
                   and nxt_def[j] == "good" else "bad")
         final.append((text, lb))
     return final
+
+
+_SM_URL_BLOCK = re.compile(r"<url>(.*?)</url>", re.IGNORECASE | re.DOTALL)
+_SM_NESTED = re.compile(r"<sitemap>(.*?)</sitemap>",
+                        re.IGNORECASE | re.DOTALL)
+_SM_LOC = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
+_SM_LASTMOD = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>",
+                         re.IGNORECASE | re.DOTALL)
+_SM_PRIORITY = re.compile(r"<priority>\s*(.*?)\s*</priority>",
+                          re.IGNORECASE | re.DOTALL)
+
+
+def parse_sitemap(raw: bytes) -> list[dict]:
+    """sitemaps.org XML parsing (the crawl seed/refresh protocol):
+    ``<urlset>`` entries yield ``kind="url"`` rows with ``loc``,
+    optional ``lastmod`` (string, as published) and ``priority``
+    (float); ``<sitemapindex>`` entries yield ``kind="sitemap"`` rows
+    pointing at nested sitemaps.  Entity-unescaped locs; entries
+    without a ``<loc>`` are skipped.  Compiled-regex block scan (the
+    per-file findall is the irreducible parse work)."""
+    doc = decode_html(raw)
+    out: list[dict] = []
+    for kind, block_re in (("url", _SM_URL_BLOCK),
+                           ("sitemap", _SM_NESTED)):
+        for block in block_re.findall(doc):
+            loc = _SM_LOC.search(block)
+            if not loc:
+                continue
+            lastmod = _SM_LASTMOD.search(block)
+            prio = _SM_PRIORITY.search(block)
+            try:
+                prio_val = float(prio.group(1)) if prio else None
+            except ValueError:
+                prio_val = None
+            out.append({
+                "kind": kind,
+                "loc": _html.unescape(loc.group(1)),
+                "lastmod": lastmod.group(1) if lastmod else None,
+                "priority": prio_val,
+            })
+    return out

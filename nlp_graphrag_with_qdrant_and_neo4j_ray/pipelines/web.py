@@ -582,3 +582,33 @@ def main_content(pages, stopwords: tuple[str, ...],
         })
 
     return pages.map_batches(extract, batch_format="pyarrow")
+
+
+def sitemap_urls(sitemaps, url_col: str = "url", xml_col: str = "xml"):
+    """sitemap corpus → one row per advertised URL (or nested sitemap):
+    ``(sitemap_url, kind, loc, lastmod, priority)`` — the crawl's seed
+    and refresh feed; join ``loc`` against :func:`crawl_frontier` output
+    or ``lastmod`` against the last capture (``dedup_recrawls``) to
+    schedule re-fetches.  Pure map stage over
+    ``functions/html.parse_sitemap``."""
+    from ..functions.html import parse_sitemap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src, kind, loc, lastmod, prio = [], [], [], [], []
+        for u, x in zip(batch.column(url_col).to_pylist(),
+                        batch.column(xml_col).to_pylist()):
+            for row in parse_sitemap(x or b""):
+                src.append(u)
+                kind.append(row["kind"])
+                loc.append(row["loc"])
+                lastmod.append(row["lastmod"])
+                prio.append(row["priority"])
+        return pa.table({
+            "sitemap_url": pa.array(src, pa.string()),
+            "kind": pa.array(kind, pa.string()),
+            "loc": pa.array(loc, pa.string()),
+            "lastmod": pa.array(lastmod, pa.string()),
+            "priority": pa.array(prio, pa.float64()),
+        })
+
+    return sitemaps.map_batches(explode, batch_format="pyarrow")

@@ -461,3 +461,57 @@ class TestCrawlFrontier:
              "html": b'<a href="https://a.com/1">y</a>'},
         ])
         assert crawl_frontier(pages, num_partitions=2).count() == 0
+
+
+class TestSitemaps:
+    def test_parse_sitemap_unit(self):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            parse_sitemap,
+        )
+
+        xml = (b'<?xml version="1.0"?><urlset>'
+               b"<url><loc> https://a.com/x?a=1&amp;b=2 </loc>"
+               b"<lastmod>2025-03-01</lastmod>"
+               b"<priority>0.8</priority></url>"
+               b"<url><lastmod>2024-01-01</lastmod></url>"  # no loc
+               b"<url><loc>https://a.com/y</loc>"
+               b"<priority>oops</priority></url>"
+               b"</urlset>")
+        rows = parse_sitemap(xml)
+        assert rows == [
+            {"kind": "url", "loc": "https://a.com/x?a=1&b=2",
+             "lastmod": "2025-03-01", "priority": 0.8},
+            {"kind": "url", "loc": "https://a.com/y",
+             "lastmod": None, "priority": None},
+        ]
+
+    def test_parse_sitemapindex(self):
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            parse_sitemap,
+        )
+
+        xml = (b"<sitemapindex><sitemap>"
+               b"<loc>https://a.com/s1.xml</loc></sitemap>"
+               b"</sitemapindex>")
+        rows = parse_sitemap(xml)
+        assert rows == [{"kind": "sitemap",
+                         "loc": "https://a.com/s1.xml",
+                         "lastmod": None, "priority": None}]
+
+    def test_sitemap_urls_distributed(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            sitemap_urls,
+        )
+
+        maps = ray.data.from_items([
+            {"url": "https://a.com/sm.xml",
+             "xml": (b"<urlset><url><loc>https://a.com/1</loc></url>"
+                     b"<url><loc>https://a.com/2</loc></url></urlset>")},
+        ])
+        out = sitemap_urls(maps).take_all()
+        assert sorted(r["loc"] for r in out) == [
+            "https://a.com/1", "https://a.com/2"]
+        assert all(r["sitemap_url"] == "https://a.com/sm.xml"
+                   for r in out)
