@@ -570,6 +570,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sitemap_urls(docs.map_batches(mk, batch_format="pyarrow"))
 
+    def pages_mirror_paths(sf_dir: str):
+        """Mirror detection (pipelines/web.mirror_paths): even doc_ids
+        serve a tracking-decorated /pkg/{doc_id%7} path from domain
+        m{doc_id%5}.com (7 mirrored paths × 5 domains after
+        canonicalization), odd doc_ids serve unique paths that must
+        fall under the min_domains floor. The oracle replays the
+        grouping arithmetic."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            mirror_paths,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                if i % 2 == 0:
+                    url = (f"https://m{i % 5}.com/pkg/{i % 7}"
+                           "?utm_source=x")
+                else:
+                    url = f"https://u{i % 3}.com/d/{i}"
+                rows.append({"url": url})
+            return pa.Table.from_pylist(rows)
+
+        return mirror_paths(
+            docs.map_batches(mk, batch_format="pyarrow"),
+            min_domains=3, num_partitions=8)
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6495,6 +6524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_crawl_frontier": web_crawl_frontier,
         "pages_main_content": pages_main_content,
         "pages_sitemap_urls": pages_sitemap_urls,
+        "pages_mirror_paths": pages_mirror_paths,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6937,6 +6967,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "pages_mirror_paths": """
+            WITH u AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN
+                         '/pkg/' || CAST(doc_id % 7 AS VARCHAR)
+                     ELSE '/d/' || CAST(doc_id AS VARCHAR) END AS path,
+                     CASE WHEN doc_id % 2 = 0 THEN
+                         'm' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                     ELSE 'u' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+                     END AS domain
+              FROM documents
+            ), g AS (
+              SELECT path,
+                     CAST(count(DISTINCT domain) AS BIGINT)
+                         AS n_domains,
+                     count(*) AS n_pages
+              FROM u GROUP BY path
+            )
+            SELECT * FROM g WHERE n_domains >= 3
+        """,
         "pages_sitemap_urls": """
             WITH d AS (
               SELECT doc_id, doc_id % 4 AS k,

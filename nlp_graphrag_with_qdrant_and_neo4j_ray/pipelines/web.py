@@ -612,3 +612,46 @@ def sitemap_urls(sitemaps, url_col: str = "url", xml_col: str = "xml"):
         })
 
     return sitemaps.map_batches(explode, batch_format="pyarrow")
+
+
+def mirror_paths(pages, min_domains: int = 3, url_col: str = "url",
+                 num_partitions: int = 64):
+    """Mirror detection — the same path+query served by many
+    registrable domains is the signature of mirrored sites (software
+    archives, wiki dumps, spam farms), which multiply near-duplicate
+    content BEFORE any content-level dedup runs.  Emits one row per
+    suspicious path: ``(path, n_domains, n_pages)`` for paths seen on
+    ≥ ``min_domains`` distinct domains.
+
+    Map-side derive (canonical url → host-free path+query, domain);
+    one pre-combined two-key groupby per (path, domain); per-path
+    rollup; filter.  Path-keyed — a hot path (``/index.html``) lands
+    on one partition but carries one row per domain after the
+    pre-combine, so partitions stay balanced."""
+    from ray.data.aggregate import Count, Sum
+
+    def derive(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        canon = canonical_urls(urls)
+        parts = pc.extract_regex(
+            canon, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(?P<p>[^#]*)")
+        p = pc.fill_null(pc.struct_field(parts, "p"), "")
+        p = pc.if_else(pc.equal(p, ""), "/", p)
+        return pa.table({
+            "path": p,
+            "domain": registrable_domains(url_hosts(canon)),
+        })
+
+    pair = (
+        pages.map_batches(derive, batch_format="pyarrow")
+        .groupby(["path", "domain"])
+        .aggregate(Count(alias_name="n"))
+    )
+    rolled = pair.groupby("path").aggregate(
+        Count(alias_name="n_domains"),
+        Sum("n", alias_name="n_pages"),
+    )
+    return rolled.filter(
+        expr=f"n_domains >= {int(min_domains)}")

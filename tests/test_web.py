@@ -515,3 +515,40 @@ class TestSitemaps:
             "https://a.com/1", "https://a.com/2"]
         assert all(r["sitemap_url"] == "https://a.com/sm.xml"
                    for r in out)
+
+
+class TestMirrorPaths:
+    def test_mirrored_path_found_unique_ignored(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            mirror_paths,
+        )
+
+        pages = ray.data.from_items(
+            # /m served by 3 domains (one under a tracking decoration
+            # and a www prefix that must collapse), /solo by one
+            [{"url": "https://a.com/m?utm_source=x"},
+             {"url": "https://www.b.com/m"},
+             {"url": "https://c.com/m"},
+             {"url": "https://a.com/solo"},
+             {"url": "https://a.com/m"}]  # same domain again: 1 domain
+        )
+        out = {r["path"]: r
+               for r in mirror_paths(pages, min_domains=3,
+                                     num_partitions=4).take_all()}
+        assert set(out) == {"/m"}
+        assert out["/m"]["n_domains"] == 3
+        assert out["/m"]["n_pages"] == 4
+
+    def test_floor_excludes(self, ray_session):
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            mirror_paths,
+        )
+
+        pages = ray.data.from_items([
+            {"url": "https://a.com/x"}, {"url": "https://b.com/x"},
+        ])
+        assert mirror_paths(pages, min_domains=3).count() == 0
