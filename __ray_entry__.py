@@ -599,6 +599,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(mk, batch_format="pyarrow"),
             min_domains=3, num_partitions=8)
 
+    def docs_boilerplate_scoped(sf_dir: str):
+        """PER-SITE template removal (clean.strip_boilerplate with
+        scope_col — the RefinedWeb per-site rule): every a.com doc
+        carries the same footer line (dropped: repeats across ≥20 of
+        a.com's docs) while the ONE b.com doc carrying the identical
+        line keeps it (1 < 20 within b.com) — the corpus-global
+        variant would drop both. The oracle writes the expected texts
+        from the same arithmetic."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            strip_boilerplate,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        shared = "Follow us on social media."
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                lines = [f"Unique line {i}."]
+                if i % 2 == 0 or i == 1:
+                    lines.append(shared)
+                rows.append({
+                    "doc_id": i,
+                    "domain": "a.com" if i % 2 == 0 else "b.com",
+                    "text": "\n".join(lines),
+                })
+            return pa.Table.from_pylist(rows)
+
+        return strip_boilerplate(
+            docs.map_batches(mk, batch_format="pyarrow"),
+            min_docs=20, scope_col="domain", num_partitions=8)
+
     def web_host_pagerank(sf_dir: str):
         """The classic crawl pipeline composed end-to-end: archives →
         link extraction → host graph → weighted PageRank (the existing
@@ -6525,6 +6558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_main_content": pages_main_content,
         "pages_sitemap_urls": pages_sitemap_urls,
         "pages_mirror_paths": pages_mirror_paths,
+        "docs_boilerplate_scoped": docs_boilerplate_scoped,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
@@ -6967,6 +7001,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # web-graph: the Ray side PARSES the planted anchors out of real
         # HTML; the oracle replays the link arithmetic directly
+        "docs_boilerplate_scoped": """
+            SELECT doc_id,
+                   CASE WHEN doc_id = 1 THEN
+                       'Unique line 1.' || chr(10)
+                       || 'Follow us on social media.'
+                   ELSE 'Unique line ' || CAST(doc_id AS VARCHAR)
+                        || '.'
+                   END AS clean_text
+            FROM documents
+        """,
         "pages_mirror_paths": """
             WITH u AS (
               SELECT CASE WHEN doc_id % 2 = 0 THEN

@@ -222,18 +222,24 @@ def pack_sequences(ds, shard_col: str, count_col: str,
 def strip_boilerplate(docs, id_col: str = "doc_id",
                       text_col: str = "text", min_docs: int = 10,
                       out_col: str = "clean_text",
+                      scope_col: str | None = None,
                       num_partitions: int = 64):
     """CCNet/RefinedWeb-style boilerplate-line removal: a line that
     occurs in ``>= min_docs`` DISTINCT documents (cookie banners,
     nav menus, subscribe footers) is dropped from every document.
+    With ``scope_col`` (e.g. the registrable domain) the count is PER
+    SCOPE — the RefinedWeb per-SITE template rule: a site's nav line
+    repeats across that site's pages but an identical line on an
+    unrelated small site survives.
 
     Two exchanges, both over the exploded (doc, line) rows the rewrite
     has to move anyway:
 
-    1. keyed by ``line`` — each partition counts distinct docs per line
-       locally (exact, vectorized ``nunique``) and flags every
-       occurrence keep/drop.  Hot boilerplate lines are exactly the
-       dropped ones; their rows reduce to a flag, never reassemble.
+    1. keyed by ``line`` (plus ``scope_col`` when scoped) — each
+       partition counts distinct docs per (scope,) line locally
+       (exact, vectorized ``nunique``) and flags every occurrence
+       keep/drop.  Hot boilerplate lines are exactly the dropped ones;
+       their rows reduce to a flag, never reassemble.
     2. keyed by ``doc`` — surviving lines sort by their original index
        and re-join with ``\\n``; documents whose every line was
        boilerplate still emit (empty string), so output cardinality
@@ -241,6 +247,7 @@ def strip_boilerplate(docs, id_col: str = "doc_id",
 
     The explode itself is vectorized Arrow (``split_pattern`` +
     ``list_flatten`` + one ``np.repeat`` for ids/offsets)."""
+    count_keys = ([scope_col, "line"] if scope_col else ["line"])
 
     def explode(batch: pa.Table) -> pa.Table:
         txt = pc.cast(batch.column(text_col), pa.string())
@@ -253,12 +260,17 @@ def strip_boilerplate(docs, id_col: str = "doc_id",
         flat = pc.list_flatten(lines)
         starts = np.cumsum(n) - n
         idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
-        return pa.table({id_col: pa.array(ids), "line_idx": pa.array(idx),
-                         "line": flat})
+        out = pa.table({id_col: pa.array(ids), "line_idx": pa.array(idx),
+                        "line": flat})
+        if scope_col:
+            scope = np.repeat(
+                batch.column(scope_col).to_numpy(zero_copy_only=False), n)
+            out = out.append_column(scope_col, pa.array(scope))
+        return out
 
     def mark(tbl: pa.Table) -> pa.Table:
         pdf = tbl.to_pandas()
-        nun = pdf.groupby("line")[id_col].transform("nunique")
+        nun = pdf.groupby(count_keys)[id_col].transform("nunique")
         pdf["__keep"] = (nun < min_docs).to_numpy()
         return pa.Table.from_pandas(pdf, preserve_index=False)
 
@@ -273,7 +285,7 @@ def strip_boilerplate(docs, id_col: str = "doc_id",
         return pa.Table.from_pandas(out, preserve_index=False)
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
-    marked = grouped_apply(exploded, ["line"], mark,
+    marked = grouped_apply(exploded, count_keys, mark,
                            num_partitions=num_partitions,
                            batch_format="pyarrow")
     return grouped_apply(marked, [id_col], assemble,

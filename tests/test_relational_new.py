@@ -155,6 +155,33 @@ def test_strip_boilerplate_threshold_not_met(ray_session):
                                           "common\nbody1", "only2"]
 
 
+def test_strip_boilerplate_scoped_per_site(ray_session):
+    hdr = "Follow us on social media."
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "domain": ["a.com"] * 6 + ["b.com"] * 2,
+        "text": [
+            hdr + f"\nbody {i}" if i < 6 or i == 6 else f"body {i}"
+            for i in range(8)
+        ],
+    })
+    out = strip_boilerplate(
+        _ds(ray_session, docs), min_docs=3, scope_col="domain",
+        num_partitions=4,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # a.com: 6 docs share the line (>= 3) -> dropped site-wide
+    for i in range(6):
+        assert out.loc[i, "clean_text"] == f"body {i}"
+    # b.com: only ONE doc carries the identical line (< 3) -> kept
+    assert out.loc[6, "clean_text"] == hdr + "\nbody 6"
+    assert out.loc[7, "clean_text"] == "body 7"
+    # corpus-global mode would have dropped it everywhere
+    glob = strip_boilerplate(
+        _ds(ray_session, docs), min_docs=3, num_partitions=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert glob.loc[6, "clean_text"] == "body 6"
+
+
 def test_merge_into_latest_wins_and_delete(ray_session):
     snap = pd.DataFrame({"k": np.int64([1, 2, 3, 4]),
                          "v": ["a", "b", "c", "d"]})
