@@ -122,3 +122,38 @@ class TestRobotsFilter:
         many = robots_filter(pages.repartition(3), robots,
                              num_partitions=7).sort("url").take_all()
         assert one == many
+
+
+class TestRobotsProperties:
+    def test_matcher_agrees_with_fnmatch_reference(self):
+        import fnmatch
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        chars = st.sampled_from(list("ab/.-"))
+        path_st = st.text(alphabet=chars, min_size=1, max_size=12).map(
+            lambda s: "/" + s)
+        pat_st = st.text(alphabet=st.sampled_from(list("ab/*")),
+                         min_size=1, max_size=8).map(lambda s: "/" + s)
+        rule_st = st.tuples(st.booleans(), pat_st)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(rule_st, min_size=1, max_size=5), path_st)
+        def check(rules, path):
+            text = "User-agent: *\n" + "\n".join(
+                ("Allow: " if allow else "Disallow: ") + pat
+                for allow, pat in rules)
+            got = allowed(text, "*", path)
+            # independent reference: fnmatch prefix-matching + the
+            # longest-pattern / allow-on-tie selection
+            best_len, best_allow = -1, True
+            for allow, pat in rules:
+                if fnmatch.fnmatchcase(path, pat + "*"):
+                    if len(pat) > best_len:
+                        best_len, best_allow = len(pat), allow
+                    elif len(pat) == best_len and allow:
+                        best_allow = True
+            assert got == best_allow, (rules, path)
+
+        check()

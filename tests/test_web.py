@@ -552,3 +552,30 @@ class TestMirrorPaths:
             {"url": "https://a.com/x"}, {"url": "https://b.com/x"},
         ])
         assert mirror_paths(pages, min_domains=3).count() == 0
+
+
+class TestSitemapProperty:
+    def test_build_parse_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from xml.sax.saxutils import escape
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            parse_sitemap,
+        )
+
+        loc_st = st.text(
+            alphabet=st.sampled_from(list("abz09/-_.&?=")),
+            min_size=1, max_size=20,
+        ).map(lambda s: "https://h.com/" + s)
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(loc_st, min_size=1, max_size=6))
+        def check(locs):
+            xml = ("<urlset>" + "".join(
+                f"<url><loc>{escape(u)}</loc></url>" for u in locs)
+                + "</urlset>").encode()
+            rows = parse_sitemap(xml)
+            assert [r["loc"] for r in rows] == locs
+
+        check()
