@@ -5171,6 +5171,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ccnet_ppl_buckets(docs, num_partitions=16)
 
+    def docs_script_fractions(sf_dir: str):
+        """Unicode-script composition
+        (pipelines/textstats.script_fractions): doc_id arithmetic
+        appends Cyrillic / Han / Arabic / digit runs to the (Latin)
+        document text, flipping the dominant script for some docs.
+        Both sides count with RE2's own \\p{Script} classes (pyarrow
+        and DuckDB share the regex engine), so the oracle is
+        table-exact."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            script_fractions,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                t = r["text"] or ""
+                if i % 3 == 0:
+                    t += " " + "привет мир " * (i % 4 + 1)
+                if i % 5 == 0:
+                    t += " " + "你好世界" * (len(t) // 2 + 1)
+                if i % 7 == 0:
+                    t += " مرحبا 123"
+                ids.append(i)
+                texts.append(t)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.large_string())})
+
+        return script_fractions(
+            docs.map_batches(synth, batch_format="pyarrow"))
+
     def docs_tfidf_top_terms(sf_dir: str):
         """Per-document top-3 terms by TF-IDF (sklearn smooth idf) —
         keyword extraction. tf never shuffles (exact within the doc's
@@ -6712,6 +6746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_counts": events_tumbling_counts,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_ppl_buckets": docs_ppl_buckets,
+        "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -8619,6 +8654,58 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY event_type, win
+        """,
+        "docs_script_fractions": r"""
+            WITH t1 AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0 THEN
+                         ' ' || repeat('привет мир ', doc_id % 4 + 1)
+                     ELSE '' END AS t
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id,
+                     t || CASE WHEN doc_id % 5 = 0 THEN
+                         ' ' || repeat('你好世界', length(t) // 2 + 1)
+                     ELSE '' END AS t
+              FROM t1
+            ), t3 AS (
+              SELECT doc_id,
+                     t || CASE WHEN doc_id % 7 = 0
+                          THEN ' مرحبا 123' ELSE '' END AS t
+              FROM t2
+            ), c AS (
+              SELECT doc_id, length(t) AS n_chars,
+                length(t) - length(regexp_replace(t, '\p{Latin}', '',
+                    'g')) AS lat,
+                length(t) - length(regexp_replace(t, '\p{Cyrillic}',
+                    '', 'g')) AS cyr,
+                length(t) - length(regexp_replace(t, '\p{Han}', '',
+                    'g')) AS han,
+                length(t) - length(regexp_replace(t, '\p{Arabic}', '',
+                    'g')) AS ara,
+                length(t) - length(regexp_replace(t, '[0-9]', '',
+                    'g')) AS dig
+              FROM t3
+            )
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   round(lat / CAST(greatest(n_chars, 1) AS DOUBLE),
+                         6) AS latin_frac,
+                   round(cyr / CAST(greatest(n_chars, 1) AS DOUBLE),
+                         6) AS cyrillic_frac,
+                   round(han / CAST(greatest(n_chars, 1) AS DOUBLE),
+                         6) AS han_frac,
+                   round(ara / CAST(greatest(n_chars, 1) AS DOUBLE),
+                         6) AS arabic_frac,
+                   round(dig / CAST(greatest(n_chars, 1) AS DOUBLE),
+                         6) AS digit_frac,
+                   CASE WHEN greatest(lat, cyr, han, ara) = 0
+                            THEN 'none'
+                        WHEN lat >= cyr AND lat >= han AND lat >= ara
+                            THEN 'latin'
+                        WHEN cyr >= han AND cyr >= ara THEN 'cyrillic'
+                        WHEN han >= ara THEN 'han'
+                        ELSE 'arabic' END AS dominant_script
+            FROM c
         """,
         "docs_ppl_buckets": """
             WITH tok AS (

@@ -634,3 +634,59 @@ def ccnet_ppl_buckets(docs_ds, id_col: str = "doc_id",
             "ppl_bucket", pc.take(names, idx))
 
     return tiled.map_batches(label, batch_format="pyarrow")
+
+
+_SCRIPTS = (("latin", r"\p{Latin}"), ("cyrillic", r"\p{Cyrillic}"),
+            ("han", r"\p{Han}"), ("arabic", r"\p{Arabic}"))
+
+
+def script_fractions(docs_ds, id_col: str = "doc_id",
+                     text_col: str = "text", ndigits: int = 6):
+    """Unicode-script composition per document — the curation check
+    that a document's characters agree with its language label (a
+    "en" doc that is 60% Han is a mislabel; script filters are
+    standard in CCNet-family pipelines).  Counts per script ride RE2's
+    own script property (``\\p{Latin}`` …) through
+    ``pc.count_substring_regex`` — the ORACLE uses the same classes in
+    DuckDB (also RE2), so the two sides share the exact Unicode
+    tables.  Pure vectorized map stage, one regex pass per script.
+
+    Output per doc: ``n_chars:int64``, ``<script>_frac`` per script +
+    ``digit_frac`` (rounded, denominators of 0 → 0.0) and
+    ``dominant_script`` — the max-count script, ties broken by the
+    fixed order latin > cyrillic > han > arabic; ``none`` when no
+    script character occurs."""
+    import pyarrow.compute as pc
+
+    def fracs(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = pc.utf8_length(texts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        denom = np.maximum(n, 1).astype(np.float64)
+        counts = {
+            name: pc.count_substring_regex(texts, rx).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            for name, rx in _SCRIPTS
+        }
+        digits = pc.count_substring_regex(texts, r"[0-9]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        stack = np.stack([counts[name] for name, _ in _SCRIPTS])
+        best = np.argmax(stack, axis=0)  # first max wins = fixed order
+        names = np.array([name for name, _ in _SCRIPTS] + ["none"])
+        dominant = names[np.where(stack.max(axis=0) > 0, best,
+                                  len(_SCRIPTS))]
+        out = {id_col: batch.column(id_col),
+               "n_chars": pa.array(n)}
+        for name, _ in _SCRIPTS:
+            out[f"{name}_frac"] = pc.round(
+                pa.array(counts[name] / denom), ndigits,
+                round_mode="half_towards_infinity")
+        out["digit_frac"] = pc.round(
+            pa.array(digits / denom), ndigits,
+            round_mode="half_towards_infinity")
+        out["dominant_script"] = pa.array(dominant, pa.string())
+        return pa.table(out)
+
+    return docs_ds.map_batches(fracs, batch_format="pyarrow")

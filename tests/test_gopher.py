@@ -129,3 +129,51 @@ class TestRules:
         many = gopher_quality(
             ds.repartition(7)).sort("doc_id").take_all()
         assert one == many
+
+
+class TestScriptFractions:
+    def test_scripts_and_dominant(self, ray_session):
+        import pyarrow as pa
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            script_fractions,
+        )
+
+        docs = {
+            0: "hello world",
+            1: "привет мир",
+            2: "你好",
+            3: "مرحبا",
+            4: "1234 !!",          # digits only -> none dominant
+            5: "ab приветик",      # cyrillic outnumbers latin
+            6: "",                 # empty: all 0, none
+        }
+        tbl = pa.table({
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.large_string()),
+        })
+        out = {r["doc_id"]: r for r in script_fractions(
+            ray_session.data.from_arrow(tbl)).take_all()}
+        assert out[0]["dominant_script"] == "latin"
+        assert out[1]["dominant_script"] == "cyrillic"
+        assert out[2]["dominant_script"] == "han"
+        assert out[3]["dominant_script"] == "arabic"
+        assert out[4]["dominant_script"] == "none"
+        assert out[4]["digit_frac"] == round(4 / 7, 6)
+        assert out[5]["dominant_script"] == "cyrillic"
+        assert out[6]["n_chars"] == 0
+        assert out[6]["latin_frac"] == 0.0
+        assert out[0]["latin_frac"] == round(10 / 11, 6)
+
+    def test_tie_prefers_latin(self, ray_session):
+        import pyarrow as pa
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            script_fractions,
+        )
+
+        tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array(["abпр"], pa.large_string())})
+        out = script_fractions(
+            ray_session.data.from_arrow(tbl)).take_all()[0]
+        assert out["dominant_script"] == "latin"
