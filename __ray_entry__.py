@@ -817,6 +817,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return paragraph_dedup(
             docs.map_batches(synth, batch_format="pyarrow"))
 
+    def web_curation_pipeline(sf_dir: str):
+        """End-to-end web curation as ONE streaming chain with ONE SQL
+        oracle: planted captures → RefinedWeb URL blocklist
+        (web.url_block_filter) → RFC 9309 robots filter
+        (web.robots_filter) → byte-exact HTML→text extract
+        (functions/html.extract_text) → Gopher A1.1 quality signals
+        (clean.gopher_quality). Every stage is the production
+        operator; the oracle replays the url/robots arithmetic as a
+        WHERE over the Gopher signal SQL (doc_id%5 urls land on the
+        blocked domain, doc_id%3 paths are robots-disallowed, the
+        rest carry the doc_id%8 Gopher variant text)."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.html import (
+            extract_text,
+            render_html,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            gopher_quality,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            robots_filter,
+            url_block_filter,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        line = ("the quick brown fox jumps over a lazy dog and then "
+                "that dog will have a quiet rest with friends today")
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                v = i % 8
+                if v == 0:
+                    t = "Just a few words here."
+                elif v == 1:
+                    t = "\n".join([line, line, ("12345 " * 21).strip()])
+                elif v == 2:
+                    t = "\n".join([line, line, line,
+                                   ("# " * 8).strip()])
+                elif v == 3:
+                    t = "\n".join(["- " + line] * 3)
+                elif v == 4:
+                    t = "\n".join([line + "...", line + "...", line])
+                elif v == 5:
+                    t = ("the and that have with of to be "
+                         + "pneumonoultramicroscopic " * 52).strip()
+                elif v == 6:
+                    t = ("zebra mango guitar piano velvet copper "
+                         "meadow lantern " * 8).strip()
+                else:
+                    t = "\n".join([line, line, line])
+                host = ("blocked.com" if i % 5 == 0
+                        else f"site{i % 7}.com")
+                path = "/private/p" if i % 3 == 0 else "/ok/p"
+                rows.append({
+                    "doc_id": i,
+                    "url": f"https://{host}{path}?d={i}",
+                    "html": render_html(str(i), t),
+                })
+            return pa.Table.from_pylist(rows)
+
+        robots = ray.data.from_items([
+            {"domain": f"site{k}.com",
+             "robots_txt": "User-agent: *\nDisallow: /private\n"}
+            for k in range(7)
+        ])
+        pages = docs.map_batches(mk, batch_format="pyarrow")
+        past_urls = url_block_filter(
+            pages, blocked_domains=("blocked.com",),
+        ).filter(expr="keep == 1").select_columns(
+            ["doc_id", "url", "html"])
+        live = robots_filter(past_urls, robots, num_partitions=8) \
+            .filter(expr="allowed == 1")
+
+        def extract(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(
+                    [extract_text(h)
+                     for h in batch.column("html").to_pylist()],
+                    pa.large_string()),
+            })
+
+        return gopher_quality(
+            live.map_batches(extract, batch_format="pyarrow"))
+
     def docs_wet_export(sf_dir: str):
         """Archive EXPORT (pipelines/shards.write_wet_archives): publish
         the documents table as resumable WET archives — the writer twin
@@ -6597,6 +6685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "docs_c4_line_filtered": docs_c4_line_filtered,
         "docs_gopher_quality": docs_gopher_quality,
+        "web_curation_pipeline": web_curation_pipeline,
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
@@ -7366,6 +7455,79 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE rn = 1
             GROUP BY doc_id
+        """,
+        "web_curation_pipeline": r"""
+            WITH l AS (
+              SELECT 'the quick brown fox jumps over a lazy dog and '
+                  || 'then that dog will have a quiet rest with '
+                  || 'friends today' AS ln
+            ), synth AS (
+              SELECT d.doc_id,
+                CASE d.doc_id % 8
+                  WHEN 0 THEN 'Just a few words here.'
+                  WHEN 1 THEN ln || chr(10) || ln || chr(10)
+                      || trim(repeat('12345 ', 21))
+                  WHEN 2 THEN ln || chr(10) || ln || chr(10) || ln
+                      || chr(10) || trim(repeat('# ', 8))
+                  WHEN 3 THEN '- ' || ln || chr(10) || '- ' || ln
+                      || chr(10) || '- ' || ln
+                  WHEN 4 THEN ln || '...' || chr(10) || ln || '...'
+                      || chr(10) || ln
+                  WHEN 5 THEN trim('the and that have with of to be '
+                      || repeat('pneumonoultramicroscopic ', 52))
+                  WHEN 6 THEN trim(repeat('zebra mango guitar piano '
+                      || 'velvet copper meadow lantern ', 8))
+                  ELSE ln || chr(10) || ln || chr(10) || ln
+                END AS t
+              FROM documents d, l
+              WHERE d.doc_id % 5 <> 0 AND d.doc_id % 3 <> 0
+            ), w AS (
+              SELECT doc_id, t,
+                     list_filter(string_split_regex(t, '\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(t, chr(10)) AS lines
+              FROM synth
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                round(list_sum(list_transform(words,
+                    x -> CAST(length(x) AS DOUBLE)))
+                    / greatest(len(words), 1), 6) AS mean_word_len,
+                round((
+                    (length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) / 3
+                    + (length(t) - length(replace(t, '…', '')))
+                  ) / CAST(greatest(len(words), 1) AS DOUBLE),
+                  6) AS symbol_ratio,
+                round(len(list_filter(lines, x ->
+                    regexp_matches(x, '^(• |- |\* )')))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE),
+                    6) AS bullet_frac,
+                round(len(list_filter(lines, x ->
+                    regexp_matches(x, '(\.\.\.|…)$')))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE),
+                    6) AS ellipsis_frac,
+                round(len(list_filter(words, x ->
+                    regexp_matches(x, '[A-Za-z]')))
+                    / CAST(greatest(len(words), 1) AS DOUBLE),
+                    6) AS alpha_frac,
+                CAST(len(list_distinct(list_transform(
+                    list_filter(words, x -> list_contains(
+                        ['the','be','to','of','and','that','have',
+                         'with'], lower(x))),
+                    x -> lower(x)))) AS BIGINT) AS n_stopwords
+              FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, alpha_frac, n_stopwords,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3.0 AND 10.0
+                        AND symbol_ratio <= 0.1
+                        AND bullet_frac < 0.9
+                        AND ellipsis_frac < 0.3
+                        AND alpha_frac >= 0.8
+                        AND n_stopwords >= 2 AS BIGINT) AS keep
+            FROM s
         """,
         "docs_gopher_quality": r"""
             WITH l AS (
