@@ -1441,6 +1441,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         thr = exact_quantile(narrow, "quality", 0.25)
         return narrow.filter(expr=f"quality >= {thr!r}")
 
+    def docs_length_trimmed(sf_dir: str):
+        """Percentile length trim (p5–p95 of whitespace token count):
+        exact quantile_cont thresholds from a bounded count histogram —
+        see clean.length_trim for the no-values-exchange scale story."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            length_trim,
+        )
+
+        counts = ts.token_counts(_read(sf_dir, "documents")).select_columns(
+            ["doc_id", "ws_tokens"]
+        )
+        return length_trim(counts, lo=0.05, hi=0.95)
+
     def doc_fingerprints(sf_dir: str):
         """SQL-expressible fingerprint (md5 of ws-normalized text) — the
         oracled variant (VERDICT r2 task 7)."""
@@ -6716,6 +6729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": language_id,
         "quality_scores": quality_scores,
         "docs_quality_filtered": docs_quality_filtered,
+        "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
         "doc_fingerprints_rolling": doc_fingerprints_rolling,
         "exact_dedup_docs": exact_dedup_docs,
@@ -9354,5 +9368,12 @@ def oracle_sql() -> dict[str, str]:
         "WITH qq AS (" + d["quality_scores"] + ") "
         "SELECT doc_id, quality FROM qq WHERE quality >= "
         "(SELECT quantile_disc(quality, 0.25) FROM qq)"
+    )
+    d["docs_length_trimmed"] = (
+        "WITH t AS (" + d["ws_token_counts"] + "), "
+        "q AS (SELECT quantile_cont(ws_tokens, 0.05) AS lo, "
+        "             quantile_cont(ws_tokens, 0.95) AS hi FROM t) "
+        "SELECT t.doc_id, t.ws_tokens FROM t, q "
+        "WHERE t.ws_tokens >= q.lo AND t.ws_tokens <= q.hi"
     )
     return d

@@ -649,3 +649,54 @@ def rebalance_to_target(ds, group_col: str, targets: dict[str, float],
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def length_trim(counts_ds, lo: float = 0.05, hi: float = 0.95,
+                count_col: str = "ws_tokens"):
+    """Percentile length trim — drop documents whose token count falls
+    outside the corpus's [lo, hi] quantile band (the standard
+    outlier-page cut between extraction and tokenization; very short
+    pages are navigation stubs, very long ones are logs/dumps).
+
+    Exact ``quantile_cont`` thresholds WITHOUT a values exchange: token
+    counts live in a tiny integer domain (≤ max document length), so
+    per-block ``value_counts`` partials feed one groupby over at most
+    that many distinct values, the driver folds the (bounded) histogram
+    and interpolates at rank q·(N−1), and the filter is a pure map with
+    the two scalars closed over.  At 100 TB the aggregate stays a few
+    thousand rows — the corpus size never appears in any exchange.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(count_col))
+        return pa.table({count_col: vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    rows = (counts_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(count_col).sum("cnt").take_all())  # bounded: ≤ max doc length
+    vals = np.array([r[count_col] for r in rows], dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        # linear interpolation at rank q·(N−1) over the sorted multiset,
+        # read off the cumulative histogram (quantile_cont semantics)
+        p = q * (n - 1)
+        i = int(np.floor(p))
+        frac = p - i
+        vi = float(vals[np.searchsorted(cum, i, side="right")])
+        if frac == 0.0:
+            return vi
+        vj = float(vals[np.searchsorted(cum, i + 1, side="right")])
+        return vi + frac * (vj - vi)
+
+    lo_v, hi_v = q_cont(lo), q_cont(hi)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column(count_col), pa.float64())
+        return batch.filter(pc.and_(pc.greater_equal(c, lo_v),
+                                    pc.less_equal(c, hi_v)))
+
+    return counts_ds.map_batches(keep, batch_format="pyarrow")
