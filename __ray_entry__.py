@@ -5272,6 +5272,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ccnet_ppl_buckets(docs, num_partitions=16)
 
+    def docs_dsir_weights(sf_dir: str):
+        """DSIR importance weights
+        (pipelines/textstats.dsir_logratio — Xie et al. 2023): per-doc
+        mean unigram log-likelihood ratio between an LM trained on the
+        target corpus (here the English documents, the stand-in for
+        "a small high-quality corpus") and one trained on the raw
+        rest, Laplace-smoothed over the shared vocabulary. The score a
+        web-scale mixer resamples the raw crawl by. Token-keyed
+        exchanges only — no broadcast vocabulary."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            dsir_logratio,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "lang"]
+        )
+
+        def flag(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "text": b.column("text"),
+                "is_target": pc.equal(b.column("lang"), "en"),
+            })
+
+        docs = docs.map_batches(flag, batch_format="pyarrow")
+        return dsir_logratio(docs, num_partitions=16)
+
     def docs_script_fractions(sf_dir: str):
         """Unicode-script composition
         (pipelines/textstats.script_fractions): doc_id arithmetic
@@ -6849,6 +6876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_counts": events_tumbling_counts,
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_ppl_buckets": docs_ppl_buckets,
+        "docs_dsir_weights": docs_dsir_weights,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -8922,6 +8950,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok.doc_id,
                    count(*) AS n_tokens,
                    round(avg(log2(c.c / tot.total)), 6) AS mean_logprob
+            FROM tok JOIN c USING (tok) CROSS JOIN tot
+            GROUP BY tok.doc_id
+        """,
+        "docs_dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id, (lang = 'en') AS is_t,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            c AS (SELECT tok,
+                         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                         sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cr
+                  FROM tok GROUP BY tok),
+            tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr,
+                           count(*) AS v FROM c)
+            SELECT tok.doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(ln((c.ct + 1) / (tot.nt + tot.v))
+                           - ln((c.cr + 1) / (tot.nr + tot.v))), 6)
+                       AS dsir_llr
             FROM tok JOIN c USING (tok) CROSS JOIN tot
             GROUP BY tok.doc_id
         """,

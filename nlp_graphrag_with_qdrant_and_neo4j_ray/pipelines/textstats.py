@@ -690,3 +690,140 @@ def script_fractions(docs_ds, id_col: str = "doc_id",
         return pa.table(out)
 
     return docs_ds.map_batches(fracs, batch_format="pyarrow")
+
+
+def _tf_flag_table(batch: pa.Table, id_col: str, text_col: str,
+                   flag_col: str) -> pa.Table:
+    """Per-document term frequencies carrying the document's
+    target-corpus flag: (id, tok, tf, is_t).  Exact within the map —
+    a document's tokens all live in its own row — and the flag is
+    constant per document, so grouping by (id, tok, flag) equals
+    grouping by (id, tok)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch.column(text_col), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False), lens
+    )
+    flags = np.repeat(
+        batch.column(flag_col).to_numpy(zero_copy_only=False), lens
+    )
+    flat = pc.list_flatten(toks)
+    t = pa.table({
+        id_col: pa.array(ids),
+        "is_t": pa.array(flags, pa.bool_()),
+        "tok": flat,
+    }).filter(pc.not_equal(flat, ""))
+    agg = t.group_by([id_col, "is_t", "tok"]).aggregate([([], "count_all")])
+    return agg.rename_columns([id_col, "is_t", "tok", "tf"])
+
+
+def dsir_logratio(docs_ds, target_col: str = "is_target",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ndigits: int = 6, num_partitions: int = 64):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score EVERY document
+    with the per-token mean log-likelihood ratio
+    ``ln p_target(tok) / ln p_raw(tok)`` between two unigram LMs — one
+    trained on the rows where ``target_col`` is true (the small
+    high-quality target corpus), one on the rest (the raw web crawl).
+    Both LMs are Laplace-smoothed over the SHARED vocabulary, so
+    out-of-target tokens still get a finite score.  Resampling itself
+    is then a threshold / weighted sample over the returned weights
+    (``docs_hash_sample`` shows the deterministic sampler shape).
+
+    Output: one row per document — (id, n_tokens, dsir_llr) with the
+    tf-weighted per-token mean rounded to ``ndigits`` (float-sum order
+    differences vanish at 1e-6 like the other LM scores).
+
+    Scale shape: the text collapses to per-document (id, tok, tf, is_t)
+    rows inside the map; the vocabulary size V and the two corpus
+    totals are bounded folds (V = sum of per-partition local distinct
+    counts over ONE token-keyed exchange — distinct tokens are disjoint
+    across hash partitions; N_T/N_R are two scalar column sums off the
+    materialized tf table).  Scoring is a second token-keyed exchange
+    where each token's c_T/c_R are partition-local sums joined back in
+    place — no count table and no broadcast vocabulary ever ships
+    (DSIR's hashed-feature trick bounds the MODEL; partitioning bounds
+    it here without the hash collisions).  The per-doc mean reduces
+    through a sufficient-stats combiner on a third, document-keyed
+    exchange."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    tf = docs_ds.map_batches(
+        lambda b: _tf_flag_table(b, id_col, text_col, target_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def batch_totals(b: pa.Table) -> pa.Table:
+        tfv = b.column("tf").to_numpy(zero_copy_only=False)
+        is_t = b.column("is_t").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nt": pa.array([int(tfv[is_t].sum())], pa.int64()),
+            "nr": pa.array([int(tfv[~is_t].sum())], pa.int64()),
+        })
+
+    totals = tf.map_batches(batch_totals, batch_format="pyarrow")
+    n_t = float(totals.sum("nt") or 0.0)
+    n_r = float(totals.sum("nr") or 0.0)
+
+    def local_vocab(tbl: pa.Table) -> pa.Table:
+        n = pc.count_distinct(tbl.column("tok")).as_py()
+        return pa.table({"v": pa.array([int(n)], pa.int64())})
+
+    vocab = grouped_apply(tf, ["tok"], local_vocab,
+                          num_partitions=num_partitions,
+                          batch_format="pyarrow")
+    v = float(vocab.sum("v") or 0.0)
+
+    def per_token_partition(tbl: pa.Table) -> pa.Table:
+        is_t = tbl.column("is_t").to_numpy(zero_copy_only=False)
+        tfv = tbl.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        df = pd.DataFrame({
+            "tok": tbl.column("tok").to_numpy(zero_copy_only=False),
+            "ct": np.where(is_t, tfv, 0.0),
+            "cr": np.where(is_t, 0.0, tfv),
+        })
+        g = df.groupby("tok", sort=False)[["ct", "cr"]].sum()
+        ct = g["ct"].to_numpy()[g.index.get_indexer(df["tok"])]
+        cr = g["cr"].to_numpy()[g.index.get_indexer(df["tok"])]
+        s = tfv * (np.log((ct + 1.0) / (n_t + v))
+                   - np.log((cr + 1.0) / (n_r + v)))
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "__n": pc.cast(tbl.column("tf"), pa.int64()),
+            "__s": pa.array(s, pa.float64()),
+        })
+
+    scored = grouped_apply(tf, ["tok"], per_token_partition,
+                           num_partitions=num_partitions,
+                           batch_format="pyarrow")
+
+    def mean_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by([id_col]).aggregate(
+            [("__n", "sum"), ("__s", "sum")]
+        )
+        return agg.rename_columns([id_col, "__n", "__s"])
+
+    def mean_reduce(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([id_col]).aggregate(
+            [("__n", "sum"), ("__s", "sum")]
+        )
+        n = g.column("__n_sum").to_numpy(zero_copy_only=False)
+        s = g.column("__s_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_tokens": pc.cast(g.column("__n_sum"), pa.int64()),
+            "dsir_llr": pa.array(np.round(s / n, ndigits), pa.float64()),
+        })
+
+    return grouped_apply(
+        scored.map_batches(mean_partial, batch_format="pyarrow"),
+        [id_col], mean_reduce, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )

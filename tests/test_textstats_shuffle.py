@@ -256,3 +256,52 @@ def test_tfidf_top_terms_matches_naive(ray_session):
             (r["tok"], r["tf"], r["score"])
         )
     assert got_sets == want
+
+
+def test_dsir_logratio_matches_naive(ray_session):
+    import math
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        dsir_logratio,
+    )
+
+    texts = {
+        1: ("the quick brown fox", True),
+        2: ("the lazy dog", True),
+        3: ("buy cheap pills now", False),
+        4: ("the dog sat", False),
+        5: ("quick quick fox", False),
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t, "is_target": f}
+         for i, (t, f) in texts.items()]
+    )
+    for parts in (1, 4):
+        out = {
+            r["doc_id"]: r
+            for r in dsir_logratio(ds, num_partitions=parts).take_all()
+        }
+
+        ct: dict[str, int] = {}
+        cr: dict[str, int] = {}
+        for t, flag in texts.values():
+            for tok in t.split(" "):
+                d = ct if flag else cr
+                d[tok] = d.get(tok, 0) + 1
+        vocab = len(set(ct) | set(cr))
+        nt, nr = sum(ct.values()), sum(cr.values())
+        for i, (t, _) in texts.items():
+            toks = t.split(" ")
+            want = sum(
+                math.log((ct.get(x, 0) + 1) / (nt + vocab))
+                - math.log((cr.get(x, 0) + 1) / (nr + vocab))
+                for x in toks
+            ) / len(toks)
+            assert out[i]["n_tokens"] == len(toks)
+            assert abs(out[i]["dsir_llr"] - round(want, 6)) < 1e-9, (
+                parts, i)
+        # target docs should score above the spammy raw doc
+        assert out[1]["dsir_llr"] > out[3]["dsir_llr"]
+        assert out[2]["dsir_llr"] > out[3]["dsir_llr"]
