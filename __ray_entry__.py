@@ -5299,6 +5299,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = docs.map_batches(flag, batch_format="pyarrow")
         return dsir_logratio(docs, num_partitions=16)
 
+    def docs_global_shuffle(sf_dir: str):
+        """Deterministic seeded global training shuffle
+        (pipelines/shards.global_shuffle_positions): every document's
+        contiguous rank in the total order (md5('42:'||id), id) — a
+        distributed zip-with-index via order-preserving 16-bit key-range
+        buckets, O(buckets) driver ints, ONE bucket-keyed exchange. The
+        oracle replays the permutation with a window row_number."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+            global_shuffle_positions,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        return global_shuffle_positions(docs, seed=42, num_partitions=16)
+
     def docs_script_fractions(sf_dir: str):
         """Unicode-script composition
         (pipelines/textstats.script_fractions): doc_id arithmetic
@@ -6877,6 +6891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_ppl_buckets": docs_ppl_buckets,
         "docs_dsir_weights": docs_dsir_weights,
+        "docs_global_shuffle": docs_global_shuffle,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -8973,6 +8988,13 @@ def oracle_sql() -> dict[str, str]:
                        AS dsir_llr
             FROM tok JOIN c USING (tok) CROSS JOIN tot
             GROUP BY tok.doc_id
+        """,
+        "docs_global_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS shuffle_pos
+            FROM documents
         """,
         "docs_tfidf_top_terms": """
             WITH tok AS (

@@ -231,3 +231,78 @@ def write_wet_archives(pages_thunk, out_dir: str, n_shards: int = 8,
 
     rows.sort(key=lambda r: r["shard_id"])
     return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)
+
+
+def global_shuffle_positions(docs, seed: int = 42, id_col: str = "doc_id",
+                             num_buckets: int = 256,
+                             num_partitions: int = 16):
+    """Deterministic seeded GLOBAL shuffle with contiguous positions —
+    the "shuffle the corpus before training" step, as a distributed
+    zip-with-index: every row gets ``shuffle_pos`` = its rank in the
+    total order ``(md5(f"{seed}:{id}"), id)``.  No RNG state, stable
+    under re-partitioning and re-runs, and a new seed is a brand-new
+    permutation; consumers stream rows in position order (or range-read
+    any slice of it).
+
+    Scale shape: the key's first 16 bits bucket the order into
+    ``num_buckets`` contiguous key ranges (fixed-width lowercase hex
+    sorts identically as string and as integer, so ascending bucket id
+    IS ascending key).  Per-bucket counts fold to the driver as O(buckets)
+    integers whose running sum gives each bucket's global offset; ONE
+    bucket-keyed exchange then sorts each bucket locally and adds its
+    offset.  Bucket sizes concentrate at corpus/buckets (md5 is
+    uniform), so at 100 TB you raise ``num_buckets`` until a bucket
+    fits a worker — the same knob as ``n_shards`` above.  md5 per row
+    is the oracle-replayable choice (module docstring).
+    """
+    from ..stages.shuffle import grouped_apply
+
+    if not 1 <= num_buckets <= 65536:
+        raise ValueError(f"num_buckets must be in [1, 65536]: {num_buckets}")
+
+    def key_it(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                for i in ids]
+        # Order-preserving range bucketing off the first 16 key bits:
+        # bucket boundaries are key-prefix boundaries for ANY bucket
+        # count <= 65536, so ascending bucket id == ascending key.
+        buckets = [int(k[:4], 16) * num_buckets // 65536 for k in keys]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__key": pa.array(keys, pa.string()),
+            "__bucket": pa.array(buckets, pa.int64()),
+        })
+
+    keyed = docs.map_batches(key_it, batch_format="pyarrow").materialize()
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["__bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["__bucket", "n"])
+
+    counts: dict[int, int] = {}
+    for row in keyed.map_batches(
+        bucket_counts, batch_format="pyarrow"
+    ).take_all():
+        counts[row["__bucket"]] = counts.get(row["__bucket"], 0) + row["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def rank_partition(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(
+            ["__bucket", "__key", id_col], kind="mergesort"
+        )
+        within = df.groupby("__bucket", sort=False).cumcount().to_numpy()
+        base = df["__bucket"].map(offsets).to_numpy()
+        out = pa.table({
+            id_col: pa.array(df[id_col].to_numpy()),
+            "shuffle_pos": pa.array(base + within, pa.int64()),
+        })
+        return out
+
+    return grouped_apply(keyed, ["__bucket"], rank_partition,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

@@ -164,3 +164,44 @@ class TestWetArchives:
         assert again.to_pylist() == first.to_pylist()
         assert os.path.exists(victim)
         assert os.stat(keeper).st_mtime_ns == kept_mtime
+
+
+class TestGlobalShufflePositions:
+    @staticmethod
+    def _run(ids, **kw):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.shards import (
+            global_shuffle_positions,
+        )
+
+        ds = ray.data.from_items([{"doc_id": i} for i in ids],
+                                 override_num_blocks=kw.pop("blocks", 4))
+        out = global_shuffle_positions(ds, **kw).take_all()
+        return {r["doc_id"]: r["shuffle_pos"] for r in out}
+
+    def test_matches_naive_and_is_contiguous(self, ray_session):
+        import hashlib
+
+        ids = list(range(200))
+        got = self._run(ids, seed=42)
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"42:{i}".encode()).hexdigest(),
+                                i)
+        )
+        want = {i: pos for pos, i in enumerate(order)}
+        assert got == want
+        assert sorted(got.values()) == list(range(len(ids)))
+
+    def test_partitioning_and_bucket_count_invariance(self, ray_session):
+        ids = list(range(150))
+        base = self._run(ids, seed=7)
+        assert self._run(ids, seed=7, blocks=1, num_partitions=3) == base
+        for nb in (1, 7, 64, 65536):
+            assert self._run(ids, seed=7, num_buckets=nb) == base
+
+    def test_new_seed_is_a_new_permutation(self, ray_session):
+        ids = list(range(100))
+        a, b = self._run(ids, seed=1), self._run(ids, seed=2)
+        assert sorted(a.values()) == sorted(b.values())
+        assert a != b
