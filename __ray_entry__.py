@@ -5313,6 +5313,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents").select_columns(["doc_id"])
         return global_shuffle_positions(docs, seed=42, num_partitions=16)
 
+    def docs_domain_quality_filter(sf_dir: str):
+        """Domain-level quality gate (pipelines/clean.domain_quality_filter
+        — the RefinedWeb whole-site judgment): mean composite quality
+        per source, drop every doc of the bottom-quartile domains.
+        Combiner + one domain-keyed exchange + exact_quantile threshold
+        + broadcast kept-set filter."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            domain_quality_filter,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "text"]
+        )
+        return domain_quality_filter(docs, domain_col="source",
+                                     num_partitions=16)
+
     def docs_script_fractions(sf_dir: str):
         """Unicode-script composition
         (pipelines/textstats.script_fractions): doc_id arithmetic
@@ -6892,6 +6908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ppl_buckets": docs_ppl_buckets,
         "docs_dsir_weights": docs_dsir_weights,
         "docs_global_shuffle": docs_global_shuffle,
+        "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9439,6 +9456,15 @@ def oracle_sql() -> dict[str, str]:
         "WITH qq AS (" + d["quality_scores"] + ") "
         "SELECT doc_id, quality FROM qq WHERE quality >= "
         "(SELECT quantile_disc(quality, 0.25) FROM qq)"
+    )
+    d["docs_domain_quality_filter"] = (
+        "WITH qq AS (" + d["quality_scores"] + "), "
+        "dq AS (SELECT d.source, round(avg(qq.quality), 6) AS domain_quality "
+        "       FROM qq JOIN documents d USING (doc_id) GROUP BY d.source), "
+        "thr AS (SELECT quantile_disc(domain_quality, 0.25) AS t FROM dq) "
+        "SELECT d.doc_id, d.source, dq.domain_quality "
+        "FROM documents d JOIN dq USING (source) CROSS JOIN thr "
+        "WHERE dq.domain_quality >= thr.t"
     )
     d["docs_length_trimmed"] = (
         "WITH t AS (" + d["ws_token_counts"] + "), "

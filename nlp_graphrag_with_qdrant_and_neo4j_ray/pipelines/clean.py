@@ -700,3 +700,85 @@ def length_trim(counts_ds, lo: float = 0.05, hi: float = 0.95,
                                     pc.less_equal(c, hi_v)))
 
     return counts_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def domain_quality_filter(docs_ds, domain_col: str = "source",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          drop_quantile: float = 0.25,
+                          num_partitions: int = 16):
+    """Domain-level quality gating (the RefinedWeb / UT1 pattern
+    applied to SIGNALS instead of a blocklist): score every document
+    with the composite quality heuristic, average per DOMAIN, and drop
+    every document of the domains whose mean falls below the exact
+    ``drop_quantile`` of domain means — whole spammy sites disappear,
+    including their individually innocuous pages.
+
+    Output: (id, domain, domain_quality) for documents of kept domains;
+    the per-doc quality is rounded to 6 digits BEFORE averaging so a
+    SQL oracle composes off the quality view bit-for-bit.
+
+    Scale shape: scoring is a pure map; the domain mean reduces
+    through a (sum, n) combiner and ONE domain-keyed exchange, so the
+    exchange ships O(domains × map-tasks) tiny rows; the threshold is
+    :func:`relational.exact_quantile` on the O(domains) mean table (no
+    global sort); kept domains come back as ONE broadcast filter list
+    (at web scale, millions of eTLD+1 domains ≈ tens of MB — ``ray.put``
+    once; the blocked minority could equally ride a bloom filter)."""
+    from ..functions.textstats import quality_scores
+    from .relational import exact_quantile
+
+    def score(batch: pa.Table) -> pa.Table:
+        qs = [round(quality_scores(t)["quality"], 6)
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: batch.column(id_col),
+            domain_col: batch.column(domain_col),
+            "__q": pa.array(qs, pa.float64()),
+        })
+
+    scored = docs_ds.map_batches(score, batch_format="pyarrow",
+                                 batch_size=8192).materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([domain_col]).aggregate(
+            [("__q", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([domain_col, "__s", "__n"])
+
+    def reduce_means(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by([domain_col]).aggregate(
+            [("__s", "sum"), ("__n", "sum")]
+        )
+        s = g.column("__s_sum").to_numpy(zero_copy_only=False)
+        n = g.column("__n_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            domain_col: g.column(domain_col),
+            "domain_quality": pa.array(np.round(s / n, 6), pa.float64()),
+        })
+
+    domain_means = grouped_apply(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        [domain_col], reduce_means, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    ).materialize()
+    thr = exact_quantile(domain_means, "domain_quality", drop_quantile)
+
+    kept = {
+        r[domain_col]: r["domain_quality"]
+        for r in domain_means.filter(
+            expr=f"domain_quality >= {thr!r}"
+        ).take_all()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        doms = batch.column(domain_col).to_pylist()
+        mask = pa.array([d in kept for d in doms], pa.bool_())
+        out = batch.filter(mask)
+        dq = [kept[d] for d in out.column(domain_col).to_pylist()]
+        return pa.table({
+            id_col: out.column(id_col),
+            domain_col: out.column(domain_col),
+            "domain_quality": pa.array(dq, pa.float64()),
+        })
+
+    return scored.map_batches(keep, batch_format="pyarrow")

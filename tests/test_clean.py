@@ -231,3 +231,30 @@ class TestRebalanceToTarget:
             ray.data.from_items(rows), "lang", targets).take_all()
         assert {r["doc_id"] for r in again} == {
             i for s in by_lang.values() for i in s}
+
+
+def test_domain_quality_filter_drops_spam_domains(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        domain_quality_filter,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    spam = "$$$ !!! 77777 @@@ ### 999 $$$ !!! buy 77777 @@@ ### 999 now"
+    rows = []
+    for d in range(4):
+        dom, text = f"site{d}", (spam if d == 0 else prose)
+        for i in range(5):
+            rows.append({"doc_id": d * 10 + i, "source": dom, "text": text})
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    # quantile_disc(0.5) of 4 domain means = the 2nd smallest (the
+    # lowest prose mean), so the spam domain falls below it and the
+    # three prose domains tie at-or-above it.
+    out = domain_quality_filter(ds, drop_quantile=0.5,
+                                num_partitions=2).take_all()
+    kept_domains = {r["source"] for r in out}
+    assert kept_domains == {"site1", "site2", "site3"}
+    assert len(out) == 15
+    for r in out:
+        assert 0.0 <= r["domain_quality"] <= 1.0
