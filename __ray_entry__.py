@@ -5329,6 +5329,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return domain_quality_filter(docs, domain_col="source",
                                      num_partitions=16)
 
+    def docs_mojibake_fixed(sf_dir: str):
+        """Encoding repair (pipelines/clean.fix_mojibake — the ftfy /
+        CCNet hygiene step): deterministic doc_id%3 arithmetic injects
+        accented characters ('e'→'é', 'a'→'ä') and then CORRUPTS those
+        rows the way the web does (UTF-8 bytes re-decoded as latin-1,
+        so 'é' becomes 'Ã©'); the repair stage must detect the mojibake
+        signature vectorized and undo it exactly.  The oracle states
+        the fixed point: repaired text == the injected pre-corruption
+        text, with the marker count replayed from character counts."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            fix_mojibake,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+
+        def corrupt(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            raw = batch.column("text").to_pylist()
+            inj = pc.replace_substring(
+                pc.replace_substring(batch.column("text"), "e", "é"),
+                "a", "ä",
+            ).to_pylist()
+            out = [
+                inj[k].encode("utf-8").decode("latin-1")
+                if ids[k] % 3 == 0 else raw[k]
+                for k in range(len(raw))
+            ]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(out, pa.string()),
+            })
+
+        return fix_mojibake(
+            docs.map_batches(corrupt, batch_format="pyarrow")
+        )
+
     def docs_script_fractions(sf_dir: str):
         """Unicode-script composition
         (pipelines/textstats.script_fractions): doc_id arithmetic
@@ -6909,6 +6947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": docs_dsir_weights,
         "docs_global_shuffle": docs_global_shuffle,
         "docs_domain_quality_filter": docs_domain_quality_filter,
+        "docs_mojibake_fixed": docs_mojibake_fixed,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9465,6 +9504,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, d.source, dq.domain_quality "
         "FROM documents d JOIN dq USING (source) CROSS JOIN thr "
         "WHERE dq.domain_quality >= thr.t"
+    )
+    # repaired text is the FIXED POINT of corrupt∘repair: doc_id%3==0
+    # rows were accent-injected then UTF-8→latin-1 corrupted by the Ray
+    # side, so the repaired output must equal the injected text and the
+    # marker count equals one per injected character (docs are ASCII —
+    # verified: the injected 'é'/'ä' are the only multi-byte chars).
+    d["docs_mojibake_fixed"] = (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 "
+        "     THEN replace(replace(text, 'e', 'é'), 'a', 'ä') "
+        "     ELSE text END AS text, "
+        "CASE WHEN doc_id % 3 = 0 "
+        "     THEN (length(text) - length(replace(text, 'e', ''))) "
+        "        + (length(text) - length(replace(text, 'a', ''))) "
+        "     ELSE 0 END AS n_mojibake, "
+        "doc_id % 3 = 0 AND "
+        "(length(text) - length(replace(text, 'e', ''))) "
+        " + (length(text) - length(replace(text, 'a', ''))) > 0 AS fixed "
+        "FROM documents"
     )
     d["docs_length_trimmed"] = (
         "WITH t AS (" + d["ws_token_counts"] + "), "

@@ -782,3 +782,91 @@ def domain_quality_filter(docs_ds, domain_col: str = "source",
         })
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+# A latin-1-decoded UTF-8 sequence: a lead byte (0xC2-0xF4) followed by
+# a continuation byte (0x80-0xBF), both read as the latin-1 codepoints
+# they became.  This is THE signature of mojibake from the single most
+# common corruption on the web — UTF-8 bytes re-decoded as latin-1 /
+# cp1252 (ftfy's headline case).
+# Continuation-byte class: the latin-1 codepoints U+0080-U+00BF, plus
+# what cp1252 maps the 0x80-0x9F bytes to (curly quotes, dashes, etc.)
+# so smart-punctuation mojibake ("\u00e2\u20ac\u2122" for "'") is
+# caught too.
+_MOJIBAKE_CONT = ("\u0080-\u00bf\u20ac\u201a\u0192\u201e\u2026\u2020"
+                  "\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018"
+                  "\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122"
+                  "\u0161\u203a\u0153\u017e\u0178")
+_MOJIBAKE_RE = "[\u00c2-\u00f4][" + _MOJIBAKE_CONT + "]"
+
+
+def _repair_mojibake(s: str, max_rounds: int = 3) -> str:
+    """Undo up to ``max_rounds`` layers of UTF-8-decoded-as-latin-1
+    corruption on one string.  Conservative whole-string rule: a repair
+    round is accepted only if the latin-1 (or cp1252) re-encode and the
+    UTF-8 re-decode BOTH succeed and the mojibake-marker count strictly
+    decreases — genuine text is never made worse (ftfy fixes segments;
+    we fix whole strings, trading recall on mixed strings for a
+    no-corruption guarantee)."""
+    import re
+
+    mark = re.compile(_MOJIBAKE_RE)
+    n = len(mark.findall(s))
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        try:
+            b = s.encode("latin-1")
+        except UnicodeEncodeError:
+            try:
+                b = s.encode("cp1252")
+            except UnicodeEncodeError:
+                break
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        n2 = len(mark.findall(t))
+        if n2 >= n:
+            break
+        s, n = t, n2
+    return s
+
+
+def fix_mojibake(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Encoding repair for web text (the ftfy / CCNet hygiene step the
+    cleaning surface was missing): detect UTF-8-decoded-as-latin-1
+    mojibake ("Ã©" for "é", "â€™" for "'") and undo it, including
+    double-encoded layers.
+
+    Output: ``(id_col, text_col(repaired), n_mojibake:int64(markers
+    BEFORE repair), fixed:bool)``.
+
+    Scale shape: pure map stage, zero exchanges.  Detection is ONE
+    vectorized RE2 scan per batch (`pc.count_substring_regex`); the
+    per-row Python codec round-trip runs ONLY on the flagged rows —
+    on a real crawl that is a small minority, so the hot path stays
+    Arrow-vectorized."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        counts = pc.count_substring_regex(txt, _MOJIBAKE_RE)
+        counts = pc.fill_null(counts, 0).cast(pa.int64())
+        texts = txt.to_pylist()
+        cl = counts.to_pylist()
+        fixed = []
+        for i, c in enumerate(cl):
+            if c:
+                t = _repair_mojibake(texts[i])
+                fixed.append(t != texts[i])
+                texts[i] = t
+            else:
+                fixed.append(False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: pa.array(texts, pa.string()),
+            "n_mojibake": counts,
+            "fixed": pa.array(fixed, pa.bool_()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -258,3 +258,54 @@ def test_domain_quality_filter_drops_spam_domains(ray_session):
     assert len(out) == 15
     for r in out:
         assert 0.0 <= r["domain_quality"] <= 1.0
+
+
+class TestFixMojibake:
+    def _run(self, rows):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            fix_mojibake,
+        )
+
+        ds = ray.data.from_items(rows, override_num_blocks=2)
+        return {r["doc_id"]: r for r in fix_mojibake(ds).take_all()}
+
+    def test_single_layer_repair(self, ray_session):
+        good = "café naïve — déjà vu"
+        bad = good.encode("utf-8").decode("latin-1")
+        out = self._run([
+            {"doc_id": 0, "text": bad},
+            {"doc_id": 1, "text": "plain ascii stays untouched"},
+        ])
+        assert out[0]["text"] == good
+        assert out[0]["fixed"] is True
+        assert out[0]["n_mojibake"] >= 4
+        assert out[1]["text"] == "plain ascii stays untouched"
+        assert out[1]["fixed"] is False
+        assert out[1]["n_mojibake"] == 0
+
+    def test_double_encoded_repair(self, ray_session):
+        good = "smörgåsbord"
+        bad2 = (good.encode("utf-8").decode("latin-1")
+                .encode("utf-8").decode("latin-1"))
+        out = self._run([{"doc_id": 0, "text": bad2}])
+        assert out[0]["text"] == good
+        assert out[0]["fixed"] is True
+
+    def test_unrepairable_text_untouched(self, ray_session):
+        # contains a char outside latin-1 AND cp1252 (U+0394) alongside
+        # a mojibake-looking pair — the conservative whole-string rule
+        # must leave it alone rather than corrupt it.
+        s = "Δ genuine greek with stray Ã© pair"
+        out = self._run([{"doc_id": 0, "text": s}])
+        assert out[0]["text"] == s
+        assert out[0]["fixed"] is False
+        assert out[0]["n_mojibake"] == 1
+
+    def test_cp1252_curly_quote_repair(self, ray_session):
+        good = "it’s here"           # curly apostrophe
+        bad = good.encode("utf-8").decode("cp1252")  # "it’s here"
+        out = self._run([{"doc_id": 0, "text": bad}])
+        assert out[0]["text"] == good
+        assert out[0]["fixed"] is True
