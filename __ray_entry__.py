@@ -5367,6 +5367,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(corrupt, batch_format="pyarrow")
         )
 
+    def orders_validation_report(sf_dir: str):
+        """Data-quality audit (pipelines/relational.validation_report —
+        the Great-Expectations / dbt-test pattern): five declarative
+        checks over orders fold to (rule, n, violations) partials in one
+        streaming pass; unique checks count distinct values through a
+        hash-partitioned exchange (per-partition distinct counts sum
+        exactly).  The oracle recomputes every rule with SQL
+        aggregates."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            validation_report,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderpriority"]
+        )
+        return validation_report(orders, [
+            {"col": "o_orderstatus", "check": "not_null"},
+            {"col": "o_totalprice", "check": "range",
+             "lo": 1000.0, "hi": 300000.0},
+            {"col": "o_orderpriority", "check": "regex",
+             "pattern": "^[1-3]-"},
+            {"col": "o_orderstatus", "check": "in_set",
+             "values": ["O", "F"]},
+            {"col": "o_custkey", "check": "unique"},
+            {"col": "o_orderkey", "check": "unique"},
+        ])
+
     def docs_script_fractions(sf_dir: str):
         """Unicode-script composition
         (pipelines/textstats.script_fractions): doc_id arithmetic
@@ -6948,6 +6976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_global_shuffle": docs_global_shuffle,
         "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_mojibake_fixed": docs_mojibake_fixed,
+        "orders_validation_report": orders_validation_report,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9524,6 +9553,30 @@ def oracle_sql() -> dict[str, str]:
         " + (length(text) - length(replace(text, 'a', ''))) > 0 AS fixed "
         "FROM documents"
     )
+    # one UNION ALL branch per declared rule; violation_frac uses the
+    # same half-up rounding as the engine's floor(v*1e6+0.5)/1e6.
+    _vr = ("SELECT '{col}' AS col, '{check}' AS \"check\", "
+           "count(*) AS n_rows, {viol} AS n_violations, "
+           "round(({viol}) / count(*)::DOUBLE, 6) AS violation_frac "
+           "FROM orders")
+    d["orders_validation_report"] = " UNION ALL ".join([
+        _vr.format(col="o_orderstatus", check="not_null",
+                   viol="count(*) - count(o_orderstatus)"),
+        _vr.format(col="o_totalprice", check="range",
+                   viol="count(*) - count(CASE WHEN o_totalprice "
+                        "BETWEEN 1000.0 AND 300000.0 THEN 1 END)"),
+        _vr.format(col="o_orderpriority", check="regex",
+                   viol="count(*) - count(CASE WHEN "
+                        "regexp_matches(o_orderpriority, '^[1-3]-') "
+                        "THEN 1 END)"),
+        _vr.format(col="o_orderstatus", check="in_set",
+                   viol="count(*) - count(CASE WHEN o_orderstatus "
+                        "IN ('O', 'F') THEN 1 END)"),
+        _vr.format(col="o_custkey", check="unique",
+                   viol="count(*) - count(DISTINCT o_custkey)"),
+        _vr.format(col="o_orderkey", check="unique",
+                   viol="count(*) - count(DISTINCT o_orderkey)"),
+    ])
     d["docs_length_trimmed"] = (
         "WITH t AS (" + d["ws_token_counts"] + "), "
         "q AS (SELECT quantile_cont(ws_tokens, 0.05) AS lo, "

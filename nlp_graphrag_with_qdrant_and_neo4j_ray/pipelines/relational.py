@@ -2563,3 +2563,128 @@ def window_cume_dist(ds, keys: list[str], order_col: str,
 
     return grouped_apply(ds, keys, cd, num_partitions=num_partitions,
                       batch_format="pandas")
+
+
+def validation_report(ds, rules: list[dict], num_partitions: int = 16,
+                      ndigits: int = 6):
+    """Column-level data-quality audit (the Great-Expectations / dbt-test
+    pattern): evaluate declarative ``rules`` over the whole dataset and
+    emit ONE report row per rule — ``(col, check, n_rows, n_violations,
+    violation_frac)``.
+
+    Supported checks (NULL never satisfies a predicate, so nulls count
+    as violations of every check except where they're the subject):
+
+    - ``{"col", "check": "not_null"}``
+    - ``{"col", "check": "range", "lo", "hi"}``  (inclusive)
+    - ``{"col", "check": "regex", "pattern"}``   (RE2 partial match,
+      same engine as DuckDB ``regexp_matches``)
+    - ``{"col", "check": "in_set", "values": [...]}``
+    - ``{"col", "check": "unique"}``  (violations = rows - distinct
+      values, nulls counting as one shared value)
+
+    Scale shape: every scalar check folds to ``(rule_id, n, viol)``
+    partials inside ``map_batches`` — vectorized Arrow kernels, O(rules)
+    rows per map task ride the ONE tiny reduce exchange.  ``unique``
+    checks dedup locally per batch, hash-partition the SURVIVING
+    distinct values (each value lands in exactly one partition, so
+    per-partition distinct counts sum exactly), and contribute
+    O(partitions) count rows to the same reduce — no global sort, no
+    full-column collection anywhere."""
+    meta = [(str(r["col"]), str(r["check"])) for r in rules]
+    scalar_ids = [i for i, r in enumerate(rules) if r["check"] != "unique"]
+    unique_ids = [i for i, r in enumerate(rules) if r["check"] == "unique"]
+
+    def _satisfied(batch: pa.Table, r: dict):
+        c = batch.column(r["col"])
+        if r["check"] == "not_null":
+            return pc.is_valid(c)
+        if r["check"] == "range":
+            ok = pc.and_(pc.greater_equal(c, r["lo"]),
+                         pc.less_equal(c, r["hi"]))
+        elif r["check"] == "regex":
+            ok = pc.match_substring_regex(c, r["pattern"])
+        elif r["check"] == "in_set":
+            ok = pc.is_in(c, value_set=pa.array(r["values"], c.type))
+        else:  # pragma: no cover - guarded by rule parsing
+            raise ValueError(f"unknown check {r['check']!r}")
+        return pc.fill_null(ok, False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rid, ns, viol, dist = [], [], [], []
+        for i in scalar_ids:
+            sat = pc.sum(_satisfied(batch, rules[i])).as_py() or 0
+            rid.append(i); ns.append(n); viol.append(n - sat); dist.append(0)
+        for i in unique_ids:
+            rid.append(i); ns.append(n); viol.append(0); dist.append(0)
+        return pa.table({
+            "rule_id": pa.array(rid, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "viol": pa.array(viol, pa.int64()),
+            "distinct": pa.array(dist, pa.int64()),
+        })
+
+    parts = [ds.map_batches(partial, batch_format="pyarrow")]
+
+    for i in unique_ids:
+        col = rules[i]["col"]
+
+        def local_distinct(batch: pa.Table, _c=col, _i=i) -> pa.Table:
+            u = pc.unique(batch.column(_c))
+            return pa.table({
+                "rule_id": pa.array([_i] * len(u), pa.int64()),
+                "__v": u,
+            })
+
+        def count_partition(tbl: pa.Table, _i=i) -> pa.Table:
+            nd = len(pc.unique(tbl.column("__v")))
+            return pa.table({
+                "rule_id": pa.array([_i], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+                "viol": pa.array([0], pa.int64()),
+                "distinct": pa.array([nd], pa.int64()),
+            })
+
+        parts.append(grouped_apply(
+            ds.map_batches(local_distinct, batch_format="pyarrow"),
+            ["__v"], count_partition, num_partitions=num_partitions,
+        ))
+
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.union(p)
+
+    cols = pa.array([c for c, _ in meta], pa.string())
+    checks = pa.array([k for _, k in meta], pa.string())
+    scale = 10.0 ** ndigits
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["rule_id"]).aggregate(
+            [("n", "sum"), ("viol", "sum"), ("distinct", "sum")]
+        )
+        rid = g.column("rule_id").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False)
+        viol = g.column("viol_sum").to_numpy(zero_copy_only=False).copy()
+        dist = g.column("distinct_sum").to_numpy(zero_copy_only=False)
+        is_u = np.isin(rid, np.array(unique_ids, dtype=rid.dtype))
+        viol[is_u] = n[is_u] - dist[is_u]
+        frac = np.floor(np.divide(viol, n, out=np.zeros_like(viol, float),
+                                  where=n > 0) * scale + 0.5) / scale
+        order = np.argsort(rid, kind="stable")
+        return pa.table({
+            "col": cols.take(pa.array(rid[order])),
+            "check": checks.take(pa.array(rid[order])),
+            "n_rows": pa.array(n[order], pa.int64()),
+            "n_violations": pa.array(viol[order], pa.int64()),
+            "violation_frac": pa.array(frac[order], pa.float64()),
+        })
+
+    # the reduce input is O(rules × map-tasks + rules × partitions)
+    # tiny rows — one single-partition exchange finishes the report.
+    return grouped_apply(unioned.map_batches(
+        lambda b: b.append_column("__one", pa.array([0] * b.num_rows,
+                                                    pa.int64())),
+        batch_format="pyarrow",
+    ), ["__one"], lambda t: finish(t.drop_columns(["__one"])),
+        num_partitions=1)

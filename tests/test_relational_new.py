@@ -388,3 +388,71 @@ def test_retention_counts_cohorts(ray_session):
         (2, 0): 1, (2, 1): 1,
         (9, 0): 1,
     }
+
+
+class TestValidationReport:
+    def _report(self, rows, rules, **kw):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            validation_report,
+        )
+
+        ds = ray.data.from_items(rows, override_num_blocks=3)
+        out = validation_report(ds, rules, **kw).take_all()
+        return {(r["col"], r["check"]): r for r in out}
+
+    def test_all_checks(self, ray_session):
+        rows = [
+            {"k": 1, "v": 10.0, "s": "1-HIGH", "c": "ok"},
+            {"k": 2, "v": 99.0, "s": "5-LOW", "c": None},
+            {"k": 2, "v": -3.0, "s": "2-MED", "c": "ok"},
+            {"k": 3, "v": None, "s": "junk", "c": "ok"},
+        ]
+        rep = self._report(rows, [
+            {"col": "c", "check": "not_null"},
+            {"col": "v", "check": "range", "lo": 0.0, "hi": 50.0},
+            {"col": "s", "check": "regex", "pattern": "^[1-3]-"},
+            {"col": "s", "check": "in_set",
+             "values": ["1-HIGH", "2-MED"]},
+            {"col": "k", "check": "unique"},
+        ], num_partitions=2)
+        assert rep[("c", "not_null")]["n_violations"] == 1
+        # 99.0 out of range, -3.0 below, None never satisfies
+        assert rep[("v", "range")]["n_violations"] == 3
+        assert rep[("s", "regex")]["n_violations"] == 2
+        assert rep[("s", "in_set")]["n_violations"] == 2
+        # 4 rows, 3 distinct k values -> 1 duplicate
+        assert rep[("k", "unique")]["n_violations"] == 1
+        for r in rep.values():
+            assert r["n_rows"] == 4
+        assert rep[("k", "unique")]["violation_frac"] == 0.25
+
+    def test_clean_table_reports_zero(self, ray_session):
+        rows = [{"k": i, "v": float(i)} for i in range(10)]
+        rep = self._report(rows, [
+            {"col": "k", "check": "unique"},
+            {"col": "v", "check": "range", "lo": 0.0, "hi": 9.0},
+        ])
+        assert all(r["n_violations"] == 0 for r in rep.values())
+        assert all(r["violation_frac"] == 0.0 for r in rep.values())
+
+    def test_partition_independence(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            validation_report,
+        )
+
+        rows = [{"k": i % 7, "v": float(i % 11)} for i in range(100)]
+        rules = [{"col": "k", "check": "unique"},
+                 {"col": "v", "check": "range", "lo": 1.0, "hi": 8.0}]
+        outs = []
+        for blocks in (1, 5):
+            ds = ray.data.from_items(rows, override_num_blocks=blocks)
+            outs.append(sorted(
+                tuple(sorted(r.items()))
+                for r in validation_report(ds, rules,
+                                           num_partitions=3).take_all()
+            ))
+        assert outs[0] == outs[1]
