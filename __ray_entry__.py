@@ -5395,6 +5395,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"col": "o_orderkey", "check": "unique"},
         ])
 
+    def orders_zorder_layout(sf_dir: str):
+        """Z-order write layout (pipelines/relational.zorder_sort — the
+        Delta/Iceberg ZORDER BY primitive): bin o_totalprice to an
+        exact power-of-two grid, interleave its bits with o_custkey's
+        into a Morton key, globally range-sort, and assign the output
+        file bucket.  The oracle replays the interleave bit-for-bit
+        via zorder_sql_expr; sortedness and bucket locality are pinned
+        by unit tests (ordering doesn't survive a hash compare)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            zorder_sort,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+
+        def bin_dims(batch: pa.Table) -> pa.Table:
+            tp_bin = pc.cast(
+                pc.floor(pc.divide(batch.column("o_totalprice"), 2048.0)),
+                pa.int64(),
+            )
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey"),
+                "ck": batch.column("o_custkey"),
+                "tp_bin": tp_bin,
+            })
+
+        z = zorder_sort(orders.map_batches(bin_dims, batch_format="pyarrow"),
+                        ["ck", "tp_bin"], bits=8, bucket_bits=4)
+        return z.select_columns(["o_orderkey", "zkey", "zbucket"])
+
     def docs_script_fractions(sf_dir: str):
         """Unicode-script composition
         (pipelines/textstats.script_fractions): doc_id arithmetic
@@ -6977,6 +7008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_mojibake_fixed": docs_mojibake_fixed,
         "orders_validation_report": orders_validation_report,
+        "orders_zorder_layout": orders_zorder_layout,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9577,6 +9609,18 @@ def oracle_sql() -> dict[str, str]:
         _vr.format(col="o_orderkey", check="unique",
                    viol="count(*) - count(DISTINCT o_orderkey)"),
     ])
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        zorder_sql_expr as _zexpr,
+    )
+
+    _zk = _zexpr(["ck", "tp_bin"], 8)
+    d["orders_zorder_layout"] = (
+        "SELECT o_orderkey, " + _zk + " AS zkey, "
+        "(" + _zk + ") >> 12 AS zbucket "
+        "FROM (SELECT o_orderkey, o_custkey AS ck, "
+        "      CAST(floor(o_totalprice / 2048.0) AS BIGINT) AS tp_bin "
+        "      FROM orders)"
+    )
     d["docs_length_trimmed"] = (
         "WITH t AS (" + d["ws_token_counts"] + "), "
         "q AS (SELECT quantile_cont(ws_tokens, 0.05) AS lo, "

@@ -2688,3 +2688,59 @@ def validation_report(ds, rules: list[dict], num_partitions: int = 16,
         batch_format="pyarrow",
     ), ["__one"], lambda t: finish(t.drop_columns(["__one"])),
         num_partitions=1)
+
+
+def zorder_sort(ds, cols: list[str], bits: int = 8,
+                bucket_bits: int = 4, zkey_col: str = "zkey",
+                bucket_col: str = "zbucket"):
+    """Z-order (Morton-curve) layout — the Delta/Iceberg ``ZORDER BY``
+    primitive: interleave the low ``bits`` bits of each integer key
+    column into one ``zkey``, globally sort by it, and assign each row
+    a ``bucket`` (the top ``bucket_bits`` of the key space ≙ the output
+    file it would land in).  Rows close in EVERY dimension land in the
+    same bucket, so a multi-dimensional range predicate touches only a
+    few files' min/max zone maps instead of the whole table — the
+    data-skipping layout step that runs once at write time.
+
+    Scale shape: the interleave is a pure vectorized numpy map; the ONE
+    global range-partitioned sort is the entire point of the operator
+    (layout IS an all-to-all) and runs once per written dataset, not
+    per query.  Caller pre-bins non-integer dimensions (quantile or
+    epoch-day binning) so the bit arithmetic stays exact and
+    SQL-replayable."""
+    ncols = len(cols)
+    mask = (1 << bits) - 1
+    shift = max(bits * ncols - bucket_bits, 0)
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        arrs = [
+            pc.cast(batch.column(c), pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) & mask
+            for c in cols
+        ]
+        z = np.zeros(batch.num_rows, np.int64)
+        for j in range(bits):
+            for i, a in enumerate(arrs):
+                z |= ((a >> j) & 1) << (j * ncols + i)
+        return (batch.append_column(zkey_col, pa.array(z))
+                     .append_column(bucket_col, pa.array(z >> shift)))
+
+    return ds.map_batches(add_z, batch_format="pyarrow").sort(zkey_col)
+
+
+def zorder_sql_expr(cols: list[str], bits: int = 8) -> str:
+    """The exact SQL replay of :func:`zorder_sort`'s bit interleave —
+    one generated expression so a DuckDB oracle can recompute ``zkey``
+    bit-for-bit."""
+    ncols = len(cols)
+    mask = (1 << bits) - 1
+    # every term fully parenthesized — DuckDB's bitwise operators share
+    # one precedence level and associate left, so a bare `a << 0 | b`
+    # would parse as `(a << 0 | b)` feeding the NEXT shift.
+    terms = [
+        f"(((({c} & {mask}) >> {j}) & 1) << {j * ncols + i})"
+        for j in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return "(" + " | ".join(terms) + ")"

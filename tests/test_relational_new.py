@@ -456,3 +456,55 @@ class TestValidationReport:
                                            num_partitions=3).take_all()
             ))
         assert outs[0] == outs[1]
+
+
+class TestZorderSort:
+    def test_interleave_and_sortedness(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            zorder_sort,
+        )
+
+        rows = [{"x": x, "y": y} for x in range(8) for y in range(8)]
+        out = zorder_sort(
+            ray.data.from_items(rows, override_num_blocks=4),
+            ["x", "y"], bits=3, bucket_bits=2,
+        ).take_all()
+        # hand-check a few Morton codes: z(x,y) interleaves x at even
+        # bit positions, y at odd ones (3 bits each here).
+        def morton(x, y):
+            return sum((((x >> j) & 1) << (2 * j))
+                       | (((y >> j) & 1) << (2 * j + 1))
+                       for j in range(3))
+        for r in out:
+            assert r["zkey"] == morton(r["x"], r["y"])
+            assert r["zbucket"] == r["zkey"] >> 4
+        zkeys = [r["zkey"] for r in out]
+        assert zkeys == sorted(zkeys)
+
+    def test_bucket_locality(self, ray_session):
+        # the point of the layout: a square range in (x, y) touches few
+        # buckets after z-sort, many under a linear x-major layout.
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            zorder_sort,
+        )
+
+        n = 32
+        rows = [{"x": x, "y": y} for x in range(n) for y in range(n)]
+        out = zorder_sort(
+            ray.data.from_items(rows, override_num_blocks=4),
+            ["x", "y"], bits=5, bucket_bits=4,
+        ).take_all()
+        in_square = [r for r in out if r["x"] < 8 and r["y"] < 8]
+        z_buckets = {r["zbucket"] for r in in_square}
+        # 16 buckets cover the 32x32 grid; the aligned 8x8 corner is
+        # exactly one z-bucket (64 cells = one 16th of 1024).
+        assert len(z_buckets) == 1
+        # linear layout: bucket by x-major row id >> 6 — the same
+        # square spans 4 stripes (each 64-cell bucket holds two 32-cell
+        # x-rows, and the square crosses 8 x-rows).
+        lin_buckets = {(r["x"] * n + r["y"]) >> 6 for r in in_square}
+        assert len(lin_buckets) == 4
