@@ -5426,6 +5426,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         ["ck", "tp_bin"], bits=8, bucket_bits=4)
         return z.select_columns(["o_orderkey", "zkey", "zbucket"])
 
+    def docs_flagged_words(sf_dir: str):
+        """Flagged-word quality signal
+        (pipelines/textstats.flagged_word_ratio — the C4 bad-words /
+        RedPajama-v2 frac-signal family): fraction of lowercased
+        whitespace tokens in a caller blocklist, vectorized is_in over
+        the flattened token stream with bincount per-doc folds.  The
+        oracle recomputes token and hit counts with unnest +
+        conditional aggregation."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            flagged_word_ratio,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        return flagged_word_ratio(docs, ["slow", "spam", "big", "junk"])
+
+    def docs_compression_ratio(sf_dir: str):
+        """Compression-ratio quality signal
+        (pipelines/textstats.compression_ratio — RedPajama-v2's
+        repetitiveness measure): zlib level-6 compressed size over
+        utf-8 byte size per document.  No SQL oracle (DuckDB has no
+        zlib) — rows-only driver check; semantics pinned by unit tests
+        against the stdlib."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            compression_ratio,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        return compression_ratio(docs)
+
+    def docs_corpus_profile(sf_dir: str):
+        """One-row corpus report card
+        (pipelines/textstats.corpus_profile): doc/empty counts, char
+        and whitespace-token totals, max/mean length, distinct-text
+        count, language cardinality and the modal language — ONE pass,
+        tagged partial rows, two tiny exchanges (text hashes
+        partitioned so per-partition distinct counts sum exactly).
+        The oracle recomputes every field with SQL aggregates."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            corpus_profile,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "lang"]
+        )
+        return corpus_profile(docs)
+
     def docs_script_fractions(sf_dir: str):
         """Unicode-script composition
         (pipelines/textstats.script_fractions): doc_id arithmetic
@@ -7009,6 +7059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mojibake_fixed": docs_mojibake_fixed,
         "orders_validation_report": orders_validation_report,
         "orders_zorder_layout": orders_zorder_layout,
+        "docs_flagged_words": docs_flagged_words,
+        "docs_compression_ratio": docs_compression_ratio,
+        "docs_corpus_profile": docs_corpus_profile,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9620,6 +9673,40 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT o_orderkey, o_custkey AS ck, "
         "      CAST(floor(o_totalprice / 2048.0) AS BIGINT) AS tp_bin "
         "      FROM orders)"
+    )
+    d["docs_flagged_words"] = r"""
+        WITH toks AS (
+            SELECT doc_id, lower(t) AS t
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t <> ''
+        )
+        SELECT d.doc_id,
+               count(toks.t) AS n_tokens,
+               count(CASE WHEN toks.t IN ('slow','spam','big','junk')
+                          THEN 1 END) AS n_flagged,
+               round(count(CASE WHEN toks.t IN ('slow','spam','big',
+                                                'junk') THEN 1 END)
+                     / greatest(count(toks.t), 1)::DOUBLE,
+                     6) AS flagged_ratio
+        FROM documents d LEFT JOIN toks USING (doc_id)
+        GROUP BY d.doc_id
+    """
+    d["docs_corpus_profile"] = (
+        "SELECT count(*) AS n_docs, "
+        "count(CASE WHEN trim(text) = '' THEN 1 END) AS n_empty, "
+        "sum(length(text)) AS total_chars, "
+        "(SELECT sum(ws_tokens) FROM (" + d["ws_token_counts"] + ")) "
+        "  AS total_ws_tokens, "
+        "max(length(text)) AS max_chars, "
+        "round(sum(length(text)) / count(*)::DOUBLE, 6) AS mean_chars, "
+        "count(DISTINCT text) AS n_distinct_texts, "
+        "count(DISTINCT lang) AS n_langs, "
+        "(SELECT lang FROM documents GROUP BY lang "
+        " ORDER BY count(*) DESC, lang LIMIT 1) AS top_lang, "
+        "(SELECT count(*) FROM documents GROUP BY lang "
+        " ORDER BY count(*) DESC, lang LIMIT 1) AS top_lang_n "
+        "FROM documents"
     )
     d["docs_length_trimmed"] = (
         "WITH t AS (" + d["ws_token_counts"] + "), "

@@ -827,3 +827,197 @@ def dsir_logratio(docs_ds, target_col: str = "is_target",
         [id_col], mean_reduce, num_partitions=num_partitions,
         batch_format="pyarrow",
     )
+
+
+def flagged_word_ratio(docs_ds, words: list[str], id_col: str = "doc_id",
+                       text_col: str = "text", ndigits: int = 6):
+    """Flagged-word quality signal (the C4 "bad words" / RedPajama-v2
+    ``rps_doc_frac_*`` family): per document, the fraction of
+    lowercased whitespace tokens that appear in the caller's word list
+    (NSFW terms, spam vocabulary, …; the list is caller data, like the
+    URL blocklist).  Output: ``(id, n_tokens, n_flagged,
+    flagged_ratio)`` — zero-token docs keep ratio 0.0 so every input
+    row appears.
+
+    Scale shape: pure map stage — one vectorized split + ``pc.is_in``
+    against the broadcast-by-closure word set, per-doc folds via
+    ``np.bincount``; no exchange, no per-row Python."""
+    wl = pa.array(sorted({w.lower() for w in words}), pa.string())
+    scale = 10.0 ** ndigits
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        toks = pc.list_flatten(split)
+        nonempty = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        flagged = pc.is_in(pc.utf8_lower(toks), value_set=wl).to_numpy(
+            zero_copy_only=False)
+        n = np.bincount(doc_idx, weights=nonempty,
+                        minlength=batch.num_rows).astype(np.int64)
+        f = np.bincount(doc_idx, weights=flagged & nonempty,
+                        minlength=batch.num_rows).astype(np.int64)
+        ratio = np.floor(np.divide(f, n, out=np.zeros(len(n)),
+                                   where=n > 0) * scale + 0.5) / scale
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n),
+            "n_flagged": pa.array(f),
+            "flagged_ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow",
+                               batch_size=8192)
+
+
+def compression_ratio(docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6,
+                      ndigits: int = 6):
+    """Compression-ratio quality signal (RedPajama-v2's
+    ``rps_doc_lzw``-style measure; highly repetitive / templated text
+    compresses far below prose): per document,
+    ``len(zlib.compress(utf8_bytes)) / len(utf8_bytes)`` rounded to
+    ``ndigits``; empty docs get ratio 0.0.  Deterministic for a fixed
+    zlib version + level.
+
+    Scale shape: pure map stage; per-row ``zlib.compress`` is the
+    irreducible per-record work (same shape as html→text extraction),
+    so the stage parallelizes across blocks with zero exchanges.  No
+    SQL oracle (DuckDB has no zlib) — semantics pinned by unit tests
+    against the stdlib."""
+    import zlib
+
+    scale = 10.0 ** ndigits
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ratios, nb, nc = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            b = (t or "").encode("utf-8")
+            if not b:
+                ratios.append(0.0); nb.append(0); nc.append(0)
+                continue
+            c = len(zlib.compress(b, level))
+            ratios.append(np.floor(c / len(b) * scale + 0.5) / scale)
+            nb.append(len(b)); nc.append(c)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+            "compression_ratio": pa.array(ratios, pa.float64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow",
+                               batch_size=8192)
+
+
+def corpus_profile(docs_ds, id_col: str = "doc_id",
+                   text_col: str = "text", lang_col: str = "lang",
+                   num_partitions: int = 16, ndigits: int = 6):
+    """One-row corpus report card in a SINGLE pass over the documents:
+    ``(n_docs, n_empty, total_chars, total_ws_tokens, max_chars,
+    mean_chars, n_distinct_texts, n_langs, top_lang, top_lang_n)`` —
+    the profiling summary a curation run prints before and after each
+    stage (the table-level sibling of the per-rule
+    :func:`~..relational.validation_report`).
+
+    Scale shape: ONE map over the input emits tagged partial rows —
+    O(1) sum/max rows + O(langs) language counts + one row per DISTINCT
+    text hash in the batch (local dedup first).  A (kind, key)-hashed
+    exchange then folds them: every text hash lands in exactly one
+    partition, so per-partition distinct counts sum exactly, language
+    counts collapse to one row per language, and a final
+    single-partition reduce assembles the card from O(partitions +
+    langs) tiny rows.  The full text never rides an exchange."""
+    from ..functions.textstats import content_hash, ws_token_count
+    from ..stages.shuffle import grouped_apply
+
+    import pyarrow.compute as pc
+
+    scale = 10.0 ** ndigits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts_arr = batch.column(text_col)
+        texts = texts_arr.to_pylist()
+        chars = pc.utf8_length(texts_arr).to_numpy(zero_copy_only=False)
+        toks = sum(ws_token_count(t or "") for t in texts)
+        n_empty = sum(1 for t in texts if not (t or "").strip())
+        kinds = ["n_docs", "n_empty", "total_chars", "total_ws_tokens",
+                 "max_chars"]
+        keys = ["", "", "", "", ""]
+        ns = [batch.num_rows, n_empty, int(chars.sum()), toks,
+              int(chars.max()) if len(chars) else 0]
+        lang_counts = pa.table({"l": batch.column(lang_col)}).group_by(
+            ["l"]).aggregate([([], "count_all")])
+        for l, n in zip(lang_counts.column("l").to_pylist(),
+                        lang_counts.column("count_all").to_pylist()):
+            kinds.append("lang"); keys.append(l); ns.append(n)
+        for h in {content_hash(t or "") for t in texts}:
+            kinds.append("text"); keys.append(h); ns.append(1)
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        out = []
+        texts = df[df["kind"] == "text"]
+        if len(texts):
+            out.append(("n_distinct_texts", "", texts["key"].nunique()))
+        for (kind, key), grp in df[df["kind"] != "text"].groupby(
+                ["kind", "key"], sort=False):
+            agg = grp["n"].max() if kind == "max_chars" else grp["n"].sum()
+            out.append((kind, key, int(agg)))
+        return pa.table({
+            "kind": pa.array([k for k, _, _ in out], pa.string()),
+            "key": pa.array([k for _, k, _ in out], pa.string()),
+            "n": pa.array([n for _, _, n in out], pa.int64()),
+        })
+
+    folded = grouped_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=8192),
+        ["kind", "key"], fold, num_partitions=num_partitions,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().drop(columns=["__card"])
+        sums = {k: int(df[df["kind"] == k]["n"].sum())
+                for k in ("n_docs", "n_empty", "total_chars",
+                          "total_ws_tokens", "n_distinct_texts")}
+        mx = df[df["kind"] == "max_chars"]["n"]
+        langs = (df[df["kind"] == "lang"].groupby("key")["n"].sum()
+                 .reset_index().sort_values(["n", "key"],
+                                            ascending=[False, True]))
+        mean_chars = (np.floor(sums["total_chars"] / sums["n_docs"]
+                               * scale + 0.5) / scale
+                      if sums["n_docs"] else 0.0)
+        return pa.table({
+            "n_docs": pa.array([sums["n_docs"]], pa.int64()),
+            "n_empty": pa.array([sums["n_empty"]], pa.int64()),
+            "total_chars": pa.array([sums["total_chars"]], pa.int64()),
+            "total_ws_tokens": pa.array([sums["total_ws_tokens"]],
+                                        pa.int64()),
+            "max_chars": pa.array([int(mx.max()) if len(mx) else 0],
+                                  pa.int64()),
+            "mean_chars": pa.array([mean_chars], pa.float64()),
+            "n_distinct_texts": pa.array([sums["n_distinct_texts"]],
+                                         pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "top_lang": pa.array(
+                [langs["key"].iloc[0] if len(langs) else None],
+                pa.string()),
+            "top_lang_n": pa.array(
+                [int(langs["n"].iloc[0]) if len(langs) else 0],
+                pa.int64()),
+        })
+
+    return grouped_apply(
+        folded.map_batches(
+            lambda b: b.append_column(
+                "__card", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__card"], finish, num_partitions=1)

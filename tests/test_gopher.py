@@ -177,3 +177,93 @@ class TestScriptFractions:
         out = script_fractions(
             ray_session.data.from_arrow(tbl)).take_all()[0]
         assert out["dominant_script"] == "latin"
+
+
+class TestFlaggedWordRatio:
+    def test_hand_case(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            flagged_word_ratio,
+        )
+
+        rows = [
+            {"doc_id": 0, "text": "Buy SPAM now spam  forever"},
+            {"doc_id": 1, "text": "clean prose only"},
+            {"doc_id": 2, "text": ""},
+        ]
+        out = {r["doc_id"]: r for r in flagged_word_ratio(
+            ray.data.from_items(rows, override_num_blocks=2),
+            ["spam", "buy"]).take_all()}
+        # double space yields an empty token that must not count
+        assert out[0]["n_tokens"] == 5
+        assert out[0]["n_flagged"] == 3   # Buy, SPAM, spam (case-folded)
+        assert out[0]["flagged_ratio"] == 0.6
+        assert out[1] == {"doc_id": 1, "n_tokens": 3, "n_flagged": 0,
+                          "flagged_ratio": 0.0}
+        assert out[2]["n_tokens"] == 0 and out[2]["flagged_ratio"] == 0.0
+
+
+class TestCompressionRatio:
+    def test_matches_stdlib_and_orders_by_redundancy(self, ray_session):
+        import zlib
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            compression_ratio,
+        )
+
+        prose = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen violinists argue about breakfast") * 3
+        repetitive = "spam " * 60
+        rows = [{"doc_id": 0, "text": prose},
+                {"doc_id": 1, "text": repetitive},
+                {"doc_id": 2, "text": ""}]
+        out = {r["doc_id"]: r for r in compression_ratio(
+            ray.data.from_items(rows)).take_all()}
+        for i, t in ((0, prose), (1, repetitive)):
+            b = t.encode("utf-8")
+            assert out[i]["n_bytes"] == len(b)
+            assert out[i]["n_compressed"] == len(zlib.compress(b, 6))
+        assert out[1]["compression_ratio"] < out[0]["compression_ratio"]
+        assert out[2] == {"doc_id": 2, "n_bytes": 0, "n_compressed": 0,
+                          "compression_ratio": 0.0}
+
+
+class TestCorpusProfile:
+    ROWS = [
+        {"doc_id": 0, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 1, "text": "alpha beta gamma", "lang": "en"},
+        {"doc_id": 2, "text": "   ", "lang": "de"},
+        {"doc_id": 3, "text": "une seule ligne ici", "lang": "fr"},
+        {"doc_id": 4, "text": "kurz", "lang": "de"},
+        {"doc_id": 5, "text": "noch ein deutscher text", "lang": "de"},
+    ]
+
+    def _profile(self, blocks):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            corpus_profile,
+        )
+
+        return corpus_profile(
+            ray.data.from_items(self.ROWS, override_num_blocks=blocks),
+            num_partitions=3,
+        ).take_all()[0]
+
+    def test_card_values(self, ray_session):
+        card = self._profile(3)
+        assert card["n_docs"] == 6
+        assert card["n_empty"] == 1
+        assert card["total_chars"] == sum(len(r["text"]) for r in self.ROWS)
+        assert card["total_ws_tokens"] == 3 + 3 + 0 + 4 + 1 + 4
+        assert card["max_chars"] == len("noch ein deutscher text")
+        assert card["n_distinct_texts"] == 5   # doc 0 == doc 1
+        assert card["n_langs"] == 3
+        assert card["top_lang"] == "de"        # 3 de vs 2 en, ties none
+        assert card["top_lang_n"] == 3
+
+    def test_partition_independence(self, ray_session):
+        assert self._profile(1) == self._profile(4)
