@@ -2857,6 +2857,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events"), ["user_id"], windows, num_partitions=32,
                           batch_format="pandas")
 
+    def events_gap_dedup(sf_dir: str):
+        """Gap-based event throttle (the telemetry/debounce hygiene
+        rule): keep an event only if it's the first of its
+        (user, type) or more than 60 s after the PREVIOUS event of the
+        same (user, type) — LAG semantics, vectorized shift inside one
+        user-keyed exchange; the oracle is the identical LAG window."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        events = _read(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]
+        )
+
+        def throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["user_id", "event_type", "ts",
+                                   "event_id"])
+            prev = pdf.groupby(["user_id", "event_type"],
+                               sort=False)["ts"].shift(1)
+            keep = prev.isna() | (pdf["ts"] - prev
+                                  > pd.Timedelta(seconds=60))
+            return pdf.loc[keep, ["event_id", "user_id", "event_type"]]
+
+        return grouped_apply(events, ["user_id"], throttle,
+                             num_partitions=32, batch_format="pandas")
+
+    def docs_graph_degree_hist(sf_dir: str):
+        """Degree-distribution report (pipelines/graph.degree_histogram)
+        over the same deterministic two-out-edges-per-doc graph
+        docs_pagerank pins — total out+in degree per node, then
+        (degree, n_nodes).  Two count-combined exchanges; the oracle
+        replays the edge construction and both groupbys."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            degree_histogram,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(x):
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500), 500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            # first edge is a bijection (gcd(7,500)=1); the second is
+            # quadratic, so destinations collide and the in-degree
+            # distribution is genuinely skewed (a real hub census).
+            dst = pa.concat_arrays([
+                mod500(pc.add(pc.multiply(ids, 7), 3)).combine_chunks(),
+                mod500(pc.add(pc.multiply(ids, ids), 1)).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        return degree_histogram(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            num_partitions=8,
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7062,6 +7123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_flagged_words": docs_flagged_words,
         "docs_compression_ratio": docs_compression_ratio,
         "docs_corpus_profile": docs_corpus_profile,
+        "events_gap_dedup": events_gap_dedup,
+        "docs_graph_degree_hist": docs_graph_degree_hist,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9674,6 +9737,29 @@ def oracle_sql() -> dict[str, str]:
         "      CAST(floor(o_totalprice / 2048.0) AS BIGINT) AS tp_bin "
         "      FROM orders)"
     )
+    d["events_gap_dedup"] = """
+        SELECT event_id, user_id, event_type FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS pts
+            FROM events)
+        WHERE pts IS NULL OR ts - pts > INTERVAL 60 SECOND
+    """
+    d["docs_graph_degree_hist"] = """
+        WITH edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * doc_id + 1) % 500 FROM documents
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+            GROUP BY node
+        )
+        SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """
     d["docs_flagged_words"] = r"""
         WITH toks AS (
             SELECT doc_id, lower(t) AS t

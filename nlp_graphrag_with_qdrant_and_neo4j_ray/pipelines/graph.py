@@ -839,3 +839,53 @@ def k_core(edges_ds, k: int, src_col: str = "src", dst_col: str = "dst",
     if edges.count() == 0:
         return seed
     return edge_degrees(edges, num_partitions).union(seed)
+
+
+def degree_histogram(edges_ds, src_col: str = "src",
+                     dst_col: str = "dst", num_partitions: int = 16):
+    """Degree-distribution report — ``(degree, n_nodes)`` over TOTAL
+    degree (out + in, parallel edges counted): the first structural
+    summary anyone asks of a materialized graph (power-law check, hub
+    census, join-skew forecast for downstream exchanges).
+
+    Scale shape: per-batch count combiner over the concatenated
+    endpoint column → ONE node-keyed exchange summing per-node counts
+    → a second count combiner over degrees → one tiny degree-keyed
+    exchange.  Rows on the wire: O(distinct nodes per map task), then
+    O(distinct degrees) — the edge payload never reships."""
+
+    def endpoint_counts(b: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array([
+            pc.cast(b.column(src_col), pa.int64()).combine_chunks(),
+            pc.cast(b.column(dst_col), pa.int64()).combine_chunks(),
+        ])
+        g = pa.table({"node": nodes}).group_by(["node"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["node", "c"])
+
+    def node_totals(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["node"]).aggregate([("c", "sum")])
+        return pa.table({
+            "degree": g.column("c_sum").cast(pa.int64()),
+        })
+
+    per_node = grouped_apply(
+        edges_ds.map_batches(endpoint_counts, batch_format="pyarrow"),
+        ["node"], node_totals, num_partitions=num_partitions,
+    )
+
+    def degree_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["degree"]).aggregate([([], "count_all")])
+        return g.rename_columns(["degree", "n"])
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["degree"]).aggregate([("n", "sum")])
+        return pa.table({
+            "degree": g.column("degree"),
+            "n_nodes": g.column("n_sum").cast(pa.int64()),
+        })
+
+    return grouped_apply(
+        per_node.map_batches(degree_counts, batch_format="pyarrow"),
+        ["degree"], hist, num_partitions=max(num_partitions // 4, 1),
+    )

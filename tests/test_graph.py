@@ -399,3 +399,34 @@ def test_label_propagation_local_equals_distributed(ray_session):
             loc = label_propagation(ds, **kw).to_pandas() \
                 .sort_values("node").reset_index(drop=True)
             pd.testing.assert_frame_equal(loc, dist, check_dtype=False)
+
+
+class TestDegreeHistogram:
+    def _hist(self, edges, blocks=2, **kw):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            degree_histogram,
+        )
+
+        ds = ray.data.from_items(
+            [{"src": s, "dst": d} for s, d in edges],
+            override_num_blocks=blocks)
+        return {r["degree"]: r["n_nodes"]
+                for r in degree_histogram(ds, **kw).take_all()}
+
+    def test_hand_graph(self, ray_session):
+        # star: 0->1, 0->2, 0->3 plus a parallel edge 0->1
+        edges = [(0, 1), (0, 2), (0, 3), (0, 1)]
+        hist = self._hist(edges, num_partitions=3)
+        # node 0: degree 4 (parallel edges count); node 1: 2; 2,3: 1
+        assert hist == {4: 1, 2: 1, 1: 2}
+
+    def test_self_loop_counts_twice(self, ray_session):
+        hist = self._hist([(5, 5)], num_partitions=2)
+        assert hist == {2: 1}
+
+    def test_partition_independence(self, ray_session):
+        edges = [(i, (i * i + 1) % 7) for i in range(40)]
+        assert (self._hist(edges, blocks=1, num_partitions=2)
+                == self._hist(edges, blocks=8, num_partitions=5))
