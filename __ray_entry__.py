@@ -2918,6 +2918,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_partitions=8,
         )
 
+    def orders_incremental_agg(sf_dir: str):
+        """Materialized-view refresh (pipelines/relational.
+        incremental_agg): the stored per-customer (sum, count)
+        aggregate over 90% of orders is refreshed with the remaining
+        10% as a CDC delta — compact base rows + pre-combined delta
+        partials through ONE key exchange, the raw base never re-read.
+        The oracle is the full recompute the refresh must equal."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            incremental_agg,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+
+        def split(keep_base: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                ok = pc.cast(b.column("o_orderkey"), pa.int64())
+                is_delta = pc.equal(
+                    pc.subtract(ok, pc.multiply(pc.divide(ok, 10), 10)),
+                    0)
+                mask = pc.invert(is_delta) if keep_base else is_delta
+                return b.filter(mask)
+            return fn
+
+        base_raw = orders.map_batches(split(True), batch_format="pyarrow")
+
+        def base_partial(b: pa.Table) -> pa.Table:
+            g = pa.table({
+                "o_custkey": b.column("o_custkey"),
+                "sum_price": pc.cast(b.column("o_totalprice"),
+                                     pa.float64()),
+                "n_orders": pa.array(np.ones(b.num_rows), pa.float64()),
+            }).group_by(["o_custkey"]).aggregate(
+                [("sum_price", "sum"), ("n_orders", "sum")])
+            return g.rename_columns(["o_custkey", "sum_price",
+                                     "n_orders"])
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        # the "stored view": a real aggregate of the base slice
+        base_agg = grouped_apply(
+            base_raw.map_batches(base_partial, batch_format="pyarrow"),
+            ["o_custkey"],
+            lambda t: t.group_by(["o_custkey"]).aggregate(
+                [("sum_price", "sum"), ("n_orders", "sum")]
+            ).rename_columns(["o_custkey", "sum_price", "n_orders"]),
+            num_partitions=16,
+        )
+        delta = orders.map_batches(split(False), batch_format="pyarrow")
+
+        refreshed = incremental_agg(
+            base_agg, delta, ["o_custkey"], "o_totalprice",
+            sum_col="sum_price", cnt_col="n_orders",
+        )
+
+        def round6(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.column_names.index("sum_price"), "sum_price",
+                pc.round(b.column("sum_price"), 6,
+                         round_mode="half_towards_infinity"))
+
+        return refreshed.map_batches(round6, batch_format="pyarrow")
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7125,6 +7191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_profile": docs_corpus_profile,
         "events_gap_dedup": events_gap_dedup,
         "docs_graph_degree_hist": docs_graph_degree_hist,
+        "orders_incremental_agg": orders_incremental_agg,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9737,6 +9804,12 @@ def oracle_sql() -> dict[str, str]:
         "      CAST(floor(o_totalprice / 2048.0) AS BIGINT) AS tp_bin "
         "      FROM orders)"
     )
+    d["orders_incremental_agg"] = """
+        SELECT o_custkey,
+               round(sum(o_totalprice), 6) AS sum_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """
     d["events_gap_dedup"] = """
         SELECT event_id, user_id, event_type FROM (
             SELECT event_id, user_id, event_type, ts,

@@ -2744,3 +2744,60 @@ def zorder_sql_expr(cols: list[str], bits: int = 8) -> str:
         for i, c in enumerate(cols)
     ]
     return "(" + " | ".join(terms) + ")"
+
+
+def incremental_agg(base_agg, delta_ds, keys: list[str], value_col: str,
+                    sum_col: str = "sum_val", cnt_col: str = "n",
+                    weight_col: str | None = None,
+                    num_partitions: int = 16):
+    """Incremental maintenance of a SUM/COUNT materialized aggregate
+    (the self-maintainable-view refresh): given the STORED aggregate
+    table ``base_agg`` = ``(keys…, sum_col, cnt_col)`` and a DELTA of
+    raw rows, produce the refreshed aggregate WITHOUT re-reading the
+    raw base — the whole point at 100 TB, where the base fact table is
+    petabytes but its aggregate is millions of rows.
+
+    Retractions ride the same math: give delta rows a ``weight_col`` of
+    -1 (CDC delete) or +1 (insert); groups whose refreshed count
+    reaches 0 disappear.
+
+    Scale shape: the delta pre-combines per batch (one row per touched
+    key per map task), the base ships as its already-compact aggregate
+    rows, and ONE key-hashed exchange merges them — bytes moved are
+    O(|aggregate| + |touched keys|), never O(raw base)."""
+
+    def delta_partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(value_col), pa.float64())
+        if weight_col is not None:
+            w = pc.cast(b.column(weight_col), pa.float64())
+            v = pc.multiply(v, w)
+        else:
+            w = pa.array(np.ones(b.num_rows), pa.float64())
+        t = pa.table({k: b.column(k) for k in keys}
+                     | {sum_col: v, cnt_col: w})
+        g = t.group_by(keys).aggregate([(sum_col, "sum"),
+                                        (cnt_col, "sum")])
+        return g.rename_columns(keys + [sum_col, cnt_col])
+
+    def norm_base(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {k: b.column(k) for k in keys}
+            | {sum_col: pc.cast(b.column(sum_col), pa.float64()),
+               cnt_col: pc.cast(b.column(cnt_col), pa.float64())}
+        )
+
+    unioned = base_agg.map_batches(norm_base, batch_format="pyarrow").union(
+        delta_ds.map_batches(delta_partial, batch_format="pyarrow"))
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(keys).aggregate([(sum_col, "sum"),
+                                          (cnt_col, "sum")])
+        g = g.rename_columns(keys + [sum_col, cnt_col])
+        alive = pc.not_equal(g.column(cnt_col), 0.0)
+        g = g.filter(alive)
+        return g.set_column(
+            g.column_names.index(cnt_col), cnt_col,
+            pc.cast(g.column(cnt_col), pa.int64()))
+
+    return grouped_apply(unioned, keys, merge,
+                         num_partitions=num_partitions)

@@ -508,3 +508,50 @@ class TestZorderSort:
         # x-rows, and the square crosses 8 x-rows).
         lin_buckets = {(r["x"] * n + r["y"]) >> 6 for r in in_square}
         assert len(lin_buckets) == 4
+
+
+class TestIncrementalAgg:
+    def test_refresh_equals_full_and_retractions(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            incremental_agg,
+        )
+
+        base_agg = ray.data.from_items([
+            {"k": "a", "sum_val": 10.0, "n": 2},
+            {"k": "b", "sum_val": 7.0, "n": 1},
+            {"k": "c", "sum_val": 5.0, "n": 1},
+        ])
+        # inserts for a and d; full retraction of c; partial of b
+        delta = ray.data.from_items([
+            {"k": "a", "v": 4.0, "w": 1},
+            {"k": "d", "v": 9.0, "w": 1},
+            {"k": "c", "v": 5.0, "w": -1},
+            {"k": "b", "v": 3.0, "w": 1},
+            {"k": "b", "v": 7.0, "w": -1},
+        ], override_num_blocks=2)
+        out = {r["k"]: r for r in incremental_agg(
+            base_agg, delta, ["k"], "v", weight_col="w",
+            num_partitions=3).take_all()}
+        assert out["a"] == {"k": "a", "sum_val": 14.0, "n": 3}
+        assert out["b"] == {"k": "b", "sum_val": 3.0, "n": 1}
+        assert out["d"] == {"k": "d", "sum_val": 9.0, "n": 1}
+        assert "c" not in out          # count reached 0 -> group gone
+        assert set(out) == {"a", "b", "d"}
+
+    def test_insert_only_no_weight_col(self, ray_session):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            incremental_agg,
+        )
+
+        base_agg = ray.data.from_items(
+            [{"k": 1, "sum_val": 2.5, "n": 1}])
+        delta = ray.data.from_items(
+            [{"k": 1, "v": 1.5}, {"k": 2, "v": 4.0}])
+        out = {r["k"]: r for r in incremental_agg(
+            base_agg, delta, ["k"], "v").take_all()}
+        assert out[1] == {"k": 1, "sum_val": 4.0, "n": 2}
+        assert out[2] == {"k": 2, "sum_val": 4.0, "n": 1}
