@@ -2984,6 +2984,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return refreshed.map_batches(round6, batch_format="pyarrow")
 
+    def docs_token_budget_head(sf_dir: str):
+        """Data selection under a token budget
+        (pipelines/clean.budget_head): keep the highest-quality
+        documents while the running whitespace-token total stays
+        ≤ 10,000 — SQL's running-sum window, distributed as the
+        bucketed prefix-sum (O(buckets) driver integers, one
+        bucket-keyed exchange, no global sort).  Counts are
+        integer-valued so float summation order cannot flip the
+        budget boundary."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.textstats import (
+            quality_scores,
+            ws_token_count,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            budget_head,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "quality": pa.array(
+                    [round(quality_scores(t)["quality"], 6)
+                     for t in texts], pa.float64()),
+                "ws_tokens": pa.array(
+                    [float(ws_token_count(t)) for t in texts],
+                    pa.float64()),
+            })
+
+        return budget_head(
+            docs.map_batches(score, batch_format="pyarrow"),
+            "quality", "ws_tokens", budget=10000.0,
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7192,6 +7230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_dedup": events_gap_dedup,
         "docs_graph_degree_hist": docs_graph_degree_hist,
         "orders_incremental_agg": orders_incremental_agg,
+        "docs_token_budget_head": docs_token_budget_head,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9803,6 +9842,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT o_orderkey, o_custkey AS ck, "
         "      CAST(floor(o_totalprice / 2048.0) AS BIGINT) AS tp_bin "
         "      FROM orders)"
+    )
+    d["docs_token_budget_head"] = (
+        "WITH q AS (" + d["quality_scores"] + "), "
+        "t AS (" + d["ws_token_counts"] + "), "
+        "o AS (SELECT q.doc_id, q.quality, t.ws_tokens, "
+        "        sum(t.ws_tokens) OVER (ORDER BY q.quality DESC, "
+        "                               q.doc_id) AS cum "
+        "      FROM q JOIN t USING (doc_id)) "
+        "SELECT doc_id, quality, ws_tokens::DOUBLE AS ws_tokens, "
+        "       cum::DOUBLE AS cum_tokens "
+        "FROM o WHERE cum <= 10000"
     )
     d["orders_incremental_agg"] = """
         SELECT o_custkey,

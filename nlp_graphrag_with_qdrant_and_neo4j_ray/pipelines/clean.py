@@ -870,3 +870,81 @@ def fix_mojibake(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def budget_head(ds, order_col: str, count_col: str, budget: float,
+                id_col: str = "doc_id", descending: bool = True,
+                num_buckets: int = 256, num_partitions: int = 16,
+                cum_col: str = "cum_tokens"):
+    """Data selection under a budget (the "best data until N tokens"
+    step of training-set assembly): order the corpus by ``order_col``
+    (quality, DSIR weight, …) and keep rows while the running
+    ``count_col`` total stays ≤ ``budget`` — SQL's
+    ``SUM(count) OVER (ORDER BY order, id) <= budget``, distributed.
+
+    Scale shape (the :func:`~.shards.global_shuffle_positions`
+    prefix-sum pattern): a bounded min/max pass linearly quantizes
+    ``order_col`` into ``num_buckets`` order-preserving ranges;
+    per-bucket token sums fold to the driver as O(buckets) integers
+    whose running sum gives each bucket's preceding total; ONE
+    bucket-keyed exchange then sorts each bucket locally and applies
+    ``preceding + local cumsum <= budget`` vectorized.  Buckets whose
+    preceding total already exceeds the budget emit nothing; no global
+    sort, no driver-side row data."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    slim = ds.map_batches(
+        lambda b: pa.table({
+            id_col: b.column(id_col),
+            order_col: pc.cast(b.column(order_col), pa.float64()),
+            count_col: pc.cast(b.column(count_col), pa.float64()),
+        }), batch_format="pyarrow").materialize()
+
+    stats = slim.aggregate(Min(on=order_col), Max(on=order_col))
+    lo, hi = stats[f"min({order_col})"], stats[f"max({order_col})"]
+    span = (hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        frac = (hi - v) / span if descending else (v - lo) / span
+        return np.clip((frac * num_buckets).astype(np.int64),
+                       0, num_buckets - 1)
+
+    def key_it(batch: pa.Table) -> pa.Table:
+        v = batch.column(order_col).to_numpy(zero_copy_only=False)
+        return batch.append_column("__bucket",
+                                   pa.array(bucket_of(v), pa.int64()))
+
+    keyed = slim.map_batches(key_it, batch_format="pyarrow").materialize()
+
+    sums: dict[int, float] = {}
+    for row in keyed.map_batches(
+        lambda b: b.group_by(["__bucket"]).aggregate(
+            [(count_col, "sum")]).rename_columns(["__bucket", "s"]),
+        batch_format="pyarrow",
+    ).take_all():
+        sums[row["__bucket"]] = sums.get(row["__bucket"], 0.0) + row["s"]
+    preceding: dict[int, float] = {}
+    acc = 0.0
+    for b in sorted(sums):
+        preceding[b] = acc
+        acc += sums[b]
+
+    def cut(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(
+            ["__bucket", order_col, id_col],
+            ascending=[True, not descending, True], kind="mergesort")
+        base = df["__bucket"].map(preceding).to_numpy()
+        cum = df.groupby("__bucket", sort=False)[count_col].cumsum()
+        total = base + cum.to_numpy()
+        keep = total <= budget
+        out = df[keep]
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy()),
+            order_col: pa.array(out[order_col].to_numpy(), pa.float64()),
+            count_col: pa.array(out[count_col].to_numpy(), pa.float64()),
+            cum_col: pa.array(total[keep], pa.float64()),
+        })
+
+    return grouped_apply(keyed, ["__bucket"], cut,
+                         num_partitions=num_partitions)

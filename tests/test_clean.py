@@ -309,3 +309,49 @@ class TestFixMojibake:
         out = self._run([{"doc_id": 0, "text": bad}])
         assert out[0]["text"] == good
         assert out[0]["fixed"] is True
+
+
+class TestBudgetHead:
+    def _run(self, rows, budget, blocks=3, **kw):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            budget_head,
+        )
+
+        ds = ray.data.from_items(rows, override_num_blocks=blocks)
+        return sorted(budget_head(ds, "score", "toks", budget, **kw)
+                      .take_all(), key=lambda r: r["cum_tokens"])
+
+    ROWS = [
+        {"doc_id": 0, "score": 0.9, "toks": 100.0},
+        {"doc_id": 1, "score": 0.8, "toks": 200.0},
+        {"doc_id": 2, "score": 0.7, "toks": 300.0},
+        {"doc_id": 3, "score": 0.6, "toks": 400.0},
+        {"doc_id": 4, "score": 0.5, "toks": 500.0},
+    ]
+
+    def test_running_total_cutoff(self, ray_session):
+        out = self._run(self.ROWS, 650.0, num_buckets=4,
+                        num_partitions=2)
+        # order 0,1,2,... cum 100,300,600,1000 -> keep first three
+        assert [r["doc_id"] for r in out] == [0, 1, 2]
+        assert [r["cum_tokens"] for r in out] == [100.0, 300.0, 600.0]
+
+    def test_boundary_row_exactly_at_budget_kept(self, ray_session):
+        out = self._run(self.ROWS, 600.0)
+        assert [r["doc_id"] for r in out] == [0, 1, 2]
+
+    def test_ties_break_by_id_and_ascending_mode(self, ray_session):
+        rows = [{"doc_id": i, "score": 1.0, "toks": 10.0}
+                for i in range(6)]
+        out = self._run(rows, 35.0, num_buckets=8)
+        assert [r["doc_id"] for r in out] == [0, 1, 2]
+        # ascending: smallest score first
+        asc = self._run(self.ROWS, 950.0, descending=False)
+        assert [r["doc_id"] for r in asc] == [4, 3]
+
+    def test_partition_independence(self, ray_session):
+        a = self._run(self.ROWS, 700.0, blocks=1)
+        b = self._run(self.ROWS, 700.0, blocks=5)
+        assert a == b
