@@ -114,3 +114,110 @@ def test_json_extract_malformed_rows_null(ray_session):
     got = got.sort_values("id")
     assert got["k_val"].tolist()[0] == 3
     assert got["k_val"].isna().tolist() == [False, True, True, True, True]
+
+
+@given(frames(), st.integers(1, 300))
+@SETTINGS
+def test_budget_head_matches_pandas_running_sum(ray_session, df, budget):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        budget_head,
+    )
+
+    rows = pd.DataFrame({
+        "doc_id": df["id"],
+        "score": df["v"].astype(np.float64),
+        "toks": (df["k"] + 1).astype(np.float64),   # positive counts
+    })
+    got = budget_head(ray.data.from_pandas(rows), "score", "toks",
+                      float(budget), num_buckets=7,
+                      num_partitions=3).to_pandas()
+    s = rows.sort_values(["score", "doc_id"],
+                         ascending=[False, True], kind="stable")
+    cum = s["toks"].cumsum()
+    expected = s[cum <= budget].assign(cum_tokens=cum[cum <= budget])
+    if len(expected) == 0:
+        assert len(got) == 0
+        return
+    cols = ["doc_id", "score", "toks", "cum_tokens"]
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True)[cols],
+        expected.sort_values("doc_id").reset_index(drop=True)[cols],
+        check_dtype=False)
+
+
+@given(frames())
+@SETTINGS
+def test_incremental_agg_matches_full_recompute(ray_session, df):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        incremental_agg,
+    )
+
+    base = df[df["id"] % 3 != 0]
+    delta = df[df["id"] % 3 == 0]
+    base_agg = (base.groupby("k")["v"].agg(["sum", "size"])
+                .reset_index()
+                .rename(columns={"sum": "sum_val", "size": "n"}))
+    base_agg["sum_val"] = base_agg["sum_val"].astype(np.float64)
+    got = incremental_agg(
+        ray.data.from_pandas(base_agg),
+        ray.data.from_pandas(delta.rename(columns={"v": "val"})),
+        ["k"], "val", num_partitions=3).to_pandas()
+    full = (df.groupby("k")["v"].agg(["sum", "size"]).reset_index()
+            .rename(columns={"sum": "sum_val", "size": "n"}))
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True)[["k", "sum_val", "n"]],
+        full.sort_values("k").reset_index(drop=True)[["k", "sum_val", "n"]],
+        check_dtype=False)
+
+
+@given(frames())
+@SETTINGS
+def test_degree_histogram_matches_pandas(ray_session, df):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        degree_histogram,
+    )
+
+    edges = pd.DataFrame({"src": df["k"].astype(np.int64),
+                          "dst": df["v"].astype(np.int64)})
+    got = degree_histogram(ray.data.from_pandas(edges),
+                           num_partitions=3).to_pandas()
+    deg = pd.concat([edges["src"], edges["dst"]]).value_counts()
+    expected = (deg.value_counts().rename_axis("degree")
+                .reset_index(name="n_nodes"))
+    pd.testing.assert_frame_equal(
+        got.sort_values("degree").reset_index(drop=True),
+        expected.sort_values("degree").reset_index(drop=True)
+        .astype({"degree": np.int64, "n_nodes": np.int64}),
+        check_dtype=False)
+
+
+@given(frames())
+@SETTINGS
+def test_validation_report_matches_pandas(ray_session, df):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        validation_report,
+    )
+
+    got = {(r["col"], r["check"]): r for r in validation_report(
+        ray.data.from_pandas(df), [
+            {"col": "v", "check": "range", "lo": -10, "hi": 10},
+            {"col": "k", "check": "in_set", "values": [0, 1]},
+            {"col": "id", "check": "unique"},
+            {"col": "k", "check": "unique"},
+        ], num_partitions=3).take_all()}
+    n = len(df)
+    assert got[("v", "range")]["n_violations"] == int(
+        (~df["v"].between(-10, 10)).sum())
+    assert got[("k", "in_set")]["n_violations"] == int(
+        (~df["k"].isin([0, 1])).sum())
+    assert got[("id", "unique")]["n_violations"] == n - df["id"].nunique()
+    assert got[("k", "unique")]["n_violations"] == n - df["k"].nunique()
+    assert all(r["n_rows"] == n for r in got.values())
