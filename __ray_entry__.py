@@ -3022,6 +3022,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quality", "ws_tokens", budget=10000.0,
         )
 
+    def docs_lang_budget_mix(sf_dir: str):
+        """Mixture construction under per-language token budgets
+        (pipelines/clean.budget_head with group_col): the best-quality
+        documents of each language are kept until that language's
+        budget is spent; languages without a budget drop entirely.
+        Same bucketed prefix-sum, the driver fold is
+        O(languages × buckets) numbers; the oracle is the
+        PARTITION BY window running sum with a CASE budget."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.textstats import (
+            quality_scores,
+            ws_token_count,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            budget_head,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "lang"]
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "quality": pa.array(
+                    [round(quality_scores(t)["quality"], 6)
+                     for t in texts], pa.float64()),
+                "ws_tokens": pa.array(
+                    [float(ws_token_count(t)) for t in texts],
+                    pa.float64()),
+            })
+
+        return budget_head(
+            docs.map_batches(score, batch_format="pyarrow"),
+            "quality", "ws_tokens",
+            budget={"en": 5000.0, "de": 2000.0, "fr": 1500.0},
+            group_col="lang",
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7231,6 +7271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_graph_degree_hist": docs_graph_degree_hist,
         "orders_incremental_agg": orders_incremental_agg,
         "docs_token_budget_head": docs_token_budget_head,
+        "docs_lang_budget_mix": docs_lang_budget_mix,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9853,6 +9894,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, quality, ws_tokens::DOUBLE AS ws_tokens, "
         "       cum::DOUBLE AS cum_tokens "
         "FROM o WHERE cum <= 10000"
+    )
+    d["docs_lang_budget_mix"] = (
+        "WITH q AS (" + d["quality_scores"] + "), "
+        "t AS (" + d["ws_token_counts"] + "), "
+        "o AS (SELECT q.doc_id, d.lang, q.quality, t.ws_tokens, "
+        "        sum(t.ws_tokens) OVER (PARTITION BY d.lang "
+        "            ORDER BY q.quality DESC, q.doc_id) AS cum "
+        "      FROM q JOIN t USING (doc_id) "
+        "      JOIN documents d USING (doc_id)) "
+        "SELECT doc_id, lang, quality, ws_tokens::DOUBLE AS ws_tokens, "
+        "       cum::DOUBLE AS cum_tokens "
+        "FROM o WHERE cum <= CASE lang WHEN 'en' THEN 5000 "
+        "                              WHEN 'de' THEN 2000 "
+        "                              WHEN 'fr' THEN 1500 "
+        "                              ELSE 0 END"
     )
     d["orders_incremental_agg"] = """
         SELECT o_custkey,

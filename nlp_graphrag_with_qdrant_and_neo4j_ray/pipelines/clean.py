@@ -872,8 +872,9 @@ def fix_mojibake(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def budget_head(ds, order_col: str, count_col: str, budget: float,
-                id_col: str = "doc_id", descending: bool = True,
+def budget_head(ds, order_col: str, count_col: str,
+                budget: float | dict, id_col: str = "doc_id",
+                group_col: str | None = None, descending: bool = True,
                 num_buckets: int = 256, num_partitions: int = 16,
                 cum_col: str = "cum_tokens"):
     """Data selection under a budget (the "best data until N tokens"
@@ -882,28 +883,45 @@ def budget_head(ds, order_col: str, count_col: str, budget: float,
     ``count_col`` total stays ≤ ``budget`` — SQL's
     ``SUM(count) OVER (ORDER BY order, id) <= budget``, distributed.
 
+    With ``group_col`` this becomes MIXTURE construction: the cutoff
+    runs independently per group (per language / per source), with
+    ``budget`` either one number for every group or a
+    ``{group: budget}`` dict (missing groups get 0 — drop) — SQL's
+    ``SUM(count) OVER (PARTITION BY group ORDER BY order, id)``.
+
     Scale shape (the :func:`~.shards.global_shuffle_positions`
     prefix-sum pattern): a bounded min/max pass linearly quantizes
     ``order_col`` into ``num_buckets`` order-preserving ranges;
-    per-bucket token sums fold to the driver as O(buckets) integers
-    whose running sum gives each bucket's preceding total; ONE
-    bucket-keyed exchange then sorts each bucket locally and applies
-    ``preceding + local cumsum <= budget`` vectorized.  Buckets whose
-    preceding total already exceeds the budget emit nothing; no global
-    sort, no driver-side row data."""
+    per-(group, bucket) token sums fold to the driver as
+    O(groups × buckets) numbers whose per-group running sums give each
+    bucket's preceding total; ONE (group, bucket)-keyed exchange then
+    sorts each bucket locally and applies
+    ``preceding + local cumsum <= budget[group]`` vectorized.  Buckets
+    whose preceding total already exceeds their group's budget emit
+    nothing; no global sort, no driver-side row data."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min
 
-    slim = ds.map_batches(
-        lambda b: pa.table({
-            id_col: b.column(id_col),
-            order_col: pc.cast(b.column(order_col), pa.float64()),
-            count_col: pc.cast(b.column(count_col), pa.float64()),
-        }), batch_format="pyarrow").materialize()
+    gcols = [group_col] if group_col else []
+
+    def slim_fn(b: pa.Table) -> pa.Table:
+        cols = {id_col: b.column(id_col)}
+        for g in gcols:
+            cols[g] = b.column(g)
+        cols[order_col] = pc.cast(b.column(order_col), pa.float64())
+        cols[count_col] = pc.cast(b.column(count_col), pa.float64())
+        return pa.table(cols)
+
+    slim = ds.map_batches(slim_fn, batch_format="pyarrow").materialize()
 
     stats = slim.aggregate(Min(on=order_col), Max(on=order_col))
     lo, hi = stats[f"min({order_col})"], stats[f"max({order_col})"]
     span = (hi - lo) or 1.0
+
+    def budget_of(g) -> float:
+        if isinstance(budget, dict):
+            return float(budget.get(g, 0.0))
+        return float(budget)
 
     def bucket_of(v: np.ndarray) -> np.ndarray:
         frac = (hi - v) / span if descending else (v - lo) / span
@@ -917,34 +935,46 @@ def budget_head(ds, order_col: str, count_col: str, budget: float,
 
     keyed = slim.map_batches(key_it, batch_format="pyarrow").materialize()
 
-    sums: dict[int, float] = {}
+    part_keys = gcols + ["__bucket"]
+    sums: dict[tuple, float] = {}
     for row in keyed.map_batches(
-        lambda b: b.group_by(["__bucket"]).aggregate(
-            [(count_col, "sum")]).rename_columns(["__bucket", "s"]),
+        lambda b: b.group_by(part_keys).aggregate(
+            [(count_col, "sum")]).rename_columns(part_keys + ["s"]),
         batch_format="pyarrow",
     ).take_all():
-        sums[row["__bucket"]] = sums.get(row["__bucket"], 0.0) + row["s"]
-    preceding: dict[int, float] = {}
-    acc = 0.0
-    for b in sorted(sums):
-        preceding[b] = acc
-        acc += sums[b]
+        k = tuple(row[c] for c in part_keys)
+        sums[k] = sums.get(k, 0.0) + row["s"]
+    preceding: dict[tuple, float] = {}
+    acc_by_group: dict[tuple, float] = {}
+    for k in sorted(sums):
+        g = k[:-1]
+        preceding[k] = acc_by_group.get(g, 0.0)
+        acc_by_group[g] = preceding[k] + sums[k]
 
     def cut(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas().sort_values(
-            ["__bucket", order_col, id_col],
-            ascending=[True, not descending, True], kind="mergesort")
-        base = df["__bucket"].map(preceding).to_numpy()
-        cum = df.groupby("__bucket", sort=False)[count_col].cumsum()
+            part_keys + [order_col, id_col],
+            ascending=[True] * len(part_keys)
+            + [not descending, True], kind="mergesort")
+        key_tuples = list(zip(*(df[c] for c in part_keys)))
+        base = np.array([preceding[k] for k in key_tuples])
+        cum = df.groupby(part_keys, sort=False)[count_col].cumsum()
         total = base + cum.to_numpy()
-        keep = total <= budget
+        if group_col:
+            caps = np.array([budget_of(g) for g in df[group_col]])
+        else:
+            caps = budget_of(None)
+        keep = total <= caps
         out = df[keep]
-        return pa.table({
-            id_col: pa.array(out[id_col].to_numpy()),
-            order_col: pa.array(out[order_col].to_numpy(), pa.float64()),
-            count_col: pa.array(out[count_col].to_numpy(), pa.float64()),
-            cum_col: pa.array(total[keep], pa.float64()),
-        })
+        cols = {id_col: pa.array(out[id_col].to_numpy())}
+        for g in gcols:
+            cols[g] = pa.array(out[g].to_numpy())
+        cols[order_col] = pa.array(out[order_col].to_numpy(),
+                                   pa.float64())
+        cols[count_col] = pa.array(out[count_col].to_numpy(),
+                                   pa.float64())
+        cols[cum_col] = pa.array(total[keep], pa.float64())
+        return pa.table(cols)
 
-    return grouped_apply(keyed, ["__bucket"], cut,
+    return grouped_apply(keyed, part_keys, cut,
                          num_partitions=num_partitions)

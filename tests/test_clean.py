@@ -355,3 +355,32 @@ class TestBudgetHead:
         a = self._run(self.ROWS, 700.0, blocks=1)
         b = self._run(self.ROWS, 700.0, blocks=5)
         assert a == b
+
+
+def test_budget_head_per_group(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        budget_head,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append({"doc_id": i, "g": "en",
+                     "score": 1.0 - i * 0.1, "toks": 100.0})
+    for i in range(6, 10):
+        rows.append({"doc_id": i, "g": "de",
+                     "score": 1.0 - (i - 6) * 0.1, "toks": 100.0})
+    rows.append({"doc_id": 10, "g": "zz", "score": 0.99, "toks": 1.0})
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    out = budget_head(ds, "score", "toks",
+                      budget={"en": 350.0, "de": 200.0},
+                      group_col="g", num_buckets=4,
+                      num_partitions=3).take_all()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["doc_id"])
+    # en: 3 docs of 100 toks fit 350; de: 2 fit 200; zz: no budget
+    assert sorted(by_g["en"]) == [0, 1, 2]
+    assert sorted(by_g["de"]) == [6, 7]
+    assert "zz" not in by_g
