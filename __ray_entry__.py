@@ -3062,6 +3062,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             group_col="lang",
         )
 
+    def orders_custkey_gini(sf_dir: str):
+        """Key-skew audit scalar (pipelines/relational.gini_coefficient):
+        Gini of the orders-per-customer distribution from the
+        tie-invariant sorted-values identity, folded EXACTLY from the
+        histogram of count values — O(distinct counts) rows reach the
+        final partition, never the keys.  The oracle computes the same
+        identity with a row_number window."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            gini_coefficient,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(["o_custkey"])
+        return gini_coefficient(orders, ["o_custkey"])
+
+    def docs_sample_ks_audit(sf_dir: str):
+        """Sample-representativeness audit
+        (pipelines/relational.ks_statistic): exact two-sample KS
+        between the 1/16 md5 dev sample and the rest of the corpus
+        over whitespace token counts — the one-number check that the
+        carved sample still looks like the population.  Histogram of
+        (value, side) counts rides the exchange; the oracle replays
+        the cumulative-fraction supremum with SQL windows."""
+        import hashlib
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.textstats import (
+            ws_token_count,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            ks_statistic,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "ws_tokens": pa.array(
+                    [float(ws_token_count(t)) for t in texts],
+                    pa.float64()),
+                "in_sample": pa.array(
+                    [hashlib.md5(str(i).encode()).hexdigest()[-1] == "0"
+                     for i in ids], pa.bool_()),
+            })
+
+        return ks_statistic(
+            docs.map_batches(prep, batch_format="pyarrow"),
+            "ws_tokens", "in_sample",
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7272,6 +7324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_incremental_agg": orders_incremental_agg,
         "docs_token_budget_head": docs_token_budget_head,
         "docs_lang_budget_mix": docs_lang_budget_mix,
+        "orders_custkey_gini": orders_custkey_gini,
+        "docs_sample_ks_audit": docs_sample_ks_audit,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9895,6 +9949,40 @@ def oracle_sql() -> dict[str, str]:
         "       cum::DOUBLE AS cum_tokens "
         "FROM o WHERE cum <= 10000"
     )
+    d["docs_sample_ks_audit"] = (
+        "WITH t AS (" + d["ws_token_counts"] + "), "
+        "f AS (SELECT ws_tokens AS v, "
+        "       right(md5(CAST(doc_id AS VARCHAR)), 1) = '0' AS s "
+        "      FROM t), "
+        "h AS (SELECT v, count(CASE WHEN s THEN 1 END) AS ma, "
+        "             count(CASE WHEN NOT s THEN 1 END) AS mb "
+        "      FROM f GROUP BY v), "
+        "c AS (SELECT v, "
+        "   sum(ma) OVER (ORDER BY v) "
+        "     / (SELECT sum(ma) FROM h)::DOUBLE AS fa, "
+        "   sum(mb) OVER (ORDER BY v) "
+        "     / (SELECT sum(mb) FROM h)::DOUBLE AS fb "
+        "      FROM h) "
+        "SELECT round(max(abs(fa - fb)), 6) AS ks, "
+        "       (SELECT sum(ma) FROM h) AS n_sample, "
+        "       (SELECT sum(mb) FROM h) AS n_rest "
+        "FROM c"
+    )
+    d["orders_custkey_gini"] = """
+        WITH c AS (SELECT o_custkey, count(*) AS n
+                   FROM orders GROUP BY o_custkey),
+        r AS (SELECT n,
+                     row_number() OVER (ORDER BY n, o_custkey) AS i,
+                     count(*) OVER () AS cnt,
+                     sum(n) OVER () AS tot
+              FROM c)
+        SELECT round(sum((2 * i - cnt - 1) * n)
+                     / (any_value(cnt) * any_value(tot))::DOUBLE,
+                     6) AS gini,
+               any_value(cnt) AS n_keys,
+               any_value(tot) AS n_rows
+        FROM r
+    """
     d["docs_lang_budget_mix"] = (
         "WITH q AS (" + d["quality_scores"] + "), "
         "t AS (" + d["ws_token_counts"] + "), "

@@ -2801,3 +2801,125 @@ def incremental_agg(base_agg, delta_ds, keys: list[str], value_col: str,
 
     return grouped_apply(unioned, keys, merge,
                          num_partitions=num_partitions)
+
+
+def gini_coefficient(ds, keys: list[str], ndigits: int = 6,
+                     num_partitions: int = 16):
+    """Gini coefficient of the per-key row-count distribution — ONE
+    scalar answering "how skewed is this key?" before you hash-join or
+    groupby on it (0 = perfectly uniform, →1 = one key owns
+    everything); the summary statistic over the full key population
+    that the top-k skew profile can't give.
+
+    Uses the sorted-values identity G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx), which
+    is tie-invariant, so it folds EXACTLY from the histogram of count
+    values: a run of m equal counts v starting after global rank a
+    contributes v·(2·(m·a + m(m+1)/2) − (n+1)·m).
+
+    Scale shape: per-key counts pre-combine per batch and reduce
+    through one key exchange; their HISTOGRAM (count value →
+    multiplicity) pre-combines again and folds on a single partition —
+    O(distinct count values) tiny rows, never the keys themselves."""
+    scale = 10.0 ** ndigits
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["c"])
+
+    def per_key(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(keys).aggregate([("c", "sum")])
+        h = pa.table({"v": g.column("c_sum")}).group_by(["v"]).aggregate(
+            [([], "count_all")])
+        return h.rename_columns(["v", "m"])
+
+    hist = grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys, per_key, num_partitions=num_partitions,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.drop_columns(["__one"]).to_pandas().groupby(
+            "v", as_index=False)["m"].sum().sort_values("v")
+        v = df["v"].to_numpy(np.float64)
+        m = df["m"].to_numpy(np.float64)
+        n = m.sum()
+        tot = (v * m).sum()
+        a = np.concatenate([[0.0], np.cumsum(m)[:-1]])  # ranks before run
+        num = (v * (2.0 * (m * a + m * (m + 1) / 2.0)
+                    - (n + 1.0) * m)).sum()
+        gini = num / (n * tot) if n and tot else 0.0
+        return pa.table({
+            "gini": pa.array([np.floor(gini * scale + 0.5) / scale],
+                             pa.float64()),
+            "n_keys": pa.array([int(n)], pa.int64()),
+            "n_rows": pa.array([int(tot)], pa.int64()),
+        })
+
+    return grouped_apply(
+        hist.map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__one"], finish, num_partitions=1)
+
+
+def ks_statistic(ds, value_col: str, flag_col: str, ndigits: int = 6,
+                 num_partitions: int = 16):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    where ``flag_col`` is true and those where it's false — the
+    sample-representativeness audit: after carving a dev sample out of
+    a corpus, ``max |ECDF_sample(v) − ECDF_rest(v)|`` over a numeric
+    column says in ONE number whether the sample still looks like the
+    population (0 = identical distributions).
+
+    Scale shape: per-(value, side) counts pre-combine per batch and
+    reduce through one value-keyed exchange; the resulting histogram —
+    O(distinct values) rows, never the rows themselves — folds on a
+    single partition where the sorted cumulative fractions give the
+    exact supremum (for discrete data the ECDF gap is maximal at an
+    observed value, so scanning distinct values is exact)."""
+    scale = 10.0 ** ndigits
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "v": pc.cast(b.column(value_col), pa.float64()),
+            "s": pc.cast(b.column(flag_col), pa.bool_()),
+        })
+        g = t.group_by(["v", "s"]).aggregate([([], "count_all")])
+        return g.rename_columns(["v", "s", "m"])
+
+    def per_value(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["v", "s"]).aggregate([("m", "sum")])
+        return g.rename_columns(["v", "s", "m"])
+
+    hist = grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["v"], per_value, num_partitions=num_partitions,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.drop_columns(["__one"]).to_pandas()
+        piv = (df.pivot_table(index="v", columns="s", values="m",
+                              aggfunc="sum", fill_value=0)
+               .reindex(columns=[True, False], fill_value=0)
+               .sort_index())
+        na, nb = piv[True].sum(), piv[False].sum()
+        if na == 0 or nb == 0:
+            ks = 1.0 if (na or nb) else 0.0
+        else:
+            diff = (piv[True].cumsum() / na
+                    - piv[False].cumsum() / nb).abs()
+            ks = float(diff.max())
+        return pa.table({
+            "ks": pa.array([np.floor(ks * scale + 0.5) / scale],
+                           pa.float64()),
+            "n_sample": pa.array([int(na)], pa.int64()),
+            "n_rest": pa.array([int(nb)], pa.int64()),
+        })
+
+    return grouped_apply(
+        hist.map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__one"], finish, num_partitions=1)

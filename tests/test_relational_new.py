@@ -555,3 +555,74 @@ class TestIncrementalAgg:
             base_agg, delta, ["k"], "v").take_all()}
         assert out[1] == {"k": 1, "sum_val": 4.0, "n": 2}
         assert out[2] == {"k": 2, "sum_val": 4.0, "n": 1}
+
+
+class TestGiniCoefficient:
+    def _gini(self, keys_list, **kw):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            gini_coefficient,
+        )
+
+        ds = ray.data.from_items([{"k": k} for k in keys_list],
+                                 override_num_blocks=3)
+        return gini_coefficient(ds, ["k"], **kw).take_all()[0]
+
+    def test_uniform_is_zero(self, ray_session):
+        out = self._gini([i % 5 for i in range(50)], num_partitions=2)
+        assert out["gini"] == 0.0
+        assert out["n_keys"] == 5 and out["n_rows"] == 50
+
+    def test_matches_sorted_identity(self, ray_session):
+        import numpy as np
+
+        keys = [0] * 50 + [1] * 10 + [2] * 5 + [3] * 1
+        out = self._gini(keys, num_partitions=3)
+        x = np.sort(np.array([50, 10, 5, 1], float))
+        n = len(x)
+        expected = ((2 * np.arange(1, n + 1) - n - 1) * x).sum() / (
+            n * x.sum())
+        assert abs(out["gini"] - round(expected, 6)) < 1e-9
+
+    def test_extreme_skew_approaches_one(self, ray_session):
+        out = self._gini([0] * 99 + list(range(1, 100)))
+        assert out["gini"] > 0.45   # half the mass on one of 100 keys
+
+
+class TestKSStatistic:
+    def _ks(self, rows, **kw):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            ks_statistic,
+        )
+
+        ds = ray.data.from_items(rows, override_num_blocks=3)
+        return ks_statistic(ds, "v", "s", **kw).take_all()[0]
+
+    def test_identical_distributions_zero(self, ray_session):
+        rows = ([{"v": float(i % 7), "s": True} for i in range(70)]
+                + [{"v": float(i % 7), "s": False} for i in range(70)])
+        out = self._ks(rows, num_partitions=2)
+        assert out["ks"] == 0.0
+        assert out["n_sample"] == 70 and out["n_rest"] == 70
+
+    def test_disjoint_distributions_one(self, ray_session):
+        rows = ([{"v": 1.0, "s": True}] * 10
+                + [{"v": 9.0, "s": False}] * 10)
+        assert self._ks(rows)["ks"] == 1.0
+
+    def test_matches_scipy_style_reference(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 20, 80).astype(float)
+        b = rng.integers(5, 25, 120).astype(float)
+        rows = ([{"v": float(x), "s": True} for x in a]
+                + [{"v": float(x), "s": False} for x in b])
+        vals = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+        expected = round(float(np.abs(fa - fb).max()), 6)
+        assert self._ks(rows, num_partitions=4)["ks"] == expected
