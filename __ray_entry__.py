@@ -4281,6 +4281,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def docs_from_orc_roundtrip(sf_dir: str):
+        """ORC source coverage (sources/orc.read_orc — Ray Data ships
+        no ORC reader): the documents table is exported once to ORC
+        files under /tmp and read back stripe-streamed through the
+        custom FileBasedDatasource.  Oracle: the same rows straight
+        from parquet."""
+        import pyarrow.parquet as pq
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.orc import (
+            read_orc,
+            write_orc_file,
+        )
+
+        out_dir = os.path.join(_kg_dir(sf_dir), "orc-src")
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(out_dir, exist_ok=True)
+            t = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang", "source"],
+            )
+            shards = 4
+            per = (t.num_rows + shards - 1) // shards
+            for i in range(shards):
+                write_orc_file(
+                    t.slice(i * per, per),
+                    os.path.join(out_dir, f"docs-{i:02d}.orc"),
+                )
+            with open(marker, "w") as f:
+                f.write("ok")
+        return read_orc(
+            [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".orc")]
+        )
+
+    def docs_hive_partition_pruned(sf_dir: str):
+        """Directory-partition pruning (the hive-layout contract the
+        resumable writers rely on): the documents table is written ONCE
+        with write_parquet(partition_cols=['lang']); the read then
+        lists ONLY the lang=en subdirectory — the other languages'
+        files are never opened, the directory structure IS the filter.
+        Oracle: WHERE lang = 'en' over the original parquet."""
+        import ray.data
+
+        out_dir = os.path.join(_kg_dir(sf_dir), "hive-docs")
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(out_dir, exist_ok=True)
+            _read(sf_dir, "documents").select_columns(
+                ["doc_id", "text", "lang"]
+            ).write_parquet(out_dir, partition_cols=["lang"])
+            with open(marker, "w") as f:
+                f.write("ok")
+        ds = ray.data.read_parquet(os.path.join(out_dir, "lang=en"))
+
+        def add_lang(b: pa.Table) -> pa.Table:
+            cols = {n: b.column(n) for n in ("doc_id", "text")}
+            cols["lang"] = pa.array(["en"] * b.num_rows, pa.string())
+            return pa.table(cols)
+
+        return ds.map_batches(add_lang, batch_format="pyarrow")
+
     def docs_from_csv_roundtrip(sf_dir: str):
         """CSV source coverage: numeric document stats exported to CSV
         once and read back with ray.data.read_csv (schema inferred) —
@@ -7326,6 +7388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_budget_mix": docs_lang_budget_mix,
         "orders_custkey_gini": orders_custkey_gini,
         "docs_sample_ks_audit": docs_sample_ks_audit,
+        "docs_from_orc_roundtrip": docs_from_orc_roundtrip,
+        "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
         "q14_promo_revenue": q14_promo_revenue,
@@ -9948,6 +10012,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, quality, ws_tokens::DOUBLE AS ws_tokens, "
         "       cum::DOUBLE AS cum_tokens "
         "FROM o WHERE cum <= 10000"
+    )
+    d["docs_from_orc_roundtrip"] = (
+        "SELECT doc_id, text, lang, source FROM documents"
+    )
+    d["docs_hive_partition_pruned"] = (
+        "SELECT doc_id, text, lang FROM documents WHERE lang = 'en'"
     )
     d["docs_sample_ks_audit"] = (
         "WITH t AS (" + d["ws_token_counts"] + "), "
