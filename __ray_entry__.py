@@ -4343,6 +4343,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(add_lang, batch_format="pyarrow")
 
+    def docs_from_sqlite_roundtrip(sf_dir: str):
+        """Operational-database ingestion (ray.data.read_sql over a
+        DBAPI connection factory — the JDBC-shaped source family): the
+        documents table is loaded once into a sqlite file and read
+        back through read_sql.  Parallel sharded reads need a
+        server-side DB; a single sqlite file reads as one task, which
+        is the correct shape for this source (read_sql shards by key
+        hash when the backend allows concurrent cursors).  Oracle: the
+        same rows straight from parquet."""
+        import sqlite3
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        db_dir = _kg_dir(sf_dir)
+        os.makedirs(db_dir, exist_ok=True)
+        db_path = os.path.join(db_dir, "docs.sqlite")
+        marker = db_path + ".ok"
+        if not os.path.exists(marker):
+            t = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang"],
+            )
+            con = sqlite3.connect(db_path)
+            con.execute("DROP TABLE IF EXISTS documents")
+            con.execute("CREATE TABLE documents "
+                        "(doc_id INTEGER, text TEXT, lang TEXT)")
+            con.executemany(
+                "INSERT INTO documents VALUES (?, ?, ?)",
+                zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist(),
+                    t.column("lang").to_pylist()),
+            )
+            con.commit()
+            con.close()
+            with open(marker, "w") as f:
+                f.write("ok")
+        return ray.data.read_sql(
+            "SELECT doc_id, text, lang FROM documents",
+            lambda: __import__("sqlite3").connect(db_path),
+        )
+
     def docs_from_csv_roundtrip(sf_dir: str):
         """CSV source coverage: numeric document stats exported to CSV
         once and read back with ray.data.read_csv (schema inferred) —
@@ -7389,6 +7431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_custkey_gini": orders_custkey_gini,
         "docs_sample_ks_audit": docs_sample_ks_audit,
         "docs_from_orc_roundtrip": docs_from_orc_roundtrip,
+        "docs_from_sqlite_roundtrip": docs_from_sqlite_roundtrip,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10015,6 +10058,9 @@ def oracle_sql() -> dict[str, str]:
     )
     d["docs_from_orc_roundtrip"] = (
         "SELECT doc_id, text, lang, source FROM documents"
+    )
+    d["docs_from_sqlite_roundtrip"] = (
+        "SELECT doc_id, text, lang FROM documents"
     )
     d["docs_hive_partition_pruned"] = (
         "SELECT doc_id, text, lang FROM documents WHERE lang = 'en'"
