@@ -3114,6 +3114,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ws_tokens", "in_sample",
         )
 
+    def docs_lang_confusion(sf_dir: str):
+        """Language-ID confusion matrix — the eval that tells you
+        whether the detector is good enough to route on: declared
+        corpus label × detected label with counts.  Both labels derive
+        from the SAME row, so there's no join — one map stage computes
+        the heuristic, a pre-combined two-key groupby reduces.  The
+        oracle composes the full SQL replay of the detector with the
+        declared label."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.textstats import (
+            detect_language,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["text", "lang"]
+        )
+
+        def detect(batch: pa.Table) -> pa.Table:
+            det = [detect_language(t)
+                   for t in batch.column("text").to_pylist()]
+            g = pa.table({
+                "declared": batch.column("lang"),
+                "detected": pa.array(det, pa.string()),
+            }).group_by(["declared", "detected"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["declared", "detected", "n"])
+
+        def reduce_counts(tbl: pa.Table) -> pa.Table:
+            g = tbl.group_by(["declared", "detected"]).aggregate(
+                [("n", "sum")])
+            return g.rename_columns(["declared", "detected", "n"])
+
+        return grouped_apply(
+            docs.map_batches(detect, batch_format="pyarrow"),
+            ["declared", "detected"], reduce_counts, num_partitions=8,
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7432,6 +7471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_ks_audit": docs_sample_ks_audit,
         "docs_from_orc_roundtrip": docs_from_orc_roundtrip,
         "docs_from_sqlite_roundtrip": docs_from_sqlite_roundtrip,
+        "docs_lang_confusion": docs_lang_confusion,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10061,6 +10101,13 @@ def oracle_sql() -> dict[str, str]:
     )
     d["docs_from_sqlite_roundtrip"] = (
         "SELECT doc_id, text, lang FROM documents"
+    )
+    d["docs_lang_confusion"] = (
+        "WITH det AS (" + d["language_id"] + ") "
+        "SELECT d.lang AS declared, det.detected_lang AS detected, "
+        "       count(*) AS n "
+        "FROM documents d JOIN det USING (doc_id) "
+        "GROUP BY d.lang, det.detected_lang"
     )
     d["docs_hive_partition_pruned"] = (
         "SELECT doc_id, text, lang FROM documents WHERE lang = 'en'"
