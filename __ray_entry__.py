@@ -3114,6 +3114,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ws_tokens", "in_sample",
         )
 
+    def kg_lineage_summary(sf_dir: str):
+        """The north-rule lineage contract made queryable: every KG
+        stage appends per-partition records (state/lineage.py —
+        partition id, stage version, input fragment, row counts, triple
+        counts); this entry ensures the KG is built, reads the lineage
+        directory back as a Dataset, and rolls it up per stage —
+        (stage, n_partitions, rows_in, rows_out, triples).  Rows-only
+        driver check (partition granularity is an execution detail);
+        the invariant audit cross-checks the counts against the
+        checkpoints."""
+        import ray.data
+
+        _kg_tables(sf_dir)  # build or resume; writes lineage/
+        lineage_dir = os.path.join(_kg_dir(sf_dir), "lineage")
+        ds = ray.data.read_parquet(lineage_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            g = pa.table({
+                "stage": b.column("stage"),
+                "n_partitions": pa.array([1] * b.num_rows, pa.int64()),
+                "rows_in": b.column("row_count_in"),
+                "rows_out": b.column("row_count_out"),
+                "triples": b.column("triple_count"),
+            }).group_by(["stage"]).aggregate(
+                [("n_partitions", "sum"), ("rows_in", "sum"),
+                 ("rows_out", "sum"), ("triples", "sum")])
+            return g.rename_columns(
+                ["stage", "n_partitions", "rows_in", "rows_out",
+                 "triples"])
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        def reduce_stage(tbl: pa.Table) -> pa.Table:
+            g = tbl.group_by(["stage"]).aggregate(
+                [("n_partitions", "sum"), ("rows_in", "sum"),
+                 ("rows_out", "sum"), ("triples", "sum")])
+            return g.rename_columns(
+                ["stage", "n_partitions", "rows_in", "rows_out",
+                 "triples"])
+
+        return grouped_apply(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["stage"], reduce_stage, num_partitions=4,
+        )
+
     def docs_lang_confusion(sf_dir: str):
         """Language-ID confusion matrix — the eval that tells you
         whether the detector is good enough to route on: declared
@@ -7472,6 +7519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_from_orc_roundtrip": docs_from_orc_roundtrip,
         "docs_from_sqlite_roundtrip": docs_from_sqlite_roundtrip,
         "docs_lang_confusion": docs_lang_confusion,
+        "kg_lineage_summary": kg_lineage_summary,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
