@@ -915,7 +915,13 @@ def budget_head(ds, order_col: str, count_col: str,
     slim = ds.map_batches(slim_fn, batch_format="pyarrow").materialize()
 
     stats = slim.aggregate(Min(on=order_col), Max(on=order_col))
-    lo, hi = stats[f"min({order_col})"], stats[f"max({order_col})"]
+    lo = (stats or {}).get(f"min({order_col})")
+    hi = (stats or {}).get(f"max({order_col})")
+    if lo is None or hi is None:   # empty corpus → empty selection
+        return slim.map_batches(
+            lambda b: b.append_column(
+                cum_col, pa.array([], pa.float64())),
+            batch_format="pyarrow")
     span = (hi - lo) or 1.0
 
     def budget_of(g) -> float:

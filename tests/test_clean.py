@@ -384,3 +384,17 @@ def test_budget_head_per_group(ray_session):
     assert sorted(by_g["en"]) == [0, 1, 2]
     assert sorted(by_g["de"]) == [6, 7]
     assert "zz" not in by_g
+
+
+def test_budget_head_empty_corpus(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        budget_head,
+    )
+
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "score": 1.0, "toks": 1.0}]).filter(
+        lambda r: False)
+    out = budget_head(ds, "score", "toks", 100.0).take_all()
+    assert out == []
