@@ -3231,6 +3231,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["declared", "detected"], reduce_counts, num_partitions=8,
         )
 
+    def orders_price_deciles(sf_dir: str):
+        """Range-splitter primitive (pipelines/relational.
+        exact_quantiles): ALL nine decile cut points of o_totalprice
+        computed together — one histogram pass per refinement round
+        TOTAL (not per quantile), one final union-bracket fetch, no
+        sort, no shuffle; DuckDB quantile_disc semantics per cut.
+        This is how a range partitioner prices its boundaries at
+        100 TB."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            exact_quantiles,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(["o_totalprice"])
+        qs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+        vals = exact_quantiles(orders, "o_totalprice", qs)
+        return ray.data.from_arrow(pa.table({
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(vals, pa.float64()),
+        }))
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7551,6 +7573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_from_sqlite_roundtrip": docs_from_sqlite_roundtrip,
         "docs_lang_confusion": docs_lang_confusion,
         "kg_lineage_summary": kg_lineage_summary,
+        "orders_price_deciles": orders_price_deciles,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10209,6 +10232,11 @@ def oracle_sql() -> dict[str, str]:
         "       (SELECT sum(ma) FROM h) AS n_sample, "
         "       (SELECT sum(mb) FROM h) AS n_rest "
         "FROM c"
+    )
+    d["orders_price_deciles"] = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) AS value "
+        "FROM orders"
+        for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     )
     d["orders_custkey_gini"] = """
         WITH c AS (SELECT o_custkey, count(*) AS n

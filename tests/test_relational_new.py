@@ -626,3 +626,45 @@ class TestKSStatistic:
         fb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
         expected = round(float(np.abs(fa - fb).max()), 6)
         assert self._ks(rows, num_partitions=4)["ks"] == expected
+
+
+class TestExactQuantiles:
+    def _vals(self, data, qs, **kw):
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            exact_quantiles,
+        )
+
+        ds = ray.data.from_items([{"v": float(x)} for x in data],
+                                 override_num_blocks=3)
+        return exact_quantiles(ds, "v", qs, **kw)
+
+    def test_matches_quantile_disc_semantics(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        data = rng.normal(100.0, 30.0, 777)
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+        got = self._vals(data, qs, rows_limit=32, bins_per_target=16)
+        s = np.sort(data)
+        for q, g in zip(qs, got):
+            k = max(1, int(np.ceil(q * len(s))))
+            assert g == s[k - 1]   # 1-based ceil(q*n)-th smallest
+
+    def test_tie_clusters_and_extremes(self, ray_session):
+        data = [5.0] * 100 + [1.0] * 3 + [9.0] * 3
+        got = self._vals(data, [0.01, 0.5, 0.99, 1.0],
+                         rows_limit=4, bins_per_target=8)
+        assert got == [1.0, 5.0, 9.0, 9.0]
+
+    def test_small_bins_force_multi_round(self, ray_session):
+        import numpy as np
+
+        data = np.arange(2000, dtype=float)
+        got = self._vals(data, [0.333, 0.667],
+                         rows_limit=8, bins_per_target=4,
+                         max_rounds=20)
+        s = np.sort(data)
+        for q, g in zip([0.333, 0.667], got):
+            assert g == s[max(1, int(np.ceil(q * len(s)))) - 1]
