@@ -3253,6 +3253,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value": pa.array(vals, pa.float64()),
         }))
 
+    def orders_range_partition_hist(sf_dir: str):
+        """The splitters actually partitioning: assign every order to
+        the range partition its price falls in (searchsorted against
+        the broadcast decile boundaries from exact_quantiles) and
+        report the per-partition row counts — ten near-equal buckets,
+        the balance a range exchange would see.  The oracle recomputes
+        the boundaries with quantile_disc and the assignment with a
+        boundary-count subquery."""
+        import numpy as np
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            exact_quantiles,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(["o_totalprice"])
+        qs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+        bounds = np.array(exact_quantiles(orders, "o_totalprice", qs))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            v = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            b = np.searchsorted(bounds, v, side="right")
+            g = pa.table({"bucket": pa.array(b, pa.int64())}).group_by(
+                ["bucket"]).aggregate([([], "count_all")])
+            return g.rename_columns(["bucket", "n_rows"])
+
+        def reduce_buckets(tbl: pa.Table) -> pa.Table:
+            g = tbl.group_by(["bucket"]).aggregate([("n_rows", "sum")])
+            return g.rename_columns(["bucket", "n_rows"])
+
+        return grouped_apply(
+            orders.map_batches(assign, batch_format="pyarrow"),
+            ["bucket"], reduce_buckets, num_partitions=4,
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7574,6 +7612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_confusion": docs_lang_confusion,
         "kg_lineage_summary": kg_lineage_summary,
         "orders_price_deciles": orders_price_deciles,
+        "orders_range_partition_hist": orders_range_partition_hist,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10237,6 +10276,13 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) AS value "
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    )
+    d["orders_range_partition_hist"] = (
+        "WITH b AS (" + d["orders_price_deciles"] + ") "
+        "SELECT (SELECT count(*) FROM b "
+        "        WHERE b.value <= o.o_totalprice) AS bucket, "
+        "       count(*) AS n_rows "
+        "FROM orders o GROUP BY 1"
     )
     d["orders_custkey_gini"] = """
         WITH c AS (SELECT o_custkey, count(*) AS n
