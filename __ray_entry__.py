@@ -5719,6 +5719,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
         return fill_gaps(ev, "event_type", "ts", num_partitions=8)
 
+    def events_daily_locf(sf_dir: str):
+        """Forward-filled daily value series per event_type
+        (pipelines/relational.locf_fill — the gap-filling sibling of
+        the zero-fill spine): daily mean value where observed, last
+        observation carried forward across missing days, NULL before a
+        type's first day.  The oracle is the spine LEFT JOIN with
+        last_value(x IGNORE NULLS) over the same grid."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            locf_fill,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "value"])
+        return locf_fill(ev, "event_type", "ts", "value",
+                         num_partitions=8)
+
     def events_hopping_counts(sf_dir: str):
         """Hopping event-time windows (2 h size, 1 h hop): the overlap
         explode collapses to partial counts per batch before the one
@@ -7613,6 +7629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage_summary": kg_lineage_summary,
         "orders_price_deciles": orders_price_deciles,
         "orders_range_partition_hist": orders_range_partition_hist,
+        "events_daily_locf": events_daily_locf,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10277,6 +10294,27 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     )
+    d["events_daily_locf"] = """
+        WITH d AS (
+            SELECT unnest(generate_series(
+                date_trunc('day', (SELECT min(ts) FROM events)),
+                date_trunc('day', (SELECT max(ts) FROM events)),
+                INTERVAL 1 DAY)) AS day
+        ),
+        k AS (SELECT DISTINCT event_type FROM events),
+        m AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   round(sum(value) / count(*), 6) AS mean_val
+            FROM events GROUP BY 1, 2
+        )
+        SELECT k.event_type, d.day,
+               last_value(m.mean_val IGNORE NULLS) OVER (
+                   PARTITION BY k.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_val
+        FROM k CROSS JOIN d
+        LEFT JOIN m ON m.event_type = k.event_type AND m.day = d.day
+    """
     d["orders_range_partition_hist"] = (
         "WITH b AS (" + d["orders_price_deciles"] + ") "
         "SELECT (SELECT count(*) FROM b "

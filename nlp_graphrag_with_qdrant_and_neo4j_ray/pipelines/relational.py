@@ -3032,3 +3032,50 @@ def exact_quantiles(ds, value_col: str, qs: list[float],
             by_tgt.get(ti, [np.empty(0, np.float64)])))
         out.append(float(vals[t["k"] - t["below"] - 1]))
     return out
+
+
+def locf_fill(ds, key_col: str, ts_col: str, value_col: str,
+              out_col: str = "filled_val", ndigits: int = 6,
+              num_partitions: int = 32):
+    """Last-observation-carried-forward daily series per key (the
+    gap-FILLING sibling of :func:`fill_gaps`'s zero-fill): the daily
+    MEAN of ``value_col`` per key on observed days, forward-filled
+    across missing days; days before a key's first observation stay
+    NULL — SQL's ``last_value(x IGNORE NULLS) OVER (PARTITION BY key
+    ORDER BY day)`` on the spine.
+
+    Scale shape: rows reduce to (key, day, sum, n) per batch before
+    ONE key exchange; the global day grid is two scalar aggregates;
+    each partition reindexes its keys' mean series and ``ffill``s
+    vectorized.  Output is the spine itself (keys × days)."""
+    scale = 10.0 ** ndigits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column(ts_col), unit="day")
+        t = pa.table({
+            key_col: batch.column(key_col),
+            "day": day,
+            "__s": pc.cast(batch.column(value_col), pa.float64()),
+        })
+        agg = t.group_by([key_col, "day"]).aggregate(
+            [("__s", "sum"), ([], "count_all")])
+        return agg.rename_columns([key_col, "day", "__s", "__n"])
+
+    lo, hi = ds.min(ts_col), ds.max(ts_col)
+    days = pd.date_range(pd.Timestamp(lo).floor("D"),
+                         pd.Timestamp(hi).floor("D"), freq="D")
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby([key_col, "day"], sort=False).agg(
+            s=("__s", "sum"), n=("__n", "sum")).reset_index()
+        g["mean"] = np.floor(g["s"] / g["n"] * scale + 0.5) / scale
+        m = (g.set_index([key_col, "day"])["mean"]
+             .unstack("day").reindex(columns=days).ffill(axis=1))
+        long = m.stack(future_stack=True).rename(out_col).reset_index()
+        long.columns = [key_col, "day", out_col]
+        return long
+
+    combined = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(combined, [key_col], fill,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")

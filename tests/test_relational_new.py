@@ -668,3 +668,36 @@ class TestExactQuantiles:
         s = np.sort(data)
         for q, g in zip([0.333, 0.667], got):
             assert g == s[max(1, int(np.ceil(q * len(s)))) - 1]
+
+
+def test_locf_fill_carries_forward_and_leading_nulls(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        locf_fill,
+    )
+
+    day = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # key "a": observed day 1 (mean 2.0) and day 4 (mean 6.0)
+        {"k": "a", "ts": day(1), "v": 1.0},
+        {"k": "a", "ts": day(1), "v": 3.0},
+        {"k": "a", "ts": day(4), "v": 6.0},
+        # key "b": first observed day 3 -> days 1-2 stay NULL
+        {"k": "b", "ts": day(3), "v": 5.0},
+        # key "c" pins the global range to day 5
+        {"k": "c", "ts": day(5), "v": 9.0},
+    ]
+    out = {(r["k"], r["day"].day): r["filled_val"]
+           for r in locf_fill(
+               ray.data.from_items(rows, override_num_blocks=2),
+               "k", "ts", "v", num_partitions=2).take_all()}
+    assert len(out) == 15                      # 3 keys x 5 days
+    assert out[("a", 1)] == 2.0                # mean of 1 and 3
+    assert out[("a", 2)] == 2.0 and out[("a", 3)] == 2.0   # carried
+    assert out[("a", 4)] == 6.0 and out[("a", 5)] == 6.0
+    assert out[("b", 1)] is None and out[("b", 2)] is None
+    assert out[("b", 3)] == 5.0 and out[("b", 5)] == 5.0
+    assert out[("c", 5)] == 9.0 and out[("c", 1)] is None
