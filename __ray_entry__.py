@@ -3291,6 +3291,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["bucket"], reduce_buckets, num_partitions=4,
         )
 
+    def lineitem_fk_coverage(sf_dir: str):
+        """Cross-table referential-integrity audit
+        (pipelines/relational.fk_coverage): how much of
+        lineitem.l_orderkey resolves in a parent deliberately missing
+        every 7th orderkey — child (key, rows) combiner + parent
+        distinct keys through ONE co-partitioned union exchange, four
+        counters per partition, single-partition fold.  Oracle replays
+        the planted filter with a LEFT JOIN."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            fk_coverage,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(["l_orderkey"])
+        orders = _read(sf_dir, "orders").select_columns(["o_orderkey"])
+
+        def drop_sevenths(b: pa.Table) -> pa.Table:
+            ok = pc.cast(b.column("o_orderkey"), pa.int64())
+            keep = pc.not_equal(
+                pc.subtract(ok, pc.multiply(pc.divide(ok, 7), 7)), 0)
+            return b.filter(keep)
+
+        return fk_coverage(
+            li, orders.map_batches(drop_sevenths,
+                                   batch_format="pyarrow"),
+            "l_orderkey", "o_orderkey",
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7630,6 +7657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_deciles": orders_price_deciles,
         "orders_range_partition_hist": orders_range_partition_hist,
         "events_daily_locf": events_daily_locf,
+        "lineitem_fk_coverage": lineitem_fk_coverage,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10294,6 +10322,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     )
+    d["lineitem_fk_coverage"] = """
+        WITH p AS (SELECT DISTINCT o_orderkey FROM orders
+                   WHERE o_orderkey % 7 <> 0),
+        c AS (SELECT l_orderkey, count(*) AS nrows
+              FROM lineitem GROUP BY 1),
+        j AS (SELECT c.nrows, p.o_orderkey IS NOT NULL AS m
+              FROM c LEFT JOIN p ON p.o_orderkey = c.l_orderkey)
+        SELECT sum(nrows)::BIGINT AS n_child_rows,
+               count(*) AS n_child_keys,
+               count(CASE WHEN m THEN 1 END) AS n_matched_keys,
+               sum(CASE WHEN NOT m THEN nrows ELSE 0 END)::BIGINT
+                 AS n_orphan_rows,
+               round((sum(nrows) - sum(CASE WHEN NOT m THEN nrows
+                                            ELSE 0 END))
+                     / sum(nrows)::DOUBLE, 6) AS row_coverage,
+               round(count(CASE WHEN m THEN 1 END)
+                     / count(*)::DOUBLE, 6) AS key_coverage
+        FROM j
+    """
     d["events_daily_locf"] = """
         WITH d AS (
             SELECT unnest(generate_series(

@@ -3079,3 +3079,72 @@ def locf_fill(ds, key_col: str, ts_col: str, value_col: str,
     return grouped_apply(combined, [key_col], fill,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def fk_coverage(child, parent, fk: str, pk: str, ndigits: int = 6,
+                num_partitions: int = 16):
+    """Cross-table referential-integrity audit (the FK sibling of the
+    single-table :func:`validation_report`): ONE row —
+    ``(n_child_rows, n_child_keys, n_matched_keys, n_orphan_rows,
+    row_coverage, key_coverage)`` — saying how much of ``child.fk``
+    actually resolves in ``parent.pk`` before you join on it.
+
+    Scale shape: the child pre-combines to (key, row_count) per batch
+    and the parent to its distinct keys, both ride ONE co-partitioned
+    union exchange on the key (the :func:`_copartition` shape), each
+    partition emits four counters, and a single-partition fold adds
+    them — no join output is ever materialized."""
+    scale = 10.0 ** ndigits
+
+    def child_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by([fk]).aggregate([([], "count_all")])
+        return g.rename_columns([fk, "__rows"])
+
+    def parent_partial(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column(pk))
+        return pa.table({pk: u, "__rows": pa.array(
+            np.zeros(len(u), np.int64))})
+
+    def counters(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        cg = lt.group_by([fk]).aggregate([("__rows", "sum")])
+        keys = cg.column(fk)
+        rows = cg.column("__rows_sum").to_numpy(zero_copy_only=False)
+        pset = pc.unique(rt.column(fk))
+        matched = pc.is_in(keys, value_set=pset).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n_child_rows": pa.array([int(rows.sum())], pa.int64()),
+            "n_child_keys": pa.array([len(keys)], pa.int64()),
+            "n_matched_keys": pa.array([int(matched.sum())], pa.int64()),
+            "n_orphan_rows": pa.array([int(rows[~matched].sum())],
+                                      pa.int64()),
+        })
+
+    parts = _copartition(
+        child.map_batches(child_partial, batch_format="pyarrow"),
+        parent.map_batches(parent_partial, batch_format="pyarrow"),
+        fk, pk, [pk, "__rows"], counters, num_partitions,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.drop_columns(["__one"]).to_pandas().sum()
+        ncr, nck = int(df["n_child_rows"]), int(df["n_child_keys"])
+        nmk, nor = int(df["n_matched_keys"]), int(df["n_orphan_rows"])
+        rc = (ncr - nor) / ncr if ncr else 1.0
+        kc = nmk / nck if nck else 1.0
+        r6 = lambda x: np.floor(x * scale + 0.5) / scale  # noqa: E731
+        return pa.table({
+            "n_child_rows": pa.array([ncr], pa.int64()),
+            "n_child_keys": pa.array([nck], pa.int64()),
+            "n_matched_keys": pa.array([nmk], pa.int64()),
+            "n_orphan_rows": pa.array([nor], pa.int64()),
+            "row_coverage": pa.array([r6(rc)], pa.float64()),
+            "key_coverage": pa.array([r6(kc)], pa.float64()),
+        })
+
+    return grouped_apply(
+        parts.map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__one"], finish, num_partitions=1)

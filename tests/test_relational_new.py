@@ -701,3 +701,25 @@ def test_locf_fill_carries_forward_and_leading_nulls(ray_session):
     assert out[("b", 1)] is None and out[("b", 2)] is None
     assert out[("b", 3)] == 5.0 and out[("b", 5)] == 5.0
     assert out[("c", 5)] == 9.0 and out[("c", 1)] is None
+
+
+def test_fk_coverage_counts(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        fk_coverage,
+    )
+
+    child = ray.data.from_items(
+        [{"fk": k} for k in [1, 1, 1, 2, 3, 3, 9, 9, 9, 9]],
+        override_num_blocks=3)
+    parent = ray.data.from_items(
+        [{"pk": k} for k in [1, 2, 2, 5]], override_num_blocks=2)
+    out = fk_coverage(child, parent, "fk", "pk",
+                      num_partitions=3).take_all()[0]
+    assert out["n_child_rows"] == 10
+    assert out["n_child_keys"] == 4          # 1, 2, 3, 9
+    assert out["n_matched_keys"] == 2        # 1 and 2
+    assert out["n_orphan_rows"] == 6         # 3 x2 + 9 x4
+    assert out["row_coverage"] == 0.4
+    assert out["key_coverage"] == 0.5
