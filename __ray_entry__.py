@@ -3318,6 +3318,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "l_orderkey", "o_orderkey",
         )
 
+    def docs_dup_rate_by_source(sf_dir: str):
+        """Per-source duplication report — the curation dashboard
+        number that says WHICH feed is copying itself: rows, distinct
+        texts and the dup rate per source.  Local (source, text-hash)
+        dedup per batch, ONE hash exchange co-locating each (source,
+        hash), per-partition distinct + row sums, tiny per-source fold
+        (full text never rides the exchange).  Oracle:
+        count(DISTINCT text) per source."""
+        import hashlib
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["source", "text"])
+
+        def local(batch: pa.Table) -> pa.Table:
+            srcs = batch.column("source").to_pylist()
+            hs = [hashlib.blake2b((t or "").encode(),
+                                  digest_size=16).hexdigest()
+                  for t in batch.column("text").to_pylist()]
+            g = pa.table({
+                "source": pa.array(srcs, pa.string()),
+                "__h": pa.array(hs, pa.string()),
+            }).group_by(["source", "__h"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["source", "__h", "n"])
+
+        def per_partition(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas().groupby(["source", "__h"],
+                                         as_index=False)["n"].sum()
+            agg = df.groupby("source").agg(
+                n_rows=("n", "sum"), n_distinct=("__h", "size")
+            ).reset_index()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        parts = grouped_apply(
+            docs.map_batches(local, batch_format="pyarrow"),
+            ["source", "__h"], per_partition, num_partitions=16,
+        )
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas().groupby("source", as_index=False).sum()
+            dup = 1.0 - df["n_distinct"] / df["n_rows"]
+            return pa.table({
+                "source": pa.array(df["source"], pa.string()),
+                "n_rows": pa.array(df["n_rows"], pa.int64()),
+                "n_distinct": pa.array(df["n_distinct"], pa.int64()),
+                "dup_rate": pa.array(
+                    np.floor(dup.to_numpy() * 1e6 + 0.5) / 1e6,
+                    pa.float64()),
+            })
+
+        return grouped_apply(parts, ["source"],
+                             lambda t: finish(t), num_partitions=4)
+
+    def docs_common_lines(sf_dir: str):
+        """Top-20 lines by the number of DISTINCT documents containing
+        them — the boilerplate census (what strip_boilerplate would
+        strip, surfaced as a report).  Vectorized line explode +
+        local (line, doc) dedup, distinct-doc counting through the
+        heavy-hitters exchange.  Oracle: unnest split lines, distinct
+        doc counts, top 20 by (count desc, line)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            distinct_count,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            split = pc.split_pattern(batch.column("text"), "\n")
+            lens = pc.list_value_length(split).to_numpy(
+                zero_copy_only=False)
+            ids = np.repeat(
+                batch.column("doc_id").to_numpy(zero_copy_only=False),
+                lens)
+            lines = pc.list_flatten(split)
+            mask = pc.not_equal(lines, "").to_numpy(
+                zero_copy_only=False)
+            t = pa.table({
+                "line": lines.filter(pa.array(mask)),
+                "doc_id": pa.array(ids[mask]),
+            })
+            # local dedup: one (line, doc) pair per batch
+            return t.group_by(["line", "doc_id"]).aggregate([])
+
+        pairs = docs.map_batches(explode, batch_format="pyarrow")
+        counted = distinct_count(pairs, ["line"], "doc_id", "n_docs",
+                                 num_partitions=16)
+
+        # each line is fully counted in ONE row, so per-block top-20
+        # candidates + a blocks×20 driver merge give the exact global
+        # top-20 (the heavy-hitters fold) — never the full line table.
+        def local_topk(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().sort_values(
+                ["n_docs", "line"], ascending=[False, True]).head(20)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cands = counted.map_batches(
+            local_topk, batch_format="pyarrow").to_pandas()
+        top = cands.sort_values(["n_docs", "line"],
+                                ascending=[False, True]).head(20)
+        import ray.data
+
+        return ray.data.from_pandas(top.reset_index(drop=True))
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7658,6 +7766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_partition_hist": orders_range_partition_hist,
         "events_daily_locf": events_daily_locf,
         "lineitem_fk_coverage": lineitem_fk_coverage,
+        "docs_dup_rate_by_source": docs_dup_rate_by_source,
+        "docs_common_lines": docs_common_lines,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10322,6 +10432,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     )
+    d["docs_dup_rate_by_source"] = """
+        SELECT source, count(*) AS n_rows,
+               count(DISTINCT text) AS n_distinct,
+               round(1.0 - count(DISTINCT text)
+                     / count(*)::DOUBLE, 6) AS dup_rate
+        FROM documents GROUP BY source
+    """
+    d["docs_common_lines"] = r"""
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, l AS line FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM documents)
+            WHERE l <> ''
+        )
+        SELECT line, count(*) AS n_docs
+        FROM pairs GROUP BY line
+        ORDER BY n_docs DESC, line
+        LIMIT 20
+    """
     d["lineitem_fk_coverage"] = """
         WITH p AS (SELECT DISTINCT o_orderkey FROM orders
                    WHERE o_orderkey % 7 <> 0),
