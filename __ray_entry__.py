@@ -2276,6 +2276,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .groupby(["event_type", "next_type"])
                 .aggregate(Sum("n", alias_name="n")))
 
+    def events_type_transition_probs(sf_dir: str):
+        """The Markov CHAIN itself: transition counts row-normalized to
+        conditional probabilities P(next | current) — the counted
+        groupby from events_type_transitions plus one tiny
+        from-type-keyed exchange that divides each row by its row-sum.
+        Integer counts divide exactly the same in both engines, so the
+        round-6 probabilities are oracle-stable."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        counts = events_type_transitions(sf_dir)
+
+        def normalize(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            tot = df.groupby("event_type")["n"].transform("sum")
+            p = df["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+            df["p"] = np.floor(p * 1e6 + 0.5) / 1e6
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return grouped_apply(counts, ["event_type"], normalize,
+                             num_partitions=4)
+
     def top2_parts_per_brand_by_revenue(sf_dir: str):
         """Two-level top-k: revenue aggregates per (brand, part) —
         brand broadcast from the pruned part read, per-batch combiner,
@@ -7768,6 +7791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_fk_coverage": lineitem_fk_coverage,
         "docs_dup_rate_by_source": docs_dup_rate_by_source,
         "docs_common_lines": docs_common_lines,
+        "events_type_transition_probs": events_type_transition_probs,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10431,6 +10455,13 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) AS value "
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    )
+    d["events_type_transition_probs"] = (
+        "WITH c AS (" + d["events_type_transitions"] + ") "
+        "SELECT event_type, next_type, n, "
+        "round(n / (sum(n) OVER (PARTITION BY event_type))::DOUBLE, 6) "
+        "  AS p "
+        "FROM c"
     )
     d["docs_dup_rate_by_source"] = """
         SELECT source, count(*) AS n_rows,
