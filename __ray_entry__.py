@@ -3449,6 +3449,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ray.data.from_pandas(top.reset_index(drop=True))
 
+    def docs_lang_sample_ks(sf_dir: str):
+        """Stratified sample audit (pipelines/relational.grouped_ks):
+        the md5 1/16 dev sample checked for representativeness WITHIN
+        each language over token counts — an overall-balanced sample
+        can still skew inside a stratum.  Per-(lang, value, side)
+        histogram combiner, one lang-keyed exchange, exact supremum
+        per group; the oracle replays it with lang-partitioned
+        windows."""
+        import hashlib
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.textstats import (
+            ws_token_count,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_ks,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "lang"]
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "lang": batch.column("lang"),
+                "ws_tokens": pa.array(
+                    [float(ws_token_count(t)) for t in texts],
+                    pa.float64()),
+                "in_sample": pa.array(
+                    [hashlib.md5(str(i).encode()).hexdigest()[-1] == "0"
+                     for i in ids], pa.bool_()),
+            })
+
+        return grouped_ks(
+            docs.map_batches(prep, batch_format="pyarrow"),
+            "lang", "ws_tokens", "in_sample", num_partitions=8,
+        )
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7792,6 +7831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_rate_by_source": docs_dup_rate_by_source,
         "docs_common_lines": docs_common_lines,
         "events_type_transition_probs": events_type_transition_probs,
+        "docs_lang_sample_ks": docs_lang_sample_ks,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10455,6 +10495,28 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) AS value "
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    )
+    d["docs_lang_sample_ks"] = (
+        "WITH t AS (" + d["ws_token_counts"] + "), "
+        "f AS (SELECT d.lang, t.ws_tokens AS v, "
+        "       right(md5(CAST(t.doc_id AS VARCHAR)), 1) = '0' AS s "
+        "      FROM t JOIN documents d USING (doc_id)), "
+        "h AS (SELECT lang, v, "
+        "             count(CASE WHEN s THEN 1 END) AS ma, "
+        "             count(CASE WHEN NOT s THEN 1 END) AS mb "
+        "      FROM f GROUP BY 1, 2), "
+        "tot AS (SELECT lang, sum(ma) AS ta, sum(mb) AS tb "
+        "        FROM h GROUP BY 1), "
+        "c AS (SELECT h.lang, "
+        "   sum(ma) OVER (PARTITION BY h.lang ORDER BY v) "
+        "     / ta::DOUBLE AS fa, "
+        "   sum(mb) OVER (PARTITION BY h.lang ORDER BY v) "
+        "     / tb::DOUBLE AS fb "
+        "      FROM h JOIN tot USING (lang)) "
+        "SELECT c.lang, round(max(abs(fa - fb)), 6) AS ks, "
+        "       any_value(ta)::BIGINT AS n_sample, "
+        "       any_value(tb)::BIGINT AS n_rest "
+        "FROM c JOIN tot ON tot.lang = c.lang GROUP BY c.lang"
     )
     d["events_type_transition_probs"] = (
         "WITH c AS (" + d["events_type_transitions"] + ") "

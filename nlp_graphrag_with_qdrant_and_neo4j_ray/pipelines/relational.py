@@ -3148,3 +3148,56 @@ def fk_coverage(child, parent, fk: str, pk: str, ndigits: int = 6,
                 "__one", pa.array([0] * b.num_rows, pa.int64())),
             batch_format="pyarrow"),
         ["__one"], finish, num_partitions=1)
+
+
+def grouped_ks(ds, group_col: str, value_col: str, flag_col: str,
+               ndigits: int = 6, num_partitions: int = 16):
+    """Per-group two-sample KS (the stratified form of
+    :func:`ks_statistic`): one row per group — did the carved sample
+    stay representative WITHIN each language / source, not just
+    overall?  (An overall-balanced sample can still be badly skewed
+    inside a stratum.)
+
+    Scale shape: (group, value, side) counts pre-combine per batch;
+    ONE group-keyed exchange co-locates each group's value histogram
+    (O(distinct values per group) rows, never the rows themselves) and
+    the per-partition fold computes each group's exact supremum."""
+    scale = 10.0 ** ndigits
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            group_col: b.column(group_col),
+            "v": pc.cast(b.column(value_col), pa.float64()),
+            "s": pc.cast(b.column(flag_col), pa.bool_()),
+        })
+        g = t.group_by([group_col, "v", "s"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([group_col, "v", "s", "m"])
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().groupby(
+            [group_col, "v", "s"], as_index=False)["m"].sum()
+        rows = []
+        for gkey, sub in df.groupby(group_col, sort=True):
+            piv = (sub.pivot_table(index="v", columns="s", values="m",
+                                   aggfunc="sum", fill_value=0)
+                   .reindex(columns=[True, False], fill_value=0)
+                   .sort_index())
+            na, nb = int(piv[True].sum()), int(piv[False].sum())
+            if na == 0 or nb == 0:
+                ks = 1.0 if (na or nb) else 0.0
+            else:
+                ks = float((piv[True].cumsum() / na
+                            - piv[False].cumsum() / nb).abs().max())
+            rows.append((gkey, np.floor(ks * scale + 0.5) / scale,
+                         na, nb))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows]),
+            "ks": pa.array([r[1] for r in rows], pa.float64()),
+            "n_sample": pa.array([r[2] for r in rows], pa.int64()),
+            "n_rest": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], per_group, num_partitions=num_partitions)
