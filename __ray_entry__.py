@@ -3488,6 +3488,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lang", "ws_tokens", "in_sample", num_partitions=8,
         )
 
+    def docs_rendezvous_resharding(sf_dir: str):
+        """Elastic resharding audit — what growing the cluster 8→9
+        shards costs in data movement: rendezvous (highest-random-
+        weight) assignment moves only ≈1/9 of documents, while naive
+        ``hash % n`` moves ≈8/9; one row with both fractions.  Pure
+        map (per-doc max over n shard hashes) + constant-size
+        counters; md5 keeps it oracle-replayable — the oracle
+        recomputes every assignment with a documents × shards cross
+        join and argmax."""
+        import hashlib
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def hrw(i: int, n: int) -> int:
+            return max(
+                range(n),
+                key=lambda s: hashlib.md5(
+                    f"{i}:{s}".encode()).hexdigest())
+
+        def assign(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            moved_hrw = moved_mod = 0
+            for i in ids:
+                if hrw(i, 8) != hrw(i, 9):
+                    moved_hrw += 1
+                if i % 8 != i % 9:
+                    moved_mod += 1
+            return pa.table({
+                "n_docs": pa.array([len(ids)], pa.int64()),
+                "moved_hrw": pa.array([moved_hrw], pa.int64()),
+                "moved_mod": pa.array([moved_mod], pa.int64()),
+            })
+
+        def finish(tbl: pa.Table) -> pa.Table:
+            df = tbl.drop_columns(["__one"]).to_pandas().sum()
+            n = int(df["n_docs"])
+            mh, mm = int(df["moved_hrw"]), int(df["moved_mod"])
+            r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+            return pa.table({
+                "n_docs": pa.array([n], pa.int64()),
+                "moved_hrw": pa.array([mh], pa.int64()),
+                "moved_mod": pa.array([mm], pa.int64()),
+                "hrw_frac": pa.array([r6(mh / n)], pa.float64()),
+                "mod_frac": pa.array([r6(mm / n)], pa.float64()),
+            })
+
+        return grouped_apply(
+            docs.map_batches(assign, batch_format="pyarrow")
+            .map_batches(lambda b: b.append_column(
+                "__one", pa.array([0] * b.num_rows, pa.int64())),
+                batch_format="pyarrow"),
+            ["__one"], finish, num_partitions=1)
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7832,6 +7889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_common_lines": docs_common_lines,
         "events_type_transition_probs": events_type_transition_probs,
         "docs_lang_sample_ks": docs_lang_sample_ks,
+        "docs_rendezvous_resharding": docs_rendezvous_resharding,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10496,6 +10554,31 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     )
+    d["docs_rendezvous_resharding"] = """
+        WITH s8 AS (SELECT unnest(generate_series(0, 7)) AS s),
+        s9 AS (SELECT unnest(generate_series(0, 8)) AS s),
+        a8 AS (SELECT doc_id, arg_max(s,
+                   md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(s AS VARCHAR))) AS sh
+               FROM documents CROSS JOIN s8 GROUP BY doc_id),
+        a9 AS (SELECT doc_id, arg_max(s,
+                   md5(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(s AS VARCHAR))) AS sh
+               FROM documents CROSS JOIN s9 GROUP BY doc_id),
+        m AS (SELECT d.doc_id,
+                     a8.sh <> a9.sh AS mh,
+                     d.doc_id % 8 <> d.doc_id % 9 AS mm
+              FROM documents d
+              JOIN a8 USING (doc_id) JOIN a9 USING (doc_id))
+        SELECT count(*) AS n_docs,
+               count(CASE WHEN mh THEN 1 END) AS moved_hrw,
+               count(CASE WHEN mm THEN 1 END) AS moved_mod,
+               round(count(CASE WHEN mh THEN 1 END)
+                     / count(*)::DOUBLE, 6) AS hrw_frac,
+               round(count(CASE WHEN mm THEN 1 END)
+                     / count(*)::DOUBLE, 6) AS mod_frac
+        FROM m
+    """
     d["docs_lang_sample_ks"] = (
         "WITH t AS (" + d["ws_token_counts"] + "), "
         "f AS (SELECT d.lang, t.ws_tokens AS v, "
