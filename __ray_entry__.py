@@ -3545,6 +3545,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch_format="pyarrow"),
             ["__one"], finish, num_partitions=1)
 
+    def orders_analyze(sf_dir: str):
+        """ANALYZE TABLE (pipelines/relational.analyze_table): the
+        planner statistics — rows, nulls, NDV, min, max per numeric
+        column — that every join-order / pushdown / partitioning
+        decision starts from, as one operator: map-side stat folds +
+        locally-deduped distinct streams through ONE shared
+        (col, value) exchange.  Oracle: per-column SQL aggregates."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            analyze_table,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+        return analyze_table(
+            orders, ["o_orderkey", "o_custkey", "o_totalprice"])
+
     def docs_hash_sample(sf_dir: str):
         """Deterministic hash sampling (the scale-correct way to sample
         a corpus: no shuffle, no RNG state, reproducible across runs and
@@ -7890,6 +7907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transition_probs": events_type_transition_probs,
         "docs_lang_sample_ks": docs_lang_sample_ks,
         "docs_rendezvous_resharding": docs_rendezvous_resharding,
+        "orders_analyze": orders_analyze,
         "docs_hive_partition_pruned": docs_hive_partition_pruned,
         "docs_script_fractions": docs_script_fractions,
         "docs_tfidf_top_terms": docs_tfidf_top_terms,
@@ -10554,6 +10572,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders"
         for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     )
+    _an = ("SELECT '{c}' AS col, count(*) AS n_rows, "
+           "count(*) - count({c}) AS n_nulls, "
+           "count(DISTINCT {c}) AS n_distinct, "
+           "min({c})::DOUBLE AS min_val, max({c})::DOUBLE AS max_val "
+           "FROM orders")
+    d["orders_analyze"] = " UNION ALL ".join(
+        _an.format(c=c)
+        for c in ("o_custkey", "o_orderkey", "o_totalprice"))
     d["docs_rendezvous_resharding"] = """
         WITH s8 AS (SELECT unnest(generate_series(0, 7)) AS s),
         s9 AS (SELECT unnest(generate_series(0, 8)) AS s),

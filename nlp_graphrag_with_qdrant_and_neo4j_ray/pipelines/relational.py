@@ -3201,3 +3201,106 @@ def grouped_ks(ds, group_col: str, value_col: str, flag_col: str,
     return grouped_apply(
         ds.map_batches(partial, batch_format="pyarrow"),
         [group_col], per_group, num_partitions=num_partitions)
+
+
+def analyze_table(ds, cols: list[str], num_partitions: int = 16):
+    """``ANALYZE TABLE`` — the planner-statistics pass: one row per
+    column with ``(col, n_rows, n_nulls, n_distinct, min_val,
+    max_val)`` (values as float64; give it numeric columns).  These are
+    the numbers every join-order / pushdown / partitioning decision in
+    this engine starts from, surfaced as an operator.
+
+    Scale shape: null counts and min/max fold map-side to O(cols) rows
+    per task; distinct counts dedup locally then hash-partition each
+    column's survivors (same exactness argument as
+    :func:`validation_report`'s unique check — every value lands in
+    one partition).  ONE shared exchange keyed on (col, value) carries
+    all columns' distinct streams together; a single-partition fold
+    assembles the report."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, nrows, nnull, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = pc.cast(b.column(c), pa.float64())
+            names.append(c)
+            nrows.append(b.num_rows)
+            nnull.append(b.num_rows - (pc.sum(
+                pc.is_valid(col).cast(pa.int64())).as_py() or 0))
+            mn = pc.min(col).as_py()
+            mx = pc.max(col).as_py()
+            mins.append(mn if mn is not None else np.inf)
+            maxs.append(mx if mx is not None else -np.inf)
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "kind": pa.array(["stats"] * len(cols), pa.string()),
+            "v": pa.array([0.0] * len(cols), pa.float64()),
+            "n_rows": pa.array(nrows, pa.int64()),
+            "n_nulls": pa.array(nnull, pa.int64()),
+            "mn": pa.array(mins, pa.float64()),
+            "mx": pa.array(maxs, pa.float64()),
+        })
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        frames = []
+        for c in cols:
+            u = pc.unique(pc.cast(b.column(c), pa.float64()))
+            u = u.drop_null()
+            frames.append(pa.table({
+                "col": pa.array([c] * len(u), pa.string()),
+                "kind": pa.array(["val"] * len(u), pa.string()),
+                "v": u,
+                "n_rows": pa.array(np.zeros(len(u), np.int64)),
+                "n_nulls": pa.array(np.zeros(len(u), np.int64)),
+                "mn": pa.array(np.full(len(u), np.inf)),
+                "mx": pa.array(np.full(len(u), -np.inf)),
+            }))
+        return pa.concat_tables(frames)
+
+    unioned = ds.map_batches(partial, batch_format="pyarrow").union(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"))
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        vals = df[df["kind"] == "val"]
+        nd = vals.groupby("col")["v"].nunique()
+        stats = df[df["kind"] == "stats"].groupby("col").agg(
+            n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
+        out = []
+        for c in set(nd.index) | set(stats.index):
+            s = stats.loc[c] if c in stats.index else None
+            out.append((
+                c,
+                int(s["n_rows"]) if s is not None else 0,
+                int(s["n_nulls"]) if s is not None else 0,
+                int(nd.get(c, 0)),
+                float(s["mn"]) if s is not None else np.inf,
+                float(s["mx"]) if s is not None else -np.inf,
+            ))
+        return pa.table({
+            "col": pa.array([r[0] for r in out], pa.string()),
+            "n_rows": pa.array([r[1] for r in out], pa.int64()),
+            "n_nulls": pa.array([r[2] for r in out], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in out], pa.int64()),
+            "mn": pa.array([r[4] for r in out], pa.float64()),
+            "mx": pa.array([r[5] for r in out], pa.float64()),
+        })
+
+    parts = grouped_apply(unioned, ["col", "kind", "v"], per_partition,
+                          num_partitions=num_partitions)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.drop_columns(["__one"]).to_pandas().groupby(
+            "col", as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+            n_distinct=("n_distinct", "sum"),
+            min_val=("mn", "min"), max_val=("mx", "max"))
+        return pa.Table.from_pandas(
+            df.sort_values("col"), preserve_index=False)
+
+    return grouped_apply(
+        parts.map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__one"], finish, num_partitions=1)

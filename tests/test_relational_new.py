@@ -723,3 +723,24 @@ def test_fk_coverage_counts(ray_session):
     assert out["n_orphan_rows"] == 6         # 3 x2 + 9 x4
     assert out["row_coverage"] == 0.4
     assert out["key_coverage"] == 0.5
+
+
+def test_analyze_table_with_nulls(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        analyze_table,
+    )
+
+    rows = [{"a": float(i % 5), "b": (float(i) if i % 3 else None)}
+            for i in range(30)]
+    out = {r["col"]: r for r in analyze_table(
+        ray.data.from_items(rows, override_num_blocks=3),
+        ["a", "b"], num_partitions=3).take_all()}
+    assert out["a"] == {"col": "a", "n_rows": 30, "n_nulls": 0,
+                        "n_distinct": 5, "min_val": 0.0,
+                        "max_val": 4.0}
+    # i % 3 == 0 -> 10 nulls; non-null values are the 20 others
+    assert out["b"]["n_nulls"] == 10
+    assert out["b"]["n_distinct"] == 20
+    assert out["b"]["min_val"] == 1.0 and out["b"]["max_val"] == 29.0
