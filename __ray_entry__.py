@@ -6124,6 +6124,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = docs.map_batches(flag, batch_format="pyarrow")
         return dsir_logratio(docs, num_partitions=16)
 
+    def docs_source_kl_drift(sf_dir: str):
+        """Per-source unigram-distribution drift
+        (pipelines/textstats.unigram_kl_drift): KL(P_source || Q_corpus)
+        over the corpus vocabulary with Laplace smoothing — the
+        per-feed drift monitor a crawl mixer alarms on.  ONE token-keyed
+        exchange; absent-token terms folded analytically (never
+        materialized); the oracle recomputes the full vocabulary × group
+        grid directly in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            unigram_kl_drift,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["source", "text"]
+        )
+        return unigram_kl_drift(docs, group_col="source",
+                                num_partitions=16)
+
     def docs_global_shuffle(sf_dir: str):
         """Deterministic seeded global training shuffle
         (pipelines/shards.global_shuffle_positions): every document's
@@ -7879,6 +7897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": docs_unigram_logprob,
         "docs_ppl_buckets": docs_ppl_buckets,
         "docs_dsir_weights": docs_dsir_weights,
+        "docs_source_kl_drift": docs_source_kl_drift,
         "docs_global_shuffle": docs_global_shuffle,
         "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_mojibake_fixed": docs_mojibake_fixed,
@@ -10005,6 +10024,36 @@ def oracle_sql() -> dict[str, str]:
                        AS dsir_llr
             FROM tok JOIN c USING (tok) CROSS JOIN tot
             GROUP BY tok.doc_id
+        """,
+        "docs_source_kl_drift": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            cg AS (SELECT source, tok, count(*) AS c_g FROM tok
+                   GROUP BY source, tok),
+            c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM tok),
+            v AS (SELECT count(*) AS v FROM c),
+            ng AS (SELECT source, count(*) AS n_g FROM tok
+                   GROUP BY source),
+            grid AS (
+                SELECT ng.source, c.c, ng.n_g,
+                       coalesce(cg.c_g, 0) AS c_g
+                FROM ng CROSS JOIN c
+                LEFT JOIN cg ON cg.source = ng.source
+                            AND cg.tok = c.tok
+            )
+            SELECT g.source,
+                   CAST(max(g.n_g) AS BIGINT) AS n_tokens,
+                   round(sum(
+                       ((g.c_g + 1.0) / (g.n_g + v.v))
+                       * ln(((g.c_g + 1.0) / (g.n_g + v.v))
+                            / (g.c * 1.0 / n.n))), 6) AS kl
+            FROM grid g CROSS JOIN v CROSS JOIN n
+            GROUP BY g.source
         """,
         "docs_global_shuffle": """
             SELECT doc_id,

@@ -1021,3 +1021,117 @@ def corpus_profile(docs_ds, id_col: str = "doc_id",
                 "__card", pa.array([0] * b.num_rows, pa.int64())),
             batch_format="pyarrow"),
         ["__card"], finish, num_partitions=1)
+
+
+def unigram_kl_drift(docs_ds, group_col: str = "source",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     ndigits: int = 6, num_partitions: int = 64):
+    """Per-group KL divergence ``KL(P_g || Q)`` between each group's
+    Laplace-smoothed unigram distribution and the corpus MLE
+    distribution — the distribution-drift monitor a crawl pipeline runs
+    per source / per snapshot to catch a feed whose token mix shifted
+    (spam injection, template change, language flip) before it pollutes
+    the training mix.  ``P_g(tok) = (c_g+1)/(N_g+V)`` over the corpus
+    vocabulary ``V``; ``Q(tok) = c(tok)/N``.
+
+    Scale shape: ONE token-keyed exchange and no broadcast vocabulary.
+    The map collapses text to (group, tok, tf) partials; the exchange
+    co-locates every row of a token, so the corpus count ``c`` and the
+    per-group counts ``c_g`` are both LOCAL to the partition.  The KL
+    sum over the full vocabulary factors into per-group sufficient
+    statistics that are independent of the global scalars
+    (``u=Σ(c_g+1)·ln(c_g+1)``, ``w=Σ(c_g+1)·ln c``, ``m=Σ(c_g+1)``,
+    ``k=#present``, ``z=Σ ln c``, ``n_g=Σc_g``) plus per-partition
+    global partials (``V``, ``S=Σ ln c``, ``N``) — absent-token terms
+    never materialize.  A final constant-key reduce over
+    O(partitions × groups) tiny rows assembles
+    ``KL = [u − w + (m + V − k)·(ln N − ln D) − (S − z)] / D`` with
+    ``D = N_g + V``.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = _ws_explode(batch, group_col, text_col)
+        agg = t.group_by([group_col, "tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "tok", "tf"])
+
+    gt = docs_ds.select_columns([group_col, text_col]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+
+    def per_token_partition(tbl: pa.Table) -> pa.Table:
+        cg = tbl.group_by([group_col, "tok"]).aggregate([("tf", "sum")])
+        ct = cg.group_by(["tok"]).aggregate([("tf_sum", "sum")])
+        idx = pc.index_in(cg.column("tok"),
+                          value_set=ct.column("tok").combine_chunks())
+        c = pc.take(ct.column("tf_sum_sum"), idx).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        cg1 = cg.column("tf_sum").to_numpy(
+            zero_copy_only=False).astype(np.float64) + 1.0
+        lnc = np.log(c)
+        per = pa.table({
+            group_col: cg.column(group_col),
+            "u": pa.array(cg1 * np.log(cg1), pa.float64()),
+            "w": pa.array(cg1 * lnc, pa.float64()),
+            "m": pa.array(cg1, pa.float64()),
+            "k": pa.array(np.ones(len(cg1)), pa.float64()),
+            "z": pa.array(lnc, pa.float64()),
+            "ng": pa.array(cg1 - 1.0, pa.float64()),
+        })
+        g = per.group_by([group_col]).aggregate(
+            [(cn, "sum") for cn in ["u", "w", "m", "k", "z", "ng"]]
+        ).rename_columns([group_col, "u", "w", "m", "k", "z", "ng"])
+        cvals = ct.column("tf_sum_sum").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        glob = pa.table({
+            group_col: pa.array([None], pa.string()),
+            "u": pa.array([0.0]), "w": pa.array([0.0]),
+            "m": pa.array([0.0]), "k": pa.array([0.0]),
+            "z": pa.array([0.0]), "ng": pa.array([0.0]),
+        })
+        g = g.append_column("v", pa.array(
+            np.zeros(g.num_rows), pa.float64()))
+        g = g.append_column("s", pa.array(
+            np.zeros(g.num_rows), pa.float64()))
+        g = g.append_column("n", pa.array(
+            np.zeros(g.num_rows), pa.float64()))
+        glob = glob.append_column("v", pa.array(
+            [float(ct.num_rows)], pa.float64()))
+        glob = glob.append_column("s", pa.array(
+            [float(np.log(cvals).sum())], pa.float64()))
+        glob = glob.append_column("n", pa.array(
+            [float(cvals.sum())], pa.float64()))
+        return pa.concat_tables([g.cast(glob.schema), glob])
+
+    stats = grouped_apply(gt, ["tok"], per_token_partition,
+                          num_partitions=num_partitions,
+                          batch_format="pyarrow")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        glob = df[df[group_col].isna()]
+        V = glob["v"].sum()
+        S = glob["s"].sum()
+        N = glob["n"].sum()
+        g = df[df[group_col].notna()].groupby(group_col, sort=True)[
+            ["u", "w", "m", "k", "z", "ng"]].sum().reset_index()
+        D = g["ng"].to_numpy() + V
+        lnratio = np.log(N) - np.log(D)
+        kl = (g["u"].to_numpy() - g["w"].to_numpy()
+              + (g["m"].to_numpy() + V - g["k"].to_numpy()) * lnratio
+              - (S - g["z"].to_numpy())) / D
+        return pa.table({
+            group_col: pa.array(g[group_col].tolist(), pa.string()),
+            "n_tokens": pa.array(
+                g["ng"].to_numpy().astype(np.int64), pa.int64()),
+            "kl": pa.array(np.round(kl, ndigits), pa.float64()),
+        })
+
+    return grouped_apply(
+        stats.map_batches(
+            lambda b: b.append_column(
+                "__card", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__card"], finish, num_partitions=1)
