@@ -6142,6 +6142,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return unigram_kl_drift(docs, group_col="source",
                                 num_partitions=16)
 
+    def docs_phrase_matches(sf_dir: str):
+        """Exact phrase scan (pipelines/textstats.phrase_matches):
+        every (doc, 1-based raw-split position) where the token
+        sequence "the group" occurs — the contamination-audit /
+        quote-mining grep.  Pure stateless map, zero exchanges; the
+        oracle replays it with positional self-joins on
+        generate_subscripts coordinates."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            phrase_matches,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        return phrase_matches(docs, ["the", "group"])
+
     def docs_global_shuffle(sf_dir: str):
         """Deterministic seeded global training shuffle
         (pipelines/shards.global_shuffle_positions): every document's
@@ -7898,6 +7914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ppl_buckets": docs_ppl_buckets,
         "docs_dsir_weights": docs_dsir_weights,
         "docs_source_kl_drift": docs_source_kl_drift,
+        "docs_phrase_matches": docs_phrase_matches,
         "docs_global_shuffle": docs_global_shuffle,
         "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_mojibake_fixed": docs_mojibake_fixed,
@@ -10054,6 +10071,20 @@ def oracle_sql() -> dict[str, str]:
                             / (g.c * 1.0 / n.n))), 6) AS kl
             FROM grid g CROSS JOIN v CROSS JOIN n
             GROUP BY g.source
+        """,
+        "docs_phrase_matches": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            )
+            SELECT t0.doc_id, CAST(t0.pos AS BIGINT) AS pos
+            FROM tok t0
+            JOIN tok t1 ON t1.doc_id = t0.doc_id
+                       AND t1.pos = t0.pos + 1
+            WHERE t0.tok = 'the' AND t1.tok = 'group'
         """,
         "docs_global_shuffle": """
             SELECT doc_id,

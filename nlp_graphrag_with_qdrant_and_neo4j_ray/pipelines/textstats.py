@@ -1135,3 +1135,60 @@ def unigram_kl_drift(docs_ds, group_col: str = "source",
                 "__card", pa.array([0] * b.num_rows, pa.int64())),
             batch_format="pyarrow"),
         ["__card"], finish, num_partitions=1)
+
+
+def phrase_matches(docs_ds, phrase: list[str], id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Exact k-token phrase scan: every (document, position) where the
+    whitespace token sequence ``phrase`` occurs — the corpus-grep
+    primitive behind contamination audits ("does the benchmark prompt
+    appear verbatim?"), quote mining and template census.  Positions are
+    1-based indices into the RAW single-space split (empty tokens keep
+    their slot), the same coordinates SQL's
+    ``generate_subscripts(string_split(text,' '))`` yields.
+
+    Scale shape: a PURE stateless map over a column-pruned read — zero
+    exchanges; a phrase lives inside one document row, so each batch
+    resolves its matches with k shifted vectorized equality kernels on
+    the flattened token array (no per-row Python, no join).  At serving
+    time the same verifier composes behind the persisted term index
+    (postings nominate candidate documents; this map confirms
+    adjacency)."""
+    import pyarrow.compute as pc
+
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    k = len(phrase)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        n = len(flat)
+        empty = pa.table({
+            id_col: pa.array([], batch.column(id_col).type),
+            "pos": pa.array([], pa.int64()),
+        })
+        if n < k:
+            return empty
+        eq = [pc.equal(flat, p).to_numpy(zero_copy_only=False)
+              for p in phrase]
+        m = n - k + 1
+        ok = eq[0][:m].copy()
+        for i in range(1, k):
+            ok &= eq[i][i:m + i]
+        doc_rep = np.repeat(np.arange(batch.num_rows), lens)
+        ok &= doc_rep[k - 1:] == doc_rep[:m]
+        idx = np.nonzero(ok)[0]
+        if not len(idx):
+            return empty
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        d = doc_rep[idx]
+        return pa.table({
+            id_col: pc.take(batch.column(id_col), pa.array(d)),
+            "pos": pa.array(idx - starts[d] + 1, pa.int64()),
+        })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow"
+    )
