@@ -6158,6 +6158,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return phrase_matches(docs, ["the", "group"])
 
+    def docs_nb_lang_predict(sf_dir: str):
+        """Distributed multinomial Naive Bayes
+        (pipelines/textstats.nb_train_predict): even-id documents train
+        per-label token counts (closed-form sufficient statistics),
+        odd-id documents are scored over the train vocabulary with
+        Laplace smoothing and labeled with the argmax.  TWO exchanges,
+        no broadcast vocabulary; the oracle replays priors, counts,
+        OOV-drop and the argmax window in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            nb_train_predict,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "lang"]
+        )
+        return nb_train_predict(docs, num_partitions=16)
+
     def docs_global_shuffle(sf_dir: str):
         """Deterministic seeded global training shuffle
         (pipelines/shards.global_shuffle_positions): every document's
@@ -7915,6 +7932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": docs_dsir_weights,
         "docs_source_kl_drift": docs_source_kl_drift,
         "docs_phrase_matches": docs_phrase_matches,
+        "docs_nb_lang_predict": docs_nb_lang_predict,
         "docs_global_shuffle": docs_global_shuffle,
         "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_mojibake_fixed": docs_mojibake_fixed,
@@ -10071,6 +10089,51 @@ def oracle_sql() -> dict[str, str]:
                             / (g.c * 1.0 / n.n))), 6) AS kl
             FROM grid g CROSS JOIN v CROSS JOIN n
             GROUP BY g.source
+        """,
+        "docs_nb_lang_predict": """
+            WITH tok AS (
+                SELECT doc_id, lang, (doc_id % 2 = 0) AS is_train,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            tr AS (SELECT lang, tok, count(*) AS c FROM tok
+                   WHERE is_train GROUP BY lang, tok),
+            vocab AS (SELECT DISTINCT tok FROM tok WHERE is_train),
+            v AS (SELECT count(*) AS v FROM vocab),
+            nl AS (SELECT lang, count(*) AS n_l FROM tok
+                   WHERE is_train GROUP BY lang),
+            pri AS (SELECT lang, count(*) AS d_l FROM documents
+                    WHERE doc_id % 2 = 0 GROUP BY lang),
+            ptot AS (SELECT count(*) AS nd FROM documents
+                     WHERE doc_id % 2 = 0),
+            tf AS (SELECT doc_id, min(lang) AS true_lang, tok,
+                          count(*) AS tf
+                   FROM tok WHERE NOT is_train GROUP BY doc_id, tok),
+            known AS (SELECT tf.* FROM tf JOIN vocab USING (tok)),
+            nk AS (SELECT doc_id, min(true_lang) AS true_lang,
+                          sum(tf) AS n_known
+                   FROM known GROUP BY doc_id),
+            s AS (SELECT k.doc_id, l.lang,
+                         sum(k.tf * ln(coalesce(tr.c, 0) + 1.0)) AS s
+                  FROM known k CROSS JOIN (SELECT lang FROM nl) l
+                  LEFT JOIN tr ON tr.lang = l.lang AND tr.tok = k.tok
+                  GROUP BY k.doc_id, l.lang),
+            sc AS (SELECT s.doc_id, s.lang,
+                          ln(pri.d_l * 1.0 / ptot.nd) + s.s
+                          - nk.n_known * ln(nl.n_l + v.v) AS score
+                   FROM s JOIN nl USING (lang) JOIN pri USING (lang)
+                   JOIN nk ON nk.doc_id = s.doc_id
+                   CROSS JOIN ptot CROSS JOIN v)
+            SELECT sc.doc_id, nk.true_lang, sc.lang AS pred_lang,
+                   CAST(nk.n_known AS BIGINT) AS n_known
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, lang) AS rn
+                FROM sc
+            ) sc JOIN nk ON nk.doc_id = sc.doc_id
+            WHERE sc.rn = 1
         """,
         "docs_phrase_matches": """
             WITH tok AS (

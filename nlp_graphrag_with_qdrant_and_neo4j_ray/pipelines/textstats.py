@@ -1192,3 +1192,189 @@ def phrase_matches(docs_ds, phrase: list[str], id_col: str = "doc_id",
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         scan, batch_format="pyarrow"
     )
+
+
+def nb_train_predict(docs_ds, label_col: str = "lang",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_partitions: int = 64):
+    """Distributed multinomial Naive Bayes, trained and served in one
+    pipeline: documents with an even id train per-label token counts
+    (the classic closed-form text classifier — all training is
+    sufficient statistics, no iteration), odd-id documents are scored
+    ``ln prior_l + Σ tf·ln(c_{l,tok}+1) − n_known·ln(N_l+V)`` over the
+    TRAIN vocabulary (Laplace smoothing; out-of-vocabulary test tokens
+    drop, test documents with no in-vocabulary token drop) and labeled
+    with the argmax (ties break to the lexicographically smallest
+    label).
+
+    Scale shape: TWO exchanges, no broadcast vocabulary.  Exchange 1
+    hash-partitions (doc, label, tok, tf) rows on the token: a token's
+    train counts and the test rows that need them are co-located, so
+    the per-(doc, candidate-label) partial scores come from a LOCAL
+    join; per-partition global partials (label token totals ``N_l``,
+    vocabulary-size shards ``V``) ride the same output tagged with a
+    null doc id and fold to an O(labels) dict on the driver — as do the
+    label priors (one tiny column-pruned pass over ids+labels).
+    Exchange 2 reduces per-document partials and applies the closed
+    form with the folded scalars in-closure."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    def tf_flag(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False), lens)
+        labs = np.repeat(
+            batch.column(label_col).to_numpy(zero_copy_only=False), lens)
+        flat = pc.list_flatten(toks)
+        t = pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "lab": pa.array(labs, pa.string()),
+            "tok": flat,
+        }).filter(pc.not_equal(flat, ""))
+        agg = t.group_by([id_col, "lab", "tok"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns([id_col, "lab", "tok", "tf"])
+        train = np.asarray(
+            agg.column(id_col).to_numpy(zero_copy_only=False) % 2 == 0)
+        return agg.append_column("is_train", pa.array(train, pa.bool_()))
+
+    tf = docs_ds.select_columns(
+        [id_col, label_col, text_col]
+    ).map_batches(tf_flag, batch_format="pyarrow")
+
+    OUT_SCHEMA = pa.schema([
+        (id_col, pa.int64()), ("true_lab", pa.string()),
+        ("lab", pa.string()), ("kind", pa.string()),
+        ("s", pa.float64()),
+    ])
+
+    def per_token_partition(tbl: pa.Table) -> pa.Table:
+        train = tbl.filter(tbl.column("is_train"))
+        test = tbl.filter(pc.invert(tbl.column("is_train")))
+        tr = train.group_by(["lab", "tok"]).aggregate(
+            [("tf", "sum")]).rename_columns(["lab", "tok", "c"])
+        vocab = tr.group_by(["tok"]).aggregate([])
+        nl = tr.group_by(["lab"]).aggregate([("c", "sum")])
+        parts = [pa.table({
+            id_col: pa.array([None] * nl.num_rows, pa.int64()),
+            "true_lab": pa.array([None] * nl.num_rows, pa.string()),
+            "lab": nl.column("lab"),
+            "kind": pa.array(["nl"] * nl.num_rows, pa.string()),
+            "s": pc.cast(nl.column("c_sum"), pa.float64()),
+        }).cast(OUT_SCHEMA)]
+        parts.append(pa.table({
+            id_col: pa.array([None], pa.int64()),
+            "true_lab": pa.array([None], pa.string()),
+            "lab": pa.array([""], pa.string()),
+            "kind": pa.array(["v"], pa.string()),
+            "s": pa.array([float(vocab.num_rows)], pa.float64()),
+        }).cast(OUT_SCHEMA))
+        if test.num_rows:
+            known_mask = pc.is_in(
+                test.column("tok"),
+                value_set=vocab.column("tok").combine_chunks())
+            known = test.filter(known_mask)
+            if known.num_rows:
+                nk = known.group_by([id_col, "lab"]).aggregate(
+                    [("tf", "sum")])
+                parts.append(pa.table({
+                    id_col: nk.column(id_col),
+                    "true_lab": nk.column("lab"),
+                    "lab": pa.array([""] * nk.num_rows, pa.string()),
+                    "kind": pa.array(["nk"] * nk.num_rows, pa.string()),
+                    "s": pc.cast(nk.column("tf_sum"), pa.float64()),
+                }).cast(OUT_SCHEMA))
+                j = known.rename_columns(
+                    [id_col, "true_lab", "tok", "tf", "is_train"]
+                ).join(tr, keys="tok", join_type="inner")
+                s = (j.column("tf").to_numpy(zero_copy_only=False)
+                     * np.log(j.column("c").to_numpy(
+                         zero_copy_only=False) + 1.0))
+                js = pa.table({
+                    id_col: j.column(id_col),
+                    "true_lab": j.column("true_lab"),
+                    "lab": j.column("lab"),
+                    "kind": pa.array(["s"] * j.num_rows, pa.string()),
+                    "s": pa.array(s, pa.float64()),
+                })
+                agg = js.group_by(
+                    [id_col, "true_lab", "lab", "kind"]
+                ).aggregate([("s", "sum")]).rename_columns(
+                    [id_col, "true_lab", "lab", "kind", "s"])
+                parts.append(agg.cast(OUT_SCHEMA))
+        return pa.concat_tables(parts)
+
+    stats = grouped_apply(tf, ["tok"], per_token_partition,
+                          num_partitions=num_partitions,
+                          batch_format="pyarrow").materialize()
+
+    def _null_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column(id_col)))
+
+    glob = stats.map_batches(
+        _null_rows, batch_format="pyarrow").take_all()
+    n_l: dict[str, float] = {}
+    v_total = 0.0
+    for r in glob:
+        if r["kind"] == "nl":
+            n_l[r["lab"]] = n_l.get(r["lab"], 0.0) + r["s"]
+        else:
+            v_total += r["s"]
+
+    def prior_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "lab": batch.column(label_col),
+        }).filter(pa.array(ids % 2 == 0))
+        return t.group_by(["lab"]).aggregate([([], "count_all")])
+
+    prior_rows = docs_ds.select_columns(
+        [id_col, label_col]
+    ).map_batches(prior_partial, batch_format="pyarrow").take_all()
+    doc_counts: dict[str, int] = {}
+    for r in prior_rows:
+        doc_counts[r["lab"]] = doc_counts.get(r["lab"], 0) + r["count_all"]
+    n_train_docs = sum(doc_counts.values())
+
+    labels = sorted(n_l)
+    ln_prior = np.array([
+        np.log(doc_counts[l] / n_train_docs) for l in labels])
+    ln_d = np.array([np.log(n_l[l] + v_total) for l in labels])
+
+    def score_partition(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        docs = df[df["kind"] == "nk"][
+            [id_col, "true_lab", "s"]].groupby(
+            [id_col, "true_lab"], sort=True)["s"].sum().reset_index()
+        if not len(docs):
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "true_lang": pa.array([], pa.string()),
+                "pred_lang": pa.array([], pa.string()),
+                "n_known": pa.array([], pa.int64()),
+            })
+        srows = df[df["kind"] == "s"]
+        grid = srows.pivot_table(index=id_col, columns="lab",
+                                 values="s", aggfunc="sum")
+        grid = grid.reindex(index=docs[id_col].to_numpy(),
+                            columns=labels).fillna(0.0)
+        nk = docs["s"].to_numpy()
+        scores = ln_prior[None, :] + grid.to_numpy() - nk[:, None] * ln_d[None, :]
+        pred = np.argmax(scores, axis=1)
+        return pa.table({
+            id_col: pa.array(docs[id_col].to_numpy(), pa.int64()),
+            "true_lang": pa.array(docs["true_lab"].tolist(), pa.string()),
+            "pred_lang": pa.array([labels[i] for i in pred], pa.string()),
+            "n_known": pa.array(nk.astype(np.int64), pa.int64()),
+        })
+
+    def _doc_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column(id_col)))
+
+    docrows = stats.map_batches(_doc_rows, batch_format="pyarrow")
+    return grouped_apply(docrows, [id_col], score_partition,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
