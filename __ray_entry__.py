@@ -6175,6 +6175,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return nb_train_predict(docs, num_partitions=16)
 
+    def docs_winnowed_fingerprints(sf_dir: str):
+        """Winnowing fingerprint selection
+        (pipelines/textstats.winnow_fingerprints — Schleimer et al.
+        2003, the MOSS algorithm): per-window rightmost-minimum of
+        md5-hashed 3-token shingles, window 4.  Pure stateless map; the
+        oracle replays the selection via the beater-free-interval
+        characterization (a shingle is selected iff no strictly smaller
+        hash within w-1 to the left and no smaller-or-equal hash within
+        w-1 to the right leaves room for a window)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            winnow_fingerprints,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]
+        )
+        return winnow_fingerprints(docs, k=3, w=4)
+
     def docs_global_shuffle(sf_dir: str):
         """Deterministic seeded global training shuffle
         (pipelines/shards.global_shuffle_positions): every document's
@@ -7933,6 +7951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_kl_drift": docs_source_kl_drift,
         "docs_phrase_matches": docs_phrase_matches,
         "docs_nb_lang_predict": docs_nb_lang_predict,
+        "docs_winnowed_fingerprints": docs_winnowed_fingerprints,
         "docs_global_shuffle": docs_global_shuffle,
         "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_mojibake_fixed": docs_mojibake_fixed,
@@ -10089,6 +10108,47 @@ def oracle_sql() -> dict[str, str]:
                             / (g.c * 1.0 / n.n))), 6) AS kl
             FROM grid g CROSS JOIN v CROSS JOIN n
             GROUP BY g.source
+        """,
+        "docs_winnowed_fingerprints": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       generate_subscripts(l, 1) AS pos
+                FROM toks
+            ),
+            g0 AS (
+                SELECT doc_id, pos,
+                       tok || ' ' || lead(tok, 1) OVER wd
+                           || ' ' || lead(tok, 2) OVER wd AS gram
+                FROM tok
+                WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            grams AS (
+                SELECT doc_id, pos AS gpos,
+                       substr(md5(gram), 1, 15) AS h
+                FROM g0 WHERE gram IS NOT NULL
+            ),
+            ng AS (SELECT doc_id, count(*) AS n FROM grams
+                   GROUP BY doc_id),
+            b AS (
+                SELECT g.doc_id, g.gpos, g.h, ng.n,
+                       coalesce((SELECT max(q.gpos) FROM grams q
+                                 WHERE q.doc_id = g.doc_id
+                                   AND q.gpos < g.gpos
+                                   AND q.h < g.h), 0) AS lb,
+                       coalesce((SELECT min(q.gpos) FROM grams q
+                                 WHERE q.doc_id = g.doc_id
+                                   AND q.gpos > g.gpos
+                                   AND q.h <= g.h), ng.n + 1) AS rb
+                FROM grams g JOIN ng USING (doc_id)
+            )
+            SELECT doc_id, CAST(gpos AS BIGINT) AS gpos, h AS fp
+            FROM b WHERE rb - lb - 1 >= least(4, n)
         """,
         "docs_nb_lang_predict": """
             WITH tok AS (

@@ -1378,3 +1378,61 @@ def nb_train_predict(docs_ds, label_col: str = "lang",
     return grouped_apply(docrows, [id_col], score_partition,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def winnow_fingerprints(docs_ds, k: int = 3, w: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-token shingle, slide a
+    window of ``w`` consecutive hashes and keep each window's minimum
+    (rightmost on ties), deduplicated — the selection guarantees any
+    shared run of ``w+k-1`` tokens between two documents yields at
+    least one shared fingerprint, at a ~2/(w+1) sampling rate.
+    Documents shorter than ``k`` tokens emit nothing; documents with
+    fewer than ``w`` shingles use one whole-document window.
+
+    The shingle hash is the first 15 hex digits of md5 of the
+    space-joined shingle: numeric comparison of those 60 bits is
+    exactly lexicographic comparison of the hex string, so a SQL oracle
+    replays the selection verbatim (a production variant would swap in
+    the vectorized rolling hash of :func:`fingerprints`; the selection
+    logic is hash-agnostic).
+
+    Scale shape: a PURE stateless map over a column-pruned read — a
+    document's shingles all live in its own row, so selection is local
+    (numpy sliding-window argmin); downstream near-dup joins ride the
+    same hash-keyed exchanges as the MinHash/SimHash family."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_ids: list = []
+        out_pos: list[int] = []
+        out_fp: list[str] = []
+        ids = batch.column(id_col).to_pylist()
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = [x for x in (t or "").split(" ") if x]
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            h15 = [
+                hashlib.md5(
+                    " ".join(toks[p:p + k]).encode()).hexdigest()[:15]
+                for p in range(n)
+            ]
+            vals = np.array([int(x, 16) for x in h15], np.int64)
+            ww = min(w, n)
+            win = np.lib.stride_tricks.sliding_window_view(vals, ww)
+            j = np.argmin(win[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(win)) + (ww - 1 - j))
+            out_ids += [i] * len(sel)
+            out_pos += (sel + 1).tolist()
+            out_fp += [h15[s] for s in sel]
+        return pa.table({
+            id_col: pa.array(out_ids, batch.column(id_col).type),
+            "gpos": pa.array(out_pos, pa.int64()),
+            "fp": pa.array(out_fp, pa.string()),
+        })
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=8192
+    )
