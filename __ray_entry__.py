@@ -6193,6 +6193,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return winnow_fingerprints(docs, k=3, w=4)
 
+    def docs_source_overlap_matrix(sf_dir: str):
+        """Cross-source n-gram overlap census
+        (pipelines/dedup.source_ngram_overlap): pairwise Jaccard of
+        each source's distinct trigram set — the cross-feed
+        contamination matrix (mirrors / syndication) computed BEFORE
+        per-document dedup.  One gram-keyed exchange emitting bounded
+        per-pair partials; the oracle replays the distinct-gram
+        self-join in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            source_ngram_overlap,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["source", "text"]
+        )
+        return source_ngram_overlap(docs, n=3, num_partitions=16)
+
     def docs_global_shuffle(sf_dir: str):
         """Deterministic seeded global training shuffle
         (pipelines/shards.global_shuffle_positions): every document's
@@ -7952,6 +7969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_phrase_matches": docs_phrase_matches,
         "docs_nb_lang_predict": docs_nb_lang_predict,
         "docs_winnowed_fingerprints": docs_winnowed_fingerprints,
+        "docs_source_overlap_matrix": docs_source_overlap_matrix,
         "docs_global_shuffle": docs_global_shuffle,
         "docs_domain_quality_filter": docs_domain_quality_filter,
         "docs_mojibake_fixed": docs_mojibake_fixed,
@@ -10108,6 +10126,46 @@ def oracle_sql() -> dict[str, str]:
                             / (g.c * 1.0 / n.n))), 6) AS kl
             FROM grid g CROSS JOIN v CROSS JOIN n
             GROUP BY g.source
+        """,
+        "docs_source_overlap_matrix": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, source, unnest(l) AS tok,
+                       generate_subscripts(l, 1) AS pos
+                FROM toks
+            ),
+            g0 AS (
+                SELECT source,
+                       tok || ' ' || lead(tok, 1) OVER wd
+                           || ' ' || lead(tok, 2) OVER wd AS gram
+                FROM t
+                WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            g AS (SELECT DISTINCT source, gram FROM g0
+                  WHERE gram IS NOT NULL),
+            na AS (SELECT source, count(*) AS n FROM g
+                   GROUP BY source),
+            pairs AS (
+                SELECT a.source AS sa, b.source AS sb,
+                       count(*) AS nc
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT p.sa AS src_a, p.sb AS src_b,
+                   CAST(p.nc AS BIGINT) AS n_common,
+                   CAST(na.n AS BIGINT) AS n_a,
+                   CAST(nb.n AS BIGINT) AS n_b,
+                   round(p.nc * 1.0 / (na.n + nb.n - p.nc), 6)
+                       AS jaccard
+            FROM pairs p
+            JOIN na ON na.source = p.sa
+            JOIN na nb ON nb.source = p.sb
         """,
         "docs_winnowed_fingerprints": """
             WITH toks AS (

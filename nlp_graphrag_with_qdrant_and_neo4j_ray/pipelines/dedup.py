@@ -1268,3 +1268,129 @@ def paragraph_dedup(docs_ds, id_col: str = "doc_id",
     return grouped_apply(winners, [id_col], rebuild,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def source_ngram_overlap(docs_ds, n: int = 3, group_col: str = "source",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         ndigits: int = 6, num_partitions: int = 64):
+    """Pairwise n-gram Jaccard between SOURCES: for every pair of
+    feeds, ``|grams_a ∩ grams_b| / |grams_a ∪ grams_b|`` over each
+    source's set of distinct token n-grams (n-grams never cross a
+    document boundary) — the cross-feed contamination census that
+    flags two crawl sources republishing the same content BEFORE
+    per-document dedup runs (mirrors, syndication networks, scraped
+    aggregators).  Pairs with no common gram are omitted.
+
+    Scale shape: the map collapses each batch to DISTINCT
+    (source, gram) rows (documents never ride the exchange); ONE
+    gram-keyed exchange co-locates every holder of a gram, so the
+    partition emits per-pair partial intersection counts (bounded by
+    sources² per gram) and per-source distinct-gram partials; a final
+    constant-key reduce over O(partitions × sources²) tiny rows
+    assembles the matrix.  At web scale the per-gram source list is
+    capped the same way the LSH buckets are (a gram held by every
+    source contributes one count to each of the bounded pairs)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    empty = pa.table({
+        group_col: pa.array([], pa.string()),
+        "gram": pa.array([], pa.string()),
+    })
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks_l = pc.split_pattern(batch.column(text_col), " ")
+        lens = pc.list_value_length(toks_l).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_l).combine_chunks()
+        rows_all = np.repeat(np.arange(batch.num_rows), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(nonempty))
+        rows = rows_all[nonempty]
+        m = len(rows) - (n - 1)
+        if m <= 0:
+            return empty
+        valid = rows[:m] == rows[n - 1:]
+        gram_all = pc.binary_join_element_wise(
+            *[toks.slice(i, m) for i in range(n)], " ")
+        gvals = gram_all.filter(pa.array(valid))
+        grows = rows[:m][valid]
+        t = pa.table({
+            group_col: pc.take(batch.column(group_col),
+                               pa.array(grows)),
+            "gram": gvals,
+        })
+        return t.group_by([group_col, "gram"]).aggregate([])
+
+    g = docs_ds.select_columns([group_col, text_col]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+
+    def per_gram_partition(tbl: pa.Table) -> pa.Table:
+        d = tbl.group_by([group_col, "gram"]).aggregate([])
+        df = d.to_pandas()
+        kinds: list[str] = []
+        a_keys: list[str] = []
+        b_keys: list[str] = []
+        ns: list[int] = []
+        for s, cnt in df.groupby(group_col, sort=False)["gram"].count().items():
+            kinds.append("n")
+            a_keys.append(s)
+            b_keys.append("")
+            ns.append(int(cnt))
+        pair_counts: dict[tuple[str, str], int] = {}
+        for _, members in df.groupby("gram", sort=False)[group_col]:
+            srcs = sorted(members)
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    key = (srcs[i], srcs[j])
+                    pair_counts[key] = pair_counts.get(key, 0) + 1
+        for (a, b), cnt in pair_counts.items():
+            kinds.append("p")
+            a_keys.append(a)
+            b_keys.append(b)
+            ns.append(cnt)
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "a": pa.array(a_keys, pa.string()),
+            "b": pa.array(b_keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    partials = grouped_apply(g, ["gram"], per_gram_partition,
+                             num_partitions=num_partitions,
+                             batch_format="pyarrow")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        totals = df[df["kind"] == "n"].groupby("a")["n"].sum()
+        pairs = df[df["kind"] == "p"].groupby(["a", "b"])["n"].sum()
+        a_out: list[str] = []
+        b_out: list[str] = []
+        nc_out: list[int] = []
+        na_out: list[int] = []
+        nb_out: list[int] = []
+        jac: list[float] = []
+        for (a, b), nc in sorted(pairs.items()):
+            na, nb = int(totals[a]), int(totals[b])
+            a_out.append(a)
+            b_out.append(b)
+            nc_out.append(int(nc))
+            na_out.append(na)
+            nb_out.append(nb)
+            jac.append(round(nc / (na + nb - nc), ndigits))
+        return pa.table({
+            "src_a": pa.array(a_out, pa.string()),
+            "src_b": pa.array(b_out, pa.string()),
+            "n_common": pa.array(nc_out, pa.int64()),
+            "n_a": pa.array(na_out, pa.int64()),
+            "n_b": pa.array(nb_out, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    return grouped_apply(
+        partials.map_batches(
+            lambda b: b.append_column(
+                "__card", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__card"], finish, num_partitions=1)
