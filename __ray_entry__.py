@@ -4498,6 +4498,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def embedding_label_separation(sf_dir: str):
+        """Cluster-separation audit
+        (pipelines/similarity.label_separation): per label, mean
+        member cosine to the own centroid vs the nearest other
+        centroid and the margin — the label-quality gate before
+        trusting classes for semantic dedup / stratified sampling.
+        Mean-cosine factors through (Σx, Σx/|x|, n) sufficient stats;
+        raw vectors never shuffle; the oracle replays the
+        labels × labels cosine matrix in SQL over DOUBLE-cast
+        unnested embeddings."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            label_separation,
+        )
+
+        return label_separation(
+            _read(sf_dir, "embeddings").select_columns(
+                ["label", "embedding"]
+            )
+        )
+
     def lineitem_qty_var_by_flag(sf_dir: str):
         """Exact grouped sample variance + stddev — (n, Σx, Σx²)
         sufficient-stats combiner, one tiny exchange."""
@@ -7938,6 +7958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": docs_pagerank,
         "kg_entity_pagerank": kg_entity_pagerank,
         "embedding_label_centroids": embedding_label_centroids,
+        "embedding_label_separation": embedding_label_separation,
         "lineitem_qty_var_by_flag": lineitem_qty_var_by_flag,
         "orders_ntile4": orders_ntile4,
         "docs_training_pipeline": docs_training_pipeline,
@@ -9374,6 +9395,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, round(r, 6) AS pr FROM r5
             """
         ),
+        "embedding_label_separation": """
+            WITH e AS (
+                SELECT vec_id, label,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            ),
+            nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e
+                   GROUP BY vec_id),
+            nl AS (SELECT label, count(*) AS n FROM embeddings
+                   GROUP BY label),
+            cent AS (SELECT label, dim, avg(x) AS c FROM e
+                     GROUP BY label, dim),
+            cn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent
+                   GROUP BY label),
+            u AS (SELECT e.label, e.dim, sum(e.x / nv.nrm) AS u
+                  FROM e JOIN nv USING (vec_id)
+                  GROUP BY e.label, e.dim),
+            m AS (SELECT u.label AS la, c.label AS lb,
+                         sum(u.u * c.c) AS dot
+                  FROM u JOIN cent c ON u.dim = c.dim
+                  GROUP BY u.label, c.label),
+            mc AS (SELECT m.la, m.lb, m.dot / (nl.n * cn.cn) AS cosv
+                   FROM m JOIN nl ON nl.label = m.la
+                   JOIN cn ON cn.label = m.lb),
+            intra AS (SELECT la AS label, cosv AS intra FROM mc
+                      WHERE la = lb),
+            near AS (SELECT la AS label, lb AS nearest_label,
+                            cosv AS nearest_cos,
+                            row_number() OVER (
+                                PARTITION BY la
+                                ORDER BY cosv DESC, lb) AS rn
+                     FROM mc WHERE la <> lb)
+            SELECT CAST(i.label AS BIGINT) AS label,
+                   CAST(nl.n AS BIGINT) AS n,
+                   round(i.intra, 6) AS intra_cos,
+                   CAST(near.nearest_label AS BIGINT) AS nearest_label,
+                   round(near.nearest_cos, 6) AS nearest_cos,
+                   round(i.intra - near.nearest_cos, 6) AS separation
+            FROM intra i
+            JOIN near ON near.label = i.label AND near.rn = 1
+            JOIN nl ON nl.label = i.label
+        """,
         "embedding_label_centroids": """
             SELECT CAST(label AS BIGINT) AS label, dim,
                    round(avg(x), 6) AS centroid

@@ -1426,3 +1426,108 @@ def knn_ivfpq(embeddings_ds, query_vec, dim: int, k: int = 10,
 
     codes = ray.data.read_parquet(paths, columns=[id_col, "code"])
     return _adc_scan(codes, adc_table(q, books), id_col, k)
+
+
+def label_separation(embeddings_ds, label_col: str = "label",
+                     emb_col: str = "embedding", ndigits: int = 6,
+                     num_partitions: int = 8):
+    """Embedding-space cluster-separation audit: per label, the mean
+    cosine of members to their own centroid (cohesion) vs the highest
+    mean cosine to any OTHER label's centroid (the nearest confusable
+    class), and the margin between them — the label-quality report a
+    team reads before trusting class labels for semantic dedup,
+    stratified sampling or classifier training.  A non-positive
+    ``separation`` flags a label whose members sit closer to another
+    class's prototype than to their own.
+
+    Scale shape: mean-cosine-to-centroid factors through sums —
+    ``mean_m cos(x, c) = (Σ_m x/|x|) · c / (n · |c|)`` — so each batch
+    reduces to one (Σx, Σx/|x|, n) triple per label present and raw
+    vectors never ride the exchange; ONE constant-key reduce over
+    O(labels × batches) rows of ``dim`` doubles assembles the
+    labels × labels cosine matrix (labels are bounded; the matrix is
+    tiny).  Ties on the nearest-label argmax break to the smallest
+    label id."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = _as_matrix(batch, emb_col).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        unit = m / nrm[:, None]
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        usums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, codes, m)
+        np.add.at(usums, codes, unit)
+        counts = np.bincount(codes, minlength=len(uniq))
+        return pd.DataFrame({
+            label_col: uniq.astype(np.int64),
+            "__sum": list(sums),
+            "__u": list(usums),
+            "__n": counts.astype(np.int64),
+        })
+
+    def final(pdf: pd.DataFrame) -> pa.Table:
+        labs: list[int] = []
+        S: list[np.ndarray] = []
+        U: list[np.ndarray] = []
+        N: list[int] = []
+        for lab, g in pdf.groupby(label_col, sort=True):
+            labs.append(int(lab))
+            S.append(np.sum(np.stack(g["__sum"].to_numpy()), axis=0))
+            U.append(np.sum(np.stack(g["__u"].to_numpy()), axis=0))
+            N.append(int(g["__n"].sum()))
+        if not labs:
+            return pa.table({
+                label_col: pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "intra_cos": pa.array([], pa.float64()),
+                "nearest_label": pa.array([], pa.int64()),
+                "nearest_cos": pa.array([], pa.float64()),
+                "separation": pa.array([], pa.float64()),
+            })
+        S_m = np.stack(S)
+        U_m = np.stack(U)
+        n_v = np.array(N, np.float64)
+        C = S_m / n_v[:, None]
+        cn = np.linalg.norm(C, axis=1)
+        # M[l, m] = mean cosine of label l's members to centroid m
+        M = (U_m @ C.T) / (n_v[:, None] * cn[None, :])
+        k = len(labs)
+        intra = np.diag(M).copy()
+        off = M.copy()
+        np.fill_diagonal(off, -np.inf)
+        nearest_idx = np.argmax(off, axis=1)  # ties: smallest label
+        nearest = off[np.arange(k), nearest_idx]
+        lab_arr = np.array(labs, np.int64)
+        t = pa.table({
+            label_col: pa.array(lab_arr, pa.int64()),
+            "n": pa.array(np.array(N, np.int64), pa.int64()),
+            "intra_cos": pa.array(intra, pa.float64()),
+            "nearest_label": pa.array(lab_arr[nearest_idx], pa.int64()),
+            "nearest_cos": pa.array(nearest, pa.float64()),
+            "separation": pa.array(intra - nearest, pa.float64()),
+        })
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if pa.types.is_float64(col.type):
+                col = pc.round(col, ndigits,
+                               round_mode="half_towards_infinity")
+            cols[name] = col
+        return pa.table(cols)
+
+    sk = embeddings_ds.select_columns(
+        [label_col, emb_col]
+    ).map_batches(partial, batch_format="pyarrow")
+    return grouped_apply(
+        sk.map_batches(
+            lambda b: b.append_column(
+                "__card", pa.array([0] * b.num_rows, pa.int64())),
+            batch_format="pyarrow"),
+        ["__card"],
+        lambda tbl: final(tbl.drop_columns(["__card"]).to_pandas()),
+        num_partitions=1)
