@@ -4518,6 +4518,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         )
 
+    def embedding_label_outliers(sf_dir: str):
+        """Per-point label-noise mining
+        (pipelines/similarity.label_outliers): each vector's cosine to
+        its OWN label centroid, z-scored within the label; points
+        ≤ −2σ below their label's mean cohesion are flagged — the
+        mislabeled-sample shortlist.  Bounded centroid fold + one
+        label-keyed exchange; the oracle replays centroids, cosines
+        and the windowed z-score in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            label_outliers,
+        )
+
+        return label_outliers(
+            _read(sf_dir, "embeddings").select_columns(
+                ["vec_id", "label", "embedding"]
+            )
+        )
+
+    def docs_zipf_slope(sf_dir: str):
+        """Zipf rank-frequency fit (pipelines/textstats.zipf_fit):
+        OLS of ln(freq) on ln(rank) over the exact top-200 tokens —
+        the one-row corpus-health scalar (natural text ≈ slope −1).
+        Rides the heavy-hitters combiner exchange; the oracle replays
+        the fit with SQL regr_slope/regr_intercept/regr_r2."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            zipf_fit,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["text"])
+        return zipf_fit(docs, k=200, num_partitions=16)
+
     def lineitem_qty_var_by_flag(sf_dir: str):
         """Exact grouped sample variance + stddev — (n, Σx, Σx²)
         sufficient-stats combiner, one tiny exchange."""
@@ -7959,6 +7990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank": kg_entity_pagerank,
         "embedding_label_centroids": embedding_label_centroids,
         "embedding_label_separation": embedding_label_separation,
+        "embedding_label_outliers": embedding_label_outliers,
+        "docs_zipf_slope": docs_zipf_slope,
         "lineitem_qty_var_by_flag": lineitem_qty_var_by_flag,
         "orders_ntile4": orders_ntile4,
         "docs_training_pipeline": docs_training_pipeline,
@@ -9395,6 +9428,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, round(r, 6) AS pr FROM r5
             """
         ),
+        "embedding_label_outliers": """
+            WITH e AS (
+                SELECT vec_id, label,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            ),
+            cent AS (SELECT label, dim, avg(x) AS c FROM e
+                     GROUP BY label, dim),
+            cn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent
+                   GROUP BY label),
+            nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e
+                   GROUP BY vec_id),
+            cosv AS (
+                SELECT e.vec_id, e.label,
+                       sum(e.x * cent.c)
+                           / (max(nv.nrm) * max(cn.cn)) AS cos_own
+                FROM e
+                JOIN cent ON cent.label = e.label AND cent.dim = e.dim
+                JOIN nv ON nv.vec_id = e.vec_id
+                JOIN cn ON cn.label = e.label
+                GROUP BY e.vec_id, e.label
+            ),
+            z AS (SELECT vec_id, label, cos_own,
+                         (cos_own - avg(cos_own) OVER w)
+                             / stddev_samp(cos_own) OVER w AS z
+                  FROM cosv WINDOW w AS (PARTITION BY label))
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   round(cos_own, 6) AS cos_own, round(z, 6) AS z,
+                   coalesce(z <= -2.0, FALSE) AS flagged
+            FROM z
+        """,
+        "docs_zipf_slope": """
+            WITH c AS (
+                SELECT t AS tok, count(*) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS t
+                      FROM documents)
+                WHERE t <> ''
+                GROUP BY t ORDER BY n DESC, t LIMIT 200
+            ),
+            r AS (SELECT ln(CAST(row_number() OVER (
+                              ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+                         ln(CAST(n AS DOUBLE)) AS y
+                  FROM c)
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2
+            FROM r
+        """,
         "embedding_label_separation": """
             WITH e AS (
                 SELECT vec_id, label,

@@ -1531,3 +1531,109 @@ def label_separation(embeddings_ds, label_col: str = "label",
         ["__card"],
         lambda tbl: final(tbl.drop_columns(["__card"]).to_pandas()),
         num_partitions=1)
+
+
+def label_outliers(embeddings_ds, label_col: str = "label",
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   z_thresh: float = -2.0, ndigits: int = 6,
+                   num_partitions: int = 8):
+    """Per-point label-noise mining: each vector's cosine to its OWN
+    label centroid, z-scored within the label, with points more than
+    ``|z_thresh|`` standard deviations BELOW their label's mean
+    cohesion flagged — the mislabeled-sample shortlist a curation team
+    reviews before training a classifier on the labels (the per-point
+    sibling of :func:`label_separation`).
+
+    Scale shape: pass 1 folds per-label (Σvector, n) partials to an
+    O(labels × dim) centroid dict on the driver (bounded — labels are a
+    class enum); pass 2 is a map computing each vector's cosine against
+    the broadcast centroid matrix plus ONE label-keyed exchange for the
+    within-label moments and z-scores.  Labels with fewer than two
+    members emit a null z (flag false), matching SQL stddev_samp
+    semantics."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    def cent_partial(batch: pa.Table) -> pd.DataFrame:
+        m = _as_matrix(batch, emb_col).astype(np.float64)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, codes, m)
+        return pd.DataFrame({
+            label_col: uniq.astype(np.int64),
+            "__sum": list(sums),
+            "__n": np.bincount(codes, minlength=len(uniq)).astype(
+                np.int64),
+        })
+
+    rows = embeddings_ds.select_columns(
+        [label_col, emb_col]
+    ).map_batches(cent_partial, batch_format="pyarrow").take_all()
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        lab = int(r[label_col])
+        v = np.asarray(r["__sum"], np.float64)
+        sums[lab] = sums.get(lab, 0) + v
+        counts[lab] = counts.get(lab, 0) + int(r["__n"])
+    labels_sorted = sorted(sums)
+    cent = np.stack([sums[l] / counts[l] for l in labels_sorted])
+    cent_unit = cent / np.linalg.norm(cent, axis=1)[:, None]
+    lab_index = {l: i for i, l in enumerate(labels_sorted)}
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch, emb_col).astype(np.float64)
+        unit = m / np.linalg.norm(m, axis=1)[:, None]
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        idx = np.array([lab_index[int(l)] for l in labels], np.int64)
+        cos = np.einsum("ij,ij->i", unit, cent_unit[idx])
+        return pa.table({
+            id_col: batch.column(id_col),
+            label_col: pa.array(labels.astype(np.int64), pa.int64()),
+            "cos_own": pa.array(cos, pa.float64()),
+        })
+
+    scored = embeddings_ds.select_columns(
+        [id_col, label_col, emb_col]
+    ).map_batches(score, batch_format="pyarrow")
+
+    def per_label(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        out = []
+        for lab, g in df.groupby(label_col, sort=True):
+            cos = g["cos_own"].to_numpy()
+            if len(cos) >= 2:
+                mu = cos.mean()
+                sd = cos.std(ddof=1)
+                z = (cos - mu) / sd if sd > 0 else np.full(len(cos),
+                                                           np.nan)
+            else:
+                z = np.full(len(cos), np.nan)
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                label_col: lab,
+                "cos_own": cos,
+                "z": z,
+            }))
+        res = pd.concat(out) if out else pd.DataFrame(
+            columns=[id_col, label_col, "cos_own", "z"])
+        zvals = res["z"].to_numpy()
+        flagged = np.where(np.isnan(zvals), False, zvals <= z_thresh)
+        return pa.table({
+            id_col: pa.array(res[id_col].to_numpy(), pa.int64()),
+            label_col: pa.array(res[label_col].to_numpy(), pa.int64()),
+            "cos_own": pc.round(
+                pa.array(res["cos_own"].to_numpy(), pa.float64()),
+                ndigits, round_mode="half_towards_infinity"),
+            "z": pc.round(
+                pa.array([None if np.isnan(v) else float(v)
+                          for v in zvals], pa.float64()),
+                ndigits, round_mode="half_towards_infinity"),
+            "flagged": pa.array(flagged, pa.bool_()),
+        })
+
+    return grouped_apply(scored, [label_col], per_label,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")

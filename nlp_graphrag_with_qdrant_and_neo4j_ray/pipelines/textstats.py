@@ -1436,3 +1436,59 @@ def winnow_fingerprints(docs_ds, k: int = 3, w: int = 4,
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", batch_size=8192
     )
+
+
+def zipf_fit(docs_ds, k: int = 200, id_col: str = "doc_id",
+             text_col: str = "text", ndigits: int = 6,
+             num_partitions: int = 16):
+    """Zipf rank-frequency fit over the top-``k`` tokens: OLS of
+    ``ln(freq)`` on ``ln(rank)`` (rank by frequency descending, token
+    ascending on ties) — the one-row corpus-health scalar (natural text
+    sits near slope −1; template/boilerplate-dominated or synthetic
+    corpora drift off it, making the slope a cheap drift alarm between
+    crawl snapshots).
+
+    Scale shape: rides :func:`~.relational.heavy_hitters` (per-batch
+    count combiner → one token-keyed exchange → per-partition local
+    top-k → bounded driver merge of ``partitions × k`` candidates);
+    the OLS itself is O(k) driver math on the merged table.  Returns a
+    one-row pyarrow Table ``(k, slope, intercept, r2)``."""
+    import pyarrow.compute as pc
+
+    from .relational import heavy_hitters
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch.column(text_col), " "))
+        return pa.table({"tok": toks.filter(pc.not_equal(toks, ""))})
+
+    hh = heavy_hitters(
+        docs_ds.select_columns([text_col]).map_batches(
+            explode, batch_format="pyarrow"),
+        "tok", k, num_partitions=num_partitions,
+    )
+    n = hh.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = pc.sort_indices(
+        hh, sort_keys=[("n", "descending"), ("tok", "ascending")]
+    ).to_numpy(zero_copy_only=False)
+    y = np.log(n[order])
+    x = np.log(np.arange(1, len(y) + 1, dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    dx, dy = x - mx, y - my
+    sxx = float(dx @ dx)
+    syy = float(dy @ dy)
+    sxy = float(dx @ dy)
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    r2 = (sxy * sxy) / (sxx * syy) if syy > 0 else 1.0
+
+    def _r(v: float) -> float:
+        return float(pc.round(pa.scalar(v, pa.float64()), ndigits,
+                              round_mode="half_towards_infinity").as_py())
+
+    return pa.table({
+        "k": pa.array([len(y)], pa.int64()),
+        "slope": pa.array([_r(slope)], pa.float64()),
+        "intercept": pa.array([_r(intercept)], pa.float64()),
+        "r2": pa.array([_r(r2)], pa.float64()),
+    })
