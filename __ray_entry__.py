@@ -307,6 +307,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_link_graph(_linked_pages(sf_dir))
 
+    def web_host_cocitation(sf_dir: str):
+        """Host co-citation (pipelines/web.host_cocitation): for every
+        unordered registrable-domain pair, how many pages link to
+        BOTH — the relatedness / spam-constellation signal
+        complementing the link graph.  Pairs form map-side per page;
+        one pre-combined two-key groupby.  The oracle replays the
+        planted-anchor arithmetic; the Ray side genuinely parses the
+        HTML."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            host_cocitation,
+        )
+
+        return host_cocitation(_linked_pages(sf_dir))
+
+    def events_time_weighted_value(sf_dir: str):
+        """Time-weighted average value per user
+        (pipelines/relational.time_weighted_mean): each event's value
+        held until the user's next event, weighted by the holding
+        duration in seconds — the TWAP / gauge-state mean for
+        irregular streams.  One user-keyed exchange; ts rides as
+        epoch-us int64 for exact parity; the oracle replays the lead
+        window and duration weighting."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            time_weighted_mean,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+
+        def to_us(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "value": batch.column("value"),
+            })
+
+        return time_weighted_mean(
+            ev.map_batches(to_us, batch_format="pyarrow"),
+            ["user_id"], "ts_us", "value", tie_col="event_id",
+            num_partitions=32,
+        )
+
     def web_anchor_texts(sf_dir: str):
         """Anchor-text aggregation per destination domain
         (pipelines/web.anchor_text_counts): each planted page carries
@@ -7851,6 +7898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_domain_counts": pages_domain_counts,
         "docs_domain_capped": docs_domain_capped,
         "web_host_link_graph": web_host_link_graph,
+        "web_host_cocitation": web_host_cocitation,
+        "events_time_weighted_value": events_time_weighted_value,
         "web_anchor_texts": web_anchor_texts,
         "pages_url_filtered": pages_url_filtered,
         "pages_robots_filtered": pages_robots_filtered,
@@ -8538,6 +8587,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT dst_domain, anchor, count(*) AS n_links
             FROM e GROUP BY 1, 2
+        """,
+        "web_host_cocitation": """
+            WITH n AS (SELECT count(*) AS total FROM documents),
+            d AS (SELECT doc_id,
+                         'site' || CAST(doc_id % 10 AS VARCHAR) || '.'
+                           || CASE WHEN doc_id % 3 = 0 THEN 'co.uk'
+                                   ELSE 'com' END AS dom
+                  FROM documents),
+            e AS (
+              SELECT least(s.dom, t.dom) AS dom_a,
+                     greatest(s.dom, t.dom) AS dom_b
+              FROM documents x, n
+              JOIN d s ON s.doc_id = x.doc_id
+              JOIN d t ON t.doc_id = (x.doc_id * 7 + 13) % n.total
+              WHERE s.dom <> t.dom
+            )
+            SELECT dom_a, dom_b, count(*) AS n_pages
+            FROM e GROUP BY 1, 2
+        """,
+        "events_time_weighted_value": """
+            WITH o AS (
+                SELECT user_id, value, epoch_us(ts) AS tus,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS nus
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   round(sum(value * ((nus - tus) / 1000000.0))
+                         / sum((nus - tus) / 1000000.0), 6)
+                       AS twa_value
+            FROM o WHERE nus IS NOT NULL GROUP BY user_id
         """,
         "web_host_link_graph": """
             WITH n AS (SELECT count(*) AS total FROM documents),

@@ -3304,3 +3304,57 @@ def analyze_table(ds, cols: list[str], num_partitions: int = 16):
                 "__one", pa.array([0] * b.num_rows, pa.int64())),
             batch_format="pyarrow"),
         ["__one"], finish, num_partitions=1)
+
+
+def time_weighted_mean(ds, keys: list[str], order_col: str,
+                       value_col: str, tie_col: str,
+                       unit: float = 1_000_000.0, ndigits: int = 6,
+                       num_partitions: int = 64):
+    """Time-weighted average per key: each row's ``value_col`` is held
+    from its ``order_col`` instant until the key's NEXT row, and the
+    mean weights each value by that holding duration — the TWAP / mean
+    sensor-state estimator irregular event streams need (an arithmetic
+    mean over-counts bursts; a gauge sampled on change must weight by
+    how long each reading held).  The key's last row has no duration
+    and drops; single-row keys emit nothing.
+
+    ``order_col`` is an int64 instant (epoch-us for timestamps —
+    cast upstream, the exact-parity convention of
+    :func:`window_lag` callers); ``unit`` divides raw durations into
+    output units (1e6 → seconds).
+
+    Scale shape: ONE exchange on the keys; each partition does a
+    stable vectorized sort + ``groupby().shift(-1)`` and reduces to one
+    (Σ value·w, Σ w) pair per key — identical to every window-family
+    operator here."""
+    cols = list(dict.fromkeys(keys + [order_col, tie_col, value_col]))
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys + [order_col, tie_col],
+                              kind="mergesort")
+        nxt = pdf.groupby(keys, sort=False)[order_col].shift(-1)
+        mask = nxt.notna()
+        w = (nxt[mask].to_numpy(dtype=np.float64)
+             - pdf.loc[mask, order_col].to_numpy(
+                 dtype=np.float64)) / unit
+        kept = pdf.loc[mask, keys].copy()
+        kept["__vw"] = pdf.loc[mask, value_col].to_numpy(
+            dtype=np.float64) * w
+        kept["__w"] = w
+        kept["__n"] = 1
+        agg = kept.groupby(keys, sort=True).agg(
+            n_intervals=("__n", "sum"),
+            vw=("__vw", "sum"),
+            w=("__w", "sum"),
+        ).reset_index()
+        out = agg[keys].copy()
+        out["n_intervals"] = agg["n_intervals"].astype(np.int64)
+        out["twa_value"] = np.asarray(pc.round(
+            pa.array(agg["vw"].to_numpy() / agg["w"].to_numpy(),
+                     pa.float64()),
+            ndigits, round_mode="half_towards_infinity"))
+        return out
+
+    return grouped_apply(ds.select_columns(cols), keys, per_partition,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")

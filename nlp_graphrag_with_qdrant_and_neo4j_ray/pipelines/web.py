@@ -655,3 +655,55 @@ def mirror_paths(pages, min_domains: int = 3, url_col: str = "url",
     )
     return rolled.filter(
         expr=f"n_domains >= {int(min_domains)}")
+
+
+def host_cocitation(ds, url_col: str = "url", html_col: str = "html",
+                    min_count: int = 1):
+    """pages → ``(dom_a, dom_b, n_pages)``: for every unordered pair of
+    registrable domains, how many pages link to BOTH — co-citation, the
+    classic relatedness signal (domains repeatedly cited together are
+    topically or organizationally related; spam constellations co-cite
+    each other from farms).  Complements :func:`host_link_graph` (who
+    links whom) with who-is-linked-together.
+
+    Scale shape: a page's anchors all live in its own row, so the
+    per-page DISTINCT destination-domain set and its sorted pairs form
+    map-side (pairs are bounded by per-page out-degree², the same cap
+    regime as the LSH buckets — cap the per-page set if a link farm
+    explodes it); the only exchange is the final pre-combined two-key
+    groupby."""
+    from ray.data.aggregate import Count
+
+    from ..functions.html import extract_links
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for u, h in zip(batch.column(url_col).to_pylist(),
+                        batch.column(html_col).to_pylist()):
+            links = extract_links(h or b"", u)
+            if not links:
+                continue
+            doms = registrable_domains(
+                url_hosts(pa.array(links, pa.string())))
+            dset = sorted({d for d in doms.to_pylist() if d})
+            for i in range(len(dset)):
+                for j in range(i + 1, len(dset)):
+                    a_out.append(dset[i])
+                    b_out.append(dset[j])
+        return pa.table({"dom_a": pa.array(a_out, pa.string()),
+                         "dom_b": pa.array(b_out, pa.string())})
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["dom_a", "dom_b"])
+        .aggregate(Count(alias_name="n_pages"))
+    )
+    if min_count > 1:
+        import pyarrow.compute as _pc
+
+        out = out.map_batches(
+            lambda b: b.filter(_pc.greater_equal(
+                b.column("n_pages"), min_count)),
+            batch_format="pyarrow")
+    return out
