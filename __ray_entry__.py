@@ -864,6 +864,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return paragraph_dedup(
             docs.map_batches(synth, batch_format="pyarrow"))
 
+    def docs_line_dedup_within(sf_dir: str):
+        """Intra-document exact line dedup
+        (pipelines/dedup.line_dedup_within_doc — the within-page
+        sibling of corpus-wide paragraph dedup; zero exchanges) over
+        synthesized template-y pages: doc_id%4==0 pages repeat a
+        shared nav line three times and their own alpha line twice
+        (later copies drop, first survives); every page keeps its
+        blank lines (structure, never deduped). The oracle replays
+        split → per-(doc, line) first-occurrence window → ordered
+        reassembly."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            line_dedup_within_doc,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        nav = "Shared navigation menu item"
+
+        def synth(batch: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            for i in batch.column("doc_id").to_pylist():
+                i = int(i)
+                a = f"Alpha content line {i}."
+                c = f"Beta content line {i}."
+                if i % 4 == 0:
+                    lines = [nav, a, "", nav, c, nav, a]
+                else:
+                    lines = [a, "", "", nav, c]
+                ids.append(i)
+                texts.append("\n".join(lines))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.large_string())})
+
+        return line_dedup_within_doc(
+            docs.map_batches(synth, batch_format="pyarrow"))
+
     def web_curation_pipeline(sf_dir: str):
         """End-to-end web curation as ONE streaming chain with ONE SQL
         oracle: planted captures → RefinedWeb URL blocklist
@@ -7915,6 +7950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_quality": docs_gopher_quality,
         "web_curation_pipeline": web_curation_pipeline,
         "docs_paragraph_dedup": docs_paragraph_dedup,
+        "docs_line_dedup_within": docs_line_dedup_within,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
         "docs_lang_rebalanced": docs_lang_rebalanced,
@@ -8707,6 +8743,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(kept) >= 3
               AND NOT contains(lower(t), 'lorem ipsum')
               AND NOT contains(t, '{')
+        """,
+        "docs_line_dedup_within": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN
+                  'Shared navigation menu item' || chr(10)
+                  || 'Alpha content line ' || CAST(doc_id AS VARCHAR)
+                  || '.' || chr(10)
+                  || chr(10)
+                  || 'Shared navigation menu item' || chr(10)
+                  || 'Beta content line ' || CAST(doc_id AS VARCHAR)
+                  || '.' || chr(10)
+                  || 'Shared navigation menu item' || chr(10)
+                  || 'Alpha content line ' || CAST(doc_id AS VARCHAR)
+                  || '.'
+                ELSE
+                  'Alpha content line ' || CAST(doc_id AS VARCHAR)
+                  || '.' || chr(10)
+                  || chr(10)
+                  || chr(10)
+                  || 'Shared navigation menu item' || chr(10)
+                  || 'Beta content line ' || CAST(doc_id AS VARCHAR)
+                  || '.'
+                END AS t
+              FROM documents
+            ), sp AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ls FROM synth
+            ), l AS (
+              SELECT doc_id, i - 1 AS idx, ls[i] AS line
+              FROM (SELECT doc_id, ls,
+                           unnest(generate_series(1, len(ls))) AS i
+                    FROM sp)
+            ), w AS (
+              SELECT doc_id, idx, line,
+                     row_number() OVER (PARTITION BY doc_id, line
+                         ORDER BY idx) AS rn,
+                     trim(line, ' ' || chr(9) || chr(13)) = '' AS blank,
+                     count(*) OVER (PARTITION BY doc_id) AS n_in
+              FROM l
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY idx) AS text,
+                   CAST(max(n_in) AS BIGINT) AS n_lines_in,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM w
+            WHERE blank OR rn = 1
+            GROUP BY doc_id
         """,
         "docs_paragraph_dedup": r"""
             WITH synth AS (

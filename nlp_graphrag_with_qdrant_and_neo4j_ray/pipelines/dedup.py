@@ -1394,3 +1394,72 @@ def source_ngram_overlap(docs_ds, n: int = 3, group_col: str = "source",
                 "__card", pa.array([0] * b.num_rows, pa.int64())),
             batch_format="pyarrow"),
         ["__card"], finish, num_partitions=1)
+
+
+def line_dedup_within_doc(docs_ds, id_col: str = "doc_id",
+                          text_col: str = "text", sep: str = "\n"):
+    """Intra-document exact LINE dedup (the within-page sibling of
+    corpus-wide ``paragraph_dedup``; CCNet/C4-family practice for
+    pages whose templates repeat nav/footer lines inside one page):
+    split every document on ``sep``, keep each distinct non-blank
+    line's FIRST occurrence within that document, drop later copies,
+    and reassemble the page in original order.  Blank-after-trim
+    lines are STRUCTURE, not content — they always survive, so
+    paragraph boundaries are preserved and the row count is stable
+    (every input document emits exactly one output row).
+
+    Emits ``(id_col, text_col, n_lines_in:int64, n_lines_kept:int64)``
+    where ``n_lines_in`` counts all lines before dedup.
+
+    Scale shape (100 TB): ZERO exchanges — dedup scope is the single
+    document, so this is one embarrassingly-parallel vectorized map
+    (Arrow split + flatten, a two-column stable ``duplicated`` mask,
+    ``np.bincount`` folds, grouped ``str.join`` reassembly per batch).
+    Reference has no counterpart (training-data curation surface).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            batch.schema.field(id_col),
+            pa.field(text_col, pa.large_string()),
+            pa.field("n_lines_in", pa.int64()),
+            pa.field("n_lines_kept", pa.int64()),
+        ])
+        n = len(batch)
+        if n == 0:
+            return out_schema.empty_table()
+        texts = pc.fill_null(batch.column(text_col), "")
+        lines = pc.split_pattern(texts, sep)
+        lens = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        didx = np.repeat(np.arange(n), lens)
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        blank = pc.equal(
+            pc.utf8_trim(flat, " \t\r"), "").to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "d": didx,
+            "l": flat.to_pandas(),
+        })
+        # first occurrence per (doc, line); blanks always survive
+        keep = (~df.duplicated(["d", "l"])).to_numpy() | blank
+        kept_d = didx[keep]
+        kept_lines = df["l"].to_numpy()[keep]
+        joined = (
+            pd.Series(kept_lines)
+            .groupby(kept_d, sort=True)
+            .agg(sep.join)
+        )
+        n_kept = np.bincount(kept_d, minlength=n).astype(np.int64)
+        # every doc emits >=1 line (split of "" is [""]), so `joined`
+        # covers all n docs in order 0..n-1
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: pa.array(joined.to_numpy(), pa.large_string()),
+            "n_lines_in": pa.array(lens),
+            "n_lines_kept": pa.array(n_kept),
+        }).cast(out_schema)
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -79,3 +79,67 @@ class TestParagraphDedup:
         many = paragraph_dedup(
             ds.repartition(7), num_partitions=5).sort("doc_id").take_all()
         assert one == many
+
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+    line_dedup_within_doc,
+)
+
+
+def run_lines(ray_session, docs: dict[int, str], **kw):
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.large_string()),
+    })
+    return {
+        r["doc_id"]: r
+        for r in line_dedup_within_doc(
+            ray_session.data.from_arrow(tbl), **kw).take_all()
+    }
+
+
+class TestLineDedupWithinDoc:
+    def test_later_copies_drop_first_survives(self, ray_session):
+        out = run_lines(ray_session, {
+            0: "nav\nalpha\nnav\nbeta\nnav",
+            1: "unique one\nunique two",
+        })
+        assert out[0]["text"] == "nav\nalpha\nbeta"
+        assert out[0]["n_lines_in"] == 5
+        assert out[0]["n_lines_kept"] == 3
+        assert out[1]["text"] == "unique one\nunique two"
+
+    def test_scope_is_per_document(self, ray_session):
+        # the same line in two docs survives in BOTH (contrast with
+        # corpus-wide paragraph_dedup)
+        out = run_lines(ray_session, {0: "nav\na", 1: "nav\nb"})
+        assert out[0]["text"] == "nav\na"
+        assert out[1]["text"] == "nav\nb"
+
+    def test_blank_lines_always_survive(self, ray_session):
+        out = run_lines(ray_session, {0: "a\n\n\nb\n  \n  \na"})
+        assert out[0]["text"] == "a\n\n\nb\n  \n  "
+        assert out[0]["n_lines_in"] == 7
+        assert out[0]["n_lines_kept"] == 6
+
+    def test_empty_doc_row_survives(self, ray_session):
+        out = run_lines(ray_session, {0: "", 1: "x"})
+        assert out[0]["text"] == ""
+        assert out[0]["n_lines_in"] == 1
+        assert out[0]["n_lines_kept"] == 1
+
+    def test_partition_independent(self, ray_session):
+        docs = {
+            i: "\n".join(["nav", f"u{i}", "nav", "", f"v{i}", "nav"])
+            for i in range(30)
+        }
+        tbl = pa.table({
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.large_string()),
+        })
+        ds = ray_session.data.from_arrow(tbl)
+        one = line_dedup_within_doc(ds).sort("doc_id").take_all()
+        many = line_dedup_within_doc(
+            ds.repartition(7)).sort("doc_id").take_all()
+        assert one == many
+        assert one[3]["text"] == "nav\nu3\n\nv3"
