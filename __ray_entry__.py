@@ -1683,12 +1683,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
         return dd.connected_components(pairs)
 
-    def dup_clusters_chain(sf_dir: str):
-        """Distributed connected components against a hard SQL oracle:
-        docs chain consecutively within (n_chars % 50) buckets — chains
-        force multi-round min-label propagation (the worst case for the
-        CC loop), and the expected cluster of every chained node is its
-        bucket's min doc_id, which DuckDB computes directly."""
+    def _chain_pairs(sf_dir: str):
+        """Deterministic SQL-replayable pair graph (oracle scaffolding
+        for the CC family): docs chain consecutively within
+        (n_chars % 50) buckets — chains force multi-round min-label
+        propagation (the worst case for the CC loop), and the expected
+        cluster of every chained node is its bucket's min doc_id,
+        which DuckDB computes directly."""
         import pandas as pd
 
         from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
@@ -1719,13 +1720,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        pairs = grouped_apply(
+        return grouped_apply(
             docs.map_batches(bucketize, batch_format="pyarrow",
                              batch_size=65536),
             ["bucket"], chain, num_partitions=16,
             batch_format="pandas",
         )
-        return dd.connected_components(pairs)
+
+    def dup_clusters_chain(sf_dir: str):
+        """Distributed connected components against a hard SQL oracle
+        over the deterministic chain graph (see _chain_pairs)."""
+        return dd.connected_components(_chain_pairs(sf_dir))
+
+    def docs_cluster_keep_best(sf_dir: str):
+        """Near-dup cluster representative selection by QUALITY
+        (pipelines/dedup.cluster_keep_best — the RefinedWeb/FineWeb
+        production decision: keep the best doc per duplicate cluster,
+        not an arbitrary one) over the deterministic chain graph with
+        a synthetic quality = (doc_id*37) % 101: chained buckets keep
+        their max-quality member (ties min doc_id), singleton buckets
+        survive as their own cluster. The oracle recomputes clusters,
+        quality and the argmax window directly."""
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def add_q(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(d),
+                "quality": pa.array(((d * 37) % 101).astype("float64")),
+            })
+
+        qdocs = docs.map_batches(add_q, batch_format="pyarrow")
+        return dd.cluster_keep_best(qdocs, _chain_pairs(sf_dir))
 
     def _query_vec(sf_dir: str):
         """Fetch the vec_id==0 query vector via a pruned expression-filter
@@ -7991,6 +8018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_exact_pairs": embedding_cosine_exact_pairs,
         "dup_clusters": dup_clusters,
         "dup_clusters_chain": dup_clusters_chain,
+        "docs_cluster_keep_best": docs_cluster_keep_best,
         "embedding_knn_top10": embedding_knn_top10,
         "embedding_knn_join": embedding_knn_join,
         "embedding_ann_recall_eval": embedding_ann_recall_eval,
@@ -9050,6 +9078,30 @@ def oracle_sql() -> dict[str, str]:
         # connected components over the deterministic chain graph:
         # every doc in a (n_chars % 50) bucket with >=2 members is
         # chained, so its component's min label is the bucket min
+        # keep-best-per-cluster over the chain graph: chained buckets
+        # (c >= 2) keep the max-quality member (tie min doc_id);
+        # singleton buckets are their own surviving cluster
+        "docs_cluster_keep_best": """
+            WITH b AS (
+              SELECT doc_id, CAST(n_chars % 50 AS BIGINT) AS bucket,
+                     CAST((doc_id * 37) % 101 AS DOUBLE) AS quality
+              FROM documents
+            ), m AS (
+              SELECT bucket, count(*) AS c, min(doc_id) AS mn
+              FROM b GROUP BY bucket
+            ), j AS (
+              SELECT b.doc_id,
+                     CASE WHEN m.c >= 2 THEN m.mn
+                          ELSE b.doc_id END AS cluster_id,
+                     b.quality
+              FROM b JOIN m USING (bucket)
+            ), r AS (
+              SELECT j.*, row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM j
+            )
+            SELECT doc_id, cluster_id, quality FROM r WHERE rn = 1
+        """,
         "dup_clusters_chain": """
             WITH b AS (
               SELECT doc_id, CAST(n_chars % 50 AS BIGINT) AS bucket

@@ -1463,3 +1463,82 @@ def line_dedup_within_doc(docs_ds, id_col: str = "doc_id",
         }).cast(out_schema)
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_keep_best(docs_ds, pairs_ds, quality_col: str = "quality",
+                      id_col: str = "doc_id", num_partitions: int = 16):
+    """Near-dup cluster REPRESENTATIVE selection by quality — the
+    production dedup decision (RefinedWeb/FineWeb practice): after
+    pair detection (MinHash-LSH / SimHash) and clustering, keep ONE
+    document per duplicate cluster, and make it the BEST one (max
+    ``quality_col``, ties broken by min ``id_col``) rather than an
+    arbitrary or smallest-id member.  Documents in no cluster are
+    their own singleton cluster and always survive.
+
+    ``docs_ds`` needs ``(id_col, quality_col)``; ``pairs_ds`` is the
+    detector output ``(doc_a, doc_b)``.  Emits one row per surviving
+    document: ``(id_col, cluster_id:int64, quality_col)`` with
+    ``cluster_id`` = the component's smallest member id (so singleton
+    survivors carry their own id).
+
+    Scale shape (100 TB): clustering is ``connected_components`` (min
+    label + pointer jumping, O(log diameter) fused exchanges); the
+    label attach is ONE co-partitioned union exchange on ``id_col``
+    (labels and doc rows share it — no broadcast: on a dup-heavy web
+    corpus the label table is O(corpus)); the winner pick pre-combines
+    per block (local argmax per cluster) before ONE ``cluster_id``
+    exchange, so exchange rows are O(clusters × blocks-touching-them),
+    never O(docs). Text never rides any exchange.
+    Reference has no counterpart (training-data curation surface).
+    """
+    from ..stages.shuffle import grouped_apply
+
+    cc = connected_components(pairs_ds, num_partitions=num_partitions)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "cluster_id": pa.array([-1] * len(batch), pa.int64()),
+            quality_col: pc.cast(batch.column(quality_col), pa.float64()),
+        })
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(batch.column("node"), pa.int64()),
+            "cluster_id": pc.cast(batch.column("cluster_id"), pa.int64()),
+            quality_col: pa.array([float("nan")] * len(batch),
+                                  pa.float64()),
+        })
+
+    unioned = docs_ds.map_batches(
+        doc_rows, batch_format="pyarrow"
+    ).union(cc.map_batches(label_rows, batch_format="pyarrow"))
+
+    def attach(pdf: pd.DataFrame) -> pd.DataFrame:
+        lab = pdf[pdf["cluster_id"] >= 0]
+        doc = pdf[pdf["cluster_id"] < 0]
+        m = doc.merge(lab[[id_col, "cluster_id"]], on=id_col,
+                      how="left", suffixes=("", "_cc"))
+        cid = m["cluster_id_cc"].fillna(m[id_col]).astype("int64")
+        return pd.DataFrame({
+            id_col: m[id_col].to_numpy(),
+            "cluster_id": cid.to_numpy(),
+            quality_col: m[quality_col].to_numpy(),
+        })
+
+    labeled = grouped_apply(unioned, [id_col], attach,
+                            num_partitions=num_partitions,
+                            batch_format="pandas")
+
+    def local_best(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([quality_col, id_col],
+                              ascending=[False, True], kind="mergesort")
+        return pdf[~pdf["cluster_id"].duplicated()]
+
+    pre = labeled.map_batches(
+        lambda b: pa.Table.from_pandas(local_best(b.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow", batch_size=65536)
+    return grouped_apply(pre, ["cluster_id"], local_best,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")

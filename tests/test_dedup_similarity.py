@@ -555,3 +555,82 @@ def test_ann_recall_eval_full_probe_is_exact(vectors_ds):
         assert 0.0 <= narrow[mth] <= 1.0
     # re-rank can only help: same nomination mask, exact rescoring
     assert narrow["ivfpq_rerank"] >= narrow["ivfpq"]
+
+
+# ---------------------------------------------------------------------------
+# cluster_keep_best: quality-argmax representative per duplicate cluster
+# ---------------------------------------------------------------------------
+
+def _keep_best(ray_session, docs, pairs, **kw):
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        cluster_keep_best,
+    )
+
+    docs_ds = ray_session.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "quality": pa.array([q for _, q in docs], pa.float64()),
+    }))
+    pairs_ds = ray_session.data.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+    rows = cluster_keep_best(docs_ds, pairs_ds, **kw).take_all()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_cluster_keep_best_picks_max_quality(ray_session):
+    # cluster {0,1,2} chained; doc 1 has the best quality
+    out = _keep_best(
+        ray_session,
+        docs=[(0, 0.2), (1, 0.9), (2, 0.5), (7, 0.1)],
+        pairs=[(0, 1), (1, 2)],
+    )
+    assert set(out) == {1, 7}
+    assert out[1]["cluster_id"] == 0  # component min id labels the cluster
+    assert out[7]["cluster_id"] == 7  # singleton survives as itself
+
+
+def test_cluster_keep_best_tie_breaks_min_id(ray_session):
+    out = _keep_best(
+        ray_session,
+        docs=[(3, 0.5), (4, 0.5), (5, 0.4)],
+        pairs=[(3, 4), (4, 5)],
+    )
+    assert set(out) == {3}
+
+
+def test_cluster_keep_best_partition_independent(ray_session):
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        cluster_keep_best,
+    )
+
+    ids = list(range(40))
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "quality": pa.array([float((i * 13) % 7) for i in ids],
+                            pa.float64()),
+    })
+    # chains of 4: 0-1-2-3, 4-5-6-7, ...
+    pairs = pa.table({
+        "doc_a": pa.array([i for i in ids if i % 4 != 3], pa.int64()),
+        "doc_b": pa.array([i + 1 for i in ids if i % 4 != 3], pa.int64()),
+    })
+    a = cluster_keep_best(
+        ray_session.data.from_arrow(docs),
+        ray_session.data.from_arrow(pairs)).sort("doc_id").take_all()
+    b = cluster_keep_best(
+        ray_session.data.from_arrow(docs).repartition(7),
+        ray_session.data.from_arrow(pairs).repartition(5),
+        num_partitions=3).sort("doc_id").take_all()
+    assert a == b
+    assert len(a) == 10
+    # python reference: per chain of 4, argmax quality then min id
+    want = set()
+    for base in range(0, 40, 4):
+        members = [(-(m * 13 % 7), m) for m in range(base, base + 4)]
+        want.add(min(members)[1])
+    assert {r["doc_id"] for r in a} == want
