@@ -899,6 +899,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return line_dedup_within_doc(
             docs.map_batches(synth, batch_format="pyarrow"))
 
+    def docs_filter_agreement(sf_dir: str):
+        """Curation-dashboard agreement audit between two PRODUCTION
+        quality filters over the real documents table: the Gopher A1.1
+        document rules (clean.gopher_quality; min_stopwords=0 here
+        because the synthetic corpus has no English stopwords — the
+        other six rules gate, and n_words≥50 splits this corpus
+        ~55/45) vs the composite quality-score gate
+        (textstats.quality ≥ 0.75, the corpus median). The
+        disagreement cells are where filter tuning lives — docs one
+        filter keeps and the other kills. Both signal stages are
+        zero-exchange maps; the flag join is ONE co-partitioned union
+        exchange on doc_id and the 2×2 census pre-combines per
+        partition so the final exchange carries O(partitions × 4)
+        rows. The oracle recomputes both signal families and the join
+        in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            gopher_quality,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+        g = gopher_quality(docs, min_stopwords=0)
+        q = ts.quality(docs)
+
+        def g_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "gopher_keep": pc.cast(b.column("keep"), pa.int64()),
+                "quality_keep": pa.array([-1] * len(b), pa.int64()),
+            })
+
+        def q_rows(b: pa.Table) -> pa.Table:
+            qr = pc.round(b.column("quality"), ndigits=6,
+                          round_mode="half_towards_infinity")
+            keep = pc.cast(pc.greater_equal(qr, 0.75), pa.int64())
+            return pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "gopher_keep": pa.array([-1] * len(b), pa.int64()),
+                "quality_keep": keep,
+            })
+
+        u = g.map_batches(g_rows, batch_format="pyarrow").union(
+            q.map_batches(q_rows, batch_format="pyarrow"))
+
+        def census(pdf):
+            # the two marker rows per doc collapse under max (-1 loses)
+            f = pdf.groupby("doc_id")[
+                ["gopher_keep", "quality_keep"]].max()
+            return (f.groupby(["gopher_keep", "quality_keep"]).size()
+                    .rename("n").reset_index())
+
+        cells = grouped_apply(u, ["doc_id"], census, num_partitions=8,
+                              batch_format="pandas")
+
+        def fold(pdf):
+            return (pdf.groupby(["gopher_keep", "quality_keep"])["n"]
+                    .sum().reset_index())
+
+        return grouped_apply(cells, ["gopher_keep", "quality_keep"],
+                             fold, num_partitions=1,
+                             batch_format="pandas")
+
     def web_curation_pipeline(sf_dir: str):
         """End-to-end web curation as ONE streaming chain with ONE SQL
         oracle: planted captures → RefinedWeb URL blocklist
@@ -7978,6 +8043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_curation_pipeline": web_curation_pipeline,
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_line_dedup_within": docs_line_dedup_within,
+        "docs_filter_agreement": docs_filter_agreement,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
         "docs_lang_rebalanced": docs_lang_rebalanced,
@@ -9145,6 +9211,65 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "quality_scores": _QUALITY_ORACLE.format(stopwords=_stopword_list_sql()),
+        # 2x2 agreement census between the Gopher A1.1 document rules
+        # and the composite quality-score gate (>= 0.5), both families
+        # recomputed from scratch over the real documents table
+        "docs_filter_agreement": r"""
+            WITH qsc AS (""" + _QUALITY_ORACLE.format(
+            stopwords=_stopword_list_sql()) + r"""
+            ), w AS (
+              SELECT doc_id, text AS t,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                round(list_sum(list_transform(words,
+                    x -> CAST(length(x) AS DOUBLE)))
+                    / greatest(len(words), 1), 6) AS mean_word_len,
+                round((
+                    (length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) / 3
+                    + (length(t) - length(replace(t, '…', '')))
+                  ) / CAST(greatest(len(words), 1) AS DOUBLE),
+                  6) AS symbol_ratio,
+                round(len(list_filter(lines, x ->
+                    regexp_matches(x, '^(• |- |\* )')))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE),
+                    6) AS bullet_frac,
+                round(len(list_filter(lines, x ->
+                    regexp_matches(x, '(\.\.\.|…)$')))
+                    / CAST(greatest(len(lines), 1) AS DOUBLE),
+                    6) AS ellipsis_frac,
+                round(len(list_filter(words, x ->
+                    regexp_matches(x, '[A-Za-z]')))
+                    / CAST(greatest(len(words), 1) AS DOUBLE),
+                    6) AS alpha_frac,
+                CAST(len(list_distinct(list_transform(
+                    list_filter(words, x -> list_contains(
+                        ['the','be','to','of','and','that','have',
+                         'with'], lower(x))),
+                    x -> lower(x)))) AS BIGINT) AS n_stopwords
+              FROM w
+            ), g AS (
+              SELECT doc_id,
+                     CAST(n_words BETWEEN 50 AND 100000
+                          AND mean_word_len BETWEEN 3.0 AND 10.0
+                          AND symbol_ratio <= 0.1
+                          AND bullet_frac < 0.9
+                          AND ellipsis_frac < 0.3
+                          AND alpha_frac >= 0.8
+                          AND n_stopwords >= 0 AS BIGINT) AS gopher_keep
+              FROM s
+            )
+            SELECT g.gopher_keep,
+                   CAST(qsc.quality >= 0.75 AS BIGINT) AS quality_keep,
+                   count(*) AS n
+            FROM g JOIN qsc USING (doc_id)
+            GROUP BY 1, 2
+        """,
         "embedding_knn_top10": """
             SELECT vec_id,
                    round(list_cosine_similarity(
