@@ -964,6 +964,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              fold, num_partitions=1,
                              batch_format="pandas")
 
+    def docs_logreg_spam_pred(sf_dir: str):
+        """fastText-style hashed-feature logistic regression
+        (pipelines/textstats.logreg_train_predict — the CCNet/GPT-3
+        quality- and routing-filter pattern): md5-slot train docs fit
+        a binary classifier by distributed full-batch GD (per-block
+        gradient partials fold on the driver; the O(dim) model
+        broadcasts via one object-store put per iteration), the rest
+        are scored. The base corpus text carries no label signal (the
+        tokens are drawn from one shared vocabulary), so the task
+        plants one: doc_id%3==0 docs get three spam-marker tokens
+        appended and the 'spam' label — the classifier must recover
+        the planted rule on the held-out slots. No SQL oracle
+        (iterative GD isn't SQL-expressible); semantics are pinned by
+        a plain-numpy reference reimplementation in
+        tests/test_logreg.py, and this entry's planted rule makes the
+        returned pred_y itself checkable row-by-row."""
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def plant(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            spam = ids % 3 == 0
+            txt = b.column("text").to_pylist()
+            out_t = [(t + " winfree prizeclaim creditoffer") if s else t
+                     for t, s in zip(txt, spam)]
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "label": pa.array(
+                    ["spam" if s else "ham" for s in spam], pa.string()),
+                "text": pa.array(out_t, pa.large_string()),
+            })
+
+        return ts.logreg_train_predict(
+            docs.map_batches(plant, batch_format="pyarrow"), "spam",
+            label_col="label", dim=1024, iters=20, lr=2.0, binary=True)
+
     def web_curation_pipeline(sf_dir: str):
         """End-to-end web curation as ONE streaming chain with ONE SQL
         oracle: planted captures → RefinedWeb URL blocklist
@@ -8044,6 +8081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_line_dedup_within": docs_line_dedup_within,
         "docs_filter_agreement": docs_filter_agreement,
+        "docs_logreg_spam_pred": docs_logreg_spam_pred,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
         "docs_lang_rebalanced": docs_lang_rebalanced,

@@ -1492,3 +1492,194 @@ def zipf_fit(docs_ds, k: int = 200, id_col: str = "doc_id",
         "intercept": pa.array([_r(intercept)], pa.float64()),
         "r2": pa.array([_r(r2)], pa.float64()),
     })
+
+
+def _hash_tokens_md5(uniq_tokens, dim: int) -> np.ndarray:
+    """Stable md5-based feature hashing: token → [0, dim). Library-
+    and platform-independent (unlike ``hash()`` / pandas hashing), so
+    models and tests agree byte-for-byte across runs and processes."""
+    import hashlib
+
+    out = np.empty(len(uniq_tokens), dtype=np.int64)
+    for i, t in enumerate(uniq_tokens):
+        out[i] = int.from_bytes(
+            hashlib.md5(t.encode("utf-8")).digest()[:8], "big") % dim
+    return out
+
+
+def logreg_train_predict(docs_ds, pos_label: str, label_col: str = "lang",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         dim: int = 1024, iters: int = 30, lr: float = 2.0,
+                         l2: float = 1e-4, ndigits: int = 6,
+                         train_slots: int = 8, binary: bool = False,
+                         _use_object_store: bool = True):
+    """fastText-style LINEAR text classifier (the CCNet / GPT-3-family
+    quality- and routing-filter pattern): binary logistic regression
+    over hashed, L1-normalized unigram counts (or binary PRESENCE
+    features with ``binary=True`` — the classic spam-filter
+    parameterization, which converges in far fewer GD steps when the
+    signal is a few marker tokens diluted in long documents, because
+    a marker's feature value is 1.0 instead of tf/len), trained by
+    full-batch
+    gradient descent where each step's gradient is a DISTRIBUTED SUM.
+    The train/test split is the repo's standard md5-slot assignment
+    (``assign_splits`` convention: slot = last hex digit of
+    md5(str(id)); slots < ``train_slots`` of 16 train) — hash splits
+    are RNG-free, partition-stable and immune to id-structure
+    confounds (synthetic corpora often encode attributes in id
+    arithmetic, so a parity split would leak or starve a class).
+    Train docs fit y = 1 iff ``label_col == pos_label``; the rest are
+    scored and labeled.
+
+    Output: one row per test-slot document —
+    ``(id_col, true_y:int64, pred_y:int64, p:float64)`` with the
+    positive-class probability rounded to ``ndigits``.
+
+    Scale shape (100 TB): the MODEL is O(dim) floats regardless of
+    corpus size (DSIR's hashed-feature trick applied to the
+    classifier); tokenize+hash runs ONCE into a materialized narrow
+    ``(id, y, idx:list, val:list)`` table so the 20–30 GD passes never
+    re-tokenize; each pass is MAP-ONLY (zero exchanges) — per-block
+    partial gradients (dim+1 floats) fold on the driver, O(blocks)
+    small vectors per step; the refreshed weight vector is broadcast
+    through ONE object-store put per iteration (read per task, never
+    shipped per batch).  At full corpus scale full-batch GD costs
+    ``iters`` streaming passes — the standard play is to train on a
+    ``budget_head``/hash-sampled slice and score everything, which is
+    this same operator over a smaller train mask.
+    Reference has no counterpart (training-data curation surface)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out_schema = pa.schema([
+            (id_col, pa.int64()), ("y", pa.float64()),
+            ("is_train", pa.bool_()),
+            ("idx", pa.list_(pa.int32())), ("val", pa.list_(pa.float64())),
+        ])
+        if n == 0:
+            return out_schema.empty_table()
+        import hashlib
+
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        y = pc.cast(pc.equal(batch.column(label_col), pos_label),
+                    pa.float64())
+        is_train = pa.array([
+            int(hashlib.md5(str(i).encode()).hexdigest()[-1], 16)
+            < train_slots
+            for i in ids.to_pylist()], pa.bool_())
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        didx = np.repeat(np.arange(n), lens)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat_np = np.asarray(flat.to_pandas(), dtype=object)[keep]
+        didx = didx[keep]
+        codes, uniq = pd.factorize(flat_np, sort=False)
+        hashed = _hash_tokens_md5(list(uniq), dim) if len(uniq) else \
+            np.empty(0, np.int64)
+        feat = hashed[codes] if len(codes) else np.empty(0, np.int64)
+        # sum tf per (doc, feature), then L1-normalize per doc
+        key = didx * dim + feat
+        uk, inv = np.unique(key, return_inverse=True)
+        tf = np.bincount(inv).astype(np.float64)
+        krow = (uk // dim).astype(np.int64)
+        kfeat = (uk % dim).astype(np.int32)
+        if binary:
+            val = np.ones_like(tf)
+        else:
+            row_tot = np.bincount(krow, weights=tf, minlength=n)
+            val = tf / row_tot[krow]
+        order = np.argsort(krow, kind="stable")
+        krow, kfeat, val = krow[order], kfeat[order], val[order]
+        counts = np.bincount(krow, minlength=n).astype(np.int32)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        return pa.table({
+            id_col: ids,
+            "y": y,
+            "is_train": is_train,
+            "idx": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(kfeat, pa.int32())),
+            "val": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(val, pa.float64())),
+        }).cast(out_schema)
+
+    feats = docs_ds.select_columns(
+        [id_col, label_col, text_col]
+    ).map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def _csr(batch: pa.Table):
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        tr = batch.column("is_train").to_numpy(zero_copy_only=False)
+        idx = batch.column("idx").combine_chunks()
+        val = batch.column("val").combine_chunks()
+        offs = idx.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fidx = idx.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        fval = val.values.to_numpy(zero_copy_only=False)
+        # a sliced ListArray's offsets need not start at 0 — rebase so
+        # fidx/fval align with np.repeat over np.diff(offs)
+        fidx = fidx[offs[0]:offs[-1]]
+        fval = fval[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        return ids, y, tr, offs, fidx, fval
+
+    def _row_scores(w, offs, fidx, fval):
+        contrib = w[fidx] * fval
+        sums = np.concatenate(([0.0], np.cumsum(contrib)))[offs]
+        return sums[1:] - sums[:-1]
+
+    w = np.zeros(dim + 1, dtype=np.float64)  # [features..., bias]
+    n_train = None
+    for _ in range(iters):
+        wref = ray.put(w) if _use_object_store else w
+
+        def grad_partial(batch: pa.Table, _wref=wref) -> pa.Table:
+            wv = ray.get(_wref) if _use_object_store else _wref
+            ids, y, train, offs, fidx, fval = _csr(batch)
+            g = np.zeros(dim + 1, dtype=np.float64)
+            nt = int(train.sum())
+            if nt:
+                z = _row_scores(wv[:dim], offs, fidx, fval) + wv[dim]
+                p = 1.0 / (1.0 + np.exp(-z))
+                err = np.where(train, p - y, 0.0)
+                row_of = np.repeat(np.arange(len(ids)),
+                                   np.diff(offs))
+                np.add.at(g, fidx, err[row_of] * fval)
+                g[dim] = err.sum()
+            return pa.table({
+                "g": pa.array([g.tolist()], pa.list_(pa.float64())),
+                "n": pa.array([nt], pa.int64()),
+            })
+
+        parts = feats.map_batches(
+            grad_partial, batch_format="pyarrow").take_all()
+        n_train = sum(r["n"] for r in parts)
+        g = np.zeros(dim + 1, dtype=np.float64)
+        for r in parts:
+            g += np.asarray(r["g"], dtype=np.float64)
+        g /= max(n_train, 1)
+        g[:dim] += l2 * w[:dim]  # bias unregularized
+        w = w - lr * g
+
+    w_final = ray.put(w) if _use_object_store else w
+
+    def score(batch: pa.Table, _wref=w_final) -> pa.Table:
+        wv = ray.get(_wref) if _use_object_store else _wref
+        ids, y, train, offs, fidx, fval = _csr(batch)
+        test = ~train
+        z = _row_scores(wv[:dim], offs, fidx, fval) + wv[dim]
+        p = 1.0 / (1.0 + np.exp(-z))
+        return pa.table({
+            id_col: pa.array(ids[test], pa.int64()),
+            "true_y": pa.array(y[test].astype(np.int64)),
+            "pred_y": pa.array((p[test] >= 0.5).astype(np.int64)),
+            "p": pa.array(np.round(p[test], ndigits), pa.float64()),
+        })
+
+    return feats.map_batches(score, batch_format="pyarrow")
