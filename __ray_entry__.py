@@ -964,6 +964,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              fold, num_partitions=1,
                              batch_format="pandas")
 
+    def docs_log_odds_terms(sf_dir: str):
+        """Per-source distinctive vocabulary — weighted log-odds with
+        a uniform Dirichlet prior (Monroe et al. 2008, "Fightin'
+        Words"; pipelines/textstats.log_odds_terms): top-5 tokens per
+        source by the z-scored group-vs-rest log-odds, ranked on the
+        6-digit-rounded value with token tie-break so engine ln() ulp
+        differences can't flip the heads. One token-keyed exchange
+        builds exact counts, one source-keyed exchange takes heads.
+        The oracle recomputes the entire statistic in SQL."""
+        return ts.log_odds_terms(_read(sf_dir, "documents"), k=5)
+
     def docs_logreg_spam_pred(sf_dir: str):
         """fastText-style hashed-feature logistic regression
         (pipelines/textstats.logreg_train_predict — the CCNet/GPT-3
@@ -8081,6 +8092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_paragraph_dedup": docs_paragraph_dedup,
         "docs_line_dedup_within": docs_line_dedup_within,
         "docs_filter_agreement": docs_filter_agreement,
+        "docs_log_odds_terms": docs_log_odds_terms,
         "docs_logreg_spam_pred": docs_logreg_spam_pred,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
@@ -9252,6 +9264,48 @@ def oracle_sql() -> dict[str, str]:
         # 2x2 agreement census between the Gopher A1.1 document rules
         # and the composite quality-score gate (>= 0.5), both families
         # recomputed from scratch over the real documents table
+        # Monroe et al. 2008 weighted log-odds, entire statistic in SQL;
+        # rank on the 6-digit-rounded z with token tie-break (same rule
+        # as the Ray side) so ln() ulp differences can't flip heads
+        "docs_log_odds_terms": r"""
+            WITH tokx AS (
+              SELECT source,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), c AS (
+              SELECT source, tok, count(*) AS c
+              FROM tokx GROUP BY source, tok
+            ), ctt AS (
+              SELECT tok, sum(c) AS ct FROM c GROUP BY tok
+            ), ns AS (
+              SELECT source, sum(c) AS ng FROM c GROUP BY source
+            ), tot AS (
+              SELECT (SELECT sum(c) FROM c) AS n,
+                     (SELECT count(*) FROM ctt) AS v
+            ), z AS (
+              SELECT c.source, c.tok,
+                     round((
+                       ln((c.c + 0.01)
+                          / (ns.ng + 0.01 * tot.v - c.c - 0.01))
+                     - ln((ctt.ct - c.c + 0.01)
+                          / (tot.n - ns.ng + 0.01 * tot.v
+                             - (ctt.ct - c.c) - 0.01))
+                     ) / sqrt(1.0 / (c.c + 0.01)
+                              + 1.0 / (ctt.ct - c.c + 0.01)),
+                     6) AS zscore
+              FROM c
+              JOIN ctt USING (tok)
+              JOIN ns USING (source)
+              CROSS JOIN tot
+            ), r AS (
+              SELECT source, tok AS token, zscore,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY zscore DESC, tok ASC) AS rn
+              FROM z
+            )
+            SELECT source, token, zscore FROM r WHERE rn <= 5
+        """,
         "docs_filter_agreement": r"""
             WITH qsc AS (""" + _QUALITY_ORACLE.format(
             stopwords=_stopword_list_sql()) + r"""

@@ -80,3 +80,101 @@ def test_disjoint_vocab_group_most_drifted(ray_session):
     # 'd' shares no token with the rest of the corpus: largest KL.
     assert got["d"] == got.max()
     assert got["d"] > 2 * got[["a", "b", "c"]].max()
+
+
+# ---------------------------------------------------------------------------
+# log_odds_terms: Monroe et al. 2008 weighted log-odds distinctive terms
+# ---------------------------------------------------------------------------
+
+def test_log_odds_marker_token_tops_its_group(ray_session):
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        log_odds_terms,
+    )
+
+    shared = "alpha beta gamma delta"
+    rows = []
+    for i in range(20):
+        src = "a" if i % 2 == 0 else "b"
+        marker = "zonly" if src == "a" else "qonly"
+        rows.append((i, src, f"{shared} {marker}"))
+    ds = ray_session.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+    }))
+    out = log_odds_terms(ds, k=2).take_all()
+    best = {}
+    for r in out:
+        best.setdefault(r["source"], []).append((r["zscore"], r["token"]))
+    assert max(best["a"])[1] == "zonly"
+    assert max(best["b"])[1] == "qonly"
+    # the marker's z must dominate the shared vocabulary's
+    shared_z = [z for z, t in best["a"] if t != "zonly"]
+    marker_z = [z for z, t in best["a"] if t == "zonly"]
+    assert marker_z and all(m > s for m in marker_z for s in shared_z)
+
+
+def test_log_odds_numpy_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        log_odds_terms,
+    )
+
+    docs = [(0, "a", "x x y"), (1, "a", "y z"), (2, "b", "z z y w")]
+    ds = ray_session.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.large_string()),
+    }))
+    out = {(r["source"], r["token"]): r["zscore"]
+           for r in log_odds_terms(ds, k=10).take_all()}
+
+    # plain-python replay of the published formula
+    from collections import Counter
+    c = Counter()
+    for _, s, t in docs:
+        for tok in t.split():
+            c[(s, tok)] += 1
+    ct = Counter()
+    for (s, tok), n in c.items():
+        ct[tok] += n
+    ng = Counter()
+    for (s, tok), n in c.items():
+        ng[s] += n
+    N = sum(ng.values())
+    V = len(ct)
+    a = 0.01
+    a0 = a * V
+    for (s, tok), cc in c.items():
+        crest = ct[tok] - cc
+        delta = (np.log((cc + a) / (ng[s] + a0 - cc - a))
+                 - np.log((crest + a) / (N - ng[s] + a0 - crest - a)))
+        z = round(delta / np.sqrt(1 / (cc + a) + 1 / (crest + a)), 6)
+        assert out[(s, tok)] == pytest.approx(z, abs=1e-9), (s, tok)
+
+
+def test_log_odds_partition_independent(ray_session):
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        log_odds_terms,
+    )
+
+    rows = [(i, f"s{i % 3}", f"tok{i % 7} tok{i % 5} common")
+            for i in range(60)]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+    })
+    ds = ray_session.data.from_arrow(tbl)
+    key = lambda r: (r["source"], r["token"])
+    one = sorted(log_odds_terms(ds, k=3).take_all(), key=key)
+    many = sorted(log_odds_terms(ds.repartition(7), k=3,
+                                 num_partitions=5).take_all(), key=key)
+    assert one == many
