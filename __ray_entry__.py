@@ -2709,6 +2709,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return except_distinct(docs.select_columns(["doc_id"]), rem,
                                ["doc_id"], num_partitions=16)
 
+    def docs_minhash_keep_best(sf_dir: str):
+        """END-TO-END quality-aware near-dup dedup — the FineWeb-style
+        production chain: MinHash-LSH pairs → connected components →
+        keep each cluster's BEST doc by composite quality score
+        (pipelines/dedup.cluster_keep_best; singletons survive as
+        themselves). The sibling of docs_minhash_deduped with the
+        keep-min-id rule replaced by the quality argmax a real
+        curation pipeline uses. Rows-only driver check (the LSH
+        detector isn't SQL-replayable); every stage is individually
+        oracled/tested."""
+        docs = _read(sf_dir, "documents")
+        pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).select_columns(
+            ["doc_a", "doc_b"])
+
+        q = ts.quality(docs)
+
+        def slim(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "quality": pc.round(b.column("quality"), ndigits=6,
+                                    round_mode="half_towards_infinity"),
+            })
+
+        return dd.cluster_keep_best(
+            q.map_batches(slim, batch_format="pyarrow"), pairs)
+
     def embeddings_semantic_dedup(sf_dir: str):
         """Semantic (embedding-space) dedup end-to-end: LSH-bucketed
         cosine near-dup pairs → connected components → keep min vec_id
@@ -8335,6 +8361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_extracted_s_words": docs_extracted_s_words,
         "events_type_freq_cms": events_type_freq_cms,
         "docs_minhash_deduped": docs_minhash_deduped,
+        "docs_minhash_keep_best": docs_minhash_keep_best,
         "simhash_vs_jaccard_eval": simhash_vs_jaccard_eval,
         "embeddings_semantic_dedup": embeddings_semantic_dedup,
     }
