@@ -975,6 +975,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         The oracle recomputes the entire statistic in SQL."""
         return ts.log_odds_terms(_read(sf_dir, "documents"), k=5)
 
+    def docs_tfidf_cosine_pairs(sf_dir: str):
+        """Sparse TF-IDF cosine similarity join
+        (pipelines/textstats.tfidf_cosine_pairs — inverted-index
+        all-pairs, the lexical sibling of embedding_cosine_exact_pairs)
+        at threshold 0.7 over the 200-doc bounded subset (the same
+        bounded-n baseline contract as docs_jaccard_exact_pairs; the
+        production path caps hot tokens via max_bucket). Exact mode
+        here so the SQL oracle replays the full statistic: tf → idf →
+        L2 normalize → shared-token self-join → threshold."""
+        docs = (_read(sf_dir, "documents")
+                .select_columns(["doc_id", "text"])
+                .sort("doc_id").limit(200))
+        return ts.tfidf_cosine_pairs(docs, threshold=0.7)
+
     def docs_logreg_spam_pred(sf_dir: str):
         """fastText-style hashed-feature logistic regression
         (pipelines/textstats.logreg_train_predict — the CCNet/GPT-3
@@ -8119,6 +8133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup_within": docs_line_dedup_within,
         "docs_filter_agreement": docs_filter_agreement,
         "docs_log_odds_terms": docs_log_odds_terms,
+        "docs_tfidf_cosine_pairs": docs_tfidf_cosine_pairs,
         "docs_logreg_spam_pred": docs_logreg_spam_pred,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
@@ -9291,6 +9306,44 @@ def oracle_sql() -> dict[str, str]:
         # 2x2 agreement census between the Gopher A1.1 document rules
         # and the composite quality-score gate (>= 0.5), both families
         # recomputed from scratch over the real documents table
+        # inverted-index TF-IDF cosine join over the 200-doc subset:
+        # tf -> smooth-free idf ln(N/df) -> L2 normalize -> shared-token
+        # self-join -> rounded threshold filter (exact replay)
+        "docs_tfidf_cosine_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              ORDER BY doc_id LIMIT 200
+            ), tokx AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM d
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM tokx GROUP BY doc_id, tok
+            ), dfq AS (
+              SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), w AS (
+              SELECT tf.doc_id, tf.tok,
+                     tf.tf * ln(200.0 / dfq.df) AS w
+              FROM tf JOIN dfq USING (tok)
+            ), nrm AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS nm
+              FROM w GROUP BY doc_id
+            ), u AS (
+              SELECT w.doc_id, w.tok,
+                     CASE WHEN nrm.nm > 0 THEN w.w / nrm.nm
+                          ELSE 0.0 END AS w
+              FROM w JOIN nrm USING (doc_id)
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(sum(a.w * b.w), 6) AS cosine
+              FROM u a JOIN u b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.7
+        """,
         # Monroe et al. 2008 weighted log-odds, entire statistic in SQL;
         # rank on the 6-digit-rounded z with token tie-break (same rule
         # as the Ray side) so ln() ulp differences can't flip heads

@@ -1803,3 +1803,120 @@ def log_odds_terms(docs_ds, group_col: str = "source", k: int = 5,
     return grouped_apply(pre, [group_col], topk,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def tfidf_cosine_pairs(docs_ds, threshold: float = 0.8,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       ndigits: int = 6, max_bucket: int | None = None,
+                       num_partitions: int = 64):
+    """Sparse TF-IDF cosine SIMILARITY JOIN over token space — the
+    inverted-index all-pairs algorithm (Broder-style pair generation;
+    the lexical sibling of the embedding-space near-dup join): every
+    document pair sharing at least one token gets its exact cosine
+    over smoothed-idf-weighted tf vectors, and pairs with
+    ``cosine ≥ threshold`` survive.  Output: ``(doc_a, doc_b,
+    cosine:float64)`` with doc_a < doc_b and the cosine rounded to
+    ``ndigits``.
+
+    Distribution (4 keyed exchanges, nothing ever broadcast):
+    (A) token-keyed — a token's (doc, tf) rows are co-located, so its
+    document frequency is an exact LOCAL count and idf = ln(N/df)
+    attaches in place; (B) doc-keyed — L2-normalize each document's
+    weight vector (norms need no separate attach later: normalized
+    weights make the final sum the cosine itself); (C) token-keyed —
+    each token emits its doc-pair partials ŵa·ŵb (a<b), optionally
+    split by ``capped_subgroups`` when ``max_bucket`` is set; (D)
+    pair-keyed — partials sum to the exact cosine, threshold filter.
+
+    Skew contract (100 TB): a token shared by d documents contributes
+    d(d−1)/2 partial rows — unbounded on stop-words.  The production
+    path sets ``max_bucket`` (each hot token's group splits into
+    salted sub-buckets) or prunes stop-tokens by df upstream.  Because
+    tf·idf weights are non-negative, a capped score only ever LOSES
+    contributions, so it is a LOWER BOUND on the true cosine:
+    thresholded output keeps precision 1.0 and degrades recall
+    predictably — the same contract as the LSH bucket caps, pinned by
+    test.  ``max_bucket=None`` is the exact mode for bounded-n
+    baselines and oracle checks.  Reference has no counterpart."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import capped_subgroups, group_salt
+    from ..stages.shuffle import grouped_apply
+
+    n_docs = docs_ds.count()
+
+    tf = docs_ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _tf_table(b, id_col, text_col),
+        batch_format="pyarrow")
+
+    def attach_idf(pdf: pd.DataFrame) -> pd.DataFrame:
+        df_per_tok = pdf.groupby("tok")["tok"].transform("size")
+        w = pdf["tf"].to_numpy(np.float64) * np.log(
+            n_docs / df_per_tok.to_numpy(np.float64))
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "tok": pdf["tok"].to_numpy(),
+            "w": w,
+        })
+
+    weighted = grouped_apply(tf, ["tok"], attach_idf,
+                             num_partitions=num_partitions,
+                             batch_format="pandas")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        norm = np.sqrt(
+            (pdf["w"] ** 2).groupby(pdf[id_col]).transform("sum"))
+        out = pdf.copy()
+        # all-zero vectors (ln(N/N)=0 single-token corpora) stay zero
+        out["w"] = np.where(norm > 0, pdf["w"] / norm, 0.0)
+        return out
+
+    unit = grouped_apply(weighted, [id_col], normalize,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")
+
+    def pair_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b, outs_p = [], [], []
+        for tok, g in pdf.groupby("tok", sort=False):
+            subs = (capped_subgroups(g, id_col, max_bucket,
+                                     salt=group_salt(tok))
+                    if max_bucket else (g,))
+            for sub in subs:
+                if len(sub) < 2:
+                    continue
+                s = sub.sort_values(id_col, kind="mergesort")
+                ids = s[id_col].to_numpy()
+                ws = s["w"].to_numpy()
+                ia, ib = np.triu_indices(len(ids), k=1)
+                outs_a.append(ids[ia])
+                outs_b.append(ids[ib])
+                outs_p.append(ws[ia] * ws[ib])
+        if not outs_a:
+            return pd.DataFrame({
+                "doc_a": np.empty(0, np.int64),
+                "doc_b": np.empty(0, np.int64),
+                "p": np.empty(0, np.float64),
+            })
+        return pd.DataFrame({
+            "doc_a": np.concatenate(outs_a),
+            "doc_b": np.concatenate(outs_b),
+            "p": np.concatenate(outs_p),
+        })
+
+    partials = grouped_apply(unit, ["tok"], pair_partials,
+                             num_partitions=num_partitions,
+                             batch_format="pandas")
+
+    def reduce_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort partials so the float sum order is independent of the
+        # upstream partition arrival order (run-to-run determinism)
+        pdf = pdf.sort_values(["doc_a", "doc_b", "p"], kind="mergesort")
+        agg = pdf.groupby(["doc_a", "doc_b"], sort=True)["p"].sum()
+        cos = np.round(agg.to_numpy(), ndigits)
+        out = agg.reset_index()[["doc_a", "doc_b"]]
+        out["cosine"] = cos
+        return out[out["cosine"] >= threshold]
+
+    return grouped_apply(partials, ["doc_a", "doc_b"], reduce_pairs,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")

@@ -178,3 +178,98 @@ def test_log_odds_partition_independent(ray_session):
     many = sorted(log_odds_terms(ds.repartition(7), k=3,
                                  num_partitions=5).take_all(), key=key)
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs: inverted-index sparse cosine similarity join
+# ---------------------------------------------------------------------------
+
+def _tfidf_ds(ray_session, docs):
+    import pyarrow as pa
+
+    return ray_session.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.large_string()),
+    }))
+
+
+def test_tfidf_cosine_matches_numpy(ray_session):
+    import numpy as np
+    import pytest
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = [(0, "a b c"), (1, "a b d"), (2, "x y z"), (3, "a b c c")]
+    out = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(
+               _tfidf_ds(ray_session, docs), threshold=0.0).take_all()}
+
+    # numpy reference
+    vocab = sorted({t for _, txt in docs for t in txt.split()})
+    X = np.zeros((len(docs), len(vocab)))
+    for i, (_, txt) in enumerate(docs):
+        for t in txt.split():
+            X[i, vocab.index(t)] += 1
+    df = (X > 0).sum(axis=0)
+    Xw = X * np.log(len(docs) / df)
+    nrm = np.linalg.norm(Xw, axis=1)
+    Xu = np.where(nrm[:, None] > 0, Xw / np.maximum(nrm, 1e-300)[:, None],
+                  0.0)
+    S = Xu @ Xu.T
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            want = round(float(S[i, j]), 6)
+            if (i, j) in out:
+                assert out[(i, j)] == pytest.approx(want, abs=1e-9)
+            else:
+                # pairs sharing no token never materialize
+                assert S[i, j] == pytest.approx(0.0, abs=1e-12)
+    # identical-idf-profile docs 0 and 3 are the most similar pair
+    assert out[(0, 3)] == max(out.values())
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_tfidf_cosine_threshold_and_partition_independence(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = [(i, f"shared token{i % 4} extra{i % 2}") for i in range(24)]
+    ds = _tfidf_ds(ray_session, docs)
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    one = sorted(tfidf_cosine_pairs(ds, threshold=0.5).take_all(),
+                 key=key)
+    many = sorted(tfidf_cosine_pairs(
+        ds.repartition(7), threshold=0.5,
+        num_partitions=5).take_all(), key=key)
+    assert one == many
+    assert one  # threshold keeps the same-residue near-identical docs
+    assert all(r["cosine"] >= 0.5 for r in one)
+
+
+def test_tfidf_cosine_bucket_cap_is_a_lower_bound(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    # hot tokens shared by all docs plus a discriminative rare token;
+    # idf of the universal tokens is ln(1)=0, so the rare token carries
+    # the signal and the cap must only LOWER scores (weights >= 0)
+    docs = [(i, f"hot shared vocab rare{i % 3}") for i in range(12)]
+    ds = _tfidf_ds(ray_session, docs)
+    exact = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in tfidf_cosine_pairs(ds, threshold=0.0).take_all()}
+    capped = {(r["doc_a"], r["doc_b"]): r["cosine"]
+              for r in tfidf_cosine_pairs(
+                  ds, threshold=0.0, max_bucket=4).take_all()}
+    assert set(capped) <= set(exact)
+    assert capped  # the cap still produces pairs
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
+    # thresholded capped output therefore has NO false positives
+    thr = 0.9
+    cap_hits = {k for k, v in capped.items() if v >= thr}
+    exact_hits = {k for k, v in exact.items() if v >= thr}
+    assert cap_hits <= exact_hits
