@@ -1004,9 +1004,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (iterative GD isn't SQL-expressible); semantics are pinned by
         a plain-numpy reference reimplementation in
         tests/test_logreg.py, and this entry's planted rule makes the
-        returned pred_y itself checkable row-by-row."""
-        docs = _read(sf_dir, "documents").select_columns(
-            ["doc_id", "text"])
+        returned pred_y itself checkable row-by-row. Bounded to the
+        2,000-doc sorted head: GD passes stream the whole feature
+        table, so an unbounded demo would cost iters × corpus scans —
+        at real scale you train on a sampled slice and score
+        everything with the final weights (one map pass), which is
+        this same operator."""
+        docs = (_read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]).sort("doc_id").limit(2000))
 
         def plant(b: pa.Table) -> pa.Table:
             ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy(
