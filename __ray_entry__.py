@@ -989,6 +989,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort("doc_id").limit(200))
         return ts.tfidf_cosine_pairs(docs, threshold=0.7)
 
+    def docs_graph_random_walks(sf_dir: str):
+        """DeepWalk-style walk corpus (pipelines/graph.random_walks,
+        Perozzi et al. 2014 sampling step) over the deterministic
+        two-out-edges-per-doc graph the degree-hist query pins —
+        walk_len 4, one walk per source node, next hop chosen by the
+        SQL-replayable mixed-congruential rule (u·A + s·B) mod deg(u)
+        over dst-sorted distinct adjacency. The oracle replays all
+        three hops as chained window-numbered joins."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            random_walks,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(x):
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500), 500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(pc.add(pc.multiply(ids, 7), 3)).combine_chunks(),
+                mod500(pc.add(pc.multiply(ids, ids), 1)).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        return random_walks(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            walk_len=4, num_partitions=8)
+
     def docs_logreg_spam_pred(sf_dir: str):
         """fastText-style hashed-feature logistic regression
         (pipelines/textstats.logreg_train_predict — the CCNet/GPT-3
@@ -8139,6 +8170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_filter_agreement": docs_filter_agreement,
         "docs_log_odds_terms": docs_log_odds_terms,
         "docs_tfidf_cosine_pairs": docs_tfidf_cosine_pairs,
+        "docs_graph_random_walks": docs_graph_random_walks,
         "docs_logreg_spam_pred": docs_logreg_spam_pred,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
@@ -9311,6 +9343,45 @@ def oracle_sql() -> dict[str, str]:
         # 2x2 agreement census between the Gopher A1.1 document rules
         # and the composite quality-score gate (>= 0.5), both families
         # recomputed from scratch over the real documents table
+        # deterministic DeepWalk corpus: replay the adjacency indexing
+        # and all three mixed-congruential hops as chained joins
+        "docs_graph_random_walks": r"""
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, (7 * doc_id + 3) % 500 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * doc_id + 1) % 500
+                FROM documents)
+            ), adj AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src
+                         ORDER BY dst) - 1 AS i,
+                     count(*) OVER (PARTITION BY src) AS deg
+              FROM e
+            ), s0 AS (
+              SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step,
+                     src AS node
+              FROM e
+            ), s1 AS (
+              SELECT w.walk_id, CAST(1 AS BIGINT) AS step,
+                     a.dst AS node
+              FROM s0 w JOIN adj a ON a.src = w.node
+               AND a.i = (w.node * 2654435761 + 0 * 40503) % a.deg
+            ), s2 AS (
+              SELECT w.walk_id, CAST(2 AS BIGINT) AS step,
+                     a.dst AS node
+              FROM s1 w JOIN adj a ON a.src = w.node
+               AND a.i = (w.node * 2654435761 + 1 * 40503) % a.deg
+            ), s3 AS (
+              SELECT w.walk_id, CAST(3 AS BIGINT) AS step,
+                     a.dst AS node
+              FROM s2 w JOIN adj a ON a.src = w.node
+               AND a.i = (w.node * 2654435761 + 2 * 40503) % a.deg
+            )
+            SELECT * FROM s0 UNION ALL SELECT * FROM s1
+            UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        """,
         # inverted-index TF-IDF cosine join over the 200-doc subset:
         # tf -> smooth-free idf ln(N/df) -> L2 normalize -> shared-token
         # self-join -> rounded threshold filter (exact replay)

@@ -889,3 +889,98 @@ def degree_histogram(edges_ds, src_col: str = "src",
         per_node.map_batches(degree_counts, batch_format="pyarrow"),
         ["degree"], hist, num_partitions=max(num_partitions // 4, 1),
     )
+
+
+def random_walks(edges_ds, walk_len: int = 4, src_col: str = "src",
+                 dst_col: str = "dst", mult_a: int = 2654435761,
+                 mult_b: int = 40503, num_partitions: int = 16):
+    """DeepWalk-style WALK CORPUS over an edge list — the sampling
+    step graph-embedding pipelines feed to a skip-gram trainer
+    (Perozzi et al. 2014) — with a DETERMINISTIC next-hop rule so the
+    corpus is reproducible and SQL-replayable: from node u at step s
+    the walk moves to neighbor ``(u·A + s·B) mod deg(u)`` of u's
+    distinct, dst-sorted adjacency (a Weyl-style mixed congruential
+    pick; no RNG state, stable across runs and partitionings).  One
+    walk starts at every distinct source node (walk_id = start node);
+    a walk reaching a node with no out-edges stops early.
+
+    Output: visited rows ``(walk_id, step, node)``, step 0 = start.
+
+    Scale shape (100 TB): the distinct edge list materializes ONCE;
+    each of the ``walk_len − 1`` steps is ONE co-partitioned union
+    exchange (frontier rows ride with the adjacency rows of their
+    current node — the pagerank-round pattern), and per-step state is
+    one row per live walk, never the visited prefix (the corpus
+    accumulates as a lazy union of per-step Datasets).  Hub nodes
+    concentrate frontier rows on one partition but the per-row work
+    is a vectorized two-key merge."""
+
+    def undip(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(batch.column(src_col), pa.int64()),
+            "dst": pc.cast(batch.column(dst_col), pa.int64()),
+            "walk": pa.array([-1] * len(batch), pa.int64()),
+            "step": pa.array([-1] * len(batch), pa.int64()),
+        })
+
+    edges = edges_ds.map_batches(
+        undip, batch_format="pyarrow").materialize()
+
+    def starts(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("key"))
+        return pa.table({
+            "walk_id": u, "step": pa.array([0] * len(u), pa.int64()),
+            "node": u,
+        })
+
+    # per-batch unique then one exchange dedups start nodes exactly
+    def dedup_starts(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates("walk_id")
+
+    frontier = grouped_apply(
+        edges.map_batches(starts, batch_format="pyarrow"),
+        ["walk_id"], dedup_starts, num_partitions=num_partitions,
+        batch_format="pandas",
+    ).materialize()
+    visited = [frontier]
+
+    for step in range(walk_len - 1):
+        def fr_rows(batch: pa.Table, _s=step) -> pa.Table:
+            return pa.table({
+                "key": pc.cast(batch.column("node"), pa.int64()),
+                "dst": pa.array([-1] * len(batch), pa.int64()),
+                "walk": pc.cast(batch.column("walk_id"), pa.int64()),
+                "step": pc.cast(batch.column("step"), pa.int64()),
+            })
+
+        unioned = edges.union(
+            frontier.map_batches(fr_rows, batch_format="pyarrow"))
+
+        def hop(pdf: pd.DataFrame, _s=step) -> pd.DataFrame:
+            adj = (pdf[pdf["walk"] < 0][["key", "dst"]]
+                   .drop_duplicates()
+                   .sort_values(["key", "dst"], kind="mergesort"))
+            adj["i"] = adj.groupby("key").cumcount()
+            deg = (adj.groupby("key").size().rename("deg")
+                   .reset_index())
+            fr = pdf[pdf["walk"] >= 0][["key", "walk", "step"]]
+            m = fr.merge(deg, on="key", how="inner")
+            m["i"] = (m["key"].to_numpy(np.int64) * mult_a
+                      + _s * mult_b) % m["deg"].to_numpy(np.int64)
+            nxt = m.merge(adj, on=["key", "i"], how="inner")
+            return pd.DataFrame({
+                "walk_id": nxt["walk"].to_numpy(np.int64),
+                "step": nxt["step"].to_numpy(np.int64) + 1,
+                "node": nxt["dst"].to_numpy(np.int64),
+            })
+
+        frontier = grouped_apply(
+            unioned, ["key"], hop, num_partitions=num_partitions,
+            batch_format="pandas",
+        ).materialize()
+        visited.append(frontier)
+
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.union(v)
+    return out

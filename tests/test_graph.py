@@ -430,3 +430,69 @@ class TestDegreeHistogram:
         edges = [(i, (i * i + 1) % 7) for i in range(40)]
         assert (self._hist(edges, blocks=1, num_partitions=2)
                 == self._hist(edges, blocks=8, num_partitions=5))
+
+
+# ---------------------------------------------------------------------------
+# random_walks: deterministic DeepWalk corpus sampling
+# ---------------------------------------------------------------------------
+
+def _edges_ds(ray_session, pairs):
+    import pyarrow as pa
+
+    return ray_session.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+
+
+def test_random_walks_hand_computed(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        random_walks,
+    )
+
+    A, B = 2654435761, 40503
+    # node 0 -> {1, 2}; node 1 -> {0}; node 2 -> {1}
+    pairs = [(0, 1), (0, 2), (1, 0), (2, 1)]
+    out = random_walks(_edges_ds(ray_session, pairs),
+                       walk_len=3).take_all()
+    got = {(r["walk_id"], r["step"]): r["node"] for r in out}
+
+    # python replay
+    adj = {0: [1, 2], 1: [0], 2: [1]}
+    for start in adj:
+        cur = start
+        assert got[(start, 0)] == start
+        for s in range(2):
+            cur = adj[cur][(cur * A + s * B) % len(adj[cur])]
+            assert got[(start, s + 1)] == cur, (start, s)
+    assert len(out) == 9  # 3 walks x 3 steps, no dead ends
+
+
+def test_random_walks_dead_end_stops_early(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        random_walks,
+    )
+
+    # 5 -> 6, 6 has no out-edges: the walk from 5 stops at step 1
+    out = random_walks(_edges_ds(ray_session, [(5, 6)]),
+                       walk_len=4).take_all()
+    rows = sorted((r["walk_id"], r["step"], r["node"]) for r in out)
+    assert rows == [(5, 0, 5), (5, 1, 6)]
+
+
+def test_random_walks_parallel_edges_dedup_and_partition_independent(
+        ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        random_walks,
+    )
+
+    pairs = [(i, (i + 1) % 20) for i in range(20)]
+    pairs += pairs[:7]  # parallel duplicates must not change degrees
+    pairs += [(i, (i + 5) % 20) for i in range(20)]
+    ds = _edges_ds(ray_session, pairs)
+    key = lambda r: (r["walk_id"], r["step"])
+    one = sorted(random_walks(ds, walk_len=4).take_all(), key=key)
+    many = sorted(random_walks(ds.repartition(7), walk_len=4,
+                               num_partitions=3).take_all(), key=key)
+    assert one == many
+    assert len(one) == 20 * 4
