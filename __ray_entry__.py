@@ -1020,6 +1020,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(edges, batch_format="pyarrow"),
             walk_len=4, num_partitions=8)
 
+    def docs_token_ids(sf_dir: str):
+        """Vocabulary freeze + corpus encode
+        (pipelines/textstats.token_ids_encode): dense token ids by
+        frequency rank (count desc, token asc) WITHOUT a global sort —
+        rank decomposes into a driver-folded count-histogram offset
+        plus a within-count lexicographic index — then every document
+        re-emitted as its id sequence via one token-keyed repartition
+        join and one doc-keyed ordered reassembly. The id list rides
+        out comma-joined so the DuckDB oracle (window-ranked vocab +
+        string_agg replay) compares value-exactly."""
+        enc = ts.token_ids_encode(_read(sf_dir, "documents"))
+
+        def stringify(b: pa.Table) -> pa.Table:
+            s = pc.binary_join(
+                pc.cast(b.column("ids"), pa.list_(pa.string())), ",")
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "ids_str": pc.cast(s, pa.string()),
+                "n_tokens": b.column("n_tokens"),
+            })
+
+        return enc.map_batches(stringify, batch_format="pyarrow")
+
     def docs_logreg_spam_pred(sf_dir: str):
         """fastText-style hashed-feature logistic regression
         (pipelines/textstats.logreg_train_predict — the CCNet/GPT-3
@@ -8171,6 +8194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_log_odds_terms": docs_log_odds_terms,
         "docs_tfidf_cosine_pairs": docs_tfidf_cosine_pairs,
         "docs_graph_random_walks": docs_graph_random_walks,
+        "docs_token_ids": docs_token_ids,
         "docs_logreg_spam_pred": docs_logreg_spam_pred,
         "docs_wet_export": docs_wet_export,
         "pages_crawl_diff": pages_crawl_diff,
@@ -9343,6 +9367,41 @@ def oracle_sql() -> dict[str, str]:
         # 2x2 agreement census between the Gopher A1.1 document rules
         # and the composite quality-score gate (>= 0.5), both families
         # recomputed from scratch over the real documents table
+        # frequency-ranked vocab + ordered id-sequence replay; empty
+        # docs keep an empty string and zero count through the LEFT JOIN
+        "docs_token_ids": r"""
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS ls
+              FROM documents
+            ), tokx AS (
+              SELECT doc_id, tok,
+                     row_number() OVER (PARTITION BY doc_id
+                         ORDER BY i) - 1 AS pos
+              FROM (SELECT doc_id, ls[i] AS tok, i
+                    FROM (SELECT doc_id, ls,
+                                 unnest(generate_series(1, len(ls))) AS i
+                          FROM sp))
+              WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, count(*) AS c FROM tokx GROUP BY tok
+            ), vocab AS (
+              SELECT tok,
+                     row_number() OVER (ORDER BY c DESC, tok ASC) - 1
+                         AS tid
+              FROM counts
+            ), enc AS (
+              SELECT t.doc_id,
+                     string_agg(CAST(v.tid AS VARCHAR), ','
+                                ORDER BY t.pos) AS ids_str,
+                     CAST(count(*) AS BIGINT) AS n_tokens
+              FROM tokx t JOIN vocab v USING (tok)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(e.ids_str, '') AS ids_str,
+                   coalesce(e.n_tokens, 0) AS n_tokens
+            FROM documents d LEFT JOIN enc e USING (doc_id)
+        """,
         # deterministic DeepWalk corpus: replay the adjacency indexing
         # and all three mixed-congruential hops as chained joins
         "docs_graph_random_walks": r"""

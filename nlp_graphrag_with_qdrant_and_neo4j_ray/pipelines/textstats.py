@@ -1920,3 +1920,166 @@ def tfidf_cosine_pairs(docs_ds, threshold: float = 0.8,
     return grouped_apply(partials, ["doc_a", "doc_b"], reduce_pairs,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def token_ids_encode(docs_ds, vocab_size: int | None = None,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_partitions: int = 64):
+    """Vocabulary freeze + corpus ENCODE — the "turn text into token
+    ids" step a training pipeline runs right before sequence packing:
+    build the corpus vocabulary with dense ids assigned by frequency
+    rank (count desc, token asc — the classic frequency-ordered vocab
+    so small ids are common tokens), then re-emit every document as
+    its id sequence in original token order.  With ``vocab_size``,
+    tokens ranked at or beyond the cut encode as −1 (OOV).
+
+    Output: ``(id_col, ids:list<int64>, n_tokens:int64)`` — one row
+    per input document, empty docs carry an empty list.
+
+    Scale shape (100 TB): the global frequency rank needs NO global
+    sort and NO single-partition window — rank(t) decomposes as
+    ``(#tokens with higher count) + (lexicographic index among equal
+    counts)``: per-batch (tok, c) partials → ONE token-keyed exchange
+    for exact counts, whose per-partition count-histogram rows
+    (O(distinct count values), typically a few thousand under Zipf)
+    fold on the driver into cumulative offsets; a count-keyed exchange
+    then gives each token its within-count lexicographic index locally
+    and adds the broadcast offset.  Encoding is the standard
+    repartition join: (doc, pos, tok) rows meet their vocab row on ONE
+    token-keyed exchange, and ONE doc-keyed exchange reassembles
+    ordered id lists.  Reference has no counterpart."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    # ---- exact corpus counts: one token-keyed exchange ----
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        t = _ws_explode(batch, id_col, text_col)
+        agg = t.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "c"])
+
+    def sum_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("tok", sort=False)["c"].sum().reset_index()
+
+    counts = grouped_apply(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            tok_partials, batch_format="pyarrow"),
+        ["tok"], sum_counts, num_partitions=num_partitions,
+        batch_format="pandas",
+    ).materialize()
+
+    # ---- driver fold: count-value histogram -> rank offsets ----
+    def chist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c", "n"])
+
+    hist: dict[int, int] = {}
+    for r in counts.map_batches(chist, batch_format="pyarrow").take_all():
+        hist[r["c"]] = hist.get(r["c"], 0) + r["n"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for c in sorted(hist, reverse=True):
+        offsets[c] = acc
+        acc += hist[c]
+
+    # ---- count-keyed exchange: within-count lexicographic index ----
+    def assign_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["c", "tok"],
+                              ascending=[False, True], kind="mergesort")
+        within = pdf.groupby("c", sort=False).cumcount()
+        tid = (pdf["c"].map(offsets).to_numpy(np.int64)
+               + within.to_numpy(np.int64))
+        if vocab_size is not None:
+            tid = np.where(tid < vocab_size, tid, -1)
+        return pd.DataFrame({"tok": pdf["tok"].to_numpy(), "tid": tid})
+
+    vocab = grouped_apply(counts, ["c"], assign_ids,
+                          num_partitions=num_partitions,
+                          batch_format="pandas")
+
+    # ---- encode: (doc, pos, tok) meets its vocab row on the token ----
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        t = _ws_explode(batch, id_col, text_col)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        # positions index the KEPT (non-empty) token sequence per doc
+        pos = pd.Series(np.zeros(len(ids), np.int64)).groupby(
+            ids, sort=False).cumcount().to_numpy()
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "tok": t.column("tok"),
+            "tid": pa.array([-2] * len(ids), pa.int64()),  # request
+        })
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: pa.array([-1] * n, pa.int64()),
+            "pos": pa.array([-1] * n, pa.int64()),
+            "tok": batch.column("tok"),
+            "tid": pc.cast(batch.column("tid"), pa.int64()),
+        })
+
+    unioned = docs_ds.select_columns([id_col, text_col]).map_batches(
+        doc_tokens, batch_format="pyarrow"
+    ).union(vocab.map_batches(vocab_rows, batch_format="pyarrow"))
+
+    def lookup(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[pdf[id_col] < 0].drop_duplicates("tok")
+        req = pdf[pdf[id_col] >= 0]
+        m = req[[id_col, "pos", "tok"]].merge(
+            v[["tok", "tid"]], on="tok", how="inner")
+        return m[[id_col, "pos", "tid"]]
+
+    hits = grouped_apply(unioned, ["tok"], lookup,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")
+
+    # ---- reassemble ordered id lists per doc (empty docs rejoin) ----
+    def rebuild(pdf: pd.DataFrame) -> pa.Table:
+        pdf = pdf.sort_values([id_col, "pos"], kind="mergesort")
+        sizes = pdf.groupby(id_col, sort=True).size()
+        ids = sizes.index.to_numpy()
+        lens = sizes.to_numpy(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat = pdf["tid"].to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "ids": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(flat, pa.int64())),
+            "n_tokens": pa.array(lens),
+        })
+
+    encoded = grouped_apply(hits, [id_col], rebuild,
+                            num_partitions=num_partitions,
+                            batch_format="pandas")
+
+    # docs whose every token was empty-filtered (or empty docs) emit
+    # an empty list row via an anti-join on the encoded id set
+    def empties(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(text_col), "")
+        toks = pc.split_pattern(t, " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        didx = np.repeat(np.arange(len(batch)), lens)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nb = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        nonblank = np.bincount(didx, weights=nb.astype(np.float64),
+                               minlength=len(batch))
+        keep = nonblank == 0
+        ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        n = int(keep.sum())
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "ids": pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32)),
+                pa.array([], pa.int64())),
+            "n_tokens": pa.array([0] * n, pa.int64()),
+        })
+
+    empty_rows = docs_ds.select_columns([id_col, text_col]).map_batches(
+        empties, batch_format="pyarrow")
+    return encoded.union(empty_rows)

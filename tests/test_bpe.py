@@ -91,3 +91,70 @@ def test_word_counts_max_vocab_exact_topk(ray_session):
                                 max_vocab=2).take_all()}
     # counts complete BEFORE the cap: a=5, b=4 win over c=2, d=2, e=1
     assert top == {("a", 5), ("b", 4)}
+
+
+# ---------------------------------------------------------------------------
+# token_ids_encode: frequency-ranked vocab freeze + ordered id encode
+# ---------------------------------------------------------------------------
+
+def _enc_ds(ray_session, docs):
+    import pyarrow as pa
+
+    return ray_session.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.large_string()),
+    }))
+
+
+def test_token_ids_frequency_rank_and_order(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        token_ids_encode,
+    )
+
+    # counts: "b" x4, "a" x3, "c" x1 -> ids b=0, a=1, c=2
+    out = {r["doc_id"]: r for r in token_ids_encode(_enc_ds(
+        ray_session, {0: "a b b", 1: "b a c", 2: "b a"})).take_all()}
+    assert out[0]["ids"] == [1, 0, 0]
+    assert out[1]["ids"] == [0, 1, 2]
+    assert out[2]["ids"] == [0, 1]
+    assert out[0]["n_tokens"] == 3
+
+
+def test_token_ids_count_ties_break_lexically(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        token_ids_encode,
+    )
+
+    # "x" and "y" both appear twice: x < y lexically -> x=0, y=1
+    out = {r["doc_id"]: r for r in token_ids_encode(_enc_ds(
+        ray_session, {0: "y x", 1: "x y"})).take_all()}
+    assert out[0]["ids"] == [1, 0]
+    assert out[1]["ids"] == [0, 1]
+
+
+def test_token_ids_oov_and_empty_docs(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        token_ids_encode,
+    )
+
+    out = {r["doc_id"]: r for r in token_ids_encode(
+        _enc_ds(ray_session, {0: "b b a rare", 1: "", 2: "  "}),
+        vocab_size=2).take_all()}
+    # b=0, a=1, rare -> OOV -1 under vocab_size=2 (tie a<rare lexically)
+    assert out[0]["ids"] == [0, 0, 1, -1]
+    assert out[1]["ids"] == [] and out[1]["n_tokens"] == 0
+    assert out[2]["ids"] == [] and out[2]["n_tokens"] == 0
+    assert len(out) == 3
+
+
+def test_token_ids_partition_independent(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        token_ids_encode,
+    )
+
+    docs = {i: f"tok{i % 5} tok{i % 3} shared" for i in range(40)}
+    ds = _enc_ds(ray_session, docs)
+    one = token_ids_encode(ds).sort("doc_id").take_all()
+    many = token_ids_encode(
+        ds.repartition(7), num_partitions=5).sort("doc_id").take_all()
+    assert one == many
