@@ -6362,6 +6362,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
         return fill_gaps(ev, "event_type", "ts", num_partitions=8)
 
+    def events_daily_cusum(sf_dir: str):
+        """One-sided CUSUM level-shift monitor
+        (pipelines/relational.cusum_changepoints, Page 1954) over each
+        event_type's daily count series: standardized against the
+        type's own mean/std, drift allowance 0.5, flag at S > 4. The
+        reflected recursion vectorizes via the Lindley cumsum/running-
+        min identity, which the oracle replays with SQL windows."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            cusum_changepoints,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
+        return cusum_changepoints(ev, "event_type", "ts",
+                                  num_partitions=8)
+
     def events_daily_locf(sf_dir: str):
         """Forward-filled daily value series per event_type
         (pipelines/relational.locf_fill — the gap-filling sibling of
@@ -8376,6 +8391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage_summary": kg_lineage_summary,
         "orders_price_deciles": orders_price_deciles,
         "orders_range_partition_hist": orders_range_partition_hist,
+        "events_daily_cusum": events_daily_cusum,
         "events_daily_locf": events_daily_locf,
         "lineitem_fk_coverage": lineitem_fk_coverage,
         "docs_dup_rate_by_source": docs_dup_rate_by_source,
@@ -10665,6 +10681,39 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept,
                    round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # Page 1954 one-sided CUSUM via the Lindley identity in SQL
+        # windows: cum = running sum of the standardized-minus-slack
+        # deviations, S = cum - running min(least(cum, 0))
+        "events_daily_cusum": """
+            WITH c AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+              FROM c GROUP BY 1
+            ), d AS (
+              SELECT c.event_type, c.day, c.n,
+                     CASE WHEN s.sd > 0
+                          THEN (c.n - s.mu) / s.sd - 0.5
+                          ELSE 0.0 END AS dd
+              FROM c JOIN s USING (event_type)
+            ), w AS (
+              SELECT event_type, day, n,
+                     sum(dd) OVER (PARTITION BY event_type
+                         ORDER BY day) AS cum
+              FROM d
+            ), m AS (
+              SELECT event_type, day, n, cum,
+                     min(least(cum, 0)) OVER (PARTITION BY event_type
+                         ORDER BY day) AS mn
+              FROM w
+            )
+            SELECT event_type, day, n,
+                   round(cum - mn, 6) AS cusum,
+                   CAST(cum - mn > 4.0 AS BIGINT) AS flag
+            FROM m
         """,
         "events_daily_spine": """
             WITH d AS (

@@ -3358,3 +3358,69 @@ def time_weighted_mean(ds, keys: list[str], order_col: str,
     return grouped_apply(ds.select_columns(cols), keys, per_partition,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def cusum_changepoints(ds, key_col: str, ts_col: str,
+                       slack: float = 0.5, threshold: float = 4.0,
+                       ndigits: int = 6, num_partitions: int = 32):
+    """One-sided CUSUM level-shift detection over each key's DAILY
+    count series — the classic sequential change-point monitor (Page
+    1954) a pipeline runs over its event feeds to catch volume
+    regime shifts: per key, daily counts standardize against the
+    key's own mean/std, the drift-allowance ``slack`` subtracts, and
+    the reflected partial sum ``S_i = max(0, S_{i-1} + d_i)`` flags
+    days where ``S_i > threshold``.  The recursion vectorizes via the
+    Lindley solution ``S_i = C_i − min(0, min_{j≤i} C_j)`` (cumsum +
+    running min), which is also exactly expressible with SQL windows
+    — so the whole statistic is oracle-checkable.  Keys with zero
+    count variance carry S = 0 (no signal).
+
+    Output: ``(key_col, day, n:int64, cusum:float64 rounded,
+    flag:int64)`` for every OBSERVED (key, day).
+
+    Scale shape: rows collapse to (key, day, partial n) per batch
+    (combiner) before ONE key exchange; each partition sums partials,
+    sorts its keys' short day series and runs two cumulative kernels
+    — no spine materialization, no driver state."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.floor_temporal(batch.column(ts_col), unit="day")
+        t = pa.table({
+            key_col: batch.column(key_col),
+            "day": days,
+        })
+        agg = t.group_by([key_col, "day"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, "day", "n"])
+
+    partials = ds.select_columns([key_col, ts_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (pdf.groupby([key_col, "day"], sort=True)["n"].sum()
+             .reset_index())
+        n = g["n"].to_numpy(np.float64)
+        mu = g.groupby(key_col, sort=False)["n"].transform("mean")
+        sd = g.groupby(key_col, sort=False)["n"].transform(
+            lambda x: x.std(ddof=0))
+        sdv = sd.to_numpy(np.float64)
+        d = np.where(sdv > 0,
+                     (n - mu.to_numpy(np.float64))
+                     / np.where(sdv > 0, sdv, 1.0) - slack,
+                     0.0)
+        gg = pd.DataFrame({key_col: g[key_col], "d": d})
+        cum = gg.groupby(key_col, sort=False)["d"].cumsum().to_numpy()
+        mn = (pd.Series(np.minimum(cum, 0.0))
+              .groupby(gg[key_col].to_numpy(), sort=False)
+              .cummin().to_numpy())
+        s = cum - mn
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "day": g["day"].to_numpy(),
+            "n": g["n"].to_numpy(np.int64),
+            "cusum": np.round(s, ndigits),
+            "flag": (s > threshold).astype(np.int64),
+        })
+
+    return grouped_apply(partials, [key_col], scan,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")

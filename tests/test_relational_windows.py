@@ -237,3 +237,80 @@ def test_window_rank_ties_share_with_gaps(ray_session):
         np.int64)
     # a: 1,1,3,4,4 (gap after the tie); b: 1,1,3
     pd.testing.assert_frame_equal(_sorted(got), _sorted(expected))
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoints: Page 1954 one-sided CUSUM over daily counts
+# ---------------------------------------------------------------------------
+
+def _cusum_events(ray_session, rows):
+    """rows: (event_type, day_number, copies) -> one event per copy."""
+    import datetime
+
+    import pyarrow as pa
+
+    base = datetime.datetime(2024, 1, 1)
+    types, ts = [], []
+    for et, day, copies in rows:
+        for _ in range(copies):
+            types.append(et)
+            ts.append(base + datetime.timedelta(days=day))
+    return ray_session.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+
+
+def test_cusum_flags_planted_level_shift(ray_session):
+    import numpy as np
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        cusum_changepoints,
+    )
+
+    # 20 quiet days at ~10/day, then 10 shifted days at 30/day
+    rows = [("a", d, 10 + (d % 2)) for d in range(20)]
+    rows += [("a", d, 30) for d in range(20, 30)]
+    out = sorted(cusum_changepoints(
+        _cusum_events(ray_session, rows), "event_type", "ts",
+        num_partitions=4).take_all(), key=lambda r: r["day"])
+    flags = [r["flag"] for r in out]
+    assert len(out) == 30
+    assert all(f == 0 for f in flags[:20])     # quiet regime never fires
+    assert any(f == 1 for f in flags[20:])     # the shift is caught
+    # python replay of the Lindley identity
+    n = np.array([r["n"] for r in out], float)
+    mu, sd = n.mean(), n.std()
+    d = (n - mu) / sd - 0.5
+    c = np.cumsum(d)
+    s = c - np.minimum.accumulate(np.minimum(c, 0.0))
+    for r, want in zip(out, np.round(s, 6)):
+        assert r["cusum"] == want
+
+
+def test_cusum_constant_series_never_fires(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        cusum_changepoints,
+    )
+
+    rows = [("b", d, 5) for d in range(10)]
+    out = cusum_changepoints(
+        _cusum_events(ray_session, rows), "event_type", "ts").take_all()
+    assert all(r["cusum"] == 0.0 and r["flag"] == 0 for r in out)
+
+
+def test_cusum_partition_independent(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        cusum_changepoints,
+    )
+
+    rows = [(f"t{i % 3}", d, 3 + ((d + i) % 4))
+            for i in range(6) for d in range(15)]
+    ds = _cusum_events(ray_session, rows)
+    key = lambda r: (r["event_type"], r["day"])
+    one = sorted(cusum_changepoints(
+        ds, "event_type", "ts").take_all(), key=key)
+    many = sorted(cusum_changepoints(
+        ds.repartition(7), "event_type", "ts",
+        num_partitions=3).take_all(), key=key)
+    assert one == many
