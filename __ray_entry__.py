@@ -6362,6 +6362,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
         return fill_gaps(ev, "event_type", "ts", num_partitions=8)
 
+    def customer_pseudonymized(sf_dir: str):
+        """Deterministic keyed pseudonymization
+        (pipelines/clean.pseudonymize): customer names replaced by
+        md5('v1' || name) 16-hex tokens — identity gone, joinability
+        kept (equal names map to equal tokens under the shared salt).
+        Zero exchanges; the oracle replays the digest in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            pseudonymize,
+        )
+
+        cust = _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name", "c_mktsegment"])
+        return pseudonymize(cust, ["c_name"], salt="v1")
+
+    def orders_fd_violations(sf_dir: str):
+        """Functional-dependency profiling
+        (pipelines/relational.fd_violations): does o_custkey →
+        o_orderpriority hold? (It shouldn't — repeat customers order
+        at many priorities.) Local pair dedup → one lhs-keyed
+        exchange → scalar fold; the oracle recomputes the per-key
+        distinct counts in SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            fd_violations,
+        )
+
+        return fd_violations(_read(sf_dir, "orders"),
+                             "o_custkey", "o_orderpriority",
+                             num_partitions=8)
+
     def events_daily_cusum(sf_dir: str):
         """One-sided CUSUM level-shift monitor
         (pipelines/relational.cusum_changepoints, Page 1954) over each
@@ -8391,6 +8420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage_summary": kg_lineage_summary,
         "orders_price_deciles": orders_price_deciles,
         "orders_range_partition_hist": orders_range_partition_hist,
+        "customer_pseudonymized": customer_pseudonymized,
+        "orders_fd_violations": orders_fd_violations,
         "events_daily_cusum": events_daily_cusum,
         "events_daily_locf": events_daily_locf,
         "lineitem_fk_coverage": lineitem_fk_coverage,
@@ -10681,6 +10712,28 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept,
                    round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "customer_pseudonymized": """
+            SELECT c_custkey,
+                   substr(md5('v1' || c_name), 1, 16) AS c_name,
+                   c_mktsegment
+            FROM customer
+        """,
+        "orders_fd_violations": """
+            WITH dd AS (
+              SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS lhs,
+                     o_orderpriority AS rhs
+              FROM orders
+            ), per AS (
+              SELECT lhs, count(*) AS c FROM dd GROUP BY lhs
+            )
+            SELECT 'o_custkey' AS lhs, 'o_orderpriority' AS rhs,
+                   count(*) AS n_keys,
+                   sum(CAST(c > 1 AS BIGINT)) AS n_violating,
+                   max(c) AS max_rhs_per_key,
+                   CAST(sum(CAST(c > 1 AS BIGINT)) = 0 AS BIGINT)
+                       AS fd_holds
+            FROM per
         """,
         # Page 1954 one-sided CUSUM via the Lindley identity in SQL
         # windows: cum = running sum of the standardized-minus-slack

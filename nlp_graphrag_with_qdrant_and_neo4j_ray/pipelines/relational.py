@@ -3424,3 +3424,56 @@ def cusum_changepoints(ds, key_col: str, ts_col: str,
     return grouped_apply(partials, [key_col], scan,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def fd_violations(ds, lhs: str, rhs: str, num_partitions: int = 32):
+    """Functional-dependency PROFILING (the dbt/Great-Expectations
+    uniqueness generalization): does ``lhs → rhs`` hold — i.e. does
+    every lhs value map to exactly one rhs value?  Output is ONE row:
+    ``(lhs, rhs, n_keys, n_violating, max_rhs_per_key, fd_holds)``.
+
+    Scale shape: (lhs, rhs) pairs dedup LOCALLY per batch before ONE
+    lhs-keyed exchange (a key's surviving pairs all land together, so
+    per-key distinct-rhs counts are exact); per-partition
+    (keys, violating, max) scalars fold through a final
+    single-partition reduce — row payloads never reship."""
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lhs": pc.cast(batch.column(lhs), pa.string()),
+            "rhs": pc.cast(batch.column(rhs), pa.string()),
+        })
+        return t.group_by(["lhs", "rhs"]).aggregate([])
+
+    pairs = ds.select_columns([lhs, rhs]).map_batches(
+        local_pairs, batch_format="pyarrow")
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        dd = pdf.drop_duplicates(["lhs", "rhs"])
+        per = dd.groupby("lhs").size()
+        return pd.DataFrame({
+            "n_keys": [int(len(per))],
+            "n_violating": [int((per > 1).sum())],
+            "max_rhs_per_key": [int(per.max()) if len(per) else 0],
+        })
+
+    parts = grouped_apply(pairs, ["lhs"], per_key,
+                          num_partitions=num_partitions,
+                          batch_format="pandas")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lhs": [lhs],
+            "rhs": [rhs],
+            "n_keys": [int(pdf["n_keys"].sum())],
+            "n_violating": [int(pdf["n_violating"].sum())],
+            "max_rhs_per_key": [int(pdf["max_rhs_per_key"].max())],
+            "fd_holds": [int(pdf["n_violating"].sum() == 0)],
+        })
+
+    tagged = parts.map_batches(
+        lambda b: b.append_column(
+            "__one", pa.array([0] * b.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    return grouped_apply(tagged, ["__one"], fold, num_partitions=1,
+                         batch_format="pandas")

@@ -398,3 +398,89 @@ def test_budget_head_empty_corpus(ray_session):
         lambda r: False)
     out = budget_head(ds, "score", "toks", 100.0).take_all()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# pseudonymize: keyed deterministic tokenization preserving joins
+# ---------------------------------------------------------------------------
+
+class TestPseudonymize:
+    def _ds(self, ray_session, names, extra=None):
+        import pyarrow as pa
+
+        cols = {
+            "id": pa.array(range(len(names)), pa.int64()),
+            "name": pa.array(names, pa.string()),
+        }
+        if extra:
+            cols["seg"] = pa.array(extra, pa.string())
+        return ray_session.data.from_arrow(pa.table(cols))
+
+    def test_same_value_same_token_and_salt_rotates(self, ray_session):
+        import hashlib
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            pseudonymize,
+        )
+
+        ds = self._ds(ray_session, ["alice", "bob", "alice"])
+        a = pseudonymize(ds, ["name"], salt="s1").sort("id").take_all()
+        b = pseudonymize(ds, ["name"], salt="s2").sort("id").take_all()
+        assert a[0]["name"] == a[2]["name"] != a[1]["name"]
+        assert a[0]["name"] != b[0]["name"]          # salt rotation
+        assert a[0]["name"] == hashlib.md5(
+            b"s1alice").hexdigest()[:16]              # pinned construction
+        assert len(a[0]["name"]) == 16
+
+    def test_untouched_columns_and_nulls_pass_through(self, ray_session):
+        import pyarrow as pa
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            pseudonymize,
+        )
+
+        ds = ray_session.data.from_arrow(pa.table({
+            "id": pa.array([0, 1], pa.int64()),
+            "name": pa.array(["x", None], pa.string()),
+        }))
+        out = pseudonymize(ds, ["name"]).sort("id").take_all()
+        assert out[0]["id"] == 0 and out[1]["name"] is None
+
+
+def test_fd_violations_detects_and_clears(ray_session):
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        fd_violations,
+    )
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d", "d", "e"], pa.string()),
+    })
+    ds = ray_session.data.from_arrow(tbl)
+    row = fd_violations(ds, "k", "v").take_all()[0]
+    assert row["n_keys"] == 3
+    assert row["n_violating"] == 2      # keys 1 (a,b) and 3 (d,e)
+    assert row["max_rhs_per_key"] == 2
+    assert row["fd_holds"] == 0
+
+    clean = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array(["a", "a", "b"], pa.string()),
+    })
+    row = fd_violations(
+        ray_session.data.from_arrow(clean), "k", "v").take_all()[0]
+    assert row["fd_holds"] == 1 and row["n_violating"] == 0
+
+    # partition independence
+    big = pa.table({
+        "k": pa.array([i % 10 for i in range(200)], pa.int64()),
+        "v": pa.array([str((i % 10) * (1 + i % 2)) for i in range(200)],
+                      pa.string()),
+    })
+    ds = ray_session.data.from_arrow(big)
+    one = fd_violations(ds, "k", "v").take_all()
+    many = fd_violations(ds.repartition(7), "k", "v",
+                         num_partitions=3).take_all()
+    assert one == many
