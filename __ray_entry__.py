@@ -6362,6 +6362,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
         return fill_gaps(ev, "event_type", "ts", num_partitions=8)
 
+    def docs_train_ready_ids(sf_dir: str):
+        """The curated-corpus-to-token-ids chain as ONE streaming
+        composition of this session's production operators: composite
+        quality gate (score ≥ 0.75 — same rule the agreement audit
+        pins) → MinHash-LSH near-dup clusters → keep the best-quality
+        doc per cluster (dedup.cluster_keep_best) → survivors
+        re-joined to their text → frequency-ranked vocabulary freeze +
+        token-id encode (textstats.token_ids_encode). Rows-only
+        driver check (LSH isn't SQL-replayable); every stage is
+        individually oracled/tested. Output: (doc_id, ids_str,
+        n_tokens) for every surviving document."""
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+        q = ts.quality(docs)
+
+        def gate(b: pa.Table) -> pa.Table:
+            qr = pc.round(b.column("quality"), ndigits=6,
+                          round_mode="half_towards_infinity")
+            return pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "quality": qr,
+            }).filter(pc.greater_equal(qr, 0.75))
+
+        kept_q = q.map_batches(gate, batch_format="pyarrow")
+        # near-dup pairs over the gated subset only (join docs back in)
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            bloom_semi_join,
+        )
+
+        gated_docs = bloom_semi_join(docs, kept_q, "doc_id", "doc_id",
+                                     num_partitions=8)
+        pairs = dd.minhash_lsh_pairs(
+            gated_docs, threshold=0.5).select_columns(["doc_a", "doc_b"])
+        winners = dd.cluster_keep_best(kept_q, pairs, num_partitions=8)
+        survivors = bloom_semi_join(gated_docs, winners, "doc_id",
+                                    "doc_id", num_partitions=8)
+        enc = ts.token_ids_encode(survivors, num_partitions=8)
+
+        def stringify(b: pa.Table) -> pa.Table:
+            s = pc.binary_join(
+                pc.cast(b.column("ids"), pa.list_(pa.string())), ",")
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "ids_str": pc.cast(s, pa.string()),
+                "n_tokens": b.column("n_tokens"),
+            })
+
+        return enc.map_batches(stringify, batch_format="pyarrow")
+
     def customer_pseudonymized(sf_dir: str):
         """Deterministic keyed pseudonymization
         (pipelines/clean.pseudonymize): customer names replaced by
@@ -8420,6 +8469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lineage_summary": kg_lineage_summary,
         "orders_price_deciles": orders_price_deciles,
         "orders_range_partition_hist": orders_range_partition_hist,
+        "docs_train_ready_ids": docs_train_ready_ids,
         "customer_pseudonymized": customer_pseudonymized,
         "orders_fd_violations": orders_fd_violations,
         "events_daily_cusum": events_daily_cusum,
