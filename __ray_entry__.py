@@ -1546,6 +1546,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return q.term_search(_term_index(sf_dir), "galaxy patrol research",
                              k=10, cfg=CFG)
 
+    def kg_term_search_all(sf_dir: str):
+        """Boolean AND retrieval (pipelines/query.term_search_all):
+        only chunks containing EVERY query unigram survive, ranked by
+        summed BM25 — the inverted-index intersection primitive the
+        OR-semantics kg_term_search deliberately lacks. Same pruned
+        bucket-file read + small-match in-process fast path. Rows-only
+        (the BM25 statistic has no SQL oracle here); AND-coverage
+        semantics pinned by tests against an independent full-scan
+        python replay."""
+        return q.term_search_all(_term_index(sf_dir),
+                                 "galaxy patrol research", k=10, cfg=CFG)
+
     def kg_hybrid_retrieve(sf_dir: str):
         src = _chunk_vectors_local(sf_dir)
         if src is None:
@@ -8307,6 +8319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_vector_topk_ivf": kg_vector_topk_ivf,
         "kg_term_index_build": kg_term_index_build,
         "kg_term_search": kg_term_search,
+        "kg_term_search_all": kg_term_search_all,
         "kg_hybrid_retrieve": kg_hybrid_retrieve,
         "kg_hybrid_retrieve_ivf": kg_hybrid_retrieve_ivf,
         "kg_context_windows": kg_context_windows,

@@ -307,6 +307,111 @@ def term_search(terms_ds, query: str, k: int = 10,
     return ds
 
 
+def term_search_all(terms_ds, query: str, k: int = 10,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    as_rows: bool = False):
+    """Boolean AND retrieval — chunks containing EVERY query unigram
+    (the inverted-index intersection the OR-semantics ``term_search``
+    deliberately doesn't do), ranked by summed per-term score (BM25 on
+    a TermIndex, tf on a raw terms Dataset), ties by chunk_id.  The
+    coverage requirement is per DISTINCT matched unigram, so repeated
+    query words don't demand repeated occurrences.
+
+    Scale shape: identical pruned-read contract as ``term_search``
+    (only the query terms' bucket files are opened on a TermIndex,
+    with the small-match in-process fast path); the distributed path
+    pre-combines (chunk, term, score) per batch, then ONE chunk-keyed
+    exchange computes coverage (count of distinct matched terms ==
+    n query terms) and per-partition top-k — the global winner set is
+    the top-k of ≤ partitions × k survivors."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    uni, _, _ = extract_ngrams(query, cfg.remove_stopwords)
+    need = sorted(set(uni))
+    n_need = len(need)
+    is_index = hasattr(terms_ds, "matched")
+
+    def empty():
+        tbl = pa.table({"chunk_id": pa.array([], pa.string()),
+                        "score": pa.array([], pa.float64())})
+        if as_rows:
+            return []
+        import ray.data
+
+        return ray.data.from_arrow(tbl)
+
+    if not n_need:
+        return empty()
+
+    def coverage_topk(tbl: pa.Table):
+        pdf = (tbl if isinstance(tbl, pd.DataFrame) else tbl.to_pandas())
+        per = pdf.groupby(["chunk_id", "term"], sort=False)["s"].sum()
+        per = per.reset_index()
+        cov = per.groupby("chunk_id", sort=False)["term"].nunique()
+        keep = cov[cov == n_need].index
+        hit = per[per["chunk_id"].isin(keep)]
+        s = hit.groupby("chunk_id", sort=False)["s"].sum().reset_index()
+        s = s.rename(columns={"s": "score"})
+        return s.sort_values(["score", "chunk_id"],
+                             ascending=[False, True]).head(k)
+
+    if is_index:
+        local_max = int(os.environ.get("GRAFT_TERM_LOCAL_ROWS",
+                                       "2000000"))
+        hit = terms_ds.matched_local(need, local_max)
+        if hit is not None:
+            import ray.data
+
+            out = coverage_topk(pa.table({
+                "chunk_id": pc.cast(hit.column("chunk_id"), pa.string()),
+                "term": pc.cast(hit.column("term"), pa.string()),
+                "s": pc.cast(hit.column("bm25"), pa.float64()),
+            }))
+            tbl = pa.Table.from_pandas(out, preserve_index=False)
+            if as_rows:
+                return tbl.to_pylist()
+            return ray.data.from_arrow(tbl)
+        terms_ds = terms_ds.matched(need)
+
+    value_set = pa.array(need)
+
+    def match(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(
+            pc.is_in(batch.column("term"), value_set=value_set))
+        if "bm25" in hit.column_names:
+            vals = pc.cast(hit.column("bm25"), pa.float64())
+        elif "tf" in hit.column_names:
+            vals = pc.cast(hit.column("tf"), pa.float64())
+        else:  # raw occurrence rows score 1 each
+            vals = pa.array([1.0] * hit.num_rows, pa.float64())
+        part = (
+            pa.table({"chunk_id": pc.cast(hit.column("chunk_id"),
+                                          pa.string()),
+                      "term": pc.cast(hit.column("term"), pa.string()),
+                      "s": vals})
+            .group_by(["chunk_id", "term"])
+            .aggregate([("s", "sum")])
+            .rename_columns(["chunk_id", "term", "s"])
+        )
+        return part
+
+    ds = (
+        grouped_apply(
+            terms_ds.map_batches(match, batch_format="pyarrow",
+                                 batch_size=262144),
+            ["chunk_id"], coverage_topk, num_partitions=64,
+            batch_format="pandas",
+        )
+        .sort(["score", "chunk_id"], descending=[True, False])
+        .limit(k)
+    )
+    if as_rows:
+        return ds.take(k)
+    return ds
+
+
 def entity_search(query: str):
     """Reference parity: MENTIONS_ENTITY is never written
     (retrieval.py:246 reads it; no writer exists) → always empty."""

@@ -109,6 +109,57 @@ def test_term_search_scores(kg):
     assert hits[0]["score"] >= 4.0
 
 
+def test_term_search_all_requires_full_coverage(kg):
+    """AND semantics vs an independent full-scan python replay: a chunk
+    survives iff it contains EVERY query unigram; score is the summed
+    per-term occurrence count on a raw terms Dataset."""
+    from collections import defaultdict
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        term_search_all,
+    )
+
+    query = "galaxy patrol"
+    hits = term_search_all(kg["terms"], query, k=50, cfg=CFG).take_all()
+    got = {h["chunk_id"]: h["score"] for h in hits}
+
+    rows = kg["terms"].take_all()
+    per = defaultdict(lambda: defaultdict(float))
+    for r in rows:
+        if r["term"] in ("galaxy", "patrol"):
+            per[r["chunk_id"]][r["term"]] += 1.0
+    want = {c: sum(t.values()) for c, t in per.items() if len(t) == 2}
+    # top-50 covers the small fixture entirely
+    assert got == dict(sorted(want.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[:50])
+    assert got  # the fixture has fully-covered chunks
+    # OR-search superset sanity: AND survivors are a strict subset of
+    # chunks matching at least one term
+    partial = {c for c, t in per.items() if len(t) == 1}
+    assert partial.isdisjoint(got)
+
+
+def test_term_search_all_index_local_matches_distributed(
+        kg, tmp_path, monkeypatch):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import (
+        term_search_all,
+    )
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.termindex import (
+        ensure_term_index,
+    )
+
+    idx = ensure_term_index(str(tmp_path), kg["terms"])
+    monkeypatch.setenv("GRAFT_TERM_LOCAL_ROWS", "1000000")
+    local = term_search_all(idx, "galaxy patrol", k=10, cfg=CFG)
+    local = (local if isinstance(local, list) else local.take_all())
+    monkeypatch.setenv("GRAFT_TERM_LOCAL_ROWS", "0")
+    idx2 = ensure_term_index(str(tmp_path), kg["terms"])
+    dist = term_search_all(idx2, "galaxy patrol", k=10,
+                           cfg=CFG).take_all()
+    assert [ (r["chunk_id"], round(r["score"], 9)) for r in local ] ==            [ (r["chunk_id"], round(r["score"], 9)) for r in dist ]
+    assert local
+
+
 def test_term_search_empty_query(kg):
     from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.query import term_search
 
