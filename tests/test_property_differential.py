@@ -221,3 +221,133 @@ def test_validation_report_matches_pandas(ray_session, df):
     assert got[("id", "unique")]["n_violations"] == n - df["id"].nunique()
     assert got[("k", "unique")]["n_violations"] == n - df["k"].nunique()
     assert all(r["n_rows"] == n for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# last-session operators: randomized differentials vs python references
+# ---------------------------------------------------------------------------
+
+@st.composite
+def text_docs(draw):
+    n = draw(st.integers(2, 12))
+    words = ["alpha", "beta", "gamma", "nav", "x1", ""]
+    docs = {}
+    for i in range(n):
+        n_lines = draw(st.integers(0, 6))
+        lines = [" ".join(draw(st.lists(st.sampled_from(words),
+                                        min_size=0, max_size=4)))
+                 for _ in range(n_lines)]
+        docs[i] = "\n".join(lines)
+    return docs
+
+
+@given(text_docs())
+@SETTINGS
+def test_line_dedup_within_matches_python(ray_session, docs):
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        line_dedup_within_doc,
+    )
+
+    ds = ray_session.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.large_string()),
+    }))
+    got = {r["doc_id"]: r for r in line_dedup_within_doc(ds).take_all()}
+
+    for i, text in docs.items():
+        lines = text.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            blank = ln.strip(" \t\r") == ""
+            if blank or ln not in seen:
+                kept.append(ln)
+                if not blank:
+                    seen.add(ln)
+        assert got[i]["text"] == "\n".join(kept), i
+        assert got[i]["n_lines_in"] == len(lines)
+        assert got[i]["n_lines_kept"] == len(kept)
+
+
+@given(text_docs())
+@SETTINGS
+def test_token_ids_matches_python(ray_session, docs):
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        token_ids_encode,
+    )
+
+    texts = {i: t.replace("\n", " ") for i, t in docs.items()}
+    ds = ray_session.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.large_string()),
+    }))
+    got = {r["doc_id"]: r for r in token_ids_encode(
+        ds, num_partitions=3).take_all()}
+
+    counts = Counter()
+    for t in texts.values():
+        counts.update(x for x in t.split(" ") if x)
+    vocab = {tok: i for i, (tok, _) in enumerate(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])))}
+    assert len(got) == len(texts)
+    for i, t in texts.items():
+        toks = [x for x in t.split(" ") if x]
+        assert got[i]["ids"] == [vocab[x] for x in toks], i
+        assert got[i]["n_tokens"] == len(toks)
+
+
+@st.composite
+def count_series(draw):
+    n_types = draw(st.integers(1, 3))
+    rows = []
+    for t in range(n_types):
+        n_days = draw(st.integers(1, 12))
+        for d in range(n_days):
+            rows.append((f"t{t}", d, draw(st.integers(1, 9))))
+    return rows
+
+
+@given(count_series())
+@SETTINGS
+def test_cusum_matches_python(ray_session, rows):
+    import datetime
+
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        cusum_changepoints,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    types, ts = [], []
+    for et, day, copies in rows:
+        for _ in range(copies):
+            types.append(et)
+            ts.append(base + datetime.timedelta(days=day))
+    ds = ray_session.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    got = {(r["event_type"], r["day"].day): (r["cusum"], r["flag"])
+           for r in cusum_changepoints(
+               ds, "event_type", "ts", num_partitions=3).take_all()}
+
+    per = {}
+    for et, day, copies in rows:
+        per.setdefault(et, {})[day] = copies
+    for et, series in per.items():
+        days = sorted(series)
+        x = np.array([series[d] for d in days], float)
+        sd = x.std()
+        d = (x - x.mean()) / sd - 0.5 if sd > 0 else np.zeros_like(x)
+        c = np.cumsum(d)
+        s = c - np.minimum.accumulate(np.minimum(c, 0.0))
+        for day, si in zip(days, s):
+            cus, flag = got[(et, day + 1)]  # base date is Jan 1
+            assert cus == round(float(si), 6), (et, day)
+            assert flag == int(si > 4.0)
