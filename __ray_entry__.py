@@ -733,6 +733,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_recrawls(pages, num_partitions=8).select_columns(
             ["doc_id", "canonical_url", "url"])
 
+    def pages_recrawl_dedup_windowed(sf_dir: str):
+        """Windowed re-crawl collapse (pipelines/web.dedup_recrawls_windowed):
+        keep the latest capture per canonical url per 30-day epoch
+        bucket. Every doc has a base capture; every 3rd doc is
+        re-captured +1 day later (usually the SAME window — collapses),
+        every 4th doc +40 days later (always a DIFFERENT window — both
+        survive). The oracle recomputes the same epoch-aligned window
+        and replays keep-latest with a window function, so bucket-edge
+        cases are handled identically rather than assumed away."""
+        import datetime as _dt
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            dedup_recrawls_windowed,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+        epoch = _dt.datetime(2025, 3, 28)
+
+        def mk(batch: pa.Table) -> pa.Table:
+            rows = []
+            for r in batch.to_pylist():
+                i = int(r["doc_id"])
+                host, path = f"site{i % 5}.com", f"/d/doc-{i}"
+                base = epoch + _dt.timedelta(seconds=i)
+                rows.append({
+                    "doc_id": i,
+                    "url": f"HTTPS://{host}:443{path}?utm_source=feed&id={i}",
+                    "warc_ts": base,
+                })
+                if i % 3 == 0:  # re-capture a day later (same window mostly)
+                    rows.append({
+                        "doc_id": i,
+                        "url": f"https://{host}{path}?id={i}&utm_campaign=x#f",
+                        "warc_ts": base + _dt.timedelta(days=1),
+                    })
+                if i % 4 == 0:  # re-capture 40 days later (next window)
+                    rows.append({
+                        "doc_id": i,
+                        "url": f"https://{host}:443{path}?id={i}&utm_medium=z",
+                        "warc_ts": base + _dt.timedelta(days=40),
+                    })
+            return pa.Table.from_pylist(rows)
+
+        pages = docs.map_batches(mk, batch_format="pyarrow")
+        return dedup_recrawls_windowed(
+            pages, window_days=30, num_partitions=8
+        ).select_columns(["doc_id", "canonical_url", "window", "url"])
+
+    def docs_stop_tokens(sf_dir: str):
+        """Corpus-driven stopword discovery
+        (pipelines/textstats.stop_tokens): tokens present in more than
+        10% of documents, with exact document frequency — the
+        df-pruning feed for the inverted-index joins. Single-space
+        tokenization, the shared SQL-expressible contract."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+            stop_tokens,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+        return stop_tokens(docs, min_df_frac=0.10, num_partitions=8)
+
     def docs_c4_line_filtered(sf_dir: str):
         """C4 rule-based cleaning (pipelines/clean.c4_line_filter) over
         deterministically synthesized multi-line pages: each doc gets a
@@ -8290,6 +8351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate_scoped": docs_boilerplate_scoped,
         "web_host_pagerank": web_host_pagerank,
         "pages_recrawl_dedup": pages_recrawl_dedup,
+        "pages_recrawl_dedup_windowed": pages_recrawl_dedup_windowed,
+        "docs_stop_tokens": docs_stop_tokens,
         "docs_c4_line_filtered": docs_c4_line_filtered,
         "docs_gopher_quality": docs_gopher_quality,
         "web_curation_pipeline": web_curation_pipeline,
@@ -9056,6 +9119,74 @@ def oracle_sql() -> dict[str, str]:
                            || CAST(doc_id AS VARCHAR)
                    END AS url
             FROM documents
+        """,
+        # windowed re-crawl collapse: rebuild the three capture
+        # variants, recompute the epoch-aligned 30-day window, and
+        # replay keep-latest (ts DESC, url ASC) per (canonical, window)
+        # with a window function — bucket-edge cases replay identically
+        "pages_recrawl_dedup_windowed": """
+            WITH caps AS (
+              SELECT doc_id,
+                     'HTTPS://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.com:443/d/doc-' || CAST(doc_id AS VARCHAR)
+                         || '?utm_source=feed&id='
+                         || CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '2025-03-28'
+                         + doc_id * INTERVAL 1 SECOND AS warc_ts
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.com/d/doc-' || CAST(doc_id AS VARCHAR)
+                         || '?id=' || CAST(doc_id AS VARCHAR)
+                         || '&utm_campaign=x#f' AS url,
+                     TIMESTAMP '2025-03-28'
+                         + doc_id * INTERVAL 1 SECOND
+                         + INTERVAL 1 DAY AS warc_ts
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id,
+                     'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.com:443/d/doc-' || CAST(doc_id AS VARCHAR)
+                         || '?id=' || CAST(doc_id AS VARCHAR)
+                         || '&utm_medium=z' AS url,
+                     TIMESTAMP '2025-03-28'
+                         + doc_id * INTERVAL 1 SECOND
+                         + INTERVAL 40 DAY AS warc_ts
+              FROM documents WHERE doc_id % 4 = 0
+            ), c AS (
+              SELECT doc_id, url, warc_ts,
+                     'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.com/d/doc-' || CAST(doc_id AS VARCHAR)
+                         || '?id=' || CAST(doc_id AS VARCHAR)
+                         AS canonical_url,
+                     CAST(epoch_us(warc_ts) // 2592000000000 AS BIGINT)
+                         AS "window"
+              FROM caps
+            ), r AS (
+              SELECT *, row_number() OVER (
+                         PARTITION BY canonical_url, "window"
+                         ORDER BY warc_ts DESC, url ASC) AS rn
+              FROM c
+            )
+            SELECT doc_id, canonical_url, "window", url
+            FROM r WHERE rn = 1
+        """,
+        # corpus-driven stopwords: df counts each token once per doc;
+        # strict > threshold, like the pipeline's floor comparison
+        "docs_stop_tokens": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t AS tok
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ), df AS (
+              SELECT tok, count(*) AS df FROM tok GROUP BY tok
+            ), n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT tok, df,
+                   round(df / (SELECT n_docs FROM n), 6) AS df_frac
+            FROM df
+            WHERE df > 0.10 * (SELECT n_docs FROM n)
         """,
         # C4 rule-based cleaning: the oracle rebuilds the synthesized
         # lines and applies the SAME published rules with list kernels

@@ -2083,3 +2083,44 @@ def token_ids_encode(docs_ds, vocab_size: int | None = None,
     empty_rows = docs_ds.select_columns([id_col, text_col]).map_batches(
         empties, batch_format="pyarrow")
     return encoded.union(empty_rows)
+
+
+def stop_tokens(docs_ds, min_df_frac: float = 0.5,
+                id_col: str = "doc_id", text_col: str = "text",
+                ndigits: int = 6, num_partitions: int = 64):
+    """Corpus-driven STOPWORD discovery: tokens whose document
+    frequency exceeds ``min_df_frac`` of the corpus — the df-pruning
+    feed for the inverted-index joins (``tfidf_cosine_pairs``'s skew
+    contract names exactly this list) and for index size control.
+    Output: ``(tok, df:int64, df_frac:float64)`` sorted nowhere (small
+    result; callers sort).
+
+    Scale shape: per-batch DISTINCT (doc, tok) pairs collapse to
+    (tok, partial df) rows (a token counts once per doc regardless of
+    tf) before ONE token-keyed exchange sums exact dfs; the corpus
+    doc count is one metadata-cheap ``count()``."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    n_docs = docs_ds.count()
+    floor = min_df_frac * n_docs
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        t = _tf_table(batch, id_col, text_col)  # distinct per (doc, tok)
+        agg = t.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "df"])
+
+    partials = docs_ds.select_columns([id_col, text_col]).map_batches(
+        df_partials, batch_format="pyarrow")
+
+    def reduce_df(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.groupby("tok", sort=False)["df"].sum().reset_index()
+        s = s[s["df"] > floor]
+        s["df_frac"] = np.round(
+            s["df"].to_numpy(np.float64) / n_docs, ndigits)
+        return s
+
+    return grouped_apply(partials, ["tok"], reduce_df,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")

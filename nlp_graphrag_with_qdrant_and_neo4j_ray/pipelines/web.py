@@ -707,3 +707,49 @@ def host_cocitation(ds, url_col: str = "url", html_col: str = "html",
                 b.column("n_pages"), min_count)),
             batch_format="pyarrow")
     return out
+
+
+def dedup_recrawls_windowed(ds, window_days: int = 30,
+                            url_col: str = "url",
+                            ts_col: str = "warc_ts",
+                            num_partitions: int = 64):
+    """Temporal-corpus re-crawl collapse: keep the latest capture per
+    canonical url WITHIN EACH ``window_days`` window (epoch-aligned
+    UTC buckets) instead of one capture forever — the semantics
+    longitudinal / news corpora need, where a page's monthly snapshots
+    are all wanted but within-month recaptures are noise.  Ties break
+    by raw url ascending, like ``dedup_recrawls``.
+
+    Same shape as the unwindowed collapse: canonical url + window
+    derive map-side, ONE (canonical_url, window) exchange, vectorized
+    run-head keep.  Output keeps the original columns plus
+    ``canonical_url`` and ``window:int64``."""
+    import numpy as np
+
+    us_per_window = window_days * 86_400_000_000
+
+    def derive(batch: pa.Table) -> pa.Table:
+        # normalize to µs first — inputs arrive as timestamp[s|ms|us|ns]
+        # depending on the writer, and a raw int64 cast yields that unit
+        ts_us = pc.cast(
+            pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
+        win = pc.divide(ts_us, us_per_window)
+        return batch.append_column(
+            "canonical_url", canonical_urls(batch.column(url_col))
+        ).append_column("window", pc.cast(win, pa.int64()))
+
+    def keep_latest(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        part = part.sort_by([
+            ("canonical_url", "ascending"), ("window", "ascending"),
+            (ts_col, "descending"), (url_col, "ascending"),
+        ])
+        cu = part.column("canonical_url").to_numpy(zero_copy_only=False)
+        w = part.column("window").to_numpy(zero_copy_only=False)
+        keep = np.r_[True, (cu[1:] != cu[:-1]) | (w[1:] != w[:-1])]
+        return part.filter(pa.array(keep))
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    return grouped_apply(derived, ["canonical_url", "window"],
+                         keep_latest, num_partitions=num_partitions)

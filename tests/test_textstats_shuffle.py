@@ -305,3 +305,34 @@ def test_dsir_logratio_matches_naive(ray_session):
         # target docs should score above the spammy raw doc
         assert out[1]["dsir_llr"] > out[3]["dsir_llr"]
         assert out[2]["dsir_llr"] > out[3]["dsir_llr"]
+
+
+def test_stop_tokens_matches_naive(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        stop_tokens,
+    )
+
+    texts = {
+        1: "the cat sat",
+        2: "the the dog",     # repeated token counts once for df
+        3: "the bird flew up",
+        4: "cat and dog",
+        5: "nothing here",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    )
+    for parts in (1, 4):
+        out = {
+            r["tok"]: r
+            for r in stop_tokens(
+                ds.repartition(parts), min_df_frac=0.3,
+                num_partitions=4).take_all()
+        }
+        # df: the=3, cat=2, dog=2 — all > 0.3*5=1.5; everything else df=1
+        assert set(out) == {"the", "cat", "dog"}, parts
+        assert out["the"]["df"] == 3 and out["the"]["df_frac"] == 0.6
+        assert out["cat"]["df"] == 2 and out["cat"]["df_frac"] == 0.4
+        assert out["dog"]["df"] == 2

@@ -579,3 +579,61 @@ class TestSitemapProperty:
             assert [r["loc"] for r in rows] == locs
 
         check()
+
+
+class TestRecrawlDedupWindowed:
+    def test_within_window_collapses_across_survives(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            dedup_recrawls_windowed,
+        )
+
+        # pick a base far from a 30-day epoch-bucket edge so the
+        # +1-day re-capture provably shares the window
+        t0 = datetime.datetime(2025, 1, 10)
+        rows = [
+            {"url": "HTTPS://a.com:443/p?utm_x=1&id=9",
+             "warc_ts": t0, "v": "old"},
+            {"url": "https://a.com/p?id=9#frag",
+             "warc_ts": t0 + datetime.timedelta(days=1), "v": "newer"},
+            # 40 days later: a different window, must also survive
+            {"url": "https://a.com/p?id=9&utm_y=2",
+             "warc_ts": t0 + datetime.timedelta(days=40), "v": "next_win"},
+            {"url": "https://b.com/q", "warc_ts": t0, "v": "only"},
+        ]
+        for parts in (1, 4):
+            ds = ray.data.from_items(rows).repartition(parts)
+            out = dedup_recrawls_windowed(
+                ds, window_days=30, num_partitions=4).take_all()
+            got = sorted((r["canonical_url"], r["v"]) for r in out)
+            assert got == [
+                ("https://a.com/p?id=9", "newer"),
+                ("https://a.com/p?id=9", "next_win"),
+                ("https://b.com/q", "only"),
+            ], parts
+            # the two a.com survivors sit in distinct windows
+            wins = {r["v"]: r["window"] for r in out
+                    if r["canonical_url"] == "https://a.com/p?id=9"}
+            assert wins["newer"] != wins["next_win"]
+
+    def test_tie_breaks_by_raw_url_within_window(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            dedup_recrawls_windowed,
+        )
+
+        t0 = datetime.datetime(2025, 1, 10)
+        rows = [
+            {"url": "https://a.com/p?id=1&utm_b=2", "warc_ts": t0},
+            {"url": "https://a.com/p?id=1&utm_a=1", "warc_ts": t0},
+        ]
+        out = dedup_recrawls_windowed(
+            ray.data.from_items(rows)).take_all()
+        assert len(out) == 1
+        assert out[0]["url"] == "https://a.com/p?id=1&utm_a=1"
