@@ -4837,6 +4837,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pagerank(docs.map_batches(edges, batch_format="pyarrow"),
                         iters=5, num_partitions=8)
 
+    def docs_hits(sf_dir: str):
+        """5-iteration HITS (pipelines/graph.hits) on the same
+        deterministic synthetic doc graph as docs_pagerank — hubs vs
+        authorities with per-iteration L1 normalization, pinned
+        against an unrolled SQL oracle (the same join pair per
+        iteration)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            hits,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(mult: int, add: int):
+                x = pc.add(pc.multiply(ids, mult), add)
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500), 500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(7, 3).combine_chunks(),
+                mod500(13, 101).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        return hits(docs.map_batches(edges, batch_format="pyarrow"),
+                    iters=5, num_partitions=8)
+
     _EDGE_COLS = ["src_entity_id", "dst_entity_id", "weight"]
 
     def _kg_edges_local(sf_dir: str):
@@ -8487,6 +8516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube_qty": lineitem_cube_qty,
         "lineitem_qty_quantile_sketch": lineitem_qty_quantile_sketch,
         "docs_pagerank": docs_pagerank,
+        "docs_hits": docs_hits,
         "kg_entity_pagerank": kg_entity_pagerank,
         "embedding_label_centroids": embedding_label_centroids,
         "embedding_label_separation": embedding_label_separation,
@@ -10316,6 +10346,56 @@ def oracle_sql() -> dict[str, str]:
             )
             + """
             SELECT node, round(r, 6) AS pr FROM r5
+            """
+        ),
+        # 5 unrolled HITS iterations (a ← Σ_in h, L1-normalize;
+        # h ← Σ_out a, L1-normalize) over the docs_pagerank edge list
+        "docs_hits": (
+            """
+            WITH edges AS MATERIALIZED (
+                SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 101) % 500 FROM documents
+            ),
+            nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)
+            """
+            + "".join(
+                f""",
+            a{i}raw AS MATERIALIZED (
+                SELECT n.node, coalesce(sum(p.h), 0.0) AS v
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN h{i - 1} p ON p.node = e.src
+                GROUP BY n.node
+            ),
+            a{i} AS (
+                SELECT node,
+                       v / (SELECT CASE WHEN sum(v) = 0 THEN 1.0
+                                   ELSE sum(v) END FROM a{i}raw) AS a
+                FROM a{i}raw
+            ),
+            h{i}raw AS MATERIALIZED (
+                SELECT n.node, coalesce(sum(p.a), 0.0) AS v
+                FROM nodes n
+                LEFT JOIN edges e ON e.src = n.node
+                LEFT JOIN a{i} p ON p.node = e.dst
+                GROUP BY n.node
+            ),
+            h{i} AS (
+                SELECT node,
+                       v / (SELECT CASE WHEN sum(v) = 0 THEN 1.0
+                                   ELSE sum(v) END FROM h{i}raw) AS h
+                FROM h{i}raw
+            )"""
+                for i in range(1, 6)
+            )
+            + """
+            SELECT a5.node, round(a5.a, 6) AS authority,
+                   round(h5.h, 6) AS hub
+            FROM a5 JOIN h5 ON a5.node = h5.node
             """
         ),
         "embedding_label_outliers": """

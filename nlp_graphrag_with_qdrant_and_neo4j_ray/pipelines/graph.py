@@ -984,3 +984,213 @@ def random_walks(edges_ds, walk_len: int = 4, src_col: str = "src",
     for v in visited[1:]:
         out = out.union(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+def _hits_local(tbl: pa.Table, src_col: str, dst_col: str,
+                iters: int, ndigits: int,
+                hub_col: str, auth_col: str) -> pa.Table:
+    """Single-task HITS — the exact recurrence of :func:`hits`
+    (a ← Σ_in h, L1-normalize; h ← Σ_out a, L1-normalize), vectorized
+    with np.add.at."""
+    nodes, s_idx, d_idx, _ = _factorize_edges(tbl, src_col, dst_col,
+                                              None)
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, d_idx, h[s_idx])
+        a /= a.sum() or 1.0
+        h = np.zeros(n)
+        np.add.at(h, s_idx, a[d_idx])
+        h /= h.sum() or 1.0
+    return pa.table({
+        "node": pa.array(nodes),
+        auth_col: pc.round(pa.array(a, pa.float64()), ndigits,
+                           round_mode="half_towards_infinity"),
+        hub_col: pc.round(pa.array(h, pa.float64()), ndigits,
+                          round_mode="half_towards_infinity"),
+    })
+
+
+_H_SCORE = 2  # key = node, val = the node's raw score this half-round
+
+
+def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 5, ndigits: int = 6,
+         hub_col: str = "hub", auth_col: str = "authority",
+         num_partitions: int = 16,
+         local_threshold: int | None = LOCAL_EDGES_THRESHOLD):
+    """Fixed-iteration HITS (Kleinberg 1999): per iteration
+    ``a(v) = Σ_{u→v} h(u)`` then L1-normalize, ``h(u) = Σ_{u→v} a(v)``
+    then L1-normalize; ``h`` initialized to 1.  A FIXED iteration count
+    keeps the result deterministic and SQL-oracle-able (the oracle
+    unrolls the same ``iters`` join pairs).  Complements
+    :func:`pagerank` on the host link graph — hubs are directories /
+    link farms, authorities are heavily-cited content — the classic
+    web-graph pair.
+
+    Scale shape: each half-round is ONE co-partitioned exchange, the
+    alternating twin of :func:`pagerank`'s fused round.  The a-half
+    exchanges on ``dst``: a partition holding v's in-edges sums v's
+    incoming hub contributions into ``a_raw(v)``, then immediately
+    emits next-half contribution rows ``(u, a_raw(v))`` for its local
+    in-edges — PRE-AGGREGATED per source before they ship, so a
+    high-degree node receives ≤ num_partitions rows, not one per edge.
+    The h-half mirrors it on ``src``.  L1 normalization is deferred to
+    consumption: each half materializes (rounds stay linear, like
+    pagerank's), the driver folds the L1 norm as ONE scalar aggregate
+    over the per-node SCORE rows, and the next half divides by that
+    broadcast constant.  2·iters exchanges + one final node-join.
+
+    Partitioning assumption: a hub's out-edges (resp. an authority's
+    in-edges) co-locate on its exchange partition.  Degrees beyond a
+    single worker's block need the head-key salting
+    :func:`pagerank` applies via ``hot_degree`` — apply the same
+    treatment here before running on a graph with 10^8-degree nodes.
+
+    ``local_threshold``: at or below this many edges the graph solves
+    vectorized inside ONE Ray task (:func:`_hits_local`); ``None``
+    forces the distributed rounds.
+    """
+    import ray
+    import ray.data
+
+    refs = _edges_below(edges_ds, local_threshold)
+    if refs is not None:
+        cols = [src_col, dst_col]
+
+        @ray.remote
+        def solve(*blocks):
+            tbls = ([b.select(cols) for b in blocks if b.num_rows]
+                    or [blocks[0].select(cols)])
+            tbl = pa.concat_tables(tbls)
+            return _hits_local(tbl, src_col, dst_col, iters, ndigits,
+                               hub_col, auth_col)
+
+        return ray.data.from_arrow(ray.get(solve.remote(*refs)))
+
+    def keyed(b: pa.Table, key_col: str, other_col: str) -> pa.Table:
+        return pa.table({
+            "key": b.column(key_col),
+            "other": b.column(other_col),
+            "val": pa.array(np.zeros(b.num_rows), pa.float64()),
+            "kind": pa.array(np.full(b.num_rows, _EDGE, np.int8)),
+        })
+
+    # the edge list pinned twice: in-edges keyed by dst (a-half),
+    # out-edges keyed by src (h-half)
+    by_dst = edges_ds.map_batches(
+        lambda b: keyed(b, dst_col, src_col), batch_format="pyarrow"
+    ).materialize()
+    by_src = edges_ds.map_batches(
+        lambda b: keyed(b, src_col, dst_col), batch_format="pyarrow"
+    ).materialize()
+
+    # seed messages: h0 ≡ 1 → v's first incoming sum is its in-degree;
+    # pre-aggregated per dst inside the map, like every later emission
+    def seed(b: pa.Table) -> pa.Table:
+        g = b.group_by([dst_col]).aggregate([([], "count_all")])
+        return pa.table({
+            "key": g.column(dst_col),
+            "other": g.column(dst_col),
+            "val": pc.cast(g.column("count_all"), pa.float64()),
+            "kind": pa.array(
+                np.full(g.num_rows, _CONTRIB, np.int8)),
+        })
+
+    msgs = edges_ds.map_batches(seed, batch_format="pyarrow")
+
+    def half_round(pdf: pd.DataFrame, divisor: float) -> pd.DataFrame:
+        """score_raw(K) = Σ msgs / divisor; emit SCORE rows (for the
+        norm fold and the final join) + CONTRIB rows toward each local
+        edge's other endpoint, pre-aggregated."""
+        m = pdf[pdf["kind"] == _CONTRIB]
+        score = m.groupby("key", sort=False)["val"].sum() / divisor
+        edge = pdf[pdf["kind"] == _EDGE]
+        lut = score.reindex(edge["key"]).to_numpy(np.float64)
+        contrib = pd.DataFrame({
+            "key": edge["other"].to_numpy(),
+            "val": np.nan_to_num(lut),
+        }).groupby("key", sort=False, as_index=False)["val"].sum()
+        nodes = score.index.to_numpy()
+        return pd.DataFrame({
+            "key": np.concatenate([contrib["key"].to_numpy(), nodes]),
+            "other": np.concatenate(
+                [contrib["key"].to_numpy(), nodes]),
+            "val": np.concatenate(
+                [contrib["val"].to_numpy(), score.to_numpy()]),
+            "kind": np.concatenate([
+                np.full(len(contrib), _CONTRIB, np.int8),
+                np.full(len(nodes), _H_SCORE, np.int8),
+            ]),
+        })
+
+    def only(state, kind: int):
+        return state.map_batches(
+            lambda b, _k=kind: b.filter(pc.equal(b.column("kind"), _k)),
+            batch_format="pyarrow")
+
+    divisor = 1.0  # h0 is used unnormalized, like the local solver
+    a_scores = h_scores = None
+    for i in range(iters):
+        for edges_pin, is_a_half in ((by_dst, True), (by_src, False)):
+            state = grouped_apply(
+                msgs.union(edges_pin), ["key"],
+                lambda pdf, _d=divisor: half_round(pdf, _d),
+                num_partitions=num_partitions,
+                batch_format="pandas",
+            ).materialize()
+            scores = only(state, _H_SCORE)
+            divisor = float(scores.sum("val") or 0.0) or 1.0
+            msgs = only(state, _CONTRIB)
+            if is_a_half:
+                a_scores, a_div = scores, divisor
+            else:
+                h_scores, h_div = scores, divisor
+
+    # final join: every node appears in at least one score set; missing
+    # side = raw 0.  One exchange on the node key.
+    def label(scores, col: str, div: float):
+        return scores.map_batches(
+            lambda b, _c=col, _d=div: pa.table({
+                "node": b.column("key"),
+                "col": pa.array(np.full(b.num_rows, _c)),
+                "v": pc.divide(b.column("val"), _d),
+            }),
+            batch_format="pyarrow")
+
+    both = label(a_scores, auth_col, a_div).union(
+        label(h_scores, hub_col, h_div))
+
+    def pivot(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf.pivot_table(index="node", columns="col", values="v",
+                            aggfunc="sum", fill_value=0.0)
+        for c in (auth_col, hub_col):
+            if c not in w.columns:
+                w[c] = 0.0
+        w = w.reset_index()
+        return pd.DataFrame({
+            "node": w["node"].to_numpy(),
+            auth_col: w[auth_col].to_numpy(np.float64),
+            hub_col: w[hub_col].to_numpy(np.float64),
+        })
+
+    out = grouped_apply(both, ["node"], pivot,
+                        num_partitions=num_partitions,
+                        batch_format="pandas")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            auth_col: pc.round(b.column(auth_col), ndigits,
+                               round_mode="half_towards_infinity"),
+            hub_col: pc.round(b.column(hub_col), ndigits,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -436,7 +436,7 @@ class TestDegreeHistogram:
 # random_walks: deterministic DeepWalk corpus sampling
 # ---------------------------------------------------------------------------
 
-def _edges_ds(ray_session, pairs):
+def _pairs_ds(ray_session, pairs):
     import pyarrow as pa
 
     return ray_session.data.from_arrow(pa.table({
@@ -453,7 +453,7 @@ def test_random_walks_hand_computed(ray_session):
     A, B = 2654435761, 40503
     # node 0 -> {1, 2}; node 1 -> {0}; node 2 -> {1}
     pairs = [(0, 1), (0, 2), (1, 0), (2, 1)]
-    out = random_walks(_edges_ds(ray_session, pairs),
+    out = random_walks(_pairs_ds(ray_session, pairs),
                        walk_len=3).take_all()
     got = {(r["walk_id"], r["step"]): r["node"] for r in out}
 
@@ -474,7 +474,7 @@ def test_random_walks_dead_end_stops_early(ray_session):
     )
 
     # 5 -> 6, 6 has no out-edges: the walk from 5 stops at step 1
-    out = random_walks(_edges_ds(ray_session, [(5, 6)]),
+    out = random_walks(_pairs_ds(ray_session, [(5, 6)]),
                        walk_len=4).take_all()
     rows = sorted((r["walk_id"], r["step"], r["node"]) for r in out)
     assert rows == [(5, 0, 5), (5, 1, 6)]
@@ -489,10 +489,84 @@ def test_random_walks_parallel_edges_dedup_and_partition_independent(
     pairs = [(i, (i + 1) % 20) for i in range(20)]
     pairs += pairs[:7]  # parallel duplicates must not change degrees
     pairs += [(i, (i + 5) % 20) for i in range(20)]
-    ds = _edges_ds(ray_session, pairs)
+    ds = _pairs_ds(ray_session, pairs)
     key = lambda r: (r["walk_id"], r["step"])
     one = sorted(random_walks(ds, walk_len=4).take_all(), key=key)
     many = sorted(random_walks(ds.repartition(7), walk_len=4,
                                num_partitions=3).take_all(), key=key)
     assert one == many
     assert len(one) == 20 * 4
+
+
+# ---------------------------------------------------------------------------
+# HITS: hubs & authorities
+# ---------------------------------------------------------------------------
+
+def _hits_replay(edges, iters=5):
+    nodes = sorted({n for e in edges for n in e})
+    a = {n: 0.0 for n in nodes}
+    h = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            a[t] += h[s]
+        sa = sum(a.values()) or 1.0
+        a = {n: v / sa for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            h[s] += a[t]
+        sh = sum(h.values()) or 1.0
+        h = {n: v / sh for n, v in h.items()}
+    return ({n: round(v, 6) for n, v in a.items()},
+            {n: round(v, 6) for n, v in h.items()})
+
+
+def test_hits_matches_replay_local_and_distributed(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import hits
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 30, (200, 2))]
+    want_a, want_h = _hits_replay(edges, iters=5)
+    for thr in (None, 5_000_000):
+        out = hits(_edges_ds(ray_session, edges, 4), iters=5,
+                   num_partitions=4, local_threshold=thr).to_pandas()
+        got_a = dict(zip(out["node"], out["authority"]))
+        got_h = dict(zip(out["node"], out["hub"]))
+        assert set(got_a) == set(want_a), thr
+        for n in want_a:
+            assert abs(got_a[n] - want_a[n]) < 2e-6, (thr, n)
+            assert abs(got_h[n] - want_h[n]) < 2e-6, (thr, n)
+
+
+def test_hits_pure_hub_and_authority(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import hits
+
+    # 0 links to 1 and 2; nothing links to 0 → 0 is a pure hub
+    edges = [(0, 1), (0, 2)]
+    for thr in (None, 5_000_000):
+        out = {r["node"]: r for r in hits(
+            _edges_ds(ray_session, edges, 2), iters=3,
+            num_partitions=3, local_threshold=thr).take_all()}
+        assert out[0]["authority"] == 0.0, thr
+        assert out[0]["hub"] == 1.0, thr
+        assert out[1]["hub"] == 0.0 and out[2]["hub"] == 0.0
+        assert abs(out[1]["authority"] - 0.5) < 1e-9
+        assert abs(out[2]["authority"] - 0.5) < 1e-9
+
+
+def test_hits_string_nodes_partition_independent(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import hits
+
+    edges = [("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com"),
+             ("c.com", "a.com"), ("d.com", "c.com")]
+    ref = None
+    for blocks, parts in ((1, 2), (3, 4), (5, 3)):
+        out = hits(_edges_ds(ray_session, edges, blocks), iters=4,
+                   num_partitions=parts,
+                   local_threshold=None).to_pandas()
+        cur = sorted(map(tuple, out.to_numpy().tolist()))
+        if ref is None:
+            ref = cur
+        else:
+            assert cur == ref, (blocks, parts)
