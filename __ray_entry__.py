@@ -4907,6 +4907,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         dst_col="dst_entity_id", weight_col="weight",
                         iters=5, num_partitions=8)
 
+    def kg_entity_hits(sf_dir: str):
+        """Hub/authority split over the real KG edge list
+        (graph.hits, unweighted like Kleinberg's original): entities
+        that POINT AT many important entities (hubs — aggregator
+        mentions) vs entities many hubs point at (authorities) — the
+        complementary importance axis to kg_entity_pagerank. Rows
+        only: iterative; docs_hits° pins the recurrence against an
+        unrolled SQL oracle and tests pin local == distributed. Small
+        KGs serve in-process off the published checkpoint."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            _hits_local,
+            hits,
+        )
+
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            return _hits_local(tbl, "src_entity_id", "dst_entity_id",
+                               iters=5, ndigits=6, hub_col="hub",
+                               auth_col="authority")
+        edges = _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id"])
+        return hits(edges, src_col="src_entity_id",
+                    dst_col="dst_entity_id", iters=5, num_partitions=8)
+
     def embedding_label_centroids(sf_dir: str):
         """Per-label embedding centroid, long-form (label, dim,
         centroid) — each batch reduces to one (Σvector, n) row per
@@ -8518,6 +8542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": docs_pagerank,
         "docs_hits": docs_hits,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "kg_entity_hits": kg_entity_hits,
         "embedding_label_centroids": embedding_label_centroids,
         "embedding_label_separation": embedding_label_separation,
         "embedding_label_outliers": embedding_label_outliers,

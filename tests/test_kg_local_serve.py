@@ -10,7 +10,8 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-QUERIES = ["kg_entity_pagerank", "kg_entity_ppr", "kg_entity_communities",
+QUERIES = ["kg_entity_pagerank", "kg_entity_hits",
+           "kg_entity_ppr", "kg_entity_communities",
            "kg_vector_topk", "kg_hybrid_retrieve", "kg_document_chain",
            "kg_context_windows", "kg_relationship_search", "kg_term_search",
            "kg_lineage_summary"]
