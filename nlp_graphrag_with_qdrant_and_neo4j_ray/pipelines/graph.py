@@ -1023,6 +1023,7 @@ _H_SCORE = 2  # key = node, val = the node's raw score this half-round
 def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
          iters: int = 5, ndigits: int = 6,
          hub_col: str = "hub", auth_col: str = "authority",
+         hot_degree: int | None = None, salt_buckets: int = 8,
          num_partitions: int = 16,
          local_threshold: int | None = LOCAL_EDGES_THRESHOLD):
     """Fixed-iteration HITS (Kleinberg 1999): per iteration
@@ -1047,11 +1048,18 @@ def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
     over the per-node SCORE rows, and the next half divides by that
     broadcast constant.  2·iters exchanges + one final node-join.
 
-    Partitioning assumption: a hub's out-edges (resp. an authority's
-    in-edges) co-locate on its exchange partition.  Degrees beyond a
-    single worker's block need the head-key salting
-    :func:`pagerank` applies via ``hot_degree`` — apply the same
-    treatment here before running on a graph with 10^8-degree nodes.
+    Head-degree skew (``hot_degree``): a node's in-edges (a-half) /
+    out-edges (h-half) co-locate on its exchange partition, so a
+    10^8-degree node would swamp one worker.  With ``hot_degree`` set,
+    heads on EACH side are detected by a combiner pass (≤1 row per key
+    per batch), their edges salted across ``salt_buckets`` sub-keys by
+    hash(other endpoint), and the pre-aggregated contribution rows
+    destined for a hot key REPLICATED to every salt sub-key — each salt
+    partition reconstructs the identical score from the full message
+    copy, emits contributions for only ITS edge slice, and only the
+    salt-0 partition emits the score row.  Results are exactly equal
+    to the unsalted path (tested) — pagerank's head-key treatment,
+    applied in both directions.
 
     ``local_threshold``: at or below this many edges the graph solves
     vectorized inside ONE Ray task (:func:`_hits_local`); ``None``
@@ -1074,61 +1082,123 @@ def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
         return ray.data.from_arrow(ray.get(solve.remote(*refs)))
 
-    def keyed(b: pa.Table, key_col: str, other_col: str) -> pa.Table:
-        return pa.table({
+    # head detection, each side: per-key edge counts via a combiner
+    # pass (a hub contributes ≤1 row per batch, never its edges)
+    def detect_hot(col: str) -> frozenset:
+        if hot_degree is None:
+            return frozenset()
+
+        def stats(b: pa.Table) -> pa.Table:
+            g = b.group_by([col]).aggregate([([], "count_all")])
+            return g.rename_columns(["key", "__n"])
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = pdf.groupby("key", sort=False, as_index=False)[
+                "__n"].sum()
+            return g[g["__n"] > hot_degree]
+
+        rows = grouped_apply(
+            edges_ds.map_batches(stats, batch_format="pyarrow"),
+            ["key"], merge, num_partitions=num_partitions,
+            batch_format="pandas",
+        ).take_all()
+        return frozenset(r["key"] for r in rows)
+
+    hot_dst, hot_src = detect_hot(dst_col), detect_hot(src_col)
+
+    def keyed(b: pa.Table, key_col: str, other_col: str,
+              hot: frozenset) -> pa.Table:
+        out = pa.table({
             "key": b.column(key_col),
             "other": b.column(other_col),
             "val": pa.array(np.zeros(b.num_rows), pa.float64()),
             "kind": pa.array(np.full(b.num_rows, _EDGE, np.int8)),
         })
+        if not hot:
+            salt = np.zeros(b.num_rows, np.int64)
+        else:
+            ks = out.column("key").to_pandas()
+            salt = np.where(
+                ks.isin(hot).to_numpy(),
+                _dst_salt(out.column("other").to_pandas(),
+                          salt_buckets),
+                np.int64(0))
+        return out.append_column("__salt",
+                                 pa.array(salt.astype(np.int64)))
 
     # the edge list pinned twice: in-edges keyed by dst (a-half),
-    # out-edges keyed by src (h-half)
+    # out-edges keyed by src (h-half); a head's edges spread across
+    # salt sub-keys by hash of the other endpoint
     by_dst = edges_ds.map_batches(
-        lambda b: keyed(b, dst_col, src_col), batch_format="pyarrow"
+        lambda b: keyed(b, dst_col, src_col, hot_dst),
+        batch_format="pyarrow",
     ).materialize()
     by_src = edges_ds.map_batches(
-        lambda b: keyed(b, src_col, dst_col), batch_format="pyarrow"
+        lambda b: keyed(b, src_col, dst_col, hot_src),
+        batch_format="pyarrow",
     ).materialize()
+
+    def replicate(contrib: pd.DataFrame,
+                  hot: frozenset) -> pd.DataFrame:
+        """(key, val) contribution rows → exchange rows; rows for hot
+        receivers are copied to every salt sub-key so each salt
+        partition reconstructs the full score."""
+        if hot:
+            is_hot = contrib["key"].isin(hot).to_numpy()
+            base = contrib[~is_hot].copy()
+            base["__salt"] = np.int64(0)
+            h = contrib[is_hot]
+            rep = h.loc[h.index.repeat(salt_buckets)].copy()
+            rep["__salt"] = np.tile(
+                np.arange(salt_buckets, dtype=np.int64), len(h))
+            contrib = pd.concat([base, rep], ignore_index=True)
+        else:
+            contrib = contrib.copy()
+            contrib["__salt"] = np.int64(0)
+        contrib["other"] = contrib["key"]
+        contrib["kind"] = np.full(len(contrib), _CONTRIB, np.int8)
+        return contrib[["key", "__salt", "other", "val", "kind"]]
 
     # seed messages: h0 ≡ 1 → v's first incoming sum is its in-degree;
     # pre-aggregated per dst inside the map, like every later emission
-    def seed(b: pa.Table) -> pa.Table:
-        g = b.group_by([dst_col]).aggregate([([], "count_all")])
-        return pa.table({
-            "key": g.column(dst_col),
-            "other": g.column(dst_col),
-            "val": pc.cast(g.column("count_all"), pa.float64()),
-            "kind": pa.array(
-                np.full(g.num_rows, _CONTRIB, np.int8)),
-        })
+    def seed(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(dst_col, sort=False).size()
+        return replicate(pd.DataFrame({
+            "key": g.index.to_numpy(),
+            "val": g.to_numpy(np.float64),
+        }), hot_dst)
 
-    msgs = edges_ds.map_batches(seed, batch_format="pyarrow")
+    # arrow_out: unions with the Arrow edge pins — one block type
+    msgs = edges_ds.map_batches(arrow_out(seed), batch_format="pandas")
 
-    def half_round(pdf: pd.DataFrame, divisor: float) -> pd.DataFrame:
-        """score_raw(K) = Σ msgs / divisor; emit SCORE rows (for the
-        norm fold and the final join) + CONTRIB rows toward each local
-        edge's other endpoint, pre-aggregated."""
+    def half_round(pdf: pd.DataFrame, divisor: float,
+                   hot_next: frozenset) -> pd.DataFrame:
+        """score_raw(K) = Σ msgs / divisor per (key, salt) — replicated
+        messages make every salt's sum identical; emit SCORE rows from
+        salt 0 only (the norm fold and the final join) + CONTRIB rows
+        toward each local edge slice's other endpoint, pre-aggregated
+        and replicated for the next half's hot receivers."""
         m = pdf[pdf["kind"] == _CONTRIB]
-        score = m.groupby("key", sort=False)["val"].sum() / divisor
+        score = m.groupby(["key", "__salt"], sort=False)[
+            "val"].sum() / divisor
         edge = pdf[pdf["kind"] == _EDGE]
-        lut = score.reindex(edge["key"]).to_numpy(np.float64)
+        lut = score.reindex(pd.MultiIndex.from_arrays(
+            [edge["key"], edge["__salt"]])).to_numpy(np.float64)
         contrib = pd.DataFrame({
             "key": edge["other"].to_numpy(),
             "val": np.nan_to_num(lut),
         }).groupby("key", sort=False, as_index=False)["val"].sum()
-        nodes = score.index.to_numpy()
-        return pd.DataFrame({
-            "key": np.concatenate([contrib["key"].to_numpy(), nodes]),
-            "other": np.concatenate(
-                [contrib["key"].to_numpy(), nodes]),
-            "val": np.concatenate(
-                [contrib["val"].to_numpy(), score.to_numpy()]),
-            "kind": np.concatenate([
-                np.full(len(contrib), _CONTRIB, np.int8),
-                np.full(len(nodes), _H_SCORE, np.int8),
-            ]),
+        out = replicate(contrib, hot_next)
+        s0 = score[score.index.get_level_values(1) == 0]
+        nodes = s0.index.get_level_values(0).to_numpy()
+        sc = pd.DataFrame({
+            "key": nodes,
+            "__salt": np.zeros(len(nodes), np.int64),
+            "other": nodes,
+            "val": s0.to_numpy(np.float64),
+            "kind": np.full(len(nodes), _H_SCORE, np.int8),
         })
+        return pd.concat([out, sc], ignore_index=True)
 
     def only(state, kind: int):
         return state.map_batches(
@@ -1139,9 +1209,13 @@ def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
     a_scores = h_scores = None
     for i in range(iters):
         for edges_pin, is_a_half in ((by_dst, True), (by_src, False)):
+            # the a-half emits toward sources (consumed keyed by src),
+            # the h-half toward destinations
+            hot_next = hot_src if is_a_half else hot_dst
             state = grouped_apply(
-                msgs.union(edges_pin), ["key"],
-                lambda pdf, _d=divisor: half_round(pdf, _d),
+                msgs.union(edges_pin), ["key", "__salt"],
+                lambda pdf, _d=divisor, _h=hot_next:
+                    half_round(pdf, _d, _h),
                 num_partitions=num_partitions,
                 batch_format="pandas",
             ).materialize()

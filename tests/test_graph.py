@@ -570,3 +570,26 @@ def test_hits_string_nodes_partition_independent(ray_session):
             ref = cur
         else:
             assert cur == ref, (blocks, parts)
+
+
+def test_hits_salted_heads_exact_match(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import hits
+
+    # node 0 is a huge hub (out-degree 40) AND node 1 a huge authority
+    # (in-degree 40) — both sides' head treatment fires
+    edges = ([(0, i) for i in range(2, 42)]
+             + [(i, 1) for i in range(2, 42)]
+             + [(1, 0), (3, 4), (4, 3)])
+    plain = hits(_edges_ds(ray_session, edges, 4), iters=4,
+                 num_partitions=5, local_threshold=None).to_pandas()
+    salted = hits(_edges_ds(ray_session, edges, 4), iters=4,
+                  num_partitions=5, local_threshold=None,
+                  hot_degree=3, salt_buckets=4).to_pandas()
+    p = plain.sort_values("node").reset_index(drop=True)
+    s = salted.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(p, s)
+    # and both match the single-task local solve
+    local = hits(_edges_ds(ray_session, edges, 2), iters=4,
+                 num_partitions=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(p, local)
