@@ -4866,6 +4866,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hits(docs.map_batches(edges, batch_format="pyarrow"),
                     iters=5, num_partitions=8)
 
+    def docs_token_cooccurrence(sf_dir: str):
+        """Open-vocabulary co-occurrence PMI
+        (pipelines/graph.cooccurrence_pmi) over long tokens (≥5 chars)
+        by document presence: the co-mention edge builder, pinned
+        against a SQL replay of dedupe → cap → self-join pairs →
+        marginal joins → log2 PMI. min_count=2 keeps the pair table
+        tight."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            cooccurrence_pmi,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def long_tokens(b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(b.column("text"), " ")
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            ids = np.repeat(
+                b.column("doc_id").to_numpy(zero_copy_only=False), lens)
+            flat = toks.combine_chunks().flatten()
+            t = pa.table({"doc_id": pa.array(ids), "item": flat})
+            return t.filter(
+                pc.greater_equal(pc.utf8_length(flat), 5))
+
+        items = docs.map_batches(long_tokens, batch_format="pyarrow")
+        return cooccurrence_pmi(items, "doc_id", "item", min_count=2,
+                                num_partitions=8)
+
+    def kg_entity_cooccurrence(sf_dir: str):
+        """Entity co-mention PMI over the real KG: linked triples
+        explode to (chunk, canonical entity) presence, then the same
+        open-vocabulary PMI exchange chain — the co-mention edge list
+        GraphRAG relatedness expansion consumes (docs_token_cooccurrence°
+        pins the operator; rows-only here)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            cooccurrence_pmi,
+        )
+
+        linked = _kg_tables(sf_dir)["linked_triples"].select_columns(
+            ["chunk_id", "src_entity_id", "dst_entity_id"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            chunk = b.column("chunk_id").combine_chunks()
+            return pa.table({
+                "chunk_id": pa.concat_arrays([chunk, chunk]),
+                "item": pa.concat_arrays([
+                    b.column("src_entity_id").combine_chunks(),
+                    b.column("dst_entity_id").combine_chunks(),
+                ]),
+            })
+
+        pairs = cooccurrence_pmi(
+            linked.map_batches(explode, batch_format="pyarrow"),
+            "chunk_id", "item", min_count=2, num_partitions=8)
+        return pairs.sort(["n_ab", "a", "b"], descending=[True, False,
+                                                          False]).limit(100)
+
     _EDGE_COLS = ["src_entity_id", "dst_entity_id", "weight"]
 
     def _kg_edges_local(sf_dir: str):
@@ -8541,6 +8599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_quantile_sketch": lineitem_qty_quantile_sketch,
         "docs_pagerank": docs_pagerank,
         "docs_hits": docs_hits,
+        "docs_token_cooccurrence": docs_token_cooccurrence,
+        "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "kg_entity_pagerank": kg_entity_pagerank,
         "kg_entity_hits": kg_entity_hits,
         "embedding_label_centroids": embedding_label_centroids,
@@ -10423,6 +10483,40 @@ def oracle_sql() -> dict[str, str]:
             FROM a5 JOIN h5 ON a5.node = h5.node
             """
         ),
+        # open-vocabulary co-occurrence PMI: dedupe (doc, long token),
+        # cap per doc, self-join pairs a<b, marginal joins, log2 PMI
+        "docs_token_cooccurrence": """
+            WITH it0 AS MATERIALIZED (
+              SELECT DISTINCT doc_id, t AS item
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE length(t) >= 5
+            ),
+            it AS MATERIALIZED (
+              SELECT doc_id, item FROM it0
+              QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY item) <= 256
+            ),
+            pairs AS (
+              SELECT x.item AS a, y.item AS b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM it x JOIN it y
+                ON x.doc_id = y.doc_id AND x.item < y.item
+              GROUP BY 1, 2
+            ),
+            marg AS MATERIALIZED (
+              SELECT item, count(*) AS n FROM it GROUP BY item
+            ),
+            nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM it)
+            SELECT a, b, n_ab,
+                   round(log2(CAST(n_ab AS DOUBLE)
+                              * (SELECT n_docs FROM nn)
+                              / (m1.n * m2.n)), 6) AS pmi
+            FROM pairs
+            JOIN marg m1 ON m1.item = a
+            JOIN marg m2 ON m2.item = b
+            WHERE n_ab >= 2
+        """,
         "embedding_label_outliers": """
             WITH e AS (
                 SELECT vec_id, label,

@@ -1268,3 +1268,156 @@ def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# open-vocabulary co-occurrence PMI (co-mention graph construction)
+# ---------------------------------------------------------------------------
+
+_CO_PAIR, _CO_MARG, _CO_GROUPS = np.int8(0), np.int8(1), np.int8(2)
+
+
+def cooccurrence_pmi(ds, group_col: str, item_col: str,
+                     min_count: int = 1, max_items_per_group: int = 256,
+                     ndigits: int = 6, num_partitions: int = 64):
+    """Document-level co-occurrence PMI over an OPEN item vocabulary:
+    ``pmi(a,b) = log2(N · n_ab / (n_a · n_b))`` where ``n_ab`` counts
+    groups containing both items (presence, not frequency), ``n_x``
+    groups containing ``x``, and ``N`` groups with ≥1 item.  The
+    co-mention edge builder for entity graphs — the output (a, b,
+    n_ab, pmi) IS an edge list :func:`pagerank` / :func:`hits` /
+    :func:`label_propagation` consume.
+
+    The fixed-vocabulary twin (``textstats.token_pmi``) broadcasts a
+    |V|-bit presence matrix and exchanges one |V|×|V| sufficient
+    statistic; THIS variant is for item universes too large to
+    broadcast (canonical entities at 10^12-document scale):
+
+    Scale shape: exchange 1 on the group key — a partition holds each
+    of its groups completely, so (group, item) dedupes globally, the
+    per-group item list caps at ``max_items_per_group``
+    (lexicographic head, deterministic), and pairs generate VECTORIZED
+    per distinct group size (one ``np.triu_indices`` per size, fancy-
+    indexed across all groups of that size at once — never a Python
+    loop over groups).  Pair partials pre-aggregate per partition
+    before exchange 2 on (a, b); item marginals pre-aggregate before
+    exchange 3 on the item; N folds from one count row per partition.
+    Marginals then attach by two co-partitioned joins (pairs never
+    collect; the marginal table never broadcasts).  5 exchanges total,
+    none carrying more than pair/marginal aggregates.
+
+    Per-batch combiner: batches dedupe (group, item) before exchange 1
+    so at most one row per (batch, group, item) ships."""
+    from .relational import inner_join
+
+    def distinct_map(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, item_col])
+        return t.group_by([group_col, item_col]).aggregate([])
+
+    deduped = ds.map_batches(distinct_map, batch_format="pyarrow")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates([group_col, item_col])
+        pdf = pdf.sort_values([group_col, item_col], kind="mergesort")
+        g = pdf[group_col].to_numpy()
+        items = pdf[item_col].to_numpy()
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(g)])
+        # cap: keep each group's lexicographic head
+        rank = np.arange(len(g)) - np.repeat(starts, sizes)
+        keep = rank < max_items_per_group
+        if not keep.all():
+            g, items = g[keep], items[keep]
+            starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+            sizes = np.diff(np.r_[starts, len(g)])
+        pa_, pb_ = [], []
+        for size in np.unique(sizes):
+            if size < 2:
+                continue
+            sel = starts[sizes == size]
+            ii, jj = np.triu_indices(int(size), 1)
+            pa_.append(items[(sel[:, None] + ii[None, :]).ravel()])
+            pb_.append(items[(sel[:, None] + jj[None, :]).ravel()])
+        if pa_:
+            pairs = (pd.DataFrame({"a": np.concatenate(pa_),
+                                   "b": np.concatenate(pb_)})
+                     .groupby(["a", "b"], sort=False).size()
+                     .reset_index(name="n"))
+        else:
+            pairs = pd.DataFrame({"a": items[:0], "b": items[:0],
+                                  "n": np.array([], np.int64)})
+        marg = (pd.DataFrame({"a": items}).groupby("a", sort=False)
+                .size().reset_index(name="n"))
+        marg["b"] = marg["a"]
+        n_groups = int(len(starts)) if len(g) else 0
+        out = pd.concat([
+            pairs.assign(kind=_CO_PAIR),
+            marg[["a", "b", "n"]].assign(kind=_CO_MARG),
+            (pd.DataFrame({"a": items[:1], "b": items[:1],
+                           "n": np.array([n_groups], np.int64)})
+             .assign(kind=_CO_GROUPS)) if n_groups else
+            pd.DataFrame({"a": items[:0], "b": items[:0],
+                          "n": np.array([], np.int64),
+                          "kind": np.array([], np.int8)}),
+        ], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["kind"] = out["kind"].astype(np.int8)
+        return out
+
+    tagged = grouped_apply(deduped, [group_col], per_group,
+                           num_partitions=num_partitions,
+                           batch_format="pandas").materialize()
+
+    def of_kind(kind: int):
+        return tagged.map_batches(
+            lambda b, _k=kind: b.filter(
+                pc.equal(b.column("kind"), _k)).drop_columns(["kind"]),
+            batch_format="pyarrow")
+
+    n_total = int(of_kind(int(_CO_GROUPS)).sum("n") or 0) or 1
+
+    def sum_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(["a", "b"], sort=False, as_index=False)["n"].sum()
+        return g[g["n"] >= min_count].rename(columns={"n": "n_ab"})
+
+    pairs = grouped_apply(of_kind(int(_CO_PAIR)), ["a", "b"], sum_pairs,
+                          num_partitions=num_partitions,
+                          batch_format="pandas")
+
+    def sum_marg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.groupby("a", sort=False, as_index=False)["n"].sum()
+
+    marg = grouped_apply(
+        of_kind(int(_CO_MARG)).map_batches(
+            lambda b: b.drop_columns(["b"]), batch_format="pyarrow"),
+        ["a"], sum_marg, num_partitions=num_partitions,
+        batch_format="pandas",
+    ).map_batches(
+        lambda b: b.rename_columns(["item", "n_item"]),
+        batch_format="pyarrow")
+
+    joined = inner_join(pairs, marg, "a", "item", ["item", "n_item"],
+                        num_partitions=num_partitions)
+    joined = joined.map_batches(
+        lambda b: b.rename_columns(
+            ["n_a" if c == "n_item" else c for c in b.schema.names]),
+        batch_format="pyarrow")
+    joined = inner_join(joined, marg, "b", "item", ["item", "n_item"],
+                        num_partitions=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_ab = pc.cast(b.column("n_ab"), pa.float64())
+        n_a = pc.cast(b.column("n_a"), pa.float64())
+        n_b = pc.cast(b.column("n_item"), pa.float64())
+        ratio = pc.divide(pc.multiply(n_ab, float(n_total)),
+                          pc.multiply(n_a, n_b))
+        pmi = pc.divide(pc.ln(ratio), float(np.log(2.0)))
+        return pa.table({
+            "a": b.column("a"),
+            "b": b.column("b"),
+            "n_ab": pc.cast(b.column("n_ab"), pa.int64()),
+            "pmi": pc.round(pmi, ndigits,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

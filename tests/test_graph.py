@@ -593,3 +593,74 @@ def test_hits_salted_heads_exact_match(ray_session):
                  num_partitions=5).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(p, local)
+
+
+# ---------------------------------------------------------------------------
+# open-vocabulary co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+def _co_replay(rows, min_count=1, cap=256):
+    import math
+    by_g = {}
+    for g, it in rows:
+        by_g.setdefault(g, set()).add(it)
+    by_g = {g: sorted(s)[:cap] for g, s in by_g.items()}
+    n = {}
+    nab = {}
+    for items in by_g.values():
+        for x in items:
+            n[x] = n.get(x, 0) + 1
+        for i, x in enumerate(items):
+            for y in items[i + 1:]:
+                nab[(x, y)] = nab.get((x, y), 0) + 1
+    N = len(by_g)
+    return {
+        p: (c, round(math.log2(c * N / (n[p[0]] * n[p[1]])), 6))
+        for p, c in nab.items() if c >= min_count
+    }
+
+
+def test_cooccurrence_pmi_matches_replay(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        cooccurrence_pmi,
+    )
+
+    rows = [
+        (1, "ant"), (1, "bee"), (1, "cat"), (1, "ant"),  # dup presence
+        (2, "ant"), (2, "bee"),
+        (3, "bee"), (3, "cat"),
+        (4, "ant"), (4, "dog"),
+        (5, "emu"),                                      # singleton group
+    ]
+    want = _co_replay(rows, min_count=1)
+    for blocks, parts in ((1, 2), (4, 5)):
+        ds = ray.data.from_items(
+            [{"g": g, "item": it} for g, it in rows]
+        ).repartition(blocks)
+        out = cooccurrence_pmi(ds, "g", "item", min_count=1,
+                               num_partitions=parts).take_all()
+        got = {(r["a"], r["b"]): (r["n_ab"], r["pmi"]) for r in out}
+        assert got == want, (blocks, parts)
+
+
+def test_cooccurrence_pmi_cap_and_min_count(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        cooccurrence_pmi,
+    )
+
+    # group 1 has 4 items but cap=2 keeps only the lexicographic head
+    # {a, b}; min_count=2 then needs (a, b) in BOTH groups
+    rows = [(1, "d"), (1, "c"), (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"), (2, "z")]
+    ds = ray.data.from_items([{"g": g, "item": it} for g, it in rows])
+    out = cooccurrence_pmi(ds, "g", "item", min_count=2,
+                           max_items_per_group=2,
+                           num_partitions=3).take_all()
+    want = _co_replay(rows, min_count=2, cap=2)
+    got = {(r["a"], r["b"]): (r["n_ab"], r["pmi"]) for r in out}
+    assert got == want
+    assert set(got) == {("a", "b")}
