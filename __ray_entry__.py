@@ -5320,6 +5320,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
              if f.endswith(".orc")]
         )
 
+    def docs_from_avro_roundtrip(sf_dir: str):
+        """Avro source coverage (sources/avro.read_avro over the
+        vendored pure Object-Container-File codec — no avro lib in the
+        environment): the documents table is exported once to .avro
+        files under /tmp (alternating null/deflate codecs, multi-block)
+        and read back block-streamed. Oracle: the same rows straight
+        from parquet."""
+        import pyarrow.parquet as pq
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.avro import (
+            write_avro_file,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.sources.avro import (
+            read_avro,
+        )
+
+        out_dir = os.path.join(_kg_dir(sf_dir), "avro-src")
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            os.makedirs(out_dir, exist_ok=True)
+            t = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang", "source"],
+            )
+            shards = 4
+            per = (t.num_rows + shards - 1) // shards
+            for i in range(shards):
+                write_avro_file(
+                    t.slice(i * per, per),
+                    os.path.join(out_dir, f"docs-{i:02d}.avro"),
+                    codec="deflate" if i % 2 else "null",
+                    records_per_block=64,
+                )
+            with open(marker, "w") as f:
+                f.write("ok")
+        return read_avro(
+            [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".avro")]
+        )
+
     def docs_hive_partition_pruned(sf_dir: str):
         """Directory-partition pruning (the hive-layout contract the
         resumable writers rely on): the documents table is written ONCE
@@ -8655,6 +8695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_custkey_gini": orders_custkey_gini,
         "docs_sample_ks_audit": docs_sample_ks_audit,
         "docs_from_orc_roundtrip": docs_from_orc_roundtrip,
+        "docs_from_avro_roundtrip": docs_from_avro_roundtrip,
         "docs_from_sqlite_roundtrip": docs_from_sqlite_roundtrip,
         "docs_lang_confusion": docs_lang_confusion,
         "kg_lineage_summary": kg_lineage_summary,
@@ -12085,6 +12126,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM o WHERE cum <= 10000"
     )
     d["docs_from_orc_roundtrip"] = (
+        "SELECT doc_id, text, lang, source FROM documents"
+    )
+    d["docs_from_avro_roundtrip"] = (
         "SELECT doc_id, text, lang, source FROM documents"
     )
     d["docs_from_sqlite_roundtrip"] = (
