@@ -696,6 +696,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pagerank(g, src_col="src_domain", dst_col="dst_domain",
                         weight_col="n_links", iters=5).sort("node")
 
+    def web_host_hits(sf_dir: str):
+        """Hubs vs authorities over the same parsed host link graph —
+        link directories score as hubs, heavily-cited hosts as
+        authorities (the classic web-graph pair beside
+        web_host_pagerank). Rows-only; the HITS kernel is pinned by
+        docs_hits' unrolled SQL oracle and tests/test_graph.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            hits,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            host_link_graph,
+        )
+
+        g = host_link_graph(_linked_pages(sf_dir))
+        return hits(g, src_col="src_domain", dst_col="dst_domain",
+                    iters=5).sort("node")
+
     def pages_recrawl_dedup(sf_dir: str):
         """Re-crawl collapse (pipelines/web.dedup_recrawls): every doc
         appears once under one messy decoration; every 4th doc is
@@ -8501,6 +8518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_mirror_paths": pages_mirror_paths,
         "docs_boilerplate_scoped": docs_boilerplate_scoped,
         "web_host_pagerank": web_host_pagerank,
+        "web_host_hits": web_host_hits,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "pages_recrawl_dedup_windowed": pages_recrawl_dedup_windowed,
         "docs_stop_tokens": docs_stop_tokens,
