@@ -1312,15 +1312,23 @@ def cooccurrence_pmi(ds, group_col: str, item_col: str,
 
     def distinct_map(b: pa.Table) -> pa.Table:
         t = b.select([group_col, item_col])
+        if t.num_rows == 0:
+            return t  # group_by on empty would drop the schema
         return t.group_by([group_col, item_col]).aggregate([])
 
     deduped = ds.map_batches(distinct_map, batch_format="pyarrow")
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop_duplicates([group_col, item_col])
-        pdf = pdf.sort_values([group_col, item_col], kind="mergesort")
-        g = pdf[group_col].to_numpy()
-        items = pdf[item_col].to_numpy()
+    def per_group(tbl: pa.Table) -> pa.Table:
+        # explicit Arrow output types even on EMPTY partitions — a
+        # min_count-filtered empty pandas block would otherwise infer
+        # null-typed columns and poison the downstream join's union
+        # schema
+        it_type = tbl.schema.field(item_col).type
+        t = tbl.group_by([group_col, item_col]).aggregate([])
+        t = t.sort_by([(group_col, "ascending"),
+                       (item_col, "ascending")])
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        items = t.column(item_col).to_numpy(zero_copy_only=False)
         starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
         sizes = np.diff(np.r_[starts, len(g)])
         # cap: keep each group's lexicographic head
@@ -1339,34 +1347,40 @@ def cooccurrence_pmi(ds, group_col: str, item_col: str,
             pa_.append(items[(sel[:, None] + ii[None, :]).ravel()])
             pb_.append(items[(sel[:, None] + jj[None, :]).ravel()])
         if pa_:
-            pairs = (pd.DataFrame({"a": np.concatenate(pa_),
-                                   "b": np.concatenate(pb_)})
-                     .groupby(["a", "b"], sort=False).size()
-                     .reset_index(name="n"))
+            p = (pd.DataFrame({"a": np.concatenate(pa_),
+                               "b": np.concatenate(pb_)})
+                 .groupby(["a", "b"], sort=False).size()
+                 .reset_index(name="n"))
+            p_a, p_b = p["a"].to_numpy(), p["b"].to_numpy()
+            p_n = p["n"].to_numpy(np.int64)
         else:
-            pairs = pd.DataFrame({"a": items[:0], "b": items[:0],
-                                  "n": np.array([], np.int64)})
-        marg = (pd.DataFrame({"a": items}).groupby("a", sort=False)
-                .size().reset_index(name="n"))
-        marg["b"] = marg["a"]
+            p_a = p_b = items[:0]
+            p_n = np.array([], np.int64)
+        m_a, m_n = (np.unique(items, return_counts=True)
+                    if len(items) else (items[:0],
+                                        np.array([], np.int64)))
         n_groups = int(len(starts)) if len(g) else 0
-        out = pd.concat([
-            pairs.assign(kind=_CO_PAIR),
-            marg[["a", "b", "n"]].assign(kind=_CO_MARG),
-            (pd.DataFrame({"a": items[:1], "b": items[:1],
-                           "n": np.array([n_groups], np.int64)})
-             .assign(kind=_CO_GROUPS)) if n_groups else
-            pd.DataFrame({"a": items[:0], "b": items[:0],
-                          "n": np.array([], np.int64),
-                          "kind": np.array([], np.int8)}),
-        ], ignore_index=True)
-        out["n"] = out["n"].astype(np.int64)
-        out["kind"] = out["kind"].astype(np.int8)
-        return out
+        head = items[:1] if n_groups else items[:0]
+        head_n = (np.array([n_groups], np.int64) if n_groups
+                  else np.array([], np.int64))
+        a_all = np.concatenate([p_a, m_a, head])
+        b_all = np.concatenate([p_b, m_a, head])
+        n_all = np.concatenate([p_n, m_n.astype(np.int64), head_n])
+        kind = np.concatenate([
+            np.full(len(p_n), _CO_PAIR, np.int8),
+            np.full(len(m_n), _CO_MARG, np.int8),
+            np.full(len(head_n), _CO_GROUPS, np.int8),
+        ])
+        return pa.table({
+            "a": pa.array(a_all, type=it_type),
+            "b": pa.array(b_all, type=it_type),
+            "n": pa.array(n_all, pa.int64()),
+            "kind": pa.array(kind, pa.int8()),
+        })
 
     tagged = grouped_apply(deduped, [group_col], per_group,
                            num_partitions=num_partitions,
-                           batch_format="pandas").materialize()
+                           batch_format="pyarrow").materialize()
 
     def of_kind(kind: int):
         return tagged.map_batches(
@@ -1376,39 +1390,49 @@ def cooccurrence_pmi(ds, group_col: str, item_col: str,
 
     n_total = int(of_kind(int(_CO_GROUPS)).sum("n") or 0) or 1
 
-    def sum_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = pdf.groupby(["a", "b"], sort=False, as_index=False)["n"].sum()
-        return g[g["n"] >= min_count].rename(columns={"n": "n_ab"})
+    def sum_pairs(t: pa.Table) -> pa.Table:
+        gb = t.group_by(["a", "b"]).aggregate([("n", "sum")])
+        out = pa.table({
+            "a": gb.column("a"), "b": gb.column("b"),
+            "n_ab": pc.cast(gb.column("n_sum"), pa.int64()),
+        })
+        return out.filter(
+            pc.greater_equal(out.column("n_ab"), min_count))
 
     pairs = grouped_apply(of_kind(int(_CO_PAIR)), ["a", "b"], sum_pairs,
                           num_partitions=num_partitions,
-                          batch_format="pandas")
+                          batch_format="pyarrow")
 
-    def sum_marg(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pdf.groupby("a", sort=False, as_index=False)["n"].sum()
+    # two named copies of the marginal exchange (item-cardinality
+    # aggregates — cheap), so the join chain needs no rename step in
+    # between: schema inference over an intermediate lambda fails on a
+    # legitimately-empty pair set
+    def marg_named(count_col: str):
+        def sum_marg(t: pa.Table) -> pa.Table:
+            gb = t.group_by(["a"]).aggregate([("n", "sum")])
+            return pa.table({
+                "item": gb.column("a"),
+                count_col: pc.cast(gb.column("n_sum"), pa.int64()),
+            })
 
-    marg = grouped_apply(
-        of_kind(int(_CO_MARG)).map_batches(
-            lambda b: b.drop_columns(["b"]), batch_format="pyarrow"),
-        ["a"], sum_marg, num_partitions=num_partitions,
-        batch_format="pandas",
-    ).map_batches(
-        lambda b: b.rename_columns(["item", "n_item"]),
-        batch_format="pyarrow")
+        return grouped_apply(
+            of_kind(int(_CO_MARG)).map_batches(
+                lambda b: b.drop_columns(["b"]),
+                batch_format="pyarrow"),
+            ["a"], sum_marg, num_partitions=num_partitions,
+            batch_format="pyarrow")
 
-    joined = inner_join(pairs, marg, "a", "item", ["item", "n_item"],
+    joined = inner_join(pairs, marg_named("n_a"), "a", "item",
+                        ["item", "n_a"],
                         num_partitions=num_partitions)
-    joined = joined.map_batches(
-        lambda b: b.rename_columns(
-            ["n_a" if c == "n_item" else c for c in b.schema.names]),
-        batch_format="pyarrow")
-    joined = inner_join(joined, marg, "b", "item", ["item", "n_item"],
+    joined = inner_join(joined, marg_named("n_b"), "b", "item",
+                        ["item", "n_b"],
                         num_partitions=num_partitions)
 
     def finish(b: pa.Table) -> pa.Table:
         n_ab = pc.cast(b.column("n_ab"), pa.float64())
         n_a = pc.cast(b.column("n_a"), pa.float64())
-        n_b = pc.cast(b.column("n_item"), pa.float64())
+        n_b = pc.cast(b.column("n_b"), pa.float64())
         ratio = pc.divide(pc.multiply(n_ab, float(n_total)),
                           pc.multiply(n_a, n_b))
         pmi = pc.divide(pc.ln(ratio), float(np.log(2.0)))

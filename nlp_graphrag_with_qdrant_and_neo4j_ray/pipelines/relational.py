@@ -1353,7 +1353,12 @@ def inner_join(left, right, key: str, right_key: str,
     Per-key fan-in must fit a partition — for skewed keys use
     :func:`skew_join`, which routes the head keys around the exchange."""
     keep = [c for c in right_cols if c != right_key]
-    left_names = _arrow_schema(left).names
+    left_schema = _arrow_schema(left)
+    if left_schema is None:
+        # provably empty left (Ray reports no schema at all): the
+        # inner join of nothing is nothing — pass the empty through
+        return left
+    left_names = left_schema.names
 
     def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
         if lt.num_rows == 0 or rt.num_rows == 0:

@@ -351,3 +351,131 @@ def test_cusum_matches_python(ray_session, rows):
             cus, flag = got[(et, day + 1)]  # base date is Jan 1
             assert cus == round(float(si), 6), (et, day)
             assert flag == int(si > 4.0)
+
+
+@st.composite
+def group_items(draw):
+    n = draw(st.integers(2, 40))
+    gs = draw(st.lists(st.integers(0, 5), min_size=n, max_size=n))
+    its = draw(st.lists(st.sampled_from(list("abcdef")),
+                        min_size=n, max_size=n))
+    return list(zip(gs, its))
+
+
+@given(group_items(), st.integers(1, 3), st.integers(2, 4))
+@SETTINGS
+def test_cooccurrence_pmi_matches_python(ray_session, rows, min_count,
+                                         cap):
+    import math
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        cooccurrence_pmi,
+    )
+
+    by_g = {}
+    for g, it in rows:
+        by_g.setdefault(g, set()).add(it)
+    by_g = {g: sorted(s)[:cap] for g, s in by_g.items()}
+    n, nab = {}, {}
+    for items in by_g.values():
+        for x in items:
+            n[x] = n.get(x, 0) + 1
+        for i, x in enumerate(items):
+            for y in items[i + 1:]:
+                nab[(x, y)] = nab.get((x, y), 0) + 1
+    N = len(by_g)
+    want = {p: (c, round(math.log2(c * N / (n[p[0]] * n[p[1]])), 6))
+            for p, c in nab.items() if c >= min_count}
+
+    ds = ray.data.from_items([{"g": g, "item": it} for g, it in rows])
+    out = cooccurrence_pmi(ds.repartition(3), "g", "item",
+                           min_count=min_count, max_items_per_group=cap,
+                           num_partitions=3).take_all()
+    got = {(r["a"], r["b"]): (r["n_ab"], r["pmi"]) for r in out}
+    assert got == want
+
+
+@st.composite
+def avro_tables(draw):
+    import pyarrow as pa
+
+    n = draw(st.integers(0, 25))
+    ids = draw(st.lists(st.integers(-2**40, 2**40),
+                        min_size=n, max_size=n))
+    txts = draw(st.lists(
+        st.one_of(st.none(), st.text(max_size=12)),
+        min_size=n, max_size=n))
+    vals = draw(st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=n, max_size=n))
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "txt": pa.array(txts, pa.string()),
+        "val": pa.array(vals, pa.float64()),
+    })
+
+
+@given(avro_tables(), st.sampled_from(["null", "deflate"]),
+       st.integers(1, 7))
+@SETTINGS
+def test_avro_roundtrip_property(table, codec, per_block):
+    import io
+
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.avro import (
+        encode_container,
+        iter_blocks,
+        read_header,
+    )
+
+    buf = io.BytesIO(encode_container(table, codec=codec,
+                                      records_per_block=per_block))
+    fields, got_codec, sync = read_header(buf)
+    assert got_codec == codec
+    tables = list(iter_blocks(buf, fields, codec, sync))
+    got = pa.concat_tables(tables) if tables else table.slice(0, 0)
+    assert got.equals(table)
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 90)),
+                min_size=1, max_size=30),
+       st.integers(1, 40))
+@SETTINGS
+def test_dedup_recrawls_windowed_matches_python(ray_session, caps,
+                                                window_days):
+    import datetime
+
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+        dedup_recrawls_windowed,
+    )
+
+    t0 = datetime.datetime(2025, 1, 1)
+    rows = [{
+        "url": f"https://h{h}.com/p?id={h}&utm_x={i}",
+        "warc_ts": t0 + datetime.timedelta(days=d, seconds=i),
+    } for i, (h, d) in enumerate(caps)]
+
+    win_us = window_days * 86_400_000_000
+    best = {}
+    for r in rows:
+        canon = r["url"].split("&utm_x")[0]
+        ts_us = int(r["warc_ts"].timestamp() * 1_000_000)
+        key = (canon, ts_us // win_us)
+        cur = best.get(key)
+        # latest ts wins; ties break by raw url ascending
+        cand = (-ts_us, r["url"])
+        if cur is None or cand < cur:
+            best[key] = cand
+    want = sorted((k[0], k[1], v[1]) for k, v in best.items())
+
+    out = dedup_recrawls_windowed(
+        ray.data.from_items(rows).repartition(3),
+        window_days=window_days, num_partitions=3).take_all()
+    got = sorted((r["canonical_url"], r["window"], r["url"])
+                 for r in out)
+    assert got == want
