@@ -1205,9 +1205,11 @@ def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
             lambda b, _k=kind: b.filter(pc.equal(b.column("kind"), _k)),
             batch_format="pyarrow")
 
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     divisor = 1.0  # h0 is used unnormalized, like the local solver
     a_scores = h_scores = None
-    for i in range(iters):
+    for _ in range(iters):
         for edges_pin, is_a_half in ((by_dst, True), (by_src, False)):
             # the a-half emits toward sources (consumed keyed by src),
             # the h-half toward destinations
