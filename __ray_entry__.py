@@ -4883,6 +4883,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hits(docs.map_batches(edges, batch_format="pyarrow"),
                     iters=5, num_partitions=8)
 
+    def docs_bfs_depths(sf_dir: str):
+        """Fixed-depth multi-source BFS (pipelines/graph.bfs_depths)
+        on the docs_pagerank/docs_hits synthetic edge list: shortest
+        hop distance from the doc_id % 101 == 0 seed set within 4
+        directed hops — the traversal primitive under GraphRAG
+        multi-hop context expansion (the reference walks neighbors one
+        hop per query in core/retrieval.py; this is the corpus-wide
+        batch form). Pinned against a recursive-CTE oracle: walks of
+        length ≤ 4, MIN(d) per node = the same shortest distance."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            bfs_depths,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(mult: int, add: int):
+                x = pc.add(pc.multiply(ids, mult), add)
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500), 500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(7, 3).combine_chunks(),
+                mod500(13, 101).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        def seeds(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+            rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 101), 101))
+            return pa.table({"node": pc.filter(ids, pc.equal(rem, 0))})
+
+        return bfs_depths(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            docs.map_batches(seeds, batch_format="pyarrow"),
+            max_depth=4, num_partitions=8,
+        ).sort("node")
+
     def docs_token_cooccurrence(sf_dir: str):
         """Open-vocabulary co-occurrence PMI
         (pipelines/graph.cooccurrence_pmi) over long tokens (≥5 chars)
@@ -5005,6 +5045,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["src_entity_id", "dst_entity_id"])
         return hits(edges, src_col="src_entity_id",
                     dst_col="dst_entity_id", iters=5, num_partitions=8)
+
+    def kg_entity_reach(sf_dir: str):
+        """Multi-hop reach off the real KG edge list: BFS hop depth
+        (≤3 directed hops) from the 3 lexicographically-smallest
+        source entities — the batch form of the reference's per-query
+        neighbor expansion (core/retrieval.py walks one hop per
+        call). Rows only: iterative; docs_bfs_depths° pins the
+        recurrence against a recursive-CTE oracle and
+        tests/test_bfs.py pins local == distributed. Small KGs serve
+        in-process off the published checkpoint."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            _bfs_local,
+            bfs_depths,
+        )
+
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            seeds = sorted(
+                pc.unique(tbl.column("src_entity_id")).to_pylist())[:3]
+            return _bfs_local(tbl, "src_entity_id", "dst_entity_id",
+                              seeds, 3)
+        edges = _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id"])
+        seeds = (
+            edges.groupby("src_entity_id").count()
+            .sort("src_entity_id").limit(3)
+            .map_batches(
+                lambda b: pa.table({"node": b.column("src_entity_id")}),
+                batch_format="pyarrow")
+        )
+        return bfs_depths(
+            edges, seeds, src_col="src_entity_id",
+            dst_col="dst_entity_id", max_depth=3, num_partitions=8,
+        ).sort("node")
 
     def embedding_label_centroids(sf_dir: str):
         """Per-label embedding centroid, long-form (label, dim,
@@ -8657,6 +8731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_quantile_sketch": lineitem_qty_quantile_sketch,
         "docs_pagerank": docs_pagerank,
         "docs_hits": docs_hits,
+        "docs_bfs_depths": docs_bfs_depths,
+        "kg_entity_reach": kg_entity_reach,
         "docs_token_cooccurrence": docs_token_cooccurrence,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "kg_entity_pagerank": kg_entity_pagerank,
@@ -10542,6 +10618,26 @@ def oracle_sql() -> dict[str, str]:
             FROM a5 JOIN h5 ON a5.node = h5.node
             """
         ),
+        # fixed-depth multi-source BFS: recursive CTE enumerates walks
+        # of length ≤ 4 from the % 101 seed set; MIN(d) per node is
+        # the shortest-walk (= shortest-path) distance
+        "docs_bfs_depths": """
+            WITH RECURSIVE edges AS MATERIALIZED (
+                SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 101) % 500 FROM documents
+            ),
+            walk(node, d) AS (
+                SELECT doc_id, 0 FROM documents WHERE doc_id % 101 = 0
+                UNION
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.d < 4
+            )
+            SELECT node, CAST(MIN(d) AS BIGINT) AS depth
+            FROM walk GROUP BY node ORDER BY node
+        """,
         # open-vocabulary co-occurrence PMI: dedupe (doc, long token),
         # cap per doc, self-join pairs a<b, marginal joins, log2 PMI
         "docs_token_cooccurrence": """

@@ -1447,3 +1447,173 @@ def cooccurrence_pmi(ds, group_col: str, item_col: str,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- multi-source BFS (traversal family) ----------------------------------
+
+def _bfs_local(tbl: pa.Table, src_col: str, dst_col: str, seeds,
+               max_depth: int, node_col: str = "node",
+               depth_col: str = "depth") -> pa.Table:
+    """Single-task multi-source BFS — the exact frontier expansion of
+    :func:`bfs_depths`, vectorized (np.isin edge masks per round).
+    ``seeds`` is a bounded iterable of node values; output is (node,
+    depth) for every node within ``max_depth`` hops of ANY seed,
+    sorted by node (np.unique order)."""
+    seed_list = list(seeds)
+    src = tbl.column(src_col).to_numpy(zero_copy_only=False)
+    dst = tbl.column(dst_col).to_numpy(zero_copy_only=False)
+    if not seed_list:
+        return pa.table({
+            node_col: pa.array([], tbl.column(src_col).type),
+            depth_col: pa.array([], pa.int64()),
+        })
+    seed_arr = np.asarray(seed_list, dtype=src.dtype if len(src) else None)
+    nodes, codes = np.unique(np.concatenate([src, dst, seed_arr]),
+                             return_inverse=True)
+    s_idx = codes[:len(src)]
+    d_idx = codes[len(src):len(src) + len(dst)]
+    depth = np.full(len(nodes), -1, np.int64)
+    frontier = np.unique(codes[len(src) + len(dst):])
+    depth[frontier] = 0
+    for r in range(1, max_depth + 1):
+        if frontier.size == 0:
+            break
+        targets = np.unique(d_idx[np.isin(s_idx, frontier)])
+        frontier = targets[depth[targets] < 0]
+        depth[frontier] = r
+    sel = depth >= 0
+    return pa.table({
+        node_col: pa.array(nodes[sel]),
+        depth_col: pa.array(depth[sel], pa.int64()),
+    })
+
+
+def bfs_depths(edges_ds, seeds_ds, src_col: str = "src",
+               dst_col: str = "dst", seed_col: str = "node",
+               max_depth: int = 4, num_partitions: int = 16,
+               local_threshold: int | None = LOCAL_EDGES_THRESHOLD):
+    """Multi-source breadth-first search to a FIXED depth: (node, depth)
+    for every node reachable within ``max_depth`` directed hops of any
+    seed, depth = shortest hop distance. The traversal primitive under
+    GraphRAG multi-hop context expansion (the reference walks NEXT/PREV
+    one hop at a time per query — graphrag/core/retrieval.py's
+    neighbor expansion; this is the corpus-wide batch form) and under
+    crawl-frontier / link-distance analyses on the host graph. A fixed
+    ``max_depth`` keeps the result deterministic and SQL-oracle-able
+    (a recursive CTE enumerates walks of length ≤ max_depth; MIN(d)
+    per node is the same shortest-walk distance).
+
+    Scale shape: the edge list is keyed by ``src`` and materialized
+    ONCE; each round ships only the CURRENT frontier (bounded by new
+    nodes discovered that round, never the full visited set) into the
+    edges' partitioning — one co-partitioned ``grouped_apply`` expands
+    partition-local frontier × edges to candidate (node, depth+1) rows
+    (deduped per partition before they ship), and a second
+    ``grouped_apply`` min-folds candidates into the visited table.
+    2·rounds exchanges, O(frontier + candidate) bytes moved per round;
+    BFS monotonicity (a node's first discovery depth is its minimum)
+    makes an unchanged visited-count a correct fixpoint test, so dense
+    graphs exit early. Seed rows need not appear in the edge list —
+    they surface at depth 0 regardless.
+
+    ``local_threshold``: at or below this many edges the whole
+    traversal solves vectorized inside ONE Ray task
+    (:func:`_bfs_local`); ``None`` forces the distributed rounds.
+    Node columns must share one dtype across edges and seeds.
+    """
+    import ray
+    import ray.data
+
+    refs = _edges_below(edges_ds, local_threshold)
+    if refs is not None:
+        seed_refs = (seeds_ds.select_columns([seed_col])
+                     .materialize().to_arrow_refs())
+        cols = [src_col, dst_col]
+
+        @ray.remote
+        def solve(n_edge_blocks, *blocks):
+            eb = [b.select(cols) for b in blocks[:n_edge_blocks]
+                  if b.num_rows]
+            sb = [b for b in blocks[n_edge_blocks:] if b.num_rows]
+            etbl = (pa.concat_tables(eb) if eb
+                    else blocks[0].select(cols))
+            seeds = (pa.concat_tables(sb).column(seed_col).to_pylist()
+                     if sb else [])
+            return _bfs_local(etbl, src_col, dst_col, seeds, max_depth)
+
+        return ray.data.from_arrow(
+            ray.get(solve.remote(len(refs), *refs, *seed_refs)))
+
+    K_EDGE, K_FRONT = np.int8(0), np.int8(1)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column(src_col),
+            "other": b.column(dst_col),
+            "kind": pa.array(np.full(b.num_rows, K_EDGE, np.int8)),
+        })
+
+    edges_msg = edges_ds.map_batches(
+        edge_rows, batch_format="pyarrow").materialize()
+    sch = edges_msg.schema()
+    node_type = dict(zip(sch.names, sch.types))["other"]
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(b.column(seed_col), node_type),
+            "depth": pa.array(np.zeros(b.num_rows, np.int64)),
+        })
+
+    def min_depth(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["node"]).aggregate([("depth", "min")])
+        return g.rename_columns(["node", "depth"])
+
+    dist = grouped_apply(
+        seeds_ds.map_batches(seed_rows, batch_format="pyarrow"),
+        ["node"], min_depth, num_partitions=num_partitions,
+    ).materialize()
+    prev = dist.count()
+
+    for r in range(max_depth):
+        def front_rows(b: pa.Table, rr=r) -> pa.Table:
+            t = b.filter(pc.equal(b.column("depth"), rr))
+            return pa.table({
+                "key": t.column("node"),
+                "other": t.column("node"),
+                "kind": pa.array(np.full(t.num_rows, K_FRONT, np.int8)),
+            })
+
+        def expand(tbl: pa.Table, rr=r) -> pa.Table:
+            kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+            keys = tbl.column("key").to_numpy(zero_copy_only=False)
+            front = np.unique(keys[kind == K_FRONT])
+            if front.size == 0:
+                return pa.table({
+                    "node": pa.array([], node_type),
+                    "depth": pa.array([], pa.int64()),
+                })
+            em = kind == K_EDGE
+            hits_mask = np.isin(keys[em], front)
+            targets = np.unique(tbl.column("other").to_numpy(
+                zero_copy_only=False)[em][hits_mask])
+            return pa.table({
+                "node": pa.array(targets, node_type),
+                "depth": pa.array(
+                    np.full(targets.size, rr + 1, np.int64)),
+            })
+
+        cand = grouped_apply(
+            edges_msg.union(dist.map_batches(
+                front_rows, batch_format="pyarrow")),
+            ["key"], expand, num_partitions=num_partitions,
+        )
+        dist = grouped_apply(
+            dist.union(cand), ["node"], min_depth,
+            num_partitions=num_partitions,
+        ).materialize()
+        cur = dist.count()
+        if cur == prev:
+            break
+        prev = cur
+
+    return dist

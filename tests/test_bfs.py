@@ -1,0 +1,127 @@
+"""Multi-source fixed-depth BFS (pipelines/graph.bfs_depths) vs a
+driver-side frontier walk; local == distributed pinned."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+    _bfs_local,
+    bfs_depths,
+)
+
+
+def _ref_bfs(edges: list[tuple], seeds, max_depth: int) -> dict:
+    adj: dict = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for r in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in depth:
+                    depth[v] = r
+                    nxt.add(v)
+        frontier = nxt
+    return depth
+
+
+def _dss(ray_session, edges, seeds, blocks=3):
+    import ray.data
+
+    e = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])).repartition(blocks)
+    s = ray.data.from_pandas(
+        pd.DataFrame({"node": list(seeds)})).repartition(2)
+    return e, s
+
+
+def _as_dict(out) -> dict:
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if isinstance(pdf, pa.Table):
+        pdf = pdf.to_pandas()
+    return pdf.set_index("node")["depth"].to_dict()
+
+
+def test_local_matches_reference():
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (400, 2))]
+    seeds = [0, 7, 59]
+    tbl = pa.table({"src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges]})
+    got = _as_dict(_bfs_local(tbl, "src", "dst", seeds, 3))
+    assert got == _ref_bfs(edges, seeds, 3)
+
+
+def test_distributed_matches_reference(ray_session):
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 50, (300, 2))]
+    seeds = [3, 44]
+    e, s = _dss(ray_session, edges, seeds)
+    got = _as_dict(bfs_depths(e, s, max_depth=3, num_partitions=4,
+                              local_threshold=None))
+    assert got == _ref_bfs(edges, seeds, 3)
+
+
+def test_local_path_matches_distributed(ray_session):
+    rng = np.random.default_rng(13)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 80, (500, 2))]
+    seeds = [1, 2, 78]
+    e, s = _dss(ray_session, edges, seeds)
+    loc = _as_dict(bfs_depths(e, s, max_depth=4, num_partitions=4))
+    e2, s2 = _dss(ray_session, edges, seeds)
+    dist = _as_dict(bfs_depths(e2, s2, max_depth=4, num_partitions=4,
+                               local_threshold=None))
+    assert loc == dist == _ref_bfs(edges, seeds, 4)
+
+
+def test_string_nodes_and_isolated_seed(ray_session):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("x", "a")]
+    # 'zzz' appears in no edge: surfaces at depth 0 only
+    seeds = ["a", "zzz"]
+    e, s = _dss(ray_session, edges, seeds)
+    got = _as_dict(bfs_depths(e, s, max_depth=2, num_partitions=3,
+                              local_threshold=None))
+    assert got == {"a": 0, "zzz": 0, "b": 1, "c": 2}
+    e2, s2 = _dss(ray_session, edges, seeds)
+    assert got == _as_dict(bfs_depths(e2, s2, max_depth=2,
+                                      num_partitions=3))
+
+
+def test_max_depth_zero_and_empty_seeds(ray_session):
+    edges = [(0, 1), (1, 2)]
+    e, s = _dss(ray_session, edges, [0])
+    got = _as_dict(bfs_depths(e, s, max_depth=0, num_partitions=2,
+                              local_threshold=None))
+    assert got == {0: 0}
+    tbl = pa.table({"src": [0, 1], "dst": [1, 2]})
+    empty = _bfs_local(tbl, "src", "dst", [], 3)
+    assert empty.num_rows == 0
+    assert empty.column_names == ["node", "depth"]
+
+
+def test_partition_independence(ray_session):
+    rng = np.random.default_rng(17)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, (200, 2))]
+    seeds = [0]
+    e, s = _dss(ray_session, edges, seeds, blocks=2)
+    a = _as_dict(bfs_depths(e, s, max_depth=3, num_partitions=2,
+                            local_threshold=None))
+    e2, s2 = _dss(ray_session, edges, seeds, blocks=7)
+    b = _as_dict(bfs_depths(e2, s2, max_depth=3, num_partitions=9,
+                            local_threshold=None))
+    assert a == b == _ref_bfs(edges, seeds, 3)
+
+
+def test_seed_duplicates_collapse(ray_session):
+    edges = [(0, 1)]
+    e, _ = _dss(ray_session, edges, [0])
+    import ray.data
+
+    s = ray.data.from_pandas(pd.DataFrame({"node": [0, 0, 0]}))
+    got = _as_dict(bfs_depths(e, s, max_depth=1, num_partitions=2,
+                              local_threshold=None))
+    assert got == {0: 0, 1: 1}
