@@ -1775,6 +1775,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(rnd, batch_format="pyarrow")
 
+    def _quality_scored(sf_dir: str):
+        """(score, pos) per document: the composite quality score
+        (rounded 6, the quality_scores° contract) against the native
+        lang == 'en' label — the scored dataset the evaluation
+        operators grade."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.textstats import (
+            quality_scores as qrow,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text", "lang"])
+
+        def fn(b: pa.Table) -> pa.Table:
+            vals = [qrow(t)["quality"]
+                    for t in b.column("text").to_pylist()]
+            score = pc.round(pa.array(vals, pa.float64()), 6,
+                             round_mode="half_towards_infinity")
+            pos = pc.cast(pc.equal(b.column("lang"), "en"), pa.int64())
+            return pa.table({"score": score, "pos": pos})
+
+        return docs.map_batches(fn, batch_format="pyarrow",
+                                batch_size=8192)
+
+    def docs_quality_auc(sf_dir: str):
+        """ROC-AUC of the composite quality score ranking the
+        lang == 'en' label (pipelines/evalmetrics.ranking_auc):
+        Mann-Whitney with average-rank ties over 3-digit-quantized
+        scores — does the quality filter actually order English docs
+        higher? Integer-exact numerator, single float division, so
+        the SQL oracle (same formula over the same rounded scores)
+        hashes identically."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.evalmetrics import (
+            ranking_auc,
+        )
+
+        return ranking_auc(_quality_scored(sf_dir), num_partitions=8)
+
+    def docs_quality_calibration(sf_dir: str):
+        """Reliability table of the quality score vs the lang == 'en'
+        label (pipelines/evalmetrics.calibration_bins): 10 fixed-width
+        score bins with count, positives, and positive fraction — the
+        calibration curve behind a quality-threshold choice."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.evalmetrics import (
+            calibration_bins,
+        )
+
+        return calibration_bins(_quality_scored(sf_dir), bins=10,
+                                num_partitions=8)
+
     def docs_quality_filtered(sf_dir: str):
         """Percentile quality gating: keep documents whose quality score
         is at or above the corpus's exact 25th percentile, computed by
@@ -8636,6 +8685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_full": token_counts_full,
         "language_id": language_id,
         "quality_scores": quality_scores,
+        "docs_quality_auc": docs_quality_auc,
+        "docs_quality_calibration": docs_quality_calibration,
         "docs_quality_filtered": docs_quality_filtered,
         "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
@@ -10618,6 +10669,55 @@ def oracle_sql() -> dict[str, str]:
             FROM a5 JOIN h5 ON a5.node = h5.node
             """
         ),
+        # ROC-AUC of the quality score vs lang='en': Mann-Whitney with
+        # average-rank ties over 3-digit-quantized scores — integer
+        # numerator Σ np·(2·cum_nn + nn), one float division
+        "docs_quality_auc": (
+            "WITH q AS (" + _QUALITY_ORACLE.format(
+                stopwords=_stopword_list_sql()) + """),
+            s AS (
+              SELECT round(q.quality, 3) AS score,
+                     CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM q JOIN documents d USING (doc_id)
+            ),
+            g AS (
+              SELECT score, SUM(pos) AS np, COUNT(*) - SUM(pos) AS nn
+              FROM s GROUP BY score
+            ),
+            c AS (
+              SELECT np, nn,
+                     COALESCE(SUM(nn) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum_nn
+              FROM g
+            ),
+            tot AS (SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg FROM g)
+            SELECT round(CAST(SUM(c.np * (2 * c.cum_nn + c.nn))
+                              AS DOUBLE)
+                         / (2.0 * tot.n_pos * tot.n_neg), 6) AS auc,
+                   CAST(tot.n_pos AS BIGINT) AS n_pos,
+                   CAST(tot.n_neg AS BIGINT) AS n_neg
+            FROM c, tot
+            GROUP BY tot.n_pos, tot.n_neg
+        """),
+        # reliability table: fixed-width quality-score bins vs the
+        # lang='en' positive fraction
+        "docs_quality_calibration": (
+            "WITH q AS (" + _QUALITY_ORACLE.format(
+                stopwords=_stopword_list_sql()) + """),
+            s AS (
+              SELECT least(greatest(
+                         CAST(floor(q.quality * 10) AS BIGINT), 0), 9)
+                         AS bin,
+                     CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM q JOIN documents d USING (doc_id)
+            )
+            SELECT bin, CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6)
+                       AS frac_pos
+            FROM s GROUP BY bin ORDER BY bin
+        """),
         # fixed-depth multi-source BFS: recursive CTE enumerates walks
         # of length ≤ 4 from the % 101 seed set; MIN(d) per node is
         # the shortest-walk (= shortest-path) distance

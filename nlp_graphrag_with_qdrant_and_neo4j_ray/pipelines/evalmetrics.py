@@ -1,0 +1,126 @@
+"""Ranking / classification evaluation metrics over (score, label)
+datasets — the audit layer for quality-filter thresholds and classifier
+outputs (does a score actually rank the positive class higher, and is
+it calibrated?). Complements the agreement / confusion audits in
+pipelines/clean.py: those compare two FILTERS, these grade one SCORE
+against a label.
+
+Scale shape: both operators reduce to a bounded per-score (or per-bin)
+count table — a per-batch pyarrow group-by combiner, ONE co-partitioned
+exchange, then a fold over at most ``10^ndigits + 1`` (AUC) or ``bins``
+(calibration) rows. The AUC numerator is computed ENTIRELY in int64
+(``Σ np·(2·cum_nn + nn)``), so the single final float division is
+bit-identical to a SQL oracle evaluating the same formula — no
+summation-order float drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.shuffle import grouped_apply
+
+
+def _round6(x: float) -> float:
+    return pc.round(pa.array([x], pa.float64()), 6,
+                    round_mode="half_towards_infinity")[0].as_py()
+
+
+def ranking_auc(ds, score_col: str = "score", label_col: str = "pos",
+                ndigits: int = 3, num_partitions: int = 16):
+    """ROC-AUC of ``score_col`` ranking ``label_col`` (0/1), by the
+    Mann-Whitney rank statistic with average-rank tie handling:
+    ``AUC = Σ_s np(s)·(cum_nn(<s) + nn(s)/2) / (NP·NN)``.
+
+    Scores are rounded to ``ndigits`` decimals FIRST (the oracle
+    contract: a [0,1] score quantizes to ≤ 10^ndigits + 1 distinct
+    values, which bounds both the exchange and the driver fold — the
+    quantization is part of the metric's definition here, not an
+    approximation the oracle can't see). Returns a one-row pyarrow
+    table (auc, n_pos, n_neg); ``auc`` is NULL when either class is
+    empty, matching SQL's NULL division.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = pc.round(pc.cast(b.column(score_col), pa.float64()),
+                      ndigits, round_mode="half_towards_infinity")
+        t = pa.table({
+            "score": sc,
+            "np": pc.cast(b.column(label_col), pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = t.group_by(["score"]).aggregate([("np", "sum"),
+                                             ("one", "sum")])
+        return g.rename_columns(["score", "np", "n"])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["score"]).aggregate([("np", "sum"),
+                                               ("n", "sum")])
+        return g.rename_columns(["score", "np", "n"])
+
+    rows = grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["score"], merge, num_partitions=num_partitions,
+    ).take_all()  # bounded: ≤ 10^ndigits + 1 distinct rounded scores
+
+    if rows:
+        pdf = pd.DataFrame(rows).sort_values("score")
+        np_arr = pdf["np"].to_numpy(np.int64)
+        n_arr = pdf["n"].to_numpy(np.int64)
+    else:
+        np_arr = n_arr = np.array([], np.int64)
+    nn_arr = n_arr - np_arr
+    n_pos, n_neg = int(np_arr.sum()), int(nn_arr.sum())
+    if n_pos == 0 or n_neg == 0:
+        auc = None
+    else:
+        cum_nn = np.concatenate([[0], np.cumsum(nn_arr)[:-1]])
+        num2 = int((np_arr * (2 * cum_nn + nn_arr)).sum())
+        auc = _round6(num2 / (2.0 * n_pos * n_neg))
+    return pa.table({
+        "auc": pa.array([auc], pa.float64()),
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+    })
+
+
+def calibration_bins(ds, score_col: str = "score",
+                     label_col: str = "pos", bins: int = 10,
+                     num_partitions: int = 8):
+    """Reliability table: fixed-width score bins
+    (``min(floor(score·bins), bins-1)``, clamped at 0) with per-bin
+    count, positive count, and positive fraction — the calibration
+    curve's data. ``frac_pos`` is a single int/int division rounded to
+    6, so it hashes identically to the SQL replay. Returns a Dataset
+    sorted by bin."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        sc = pc.cast(b.column(score_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        bn = np.clip(np.floor(sc * bins).astype(np.int64), 0, bins - 1)
+        t = pa.table({
+            "bin": pa.array(bn),
+            "n_pos": pc.cast(b.column(label_col), pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = t.group_by(["bin"]).aggregate([("n_pos", "sum"),
+                                           ("one", "sum")])
+        return g.rename_columns(["bin", "n_pos", "n"])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["bin"]).aggregate([("n_pos", "sum"),
+                                             ("n", "sum")])
+        g = g.rename_columns(["bin", "n_pos", "n"])
+        frac = pc.round(
+            pc.divide(pc.cast(g.column("n_pos"), pa.float64()),
+                      pc.cast(g.column("n"), pa.float64())),
+            6, round_mode="half_towards_infinity")
+        return g.append_column("frac_pos", frac)
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], merge, num_partitions=num_partitions,
+    ).sort("bin")
