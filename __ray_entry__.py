@@ -321,6 +321,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return host_cocitation(_linked_pages(sf_dir))
 
+    def web_host_reciprocity(sf_dir: str):
+        """Per-domain link reciprocity (pipelines/graph.reciprocity)
+        over the registrable-domain link graph: distinct out-neighbor
+        count, how many link back, and the reciprocated fraction —
+        the symmetry signal separating mutual affiliation from link
+        farms. Self-loops (the relative anchors) drop; int64 counts +
+        one division, so the oracle (same formula over the planted
+        link arithmetic) hashes exactly."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            reciprocity,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.web import (
+            host_link_graph,
+        )
+
+        edges = host_link_graph(_linked_pages(sf_dir))
+        return reciprocity(edges, "src_domain", "dst_domain",
+                           num_partitions=8).sort("node")
+
     def events_time_weighted_value(sf_dir: str):
         """Time-weighted average value per user
         (pipelines/relational.time_weighted_mean): each event's value
@@ -8642,6 +8661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_boilerplate_scoped": docs_boilerplate_scoped,
         "web_host_pagerank": web_host_pagerank,
         "web_host_hits": web_host_hits,
+        "web_host_reciprocity": web_host_reciprocity,
         "pages_recrawl_dedup": pages_recrawl_dedup,
         "pages_recrawl_dedup_windowed": pages_recrawl_dedup_windowed,
         "docs_stop_tokens": docs_stop_tokens,
@@ -9399,6 +9419,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_domain, dst_domain, count(*) AS n_links
             FROM e GROUP BY 1, 2
+        """,
+        # per-domain reciprocity over the planted host link graph:
+        # distinct directed edges minus self-loops, EXISTS back-edge,
+        # int counts + one rounded division
+        "web_host_reciprocity": """
+            WITH n AS (SELECT count(*) AS total FROM documents),
+            d AS (SELECT doc_id,
+                         'site' || CAST(doc_id % 10 AS VARCHAR) || '.'
+                           || CASE WHEN doc_id % 3 = 0 THEN 'co.uk'
+                                   ELSE 'com' END AS dom
+                  FROM documents),
+            e AS (
+              SELECT s.dom AS src_domain, t.dom AS dst_domain
+              FROM documents x, n
+              JOIN d s ON s.doc_id = x.doc_id
+              JOIN d t ON t.doc_id = (x.doc_id * 7 + 13) % n.total
+              UNION ALL
+              SELECT s.dom, s.dom
+              FROM documents x JOIN d s ON s.doc_id = x.doc_id
+            ),
+            de AS (SELECT DISTINCT src_domain AS s, dst_domain AS t
+                   FROM e WHERE src_domain <> dst_domain),
+            r AS (
+              SELECT de.s, de.t,
+                     CASE WHEN EXISTS (SELECT 1 FROM de b
+                                       WHERE b.s = de.t AND b.t = de.s)
+                          THEN 1 ELSE 0 END AS rec
+              FROM de
+            )
+            SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+                   CAST(SUM(rec) AS BIGINT) AS reciprocated,
+                   round(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 6)
+                       AS reciprocity
+            FROM r GROUP BY s ORDER BY s
         """,
         # re-crawl collapse: both captures canonicalize to the same url;
         # the later one (the i%4==0 re-capture) must survive

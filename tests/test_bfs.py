@@ -125,3 +125,44 @@ def test_seed_duplicates_collapse(ray_session):
     got = _as_dict(bfs_depths(e, s, max_depth=1, num_partitions=2,
                               local_threshold=None))
     assert got == {0: 0, 1: 1}
+
+
+# ---- reciprocity (shares the fixture helpers above) ------------------------
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (  # noqa: E402
+    reciprocity,
+)
+
+
+def _recip_dict(out):
+    pdf = out.to_pandas()
+    return {
+        r["node"]: (r["out_deg"], r["reciprocated"], r["reciprocity"])
+        for _, r in pdf.iterrows()
+    }
+
+
+def test_reciprocity_hand_graph(ray_session):
+    # a↔b mutual; a→c one-way; c→c self-loop dropped; dup edge a→b
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"),
+             ("a", "b")]
+    e, _ = _dss(ray_session, edges, ["a"])
+    got = _recip_dict(reciprocity(e, num_partitions=3))
+    assert got == {"a": (2, 1, 0.5), "b": (1, 1, 1.0)}
+
+
+def test_reciprocity_int_nodes_partition_independence(ray_session):
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, (150, 2))]
+    e, _ = _dss(ray_session, edges, [0], blocks=2)
+    a = _recip_dict(reciprocity(e, num_partitions=2))
+    e2, _ = _dss(ray_session, edges, [0], blocks=6)
+    b = _recip_dict(reciprocity(e2, num_partitions=7))
+    # driver reference
+    de = {(s, t) for s, t in edges if s != t}
+    ref = {}
+    for s in {s for s, _ in de}:
+        outs = {t for x, t in de if x == s}
+        rec = sum(1 for t in outs if (t, s) in de)
+        ref[s] = (len(outs), rec, round(rec / len(outs), 6))
+    assert a == b == ref
