@@ -4991,6 +4991,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_depth=4, num_partitions=8,
         ).sort("node")
 
+    def docs_graph_assortativity(sf_dir: str):
+        """Out-in degree assortativity
+        (pipelines/graph.degree_assortativity) of the synthetic doc
+        graph: Pearson over edges of (src out-degree, dst in-degree) —
+        hubs-link-to-hubs vs broadcast structure. Integer sums
+        accumulate exactly (Python-int partials) and the single final
+        DOUBLE expression mirrors the oracle's cast order, so it
+        hashes identically."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            degree_assortativity,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(arr, mult: int, add: int):
+                x = pc.add(pc.multiply(arr, mult), add)
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500), 500))
+
+            # a third edge for every doc_id % 3 == 0 varies the
+            # out-degree (the 2-regular base graph has zero x-variance)
+            def flat(a):
+                return (a.combine_chunks()
+                        if isinstance(a, pa.ChunkedArray) else a)
+
+            rem3 = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3))
+            extra = flat(pc.filter(ids, pc.equal(rem3, 0)))
+            src = pa.concat_arrays([flat(ids)] * 2 + [extra])
+            dst = pa.concat_arrays([
+                flat(mod500(ids, 7, 3)),
+                flat(mod500(ids, 13, 101)),
+                flat(mod500(extra, 11, 7)),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        return degree_assortativity(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            num_partitions=8)
+
     def docs_token_cooccurrence(sf_dir: str):
         """Open-vocabulary co-occurrence PMI
         (pipelines/graph.cooccurrence_pmi) over long tokens (≥5 chars)
@@ -8803,6 +8844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": docs_pagerank,
         "docs_hits": docs_hits,
         "docs_bfs_depths": docs_bfs_depths,
+        "docs_graph_assortativity": docs_graph_assortativity,
         "kg_entity_reach": kg_entity_reach,
         "docs_token_cooccurrence": docs_token_cooccurrence,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
@@ -10772,6 +10814,38 @@ def oracle_sql() -> dict[str, str]:
                        AS frac_pos
             FROM s GROUP BY bin ORDER BY bin
         """),
+        # out-in degree assortativity: degrees via GROUP BY, joined
+        # back onto edges, exact BIGINT sums, one DOUBLE expression
+        "docs_graph_assortativity": """
+            WITH edges AS MATERIALIZED (
+                SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 101) % 500 FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 11 + 7) % 500 FROM documents
+                WHERE doc_id % 3 = 0
+            ),
+            od AS (SELECT src AS node, COUNT(*) AS x
+                   FROM edges GROUP BY src),
+            idg AS (SELECT dst AS node, COUNT(*) AS y
+                    FROM edges GROUP BY dst),
+            ex AS (
+              SELECT od.x AS x, idg.y AS y
+              FROM edges e
+              JOIN od ON od.node = e.src
+              JOIN idg ON idg.node = e.dst
+            ),
+            s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+                         SUM(y*y) AS syy FROM ex)
+            SELECT CAST(n AS BIGINT) AS n_edges,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                       AS assortativity
+            FROM s
+        """,
         # fixed-depth multi-source BFS: recursive CTE enumerates walks
         # of length ≤ 4 from the % 101 seed set; MIN(d) per node is
         # the shortest-walk (= shortest-path) distance

@@ -1687,3 +1687,111 @@ def reciprocity(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     return grouped_apply(node_rows, ["node"], fold_nodes,
                          num_partitions=num_partitions)
+
+
+# ---- degree assortativity --------------------------------------------------
+
+def degree_assortativity(edges_ds, src_col: str = "src",
+                         dst_col: str = "dst",
+                         num_partitions: int = 16, ndigits: int = 6):
+    """Out-in degree assortativity (Newman 2002): the Pearson
+    correlation, over directed edges, between the source's OUT-degree
+    and the destination's IN-degree — do hubs link to hubs (assortative
+    web cores) or to leaves (broadcast topologies)? Returns a one-row
+    table ``(n_edges, assortativity)``; NULL when either degree is
+    constant (zero variance), matching SQL's NULL division.
+
+    Scale shape — the Σxy term pairs per-edge endpoint degrees, which
+    is irreducibly ONE join, but everything else factors through
+    per-source aggregates: in-degrees attach to edges keyed by ``dst``
+    (count exchange + co-partitioned union join), then one exchange
+    keyed by ``src`` reduces each source u to (out-deg c_u, Σy, Σy²)
+    and each PARTITION to a single six-sum partial row, since
+    Σ_edges x = Σ_u c_u², Σ_edges x² = Σ_u c_u³ and
+    Σ_edges xy = Σ_u c_u·Σy(u). The driver folds ≤ num_partitions
+    rows. Partials accumulate as PYTHON ints serialized as strings —
+    c³ sums overflow int64 near 10^6-degree hubs, and exactness is
+    what lets the single final float expression (mirroring the SQL
+    oracle's DOUBLE cast order) hash identically.
+    """
+    import math
+
+    _K = "__kind"
+
+    def dpart(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b.column(dst_col)}).group_by(["k"]).aggregate(
+            [([], "count_all")])
+        return t.rename_columns(["k", "y"])
+
+    def dsum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["k"]).aggregate([("y", "sum")])
+        return g.rename_columns(["k", "y"])
+
+    deg_in = grouped_apply(
+        edges_ds.map_batches(dpart, batch_format="pyarrow"),
+        ["k"], dsum, num_partitions=num_partitions)
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column(dst_col),
+            "src": b.column(src_col),
+            "y": pa.nulls(b.num_rows, pa.int64()),
+            _K: pa.array(np.zeros(b.num_rows, np.int8)),
+        })
+
+    def tag_deg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column("k"),
+            "src": pa.nulls(b.num_rows, b.column("k").type),
+            "y": pc.cast(b.column("y"), pa.int64()),
+            _K: pa.array(np.ones(b.num_rows, np.int8)),
+        })
+
+    def join(pdf: pd.DataFrame) -> pd.DataFrame:
+        dd = pdf[pdf[_K] == 1][["k", "y"]]
+        ee = pdf[pdf[_K] == 0][["k", "src"]]
+        return ee.merge(dd, on="k", how="inner")[["src", "y"]]
+
+    pairs = grouped_apply(
+        edges_ds.map_batches(tag_edge, batch_format="pyarrow").union(
+            deg_in.map_batches(tag_deg, batch_format="pyarrow")),
+        ["k"], join, num_partitions=num_partitions,
+        batch_format="pandas")
+
+    out_fields = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({f: pd.Series([], dtype=str)
+                                 for f in out_fields})
+        yo = pdf["y"].astype(object)
+        pdf = pdf.assign(y2=yo * yo)
+        g = pdf.groupby("src", sort=False).agg(
+            c=("y", "size"), sy=("y", "sum"), syy=("y2", "sum"))
+        cs = [int(v) for v in g["c"]]
+        sys_ = [int(v) for v in g["sy"]]
+        syys = [int(v) for v in g["syy"]]
+        vals = [sum(cs), sum(c * c for c in cs),
+                sum(sys_), sum(c * s for c, s in zip(cs, sys_)),
+                sum(c ** 3 for c in cs), sum(syys)]
+        return pd.DataFrame({f: [str(v)]
+                             for f, v in zip(out_fields, vals)})
+
+    rows = grouped_apply(pairs, ["src"], fold,
+                         num_partitions=num_partitions,
+                         batch_format="pandas").take_all()
+    tot = {f: sum(int(r[f]) for r in rows) for f in out_fields}
+    n, sx, sy = tot["n"], tot["sx"], tot["sy"]
+    sxy, sxx, syy = tot["sxy"], tot["sxx"], tot["syy"]
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    if n == 0 or d1 <= 0 or d2 <= 0:
+        r = None
+    else:
+        r = pc.round(pa.array(
+            [float(n * sxy - sx * sy)
+             / math.sqrt(float(d1) * float(d2))], pa.float64()),
+            ndigits, round_mode="half_towards_infinity")[0].as_py()
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    })

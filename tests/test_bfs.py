@@ -3,6 +3,7 @@ driver-side frontier walk; local == distributed pinned."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 
 from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
@@ -166,3 +167,58 @@ def test_reciprocity_int_nodes_partition_independence(ray_session):
         rec = sum(1 for t in outs if (t, s) in de)
         ref[s] = (len(outs), rec, round(rec / len(outs), 6))
     assert a == b == ref
+
+
+# ---- degree assortativity ---------------------------------------------------
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (  # noqa: E402
+    degree_assortativity,
+)
+
+
+def _ref_assort(edges, ndigits=6):
+    import math
+
+    out, inn = {}, {}
+    for s, t in edges:
+        out[s] = out.get(s, 0) + 1
+        inn[t] = inn.get(t, 0) + 1
+    xs = [out[s] for s, _ in edges]
+    ys = [inn[t] for _, t in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    if d1 <= 0 or d2 <= 0:
+        return None
+    return round(float(n * sxy - sx * sy)
+                 / math.sqrt(float(d1) * float(d2)), ndigits)
+
+
+def test_assortativity_matches_reference(ray_session):
+    rng = np.random.default_rng(21)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, (250, 2))]
+    e, _ = _dss(ray_session, edges, [0])
+    got = degree_assortativity(e, num_partitions=4).to_pylist()[0]
+    assert got["n_edges"] == len(edges)
+    assert got["assortativity"] == pytest.approx(
+        _ref_assort(edges), abs=1e-9)
+
+
+def test_assortativity_zero_variance_is_null(ray_session):
+    # a perfect cycle: every out-degree and in-degree is 1
+    edges = [(0, 1), (1, 2), (2, 0)]
+    e, _ = _dss(ray_session, edges, [0])
+    got = degree_assortativity(e, num_partitions=2).to_pylist()[0]
+    assert got == {"n_edges": 3, "assortativity": None}
+
+
+def test_assortativity_partition_independence(ray_session):
+    rng = np.random.default_rng(29)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 15, (120, 2))]
+    e, _ = _dss(ray_session, edges, [0], blocks=2)
+    a = degree_assortativity(e, num_partitions=2).to_pylist()[0]
+    e2, _ = _dss(ray_session, edges, [0], blocks=5)
+    b = degree_assortativity(e2, num_partitions=7).to_pylist()[0]
+    assert a == b
