@@ -1843,6 +1843,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return calibration_bins(_quality_scored(sf_dir), bins=10,
                                 num_partitions=8)
 
+    def docs_token_windows(sf_dir: str):
+        """Long-document → training-context windows
+        (pipelines/clean.token_windows): 32-token windows advancing by
+        24, byte-exact via a bare single-space split so the
+        string_split/list_slice SQL oracle reproduces every window
+        text exactly. The splitting half of the packing story
+        (docs_packed_sequences° packs short docs up; this splits long
+        docs down)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            token_windows,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+        return token_windows(docs, window=32, stride=24).sort(
+            ["doc_id", "window_idx"])
+
     def docs_quality_filtered(sf_dir: str):
         """Percentile quality gating: keep documents whose quality score
         is at or above the corpus's exact 25th percentile, computed by
@@ -8748,6 +8765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": quality_scores,
         "docs_quality_auc": docs_quality_auc,
         "docs_quality_calibration": docs_quality_calibration,
+        "docs_token_windows": docs_token_windows,
         "docs_quality_filtered": docs_quality_filtered,
         "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
@@ -10814,6 +10832,27 @@ def oracle_sql() -> dict[str, str]:
                        AS frac_pos
             FROM s GROUP BY bin ORDER BY bin
         """),
+        # sliding token windows: floor(max(n-32,0)/24)+1 windows per
+        # doc, 1-based inclusive list_slice, single-space join — the
+        # window text must match byte-exactly
+        "docs_token_windows": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS window_idx,
+                     list_slice(toks, u.i*24 + 1, u.i*24 + 32) AS win
+              FROM t, UNNEST(generate_series(0,
+                    CAST(floor(greatest(n - 32, 0) / 24) AS BIGINT)))
+                    AS u(i)
+            )
+            SELECT doc_id, window_idx,
+                   CAST(len(win) AS BIGINT) AS n_tokens,
+                   array_to_string(win, ' ') AS window_text
+            FROM w ORDER BY doc_id, window_idx
+        """,
         # out-in degree assortativity: degrees via GROUP BY, joined
         # back onto edges, exact BIGINT sums, one DOUBLE expression
         "docs_graph_assortativity": """

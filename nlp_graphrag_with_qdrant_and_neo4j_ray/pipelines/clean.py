@@ -1021,3 +1021,47 @@ def pseudonymize(ds, cols: list[str], salt: str = "",
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_windows(docs_ds, window: int = 64, stride: int = 48,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Sliding token-window splitter: each document explodes into
+    fixed-size whitespace-token windows of ``window`` tokens advancing
+    by ``stride`` — the long-document → training-context-window step
+    that complements :func:`pack_sequences` (which packs SHORT docs up
+    to a budget; this splits LONG ones down to it). Window count is
+    ``floor(max(n - window, 0) / stride) + 1``: every doc emits at
+    least one window, the last window starts at the final stride
+    multiple that still yields a full window (trailing remainder
+    tokens past it are dropped, the usual fixed-window training
+    convention). Tokenization is a bare single-space split (empty
+    tokens from runs of spaces survive), so a SQL
+    ``string_split(text, ' ')`` + ``list_slice`` oracle reproduces
+    windows byte-exactly via ``array_to_string``.
+
+    Pure map-side explode — no exchange; output order inside a doc is
+    ``window_idx``, so the op is partition-count independent. Returns
+    (id, window_idx, n_tokens, window_text).
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids_out, idxs, lens, texts = [], [], [], []
+        for i, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            toks = t.split(" ")
+            n_win = max(len(toks) - window, 0) // stride + 1
+            for w in range(n_win):
+                piece = toks[w * stride:w * stride + window]
+                ids_out.append(i)
+                idxs.append(w)
+                lens.append(len(piece))
+                texts.append(" ".join(piece))
+        return pa.table({
+            id_col: pa.array(ids_out, b.column(id_col).type),
+            "window_idx": pa.array(idxs, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "window_text": pa.array(texts, pa.string()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow",
+                               batch_size=4096)

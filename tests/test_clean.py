@@ -484,3 +484,46 @@ def test_fd_violations_detects_and_clears(ray_session):
     many = fd_violations(ds.repartition(7), "k", "v",
                          num_partitions=3).take_all()
     assert one == many
+
+
+# ---- token windows ----------------------------------------------------------
+
+def test_token_windows_parity_and_edges(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        token_windows,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            " ".join(f"t{i}" for i in range(10)),   # short: 1 window
+            " ".join(f"t{i}" for i in range(5)),    # exactly W=5
+            " ".join(f"t{i}" for i in range(12)),   # 12 toks, W5 S3
+            "a  b",                                  # empty token kept
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = token_windows(ds, window=5, stride=3).to_pandas().sort_values(
+        ["doc_id", "window_idx"]).reset_index(drop=True)
+
+    def ref(text, W=5, S=3):
+        toks = text.split(" ")
+        nw = max(len(toks) - W, 0) // S + 1
+        return [(" ".join(toks[i * S:i * S + W]),
+                 len(toks[i * S:i * S + W])) for i in range(nw)]
+
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        rows = out[out["doc_id"] == did]
+        exp = ref(text)
+        assert len(rows) == len(exp)
+        for (_, r), (wt, n) in zip(rows.iterrows(), exp):
+            assert r["window_text"] == wt and r["n_tokens"] == n
+    # doc 0: 10 tokens -> floor(5/3)+1 = 2 windows; doc 2: 12 -> 3
+    assert out.groupby("doc_id").size().to_dict() == {0: 2, 1: 1,
+                                                      2: 3, 3: 1}
+    # stride coverage: window 1 of doc 2 starts at token 3
+    assert out[(out.doc_id == 2) & (out.window_idx == 1)][
+        "window_text"].iloc[0] == "t3 t4 t5 t6 t7"
