@@ -1140,6 +1140,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return enc.map_batches(stringify, batch_format="pyarrow")
 
+    def docs_token_roundtrip(sf_dir: str):
+        """Lossless tokenization proof: encode the corpus to frequency-
+        ranked ids (pipelines/textstats.token_ids_encode) and DECODE it
+        back (decode_token_ids) — the reconstructed text must equal
+        the whitespace-squeezed source byte-for-byte, which the oracle
+        states directly in SQL (no replay of the encoder at all: the
+        roundtrip IS the contract)."""
+        enc, vocab = ts.token_ids_encode(
+            _read(sf_dir, "documents"), return_vocab=True)
+        return ts.decode_token_ids(enc, vocab).sort("doc_id")
+
     def docs_logreg_spam_pred(sf_dir: str):
         """fastText-style hashed-feature logistic regression
         (pipelines/textstats.logreg_train_predict — the CCNet/GPT-3
@@ -8766,6 +8777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_auc": docs_quality_auc,
         "docs_quality_calibration": docs_quality_calibration,
         "docs_token_windows": docs_token_windows,
+        "docs_token_roundtrip": docs_token_roundtrip,
         "docs_quality_filtered": docs_quality_filtered,
         "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
@@ -10832,6 +10844,16 @@ def oracle_sql() -> dict[str, str]:
                        AS frac_pos
             FROM s GROUP BY bin ORDER BY bin
         """),
+        # encode→decode roundtrip: the reconstruction must equal the
+        # whitespace-squeezed source — the oracle asserts the
+        # CONTRACT, not a replay of the encoder
+        "docs_token_roundtrip": """
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> ''), ' ') AS text_rt
+            FROM documents ORDER BY doc_id
+        """,
         # sliding token windows: floor(max(n-32,0)/24)+1 windows per
         # doc, 1-based inclusive list_slice, single-space join — the
         # window text must match byte-exactly

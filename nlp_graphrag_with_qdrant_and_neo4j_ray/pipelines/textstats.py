@@ -1924,7 +1924,8 @@ def tfidf_cosine_pairs(docs_ds, threshold: float = 0.8,
 
 def token_ids_encode(docs_ds, vocab_size: int | None = None,
                      id_col: str = "doc_id", text_col: str = "text",
-                     num_partitions: int = 64):
+                     num_partitions: int = 64,
+                     return_vocab: bool = False):
     """Vocabulary freeze + corpus ENCODE — the "turn text into token
     ids" step a training pipeline runs right before sequence packing:
     build the corpus vocabulary with dense ids assigned by frequency
@@ -2082,7 +2083,101 @@ def token_ids_encode(docs_ds, vocab_size: int | None = None,
 
     empty_rows = docs_ds.select_columns([id_col, text_col]).map_batches(
         empties, batch_format="pyarrow")
-    return encoded.union(empty_rows)
+    out = encoded.union(empty_rows)
+    # ``return_vocab`` hands back the frozen (tok, tid) table too, so
+    # decode_token_ids can invert the encoding without re-freezing
+    return (out, vocab) if return_vocab else out
+
+
+def decode_token_ids(encoded_ds, vocab_ds, id_col: str = "doc_id",
+                     out_col: str = "text_rt",
+                     num_partitions: int = 64):
+    """DECODE — the inverse of :func:`token_ids_encode`: id lists back
+    to space-joined token text. Because the encoder's tokenization is
+    a single-space split with empties dropped, decode(encode(text))
+    equals the whitespace-SQUEEZED source text exactly — the lossless-
+    roundtrip proof a tokenization stage owes its training pipeline
+    (and the detokenization path for inspecting packed samples). OOV
+    ids (−1, from a ``vocab_size`` cut) have no vocab row and are
+    dropped from the reconstruction (a doc whose EVERY token is OOV
+    drops from the output entirely); pass the full vocab for exact
+    roundtrips.
+
+    Scale shape: the mirror of encode — id lists explode map-side to
+    (doc, pos, tid) rows, meet their vocab row on ONE tid-keyed
+    exchange, and ONE doc-keyed exchange reassembles the ordered
+    string. Empty docs short-circuit map-side off ``n_tokens == 0``.
+    Output: ``(id_col, out_col)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_apply
+
+    def explode(b: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(b.column("ids")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dids = np.repeat(
+            pc.cast(b.column(id_col), pa.int64()).to_numpy(
+                zero_copy_only=False), lens)
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        flat = pc.list_flatten(b.column("ids"))
+        t = pa.table({
+            id_col: pa.array(dids, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "tid": pc.cast(flat, pa.int64()),
+            "tok": pa.nulls(len(dids), pa.string()),
+        })
+        # OOV ids (−1) have no vocab row: drop them here (positions
+        # keep the original sequence order for the surviving tokens)
+        return t.filter(pc.greater_equal(t.column("tid"), 0))
+
+    def vocab_rows(b: pa.Table) -> pa.Table:
+        # a vocab_size cut marks out-of-vocab tokens with tid=-1 —
+        # those rows must not masquerade as decodable ids
+        b = b.filter(pc.greater_equal(b.column("tid"), 0))
+        n = b.num_rows
+        return pa.table({
+            id_col: pa.array([-1] * n, pa.int64()),
+            "pos": pa.array([-1] * n, pa.int64()),
+            "tid": pc.cast(b.column("tid"), pa.int64()),
+            "tok": b.column("tok"),
+        })
+
+    unioned = encoded_ds.map_batches(
+        explode, batch_format="pyarrow"
+    ).union(vocab_ds.map_batches(vocab_rows, batch_format="pyarrow"))
+
+    def lookup(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[pdf[id_col] < 0].drop_duplicates("tid")
+        req = pdf[pdf[id_col] >= 0]
+        m = req[[id_col, "pos", "tid"]].merge(
+            v[["tid", "tok"]], on="tid", how="inner")
+        return m[[id_col, "pos", "tok"]]
+
+    hits = grouped_apply(unioned, ["tid"], lookup,
+                         num_partitions=num_partitions,
+                         batch_format="pandas")
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, "pos"], kind="mergesort")
+        g = pdf.groupby(id_col, sort=True)["tok"].agg(" ".join)
+        return pd.DataFrame({id_col: g.index.to_numpy(),
+                             out_col: g.to_numpy()})
+
+    decoded = grouped_apply(hits, [id_col], rebuild,
+                            num_partitions=num_partitions,
+                            batch_format="pandas")
+
+    def empties(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("n_tokens"), 0))
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            out_col: pa.array([""] * t.num_rows, pa.string()),
+        })
+
+    return decoded.union(
+        encoded_ds.map_batches(empties, batch_format="pyarrow"))
 
 
 def stop_tokens(docs_ds, min_df_frac: float = 0.5,

@@ -158,3 +158,49 @@ def test_token_ids_partition_independent(ray_session):
     many = token_ids_encode(
         ds.repartition(7), num_partitions=5).sort("doc_id").take_all()
     assert one == many
+
+
+# ---- token-id decode roundtrip ---------------------------------------------
+
+def test_decode_token_ids_roundtrip(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        decode_token_ids,
+        token_ids_encode,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat sat", "the  the cat", "", "dog"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    enc, vocab = token_ids_encode(ds, num_partitions=4,
+                                  return_vocab=True)
+    out = decode_token_ids(enc, vocab, num_partitions=4).to_pandas()
+    got = out.set_index("doc_id")["text_rt"].to_dict()
+    # decode == whitespace-squeezed source
+    assert got == {0: "the cat sat", 1: "the the cat", 2: "", 3: "dog"}
+
+
+def test_decode_token_ids_oov_dropped(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.textstats import (
+        decode_token_ids,
+        token_ids_encode,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a a a b", "a rare"],
+    })
+    ds = ray.data.from_pandas(docs)
+    # vocab_size=1 keeps only the most frequent token 'a'
+    enc, vocab = token_ids_encode(ds, vocab_size=1, num_partitions=2,
+                                  return_vocab=True)
+    out = decode_token_ids(enc, vocab, num_partitions=2).to_pandas()
+    got = out.set_index("doc_id")["text_rt"].to_dict()
+    assert got == {0: "a a a", 1: "a"}
