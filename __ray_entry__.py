@@ -1871,6 +1871,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return token_windows(docs, window=32, stride=24).sort(
             ["doc_id", "window_idx"])
 
+    def docs_length_buckets(sf_dir: str):
+        """Power-of-two length-bucket / padding-waste audit
+        (pipelines/clean.length_buckets): the cost table a
+        length-grouped batching policy minimizes. Int64 end to end;
+        the oracle replays the bucket assignment with a powers-table
+        min-join (no float log in SQL)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            length_buckets,
+        )
+
+        return length_buckets(_read(sf_dir, "documents"),
+                              num_partitions=8)
+
     def docs_quality_filtered(sf_dir: str):
         """Percentile quality gating: keep documents whose quality score
         is at or above the corpus's exact 25th percentile, computed by
@@ -8778,6 +8791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_calibration": docs_quality_calibration,
         "docs_token_windows": docs_token_windows,
         "docs_token_roundtrip": docs_token_roundtrip,
+        "docs_length_buckets": docs_length_buckets,
         "docs_quality_filtered": docs_quality_filtered,
         "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
@@ -10844,6 +10858,28 @@ def oracle_sql() -> dict[str, str]:
                        AS frac_pos
             FROM s GROUP BY bin ORDER BY bin
         """),
+        # power-of-two length buckets + padding waste: bucket via a
+        # powers-table min-join, all-BIGINT sums
+        "docs_length_buckets": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS n
+              FROM documents
+            ),
+            p AS (SELECT CAST(power(2, i) AS BIGINT) AS b
+                  FROM UNNEST(generate_series(0, 20)) AS u(i)),
+            w AS (
+              SELECT doc_id, n,
+                     (SELECT min(b) FROM p
+                      WHERE b >= greatest(n, 1)) AS bucket
+              FROM t
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(sum(bucket - n) AS BIGINT) AS padding_waste
+            FROM w GROUP BY bucket ORDER BY bucket
+        """,
         # encode→decode roundtrip: the reconstruction must equal the
         # whitespace-squeezed source — the oracle asserts the
         # CONTRACT, not a replay of the encoder

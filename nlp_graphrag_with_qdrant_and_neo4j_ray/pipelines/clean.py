@@ -1065,3 +1065,61 @@ def token_windows(docs_ds, window: int = 64, stride: int = 48,
 
     return docs_ds.map_batches(fn, batch_format="pyarrow",
                                batch_size=4096)
+
+
+def length_buckets(docs_ds, id_col: str = "doc_id",
+                   text_col: str = "text", num_partitions: int = 8):
+    """Power-of-two length-bucket audit for dynamic batching: assign
+    each document to the smallest 2^k bucket holding its non-empty
+    whitespace token count, and report per bucket the doc count, total
+    real tokens, and PADDING WASTE (bucket size minus real tokens,
+    summed) — the number a batching policy minimizes when it groups
+    samples by length before padding. Empty docs land in bucket 1 and
+    count one waste token.
+
+    Pure int64 math end to end (the bucket exponent comes from an
+    exact ``log2`` — exact floats at powers of two, strictly
+    fractional between them, so ``ceil`` can't flip at a boundary) —
+    per-batch combiner, ONE bucket-keyed exchange. Output
+    ``(bucket, n_docs, total_tokens, padding_waste)``.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column(text_col), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nonblank = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(lens)), lens)
+        n = np.bincount(didx, weights=nonblank.astype(np.float64),
+                        minlength=len(lens)).astype(np.int64)
+        bucket = np.int64(1) << np.ceil(
+            np.log2(np.maximum(n, 1))).astype(np.int64)
+        t = pa.table({
+            "bucket": pa.array(bucket),
+            "n_docs": pa.array(np.ones(len(n), np.int64)),
+            "total_tokens": pa.array(n),
+            "padding_waste": pa.array(bucket - n),
+        })
+        g = t.group_by(["bucket"]).aggregate([
+            ("n_docs", "sum"), ("total_tokens", "sum"),
+            ("padding_waste", "sum")])
+        return g.rename_columns(["bucket", "n_docs", "total_tokens",
+                                 "padding_waste"])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["bucket"]).aggregate([
+            ("n_docs", "sum"), ("total_tokens", "sum"),
+            ("padding_waste", "sum")])
+        return g.rename_columns(["bucket", "n_docs", "total_tokens",
+                                 "padding_waste"])
+
+    from ..stages.shuffle import grouped_apply
+
+    return grouped_apply(
+        docs_ds.select_columns([id_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["bucket"], merge, num_partitions=num_partitions,
+    ).sort("bucket")

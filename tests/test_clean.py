@@ -527,3 +527,27 @@ def test_token_windows_parity_and_edges(ray_session):
     # stride coverage: window 1 of doc 2 starts at token 3
     assert out[(out.doc_id == 2) & (out.window_idx == 1)][
         "window_text"].iloc[0] == "t3 t4 t5 t6 t7"
+
+
+def test_length_buckets(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+        length_buckets,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a", "a b", "a b c", "", "a  b c d e"],
+    })
+    # token counts: 1, 2, 3, 0, 5 -> buckets 1, 2, 4, 1, 8
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = length_buckets(ds, num_partitions=2).to_pandas()
+    got = out.set_index("bucket").to_dict("index")
+    assert got == {
+        1: {"n_docs": 2, "total_tokens": 1, "padding_waste": 1},
+        2: {"n_docs": 1, "total_tokens": 2, "padding_waste": 0},
+        4: {"n_docs": 1, "total_tokens": 3, "padding_waste": 1},
+        8: {"n_docs": 1, "total_tokens": 5, "padding_waste": 3},
+    }
