@@ -5230,6 +5230,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dst_col="dst_entity_id", max_depth=3, num_partitions=8,
         ).sort("node")
 
+    def kg_edge_negatives(sf_dir: str):
+        """Link-prediction training pairs off the real KG: every true
+        edge labeled 1 plus one deterministic corrupt-tail negative
+        (labeled 0) drawn from the observed tail distribution
+        (pipelines/graph.edge_negatives — the TransE corruption
+        recipe). Rows only: the permutation rides a polars row hash
+        DuckDB can't replay; properties (positives == edge multiset,
+        negatives never true, determinism) pinned by
+        tests/test_bfs.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            edge_negatives,
+        )
+
+        edges = _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id"])
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["src", "dst"])
+
+        neg = edge_negatives(
+            edges.map_batches(rename, batch_format="pyarrow"),
+            num_partitions=8)
+        return neg.sort(["label", "src", "dst"])
+
     def embedding_label_centroids(sf_dir: str):
         """Per-label embedding centroid, long-form (label, dim,
         centroid) — each batch reduces to one (Σvector, n) row per
@@ -8890,6 +8914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bfs_depths": docs_bfs_depths,
         "docs_graph_assortativity": docs_graph_assortativity,
         "kg_entity_reach": kg_entity_reach,
+        "kg_edge_negatives": kg_edge_negatives,
         "docs_token_cooccurrence": docs_token_cooccurrence,
         "kg_entity_cooccurrence": kg_entity_cooccurrence,
         "kg_entity_pagerank": kg_entity_pagerank,

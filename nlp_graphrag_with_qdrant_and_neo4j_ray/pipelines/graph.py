@@ -1795,3 +1795,77 @@ def degree_assortativity(edges_ds, src_col: str = "src",
         "n_edges": pa.array([n], pa.int64()),
         "assortativity": pa.array([r], pa.float64()),
     })
+
+
+# ---- negative edge sampling (KG-embedding training) ------------------------
+
+def edge_negatives(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                   num_partitions: int = 16):
+    """Deterministic corrupt-tail NEGATIVE sampling for KG-embedding /
+    link-prediction training (the TransE recipe: one corrupted edge
+    per true edge): each edge's tail is replaced with another observed
+    tail, candidates that happen to be TRUE edges (or unchanged) are
+    dropped, and the output unions true edges (label 1) with the
+    surviving negatives (label 0).
+
+    Scale shape — no entity table, no broadcast, no randomness source:
+    tails are permuted WITHIN each dst-hash partition (sort by a
+    stable row hash, roll by one), which both preserves the observed
+    tail distribution (degree-proportional corruption, the standard
+    practice) and keeps the permutation deterministic and
+    partition-count-reproducible for a fixed ``num_partitions``; the
+    truth filter is ONE (src,dst)-keyed anti-join exchange. Output:
+    ``(src, dst, label:int8)``.
+    """
+    from ..stages.shuffle import _hash_rows
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src_col),
+                         "dst": b.column(dst_col)})
+
+    base = edges_ds.map_batches(keyed, batch_format="pyarrow")
+
+    def corrupt(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({
+                "src": pa.array([], tbl.column("src").type),
+                "dst": pa.array([], tbl.column("dst").type),
+            })
+        order = np.argsort(_hash_rows(tbl, ["src", "dst"]),
+                           kind="stable")
+        src = tbl.column("src").to_numpy(zero_copy_only=False)[order]
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False)[order]
+        cand = np.roll(dst, 1)
+        keep = cand != dst  # unchanged-tail candidates are useless
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(cand[keep])})
+
+    cands = grouped_apply(base, ["dst"], corrupt,
+                          num_partitions=num_partitions)
+
+    K_TRUE, K_CAND = np.int8(1), np.int8(0)
+
+    def tag(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "label", pa.array(np.full(b.num_rows, kind, np.int8)))
+        return fn
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        """Per (src,dst) group: keep true rows; keep candidate rows
+        only when NO true row shares the pair (dedup candidates)."""
+        lab = tbl.column("label").to_numpy(zero_copy_only=False)
+        pdf = tbl.to_pandas()
+        true_rows = pdf[lab == K_TRUE]
+        truth = set(map(tuple, true_rows[["src", "dst"]].to_numpy()))
+        cand_rows = pdf[lab == K_CAND].drop_duplicates(["src", "dst"])
+        mask = [tuple(x) not in truth
+                for x in cand_rows[["src", "dst"]].to_numpy()]
+        out = pd.concat([true_rows, cand_rows[np.array(mask, bool)]],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    unioned = base.map_batches(tag(K_TRUE), batch_format="pyarrow").union(
+        cands.map_batches(tag(K_CAND), batch_format="pyarrow"))
+    return grouped_apply(unioned, ["src", "dst"], anti,
+                         num_partitions=num_partitions)

@@ -222,3 +222,44 @@ def test_assortativity_partition_independence(ray_session):
     e2, _ = _dss(ray_session, edges, [0], blocks=5)
     b = degree_assortativity(e2, num_partitions=7).to_pylist()[0]
     assert a == b
+
+
+# ---- negative edge sampling -------------------------------------------------
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (  # noqa: E402
+    edge_negatives,
+)
+
+
+def test_edge_negatives_properties(ray_session):
+    rng = np.random.default_rng(31)
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 40, (200, 2))})
+    e, _ = _dss(ray_session, edges, [0], blocks=3)
+    out = edge_negatives(e, num_partitions=4).to_pandas()
+    true_set = set(edges)
+    pos = out[out.label == 1]
+    neg = out[out.label == 0]
+    # positives are exactly the input edge multiset
+    assert sorted(map(tuple, pos[["src", "dst"]].to_numpy())) == edges
+    # negatives: never true edges, tails drawn from observed tails,
+    # at most one per input edge, and at least SOME survive
+    dsts = {b for _, b in edges}
+    for s, t in neg[["src", "dst"]].to_numpy():
+        assert (s, t) not in true_set and t in dsts
+    assert 0 < len(neg) <= len(edges)
+    assert not neg.duplicated(["src", "dst"]).any()
+
+
+def test_edge_negatives_deterministic(ray_session):
+    rng = np.random.default_rng(37)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, (120, 2))]
+    e, _ = _dss(ray_session, edges, [0], blocks=2)
+    a = edge_negatives(e, num_partitions=4).to_pandas().sort_values(
+        ["label", "src", "dst"]).reset_index(drop=True)
+    e2, _ = _dss(ray_session, edges, [0], blocks=5)
+    b = edge_negatives(e2, num_partitions=4).to_pandas().sort_values(
+        ["label", "src", "dst"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
