@@ -1061,6 +1061,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              fold, num_partitions=1,
                              batch_format="pandas")
 
+    def docs_filter_kappa(sf_dir: str):
+        """Cohen's kappa between the Gopher rules and the composite
+        quality gate (pipelines/evalmetrics.cohens_kappa over the
+        docs_filter_agreement° census): chance-corrected agreement —
+        the single number behind the agreement dashboard. The census
+        fold is ≤4 rows; the divisions mirror the SQL replay
+        operation-for-operation."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.evalmetrics import (
+            cohens_kappa,
+        )
+
+        return cohens_kappa(docs_filter_agreement(sf_dir),
+                            "gopher_keep", "quality_keep")
+
     def docs_log_odds_terms(sf_dir: str):
         """Per-source distinctive vocabulary — weighted log-odds with
         a uniform Dirichlet prior (Monroe et al. 2008, "Fightin'
@@ -8816,6 +8830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_windows": docs_token_windows,
         "docs_token_roundtrip": docs_token_roundtrip,
         "docs_length_buckets": docs_length_buckets,
+        "docs_filter_kappa": docs_filter_kappa,
         "docs_quality_filtered": docs_quality_filtered,
         "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
@@ -12509,6 +12524,30 @@ def oracle_sql() -> dict[str, str]:
                                    FROM revenue)
         """,
     }
+    # Cohen's kappa over the docs_filter_agreement census: int sums,
+    # then the identical DOUBLE expression chain the Ray fold runs
+    d["docs_filter_kappa"] = (
+        "WITH cen AS (" + d["docs_filter_agreement"] + """),
+        x AS (
+          SELECT SUM(n) AS n,
+            SUM(CASE WHEN gopher_keep = 1 AND quality_keep = 1
+                     THEN n ELSE 0 END) AS a,
+            SUM(CASE WHEN gopher_keep = 0 AND quality_keep = 0
+                     THEN n ELSE 0 END) AS d,
+            SUM(CASE WHEN gopher_keep = 1 THEN n ELSE 0 END) AS g1,
+            SUM(CASE WHEN quality_keep = 1 THEN n ELSE 0 END) AS q1
+          FROM cen
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+          round(CAST(a + d AS DOUBLE) / n, 6) AS po,
+          round(CAST(g1*q1 + (n-g1)*(n-q1) AS DOUBLE) / (n*n), 6)
+              AS pe,
+          round((CAST(a + d AS DOUBLE) / n
+                 - CAST(g1*q1 + (n-g1)*(n-q1) AS DOUBLE) / (n*n))
+                / (1.0 - CAST(g1*q1 + (n-g1)*(n-q1) AS DOUBLE)
+                         / (n*n)), 6) AS kappa
+        FROM x
+    """)
     d["docs_quality_filtered"] = (
         "WITH qq AS (" + d["quality_scores"] + ") "
         "SELECT doc_id, quality FROM qq WHERE quality >= "

@@ -124,3 +124,42 @@ def calibration_bins(ds, score_col: str = "score",
         ds.map_batches(partial, batch_format="pyarrow"),
         ["bin"], merge, num_partitions=num_partitions,
     ).sort("bin")
+
+
+def cohens_kappa(census_ds, a_col: str, b_col: str, n_col: str = "n"):
+    """Cohen's kappa from a 2×2 agreement census (two binary raters /
+    filters): chance-corrected agreement
+    ``κ = (p_o − p_e) / (1 − p_e)`` — the number that says whether two
+    quality filters actually agree beyond what their keep-rates force.
+    Input is an already-aggregated census Dataset (≤4 rows: a_col,
+    b_col ∈ {0,1}, n_col counts), so the fold is a bounded driver
+    reduction; the divisions mirror a SQL replay operation-for-
+    operation (int sums, then the same DOUBLE expression), so the
+    one-row output (n_docs, po, pe, kappa) hashes identically.
+    """
+    rows = census_ds.take_all()  # ≤ 4 rows by construction
+    n = sum(int(r[n_col]) for r in rows)
+    a = sum(int(r[n_col]) for r in rows
+            if r[a_col] == 1 and r[b_col] == 1)
+    d = sum(int(r[n_col]) for r in rows
+            if r[a_col] == 0 and r[b_col] == 0)
+    g1 = sum(int(r[n_col]) for r in rows if r[a_col] == 1)
+    q1 = sum(int(r[n_col]) for r in rows if r[b_col] == 1)
+    if n == 0:
+        po = pe = kappa = None
+    else:
+        po = float(a + d) / n
+        pe = float(g1 * q1 + (n - g1) * (n - q1)) / (n * n)
+        kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
+
+    def r6(x):
+        if x is None:
+            return None
+        return _round6(x)
+
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "po": pa.array([r6(po)], pa.float64()),
+        "pe": pa.array([r6(pe)], pa.float64()),
+        "kappa": pa.array([r6(kappa)], pa.float64()),
+    })

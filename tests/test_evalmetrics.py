@@ -91,3 +91,41 @@ def test_calibration_bins(ray_session):
     assert got.loc[1].tolist() == [1, 1, 1.0]
     assert got.loc[9].tolist() == [2, 2, 1.0]
     assert len(out) == 3
+
+
+def test_cohens_kappa(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.evalmetrics import (
+        cohens_kappa,
+    )
+
+    census = ray.data.from_pandas(pd.DataFrame({
+        "a": [1, 1, 0, 0], "b": [1, 0, 1, 0],
+        "n": [20, 5, 10, 15],
+    }))
+    out = cohens_kappa(census, "a", "b").to_pylist()[0]
+    n, a, d, g1, q1 = 50, 20, 15, 25, 30
+    po = (a + d) / n
+    pe = (g1 * q1 + (n - g1) * (n - q1)) / (n * n)
+    assert out["n_docs"] == 50
+    assert out["po"] == round(po, 6)
+    assert out["pe"] == round(pe, 6)
+    assert out["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+
+
+def test_cohens_kappa_perfect_and_chance(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.evalmetrics import (
+        cohens_kappa,
+    )
+
+    perfect = ray.data.from_pandas(pd.DataFrame({
+        "a": [1, 0], "b": [1, 0], "n": [30, 70]}))
+    assert cohens_kappa(perfect, "a", "b").to_pylist()[0]["kappa"] == 1.0
+    # independence: po == pe -> kappa 0
+    indep = ray.data.from_pandas(pd.DataFrame({
+        "a": [1, 1, 0, 0], "b": [1, 0, 1, 0],
+        "n": [25, 25, 25, 25]}))
+    assert cohens_kappa(indep, "a", "b").to_pylist()[0]["kappa"] == 0.0
