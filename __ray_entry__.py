@@ -1061,6 +1061,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              fold, num_partitions=1,
                              batch_format="pandas")
 
+    def docs_lang_f1(sf_dir: str):
+        """Per-class precision / recall / F1 of the language-ID
+        heuristic vs the declared corpus label
+        (pipelines/evalmetrics.classification_prf over the
+        docs_lang_confusion° census) — the class-level report behind
+        a per-language routing decision. Bounded |classes|² fold;
+        fixed expressions over int counts mirror the SQL replay."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.evalmetrics import (
+            classification_prf,
+        )
+
+        return classification_prf(docs_lang_confusion(sf_dir),
+                                  true_col="declared",
+                                  pred_col="detected")
+
     def docs_filter_kappa(sf_dir: str):
         """Cohen's kappa between the Gopher rules and the composite
         quality gate (pipelines/evalmetrics.cohens_kappa over the
@@ -8831,6 +8846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_roundtrip": docs_token_roundtrip,
         "docs_length_buckets": docs_length_buckets,
         "docs_filter_kappa": docs_filter_kappa,
+        "docs_lang_f1": docs_lang_f1,
         "docs_quality_filtered": docs_quality_filtered,
         "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
@@ -12644,6 +12660,38 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d JOIN det USING (doc_id) "
         "GROUP BY d.lang, det.detected_lang"
     )
+    # per-class P/R/F1 over the docs_lang_confusion census: fixed
+    # expressions over int counts, NULL on zero denominators
+    d["docs_lang_f1"] = (
+        "WITH cen AS (" + d["docs_lang_confusion"] + """),
+        lab AS (SELECT DISTINCT declared AS label FROM cen
+                UNION SELECT DISTINCT detected FROM cen),
+        m AS (
+          SELECT l.label,
+            COALESCE((SELECT SUM(n) FROM cen
+                      WHERE declared = l.label
+                        AND detected = l.label), 0) AS tp,
+            COALESCE((SELECT SUM(n) FROM cen
+                      WHERE detected = l.label), 0) AS pred_n,
+            COALESCE((SELECT SUM(n) FROM cen
+                      WHERE declared = l.label), 0) AS true_n
+          FROM lab l
+        )
+        SELECT label, CAST(tp AS BIGINT) AS tp,
+          CAST(pred_n AS BIGINT) AS pred_n,
+          CAST(true_n AS BIGINT) AS true_n,
+          round(CASE WHEN pred_n > 0
+                THEN CAST(tp AS DOUBLE) / pred_n END, 6)
+              AS "precision",
+          round(CASE WHEN true_n > 0
+                THEN CAST(tp AS DOUBLE) / true_n END, 6) AS recall,
+          round(CASE WHEN tp > 0 AND pred_n > 0 AND true_n > 0 THEN
+              2 * (CAST(tp AS DOUBLE) / pred_n)
+                * (CAST(tp AS DOUBLE) / true_n)
+              / (CAST(tp AS DOUBLE) / pred_n
+                 + CAST(tp AS DOUBLE) / true_n) END, 6) AS f1
+        FROM m ORDER BY label
+    """)
     d["docs_hive_partition_pruned"] = (
         "SELECT doc_id, text, lang FROM documents WHERE lang = 'en'"
     )

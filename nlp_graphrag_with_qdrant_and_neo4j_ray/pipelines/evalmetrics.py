@@ -163,3 +163,49 @@ def cohens_kappa(census_ds, a_col: str, b_col: str, n_col: str = "n"):
         "pe": pa.array([r6(pe)], pa.float64()),
         "kappa": pa.array([r6(kappa)], pa.float64()),
     })
+
+
+def classification_prf(confusion_ds, true_col: str = "declared",
+                       pred_col: str = "pred", n_col: str = "n"):
+    """Per-class precision / recall / F1 from a confusion-matrix
+    Dataset (true_col × pred_col × count) — the class-level report
+    behind a routing decision (which languages can the detector be
+    trusted on?). Zero-denominator cells are NULL (matching SQL's
+    NULL-on-zero contract; F1 is NULL when tp = 0 since p + r = 0).
+    The census is ≤ |classes|² rows, so the fold is a bounded driver
+    reduction; every metric is a fixed expression over int counts, so
+    a SQL replay hashes identically. Output sorted by class:
+    ``(label, tp, pred_n, true_n, precision, recall, f1)``.
+    """
+    rows = confusion_ds.take_all()  # bounded: |classes|²
+    labels = sorted({r[true_col] for r in rows}
+                    | {r[pred_col] for r in rows})
+    out = {k: [] for k in ("label", "tp", "pred_n", "true_n",
+                           "precision", "recall", "f1")}
+    for lab in labels:
+        tp = sum(int(r[n_col]) for r in rows
+                 if r[true_col] == lab and r[pred_col] == lab)
+        pred_n = sum(int(r[n_col]) for r in rows
+                     if r[pred_col] == lab)
+        true_n = sum(int(r[n_col]) for r in rows
+                     if r[true_col] == lab)
+        p = float(tp) / pred_n if pred_n > 0 else None
+        rc = float(tp) / true_n if true_n > 0 else None
+        f1 = (2 * p * rc / (p + rc)
+              if tp > 0 and p is not None and rc is not None else None)
+        out["label"].append(lab)
+        out["tp"].append(tp)
+        out["pred_n"].append(pred_n)
+        out["true_n"].append(true_n)
+        out["precision"].append(None if p is None else _round6(p))
+        out["recall"].append(None if rc is None else _round6(rc))
+        out["f1"].append(None if f1 is None else _round6(f1))
+    return pa.table({
+        "label": pa.array(out["label"]),
+        "tp": pa.array(out["tp"], pa.int64()),
+        "pred_n": pa.array(out["pred_n"], pa.int64()),
+        "true_n": pa.array(out["true_n"], pa.int64()),
+        "precision": pa.array(out["precision"], pa.float64()),
+        "recall": pa.array(out["recall"], pa.float64()),
+        "f1": pa.array(out["f1"], pa.float64()),
+    })

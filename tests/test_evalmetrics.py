@@ -129,3 +129,31 @@ def test_cohens_kappa_perfect_and_chance(ray_session):
         "a": [1, 1, 0, 0], "b": [1, 0, 1, 0],
         "n": [25, 25, 25, 25]}))
     assert cohens_kappa(indep, "a", "b").to_pylist()[0]["kappa"] == 0.0
+
+
+def test_classification_prf(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.evalmetrics import (
+        classification_prf,
+    )
+
+    census = ray.data.from_pandas(pd.DataFrame({
+        "declared": ["en", "en", "de", "xx"],
+        "pred": ["en", "de", "de", "en"],
+        "n": [8, 2, 5, 1],
+    }))
+    out = classification_prf(census).to_pandas().set_index("label")
+    # en: tp=8, pred=9, true=10
+    assert out.loc["en", "tp"] == 8
+    assert out.loc["en", "precision"] == round(8 / 9, 6)
+    assert out.loc["en", "recall"] == 0.8
+    p, r = 8 / 9, 0.8
+    assert out.loc["en", "f1"] == pytest.approx(2 * p * r / (p + r),
+                                                abs=1e-6)
+    # de: tp=5, pred=7, true=5 -> recall 1.0
+    assert out.loc["de", "recall"] == 1.0
+    # xx: never predicted -> precision NULL, tp=0 -> f1 NULL
+    assert np.isnan(out.loc["xx", "precision"])
+    assert np.isnan(out.loc["xx", "f1"])
+    assert out.loc["xx", "recall"] == 0.0
