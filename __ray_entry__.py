@@ -5061,6 +5061,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             max_depth=4, num_partitions=8,
         ).sort("node")
 
+    def docs_shortest_paths(sf_dir: str):
+        """Bounded-hop WEIGHTED shortest paths
+        (pipelines/graph.shortest_paths — Bellman-Ford relaxation
+        rounds, the weighted twin of docs_bfs_depths°) on the
+        synthetic doc graph with planted integer weights
+        ((src+dst) % 7 + 1): min path cost within 4 hops from the
+        doc_id % 101 == 0 seeds. Recursive-CTE oracle enumerates
+        (node, cost, hops ≤ 4) walks; MIN(cost) matches exactly
+        (int64 throughout)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            shortest_paths,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(mult: int, add: int):
+                x = pc.add(pc.multiply(ids, mult), add)
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500), 500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(7, 3).combine_chunks(),
+                mod500(13, 101).combine_chunks(),
+            ])
+            sd = pc.add(src, dst)
+            w = pc.add(pc.subtract(sd, pc.multiply(pc.divide(sd, 7), 7)),
+                       1)
+            return pa.table({"src": src, "dst": dst, "w": w})
+
+        def seeds(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+            rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 101), 101))
+            return pa.table({"node": pc.filter(ids, pc.equal(rem, 0))})
+
+        return shortest_paths(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            docs.map_batches(seeds, batch_format="pyarrow"),
+            max_hops=4, num_partitions=8,
+        ).sort("node")
+
     def docs_graph_assortativity(sf_dir: str):
         """Out-in degree assortativity
         (pipelines/graph.degree_assortativity) of the synthetic doc
@@ -8943,6 +8986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pagerank": docs_pagerank,
         "docs_hits": docs_hits,
         "docs_bfs_depths": docs_bfs_depths,
+        "docs_shortest_paths": docs_shortest_paths,
         "docs_graph_assortativity": docs_graph_assortativity,
         "kg_entity_reach": kg_entity_reach,
         "kg_edge_negatives": kg_edge_negatives,
@@ -10966,6 +11010,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(win) AS BIGINT) AS n_tokens,
                    array_to_string(win, ' ') AS window_text
             FROM w ORDER BY doc_id, window_idx
+        """,
+        # bounded-hop weighted shortest paths: recursive CTE over
+        # (node, cost, hops ≤ 4) walks with planted integer weights;
+        # MIN(cost) per node = the Bellman-Ford result
+        "docs_shortest_paths": """
+            WITH RECURSIVE edges AS MATERIALIZED (
+                SELECT src, dst, (src + dst) % 7 + 1 AS w FROM (
+                    SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 13 + 101) % 500
+                    FROM documents
+                )
+            ),
+            walk(node, c, d) AS (
+                SELECT doc_id, 0, 0 FROM documents
+                WHERE doc_id % 101 = 0
+                UNION
+                SELECT e.dst, w.c + e.w, w.d + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.d < 4
+            )
+            SELECT node, CAST(MIN(c) AS BIGINT) AS cost
+            FROM walk GROUP BY node ORDER BY node
         """,
         # out-in degree assortativity: degrees via GROUP BY, joined
         # back onto edges, exact BIGINT sums, one DOUBLE expression

@@ -1869,3 +1869,208 @@ def edge_negatives(edges_ds, src_col: str = "src", dst_col: str = "dst",
         cands.map_batches(tag(K_CAND), batch_format="pyarrow"))
     return grouped_apply(unioned, ["src", "dst"], anti,
                          num_partitions=num_partitions)
+
+
+# ---- bounded-hop weighted shortest paths (Bellman-Ford rounds) -------------
+
+def _shortest_paths_local(tbl: pa.Table, src_col: str, dst_col: str,
+                          weight_col: str, seeds, max_hops: int,
+                          node_col: str = "node",
+                          cost_col: str = "cost") -> pa.Table:
+    """Single-task bounded-hop Bellman-Ford — the exact relaxation of
+    :func:`shortest_paths`, vectorized (np.minimum.at per round)."""
+    seed_list = list(seeds)
+    src = tbl.column(src_col).to_numpy(zero_copy_only=False)
+    dst = tbl.column(dst_col).to_numpy(zero_copy_only=False)
+    w = pc.cast(tbl.column(weight_col), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    if not seed_list:
+        return pa.table({
+            node_col: pa.array([], tbl.column(src_col).type),
+            cost_col: pa.array([], pa.int64()),
+        })
+    seed_arr = np.asarray(seed_list,
+                          dtype=src.dtype if len(src) else None)
+    nodes, codes = np.unique(np.concatenate([src, dst, seed_arr]),
+                             return_inverse=True)
+    s_idx = codes[:len(src)]
+    d_idx = codes[len(src):len(src) + len(dst)]
+    INF = np.iinfo(np.int64).max // 2
+    cost = np.full(len(nodes), INF, np.int64)
+    cost[np.unique(codes[len(src) + len(dst):])] = 0
+    for _ in range(max_hops):
+        relaxed = cost.copy()
+        np.minimum.at(relaxed, d_idx, cost[s_idx] + w)
+        if np.array_equal(relaxed, cost):
+            break
+        cost = relaxed
+    sel = cost < INF
+    return pa.table({
+        node_col: pa.array(nodes[sel]),
+        cost_col: pa.array(cost[sel], pa.int64()),
+    })
+
+
+def shortest_paths(edges_ds, seeds_ds, src_col: str = "src",
+                   dst_col: str = "dst", weight_col: str = "w",
+                   seed_col: str = "node", max_hops: int = 4,
+                   num_partitions: int = 16,
+                   local_threshold: int | None = LOCAL_EDGES_THRESHOLD):
+    """Multi-source WEIGHTED shortest paths bounded to ``max_hops``
+    edges: (node, cost) with cost = the minimum total integer edge
+    weight over any directed path of at most ``max_hops`` hops from
+    any seed — Bellman-Ford relaxation rounds, the weighted twin of
+    :func:`bfs_depths` (link-distance with per-edge cost: crawl
+    politeness budgets, weighted KG relatedness radii). The hop bound
+    is part of the SEMANTICS (exactly ``max_hops`` relaxation rounds),
+    which keeps the result deterministic and SQL-oracle-able: a
+    recursive CTE enumerating (node, cost, hops ≤ max_hops) walks has
+    the same MIN(cost) per node. Integer weights → exact int64 math.
+
+    Scale shape: like BFS, the src-keyed edge list materializes ONCE;
+    unlike BFS a settled node can improve in a later round, so each
+    round ships the CHANGED node set (monotone non-increasing costs;
+    empty changed-set = early fixpoint): exchange 1 expands changed
+    nodes against partition-local edges into relaxation candidates
+    (pre-min-folded per partition), exchange 2 min-folds candidates
+    into the cost table and recomputes the changed flag by comparing
+    against the incumbent. 2·rounds exchanges, O(changed + candidates)
+    bytes per round.
+    """
+    import ray
+    import ray.data
+
+    refs = _edges_below(edges_ds, local_threshold)
+    if refs is not None:
+        seed_refs = (seeds_ds.select_columns([seed_col])
+                     .materialize().to_arrow_refs())
+        cols = [src_col, dst_col, weight_col]
+
+        @ray.remote
+        def solve(n_edge_blocks, *blocks):
+            eb = [b.select(cols) for b in blocks[:n_edge_blocks]
+                  if b.num_rows]
+            sb = [b for b in blocks[n_edge_blocks:] if b.num_rows]
+            etbl = (pa.concat_tables(eb) if eb
+                    else blocks[0].select(cols))
+            seeds = (pa.concat_tables(sb).column(seed_col).to_pylist()
+                     if sb else [])
+            return _shortest_paths_local(etbl, src_col, dst_col,
+                                         weight_col, seeds, max_hops)
+
+        return ray.data.from_arrow(
+            ray.get(solve.remote(len(refs), *refs, *seed_refs)))
+
+    K_EDGE, K_FRONT = np.int8(0), np.int8(1)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column(src_col),
+            "other": b.column(dst_col),
+            "w": pc.cast(b.column(weight_col), pa.int64()),
+            "kind": pa.array(np.full(b.num_rows, K_EDGE, np.int8)),
+        })
+
+    edges_msg = edges_ds.map_batches(
+        edge_rows, batch_format="pyarrow").materialize()
+    sch = edges_msg.schema()
+    node_type = dict(zip(sch.names, sch.types))["other"]
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "node": pc.cast(b.column(seed_col), node_type),
+            "cost": pa.array(np.zeros(n, np.int64)),
+            "chg": pa.array(np.ones(n, np.int8)),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        """Per node: incumbent = min cost among chg-carrying dist rows
+        vs candidates; changed = a candidate beat every dist row."""
+        pdf = tbl.to_pandas()
+        # dist rows carry chg 0/1; candidates carry chg == 2
+        is_cand = pdf["chg"] == 2
+        old = pdf[~is_cand].groupby("node")["cost"].min()
+        allm = pdf.groupby("node")["cost"].min()
+        changed = pd.Series(np.ones(len(allm), np.int8),
+                            index=allm.index)
+        both = old.reindex(allm.index)
+        changed[both.notna() & (both <= allm)] = 0
+        # brand-new nodes (no dist row) are changed by definition
+        return pa.Table.from_pandas(pd.DataFrame({
+            "node": allm.index.to_numpy(),
+            "cost": allm.to_numpy(np.int64),
+            "chg": changed.to_numpy(np.int8),
+        }), preserve_index=False)
+
+    def seed_fold(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["node"]).aggregate([("cost", "min")])
+        g = g.rename_columns(["node", "cost"])
+        # seeds start CHANGED so round 0 expands them
+        return g.append_column(
+            "chg", pa.array(np.ones(g.num_rows, np.int8)))
+
+    dist = grouped_apply(
+        seeds_ds.map_batches(seed_rows, batch_format="pyarrow"),
+        ["node"], seed_fold, num_partitions=num_partitions,
+    ).materialize()
+
+    for _ in range(max_hops):
+        def front_rows(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("chg"), 1))
+            return pa.table({
+                "key": t.column("node"),
+                "other": t.column("node"),
+                "w": pc.cast(t.column("cost"), pa.int64()),
+                "kind": pa.array(np.full(t.num_rows, K_FRONT, np.int8)),
+            })
+
+        def expand(tbl: pa.Table) -> pa.Table:
+            kind = tbl.column("kind").to_numpy(zero_copy_only=False)
+            keys = tbl.column("key").to_numpy(zero_copy_only=False)
+            fsel = kind == K_FRONT
+            if not fsel.any():
+                return pa.table({
+                    "node": pa.array([], node_type),
+                    "cost": pa.array([], pa.int64()),
+                    "chg": pa.array([], pa.int8()),
+                })
+            w = tbl.column("w").to_numpy(zero_copy_only=False)
+            fcost = pd.Series(w[fsel]).groupby(
+                keys[fsel], sort=False).min()
+            em = kind == K_EDGE
+            esrc = keys[em]
+            hit = np.isin(esrc, fcost.index.to_numpy())
+            cand = pd.DataFrame({
+                "node": tbl.column("other").to_numpy(
+                    zero_copy_only=False)[em][hit],
+                "cost": (fcost.reindex(esrc[hit]).to_numpy(np.int64)
+                         + w[em][hit]),
+            }).groupby("node", as_index=False)["cost"].min()
+            cand["chg"] = np.int8(2)
+            return pa.Table.from_pandas(cand, preserve_index=False)
+
+        cand = grouped_apply(
+            edges_msg.union(dist.map_batches(
+                front_rows, batch_format="pyarrow")),
+            ["key"], expand, num_partitions=num_partitions,
+        )
+        new_dist = grouped_apply(
+            dist.union(cand), ["node"], fold,
+            num_partitions=num_partitions,
+        ).materialize()
+        from ray.data.aggregate import Sum
+
+        dist = new_dist
+        agg = dist.map_batches(
+            lambda b: pa.table({"c": pc.cast(b.column("chg"),
+                                             pa.int64())}),
+            batch_format="pyarrow").aggregate(Sum("c"))
+        if not agg or not agg.get("sum(c)"):
+            break
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "cost": b.column("cost")})
+
+    return dist.map_batches(finish, batch_format="pyarrow")

@@ -263,3 +263,99 @@ def test_edge_negatives_deterministic(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- bounded-hop weighted shortest paths ------------------------------------
+
+from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (  # noqa: E402
+    _shortest_paths_local,
+    shortest_paths,
+)
+
+
+def _ref_sp(edges, seeds, max_hops):
+    """edges: (src, dst, w). Bellman-Ford to max_hops rounds."""
+    INF = float("inf")
+    nodes = {s for s, _, _ in edges} | {t for _, t, _ in edges} | set(seeds)
+    cost = {n: (0 if n in set(seeds) else INF) for n in nodes}
+    for _ in range(max_hops):
+        nxt = dict(cost)
+        for s, t, w in edges:
+            if cost[s] + w < nxt[t]:
+                nxt[t] = cost[s] + w
+        cost = nxt
+    return {n: int(c) for n, c in cost.items() if c < INF}
+
+
+def _sp_dss(ray_session, edges, seeds, blocks=3):
+    import ray.data
+
+    e = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst", "w"])
+    ).repartition(blocks)
+    s = ray.data.from_pandas(
+        pd.DataFrame({"node": list(seeds)})).repartition(2)
+    return e, s
+
+
+def test_sp_local_matches_reference():
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b), int(w) + 1)
+             for a, b, w in rng.integers(0, 30, (200, 3))]
+    tbl = pa.table({"src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges],
+                    "w": [e[2] for e in edges]})
+    got = _shortest_paths_local(tbl, "src", "dst", "w", [0, 5], 3)
+    got = {r["node"]: r["cost"] for r in got.to_pylist()}
+    assert got == _ref_sp(edges, [0, 5], 3)
+
+
+def test_sp_distributed_matches_local(ray_session):
+    rng = np.random.default_rng(43)
+    edges = [(int(a), int(b), int(w) + 1)
+             for a, b, w in rng.integers(0, 25, (150, 3))]
+    seeds = [0, 13]
+    e, s = _sp_dss(ray_session, edges, seeds)
+    dd = shortest_paths(e, s, max_hops=3, num_partitions=4,
+                        local_threshold=None).to_pandas()
+    dist = dd.set_index("node")["cost"].to_dict()
+    e2, s2 = _sp_dss(ray_session, edges, seeds)
+    loc = shortest_paths(e2, s2, max_hops=3,
+                         num_partitions=4).to_pandas()
+    loc = loc.set_index("node")["cost"].to_dict()
+    assert dist == loc == _ref_sp(edges, seeds, 3)
+
+
+def test_sp_improving_cost_across_rounds(ray_session):
+    # a->b direct weight 10, but a->c->b costs 2: the 2-hop path must
+    # REPLACE b's 1-hop cost in a later round
+    edges = [("a", "b", 10), ("a", "c", 1), ("c", "b", 1)]
+    e, s = _sp_dss(ray_session, edges, ["a"])
+    got = shortest_paths(e, s, max_hops=4, num_partitions=3,
+                         local_threshold=None).to_pandas()
+    got = got.set_index("node")["cost"].to_dict()
+    assert got == {"a": 0, "b": 2, "c": 1}
+
+
+def test_sp_hop_bound_semantics(ray_session):
+    # with max_hops=1 only the direct (expensive) edge is reachable
+    edges = [("a", "b", 10), ("a", "c", 1), ("c", "b", 1)]
+    e, s = _sp_dss(ray_session, edges, ["a"])
+    got = shortest_paths(e, s, max_hops=1, num_partitions=2,
+                         local_threshold=None).to_pandas()
+    got = got.set_index("node")["cost"].to_dict()
+    assert got == {"a": 0, "b": 10, "c": 1}
+
+
+def test_sp_partition_independence(ray_session):
+    rng = np.random.default_rng(47)
+    edges = [(int(a), int(b), int(w) + 1)
+             for a, b, w in rng.integers(0, 20, (100, 3))]
+    e, s = _sp_dss(ray_session, edges, [0], blocks=2)
+    a = shortest_paths(e, s, max_hops=3, num_partitions=2,
+                       local_threshold=None).to_pandas()
+    e2, s2 = _sp_dss(ray_session, edges, [0], blocks=6)
+    b = shortest_paths(e2, s2, max_hops=3, num_partitions=7,
+                       local_threshold=None).to_pandas()
+    assert (a.set_index("node")["cost"].to_dict()
+            == b.set_index("node")["cost"].to_dict())
