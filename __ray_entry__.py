@@ -1061,6 +1061,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              fold, num_partitions=1,
                              batch_format="pandas")
 
+    def docs_split_leakage(sf_dir: str):
+        """Train/val/test leakage audit (pipelines/dedup.split_leakage
+        over clean.assign_splits° assignments): 8-token-prefix
+        fingerprints straddling split boundaries — the intra-corpus
+        contamination check (docs_decontaminated° handles the
+        external-benchmark case). One fingerprint-keyed exchange; the
+        oracle replays the md5-slot split and the prefix md5 in
+        SQL."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.clean import (
+            assign_splits,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+            split_leakage,
+        )
+
+        docs = assign_splits(_read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"]))
+        return split_leakage(docs, prefix_tokens=8, num_partitions=8)
+
     def docs_lang_f1(sf_dir: str):
         """Per-class precision / recall / F1 of the language-ID
         heuristic vs the declared corpus label
@@ -8890,6 +8909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_buckets": docs_length_buckets,
         "docs_filter_kappa": docs_filter_kappa,
         "docs_lang_f1": docs_lang_f1,
+        "docs_split_leakage": docs_split_leakage,
         "docs_quality_filtered": docs_quality_filtered,
         "docs_length_trimmed": docs_length_trimmed,
         "doc_fingerprints": doc_fingerprints,
@@ -11010,6 +11030,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(win) AS BIGINT) AS n_tokens,
                    array_to_string(win, ' ') AS window_text
             FROM w ORDER BY doc_id, window_idx
+        """,
+        # cross-split leakage: md5-slot split + 8-token-prefix md5
+        # fingerprints; leaking = present in > 1 split
+        "docs_split_leakage": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(list_filter(
+                         regexp_split_to_array(text, '\s+'),
+                         x -> x <> ''), 1, 8), ' ')) AS fingerprint,
+                     CASE WHEN slot < 12 THEN 'train'
+                          WHEN slot < 14 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id, text,
+                           strpos('0123456789abcdef',
+                                  right(md5(CAST(doc_id AS VARCHAR)),
+                                        1)) - 1 AS slot
+                    FROM documents)
+            )
+            SELECT fingerprint,
+                   CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM f GROUP BY fingerprint
+            HAVING count(DISTINCT split) > 1
+            ORDER BY fingerprint
         """,
         # bounded-hop weighted shortest paths: recursive CTE over
         # (node, cost, hops ≤ 4) walks with planted integer weights;

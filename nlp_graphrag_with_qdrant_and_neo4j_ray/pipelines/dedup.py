@@ -1542,3 +1542,59 @@ def cluster_keep_best(docs_ds, pairs_ds, quality_col: str = "quality",
     return grouped_apply(pre, ["cluster_id"], local_best,
                          num_partitions=num_partitions,
                          batch_format="pandas")
+
+
+def split_leakage(docs_with_split, id_col: str = "doc_id",
+                  text_col: str = "text", split_col: str = "split",
+                  prefix_tokens: int | None = None,
+                  num_partitions: int = 8):
+    """Train/val/test LEAKAGE audit: content fingerprints that appear
+    in MORE THAN ONE split — near-identical documents straddling the
+    split boundary inflate eval scores exactly like external
+    contamination does (the audit decontamination can't do, because
+    both sides are your own corpus). The fingerprint is md5 of the
+    whitespace-normalized text, or of its first ``prefix_tokens``
+    tokens (prefix collisions catch template/boilerplate near-dups
+    that full-text hashing misses). Output:
+    ``(fingerprint, n_splits, n_docs)`` for leaking fingerprints,
+    sorted by fingerprint.
+
+    Scale shape: fingerprint + split are both per-row (no join), a
+    per-batch (fingerprint, split)-distinct combiner bounds the
+    exchange rows, ONE fingerprint-keyed exchange counts distinct
+    splits vectorized per partition. Int64 outputs — hashes exactly
+    against a SQL replay of the same md5/prefix rule."""
+    import hashlib
+
+    from ..stages.shuffle import grouped_apply
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        fps = []
+        for t in texts:
+            toks = [x for x in (t or "").split() if x != ""]
+            if prefix_tokens is not None:
+                toks = toks[:prefix_tokens]
+            fps.append(hashlib.md5(
+                " ".join(toks).encode("utf-8")).hexdigest())
+        t = pa.table({
+            "fingerprint": pa.array(fps, pa.string()),
+            "split": batch.column(split_col),
+        })
+        g = t.group_by(["fingerprint", "split"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["fingerprint", "split", "n"])
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby("fingerprint").agg(
+            n_splits=("split", "nunique"), n_docs=("n", "sum"))
+        g = g[g["n_splits"] > 1].reset_index()
+        g["n_splits"] = g["n_splits"].astype(np.int64)
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    return grouped_apply(
+        docs_with_split.map_batches(fp_rows, batch_format="pyarrow"),
+        ["fingerprint"], fold, num_partitions=num_partitions,
+        batch_format="pandas",
+    ).sort("fingerprint")

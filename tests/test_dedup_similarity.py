@@ -634,3 +634,30 @@ def test_cluster_keep_best_partition_independent(ray_session):
         members = [(-(m * 13 % 7), m) for m in range(base, base + 4)]
         want.add(min(members)[1])
     assert {r["doc_id"] for r in a} == want
+
+
+def test_split_leakage(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.dedup import (
+        split_leakage,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["same text", "same  text", "same text", "other", "x"],
+        "split": ["train", "val", "train", "train", "test"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = split_leakage(ds, num_partitions=2).to_pandas()
+    # 'same text' normalizes identically across 3 docs in 2 splits
+    assert len(out) == 1
+    assert out.iloc[0]["n_splits"] == 2 and out.iloc[0]["n_docs"] == 3
+    # prefix fingerprint: only the first token matters now
+    docs2 = docs.assign(text=["a b", "a c", "d", "a e", "f"])
+    ds2 = ray.data.from_pandas(docs2)
+    out2 = split_leakage(ds2, prefix_tokens=1,
+                         num_partitions=2).to_pandas()
+    assert len(out2) == 1 and out2.iloc[0]["n_docs"] == 3
+    assert out2.iloc[0]["n_splits"] == 2
