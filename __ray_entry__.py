@@ -3509,6 +3509,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_partitions=8,
         )
 
+    def docs_adamic_adar(sf_dir: str):
+        """Link-prediction scores (pipelines/graph.link_scores) over
+        the same deterministic skewed synthetic doc graph
+        docs_graph_degree_hist pins: common-neighbor count,
+        Adamic-Adar, resource allocation and neighborhood Jaccard for
+        every non-adjacent 2-hop pair — the KG missing-edge proposer
+        (Liben-Nowell & Kleinberg 2003).  The oracle replays
+        canonicalization, the wedge self-join, the existing-edge
+        anti-join and both degree joins in SQL; tests pin
+        local == distributed so the fast path taken here covers the
+        six-exchange distributed plan too."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            link_scores,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(x):
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500),
+                                                  500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(pc.add(pc.multiply(ids, 7), 3)).combine_chunks(),
+                mod500(pc.add(pc.multiply(ids, ids),
+                              1)).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        return link_scores(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            num_partitions=8,
+        )
+
+    def kg_entity_adamic_adar(sf_dir: str):
+        """Missing-edge proposals over the real KG edge list (string
+        entity ids): the link-prediction indices docs_adamic_adar°
+        pins, applied to the graph the pipeline actually built —
+        "entities that share many (rare) neighbors are probably
+        related", the batch complement to the reference's one-hop
+        retrieval walk (core/retrieval.py).  Rows only: the KG tables
+        aren't SQL views; semantics are pinned by docs_adamic_adar's
+        oracle and tests/test_link_scores.py.  Small KGs solve
+        in-process off the published checkpoint."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            _link_scores_local,
+            link_scores,
+        )
+
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            return _link_scores_local(tbl, "src_entity_id",
+                                      "dst_entity_id")
+        edges = _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id"])
+        return link_scores(edges, src_col="src_entity_id",
+                           dst_col="dst_entity_id", num_partitions=8)
+
     def orders_incremental_agg(sf_dir: str):
         """Materialized-view refresh (pipelines/relational.
         incremental_agg): the stored per-customer (sum, count)
@@ -9060,6 +9121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_profile": docs_corpus_profile,
         "events_gap_dedup": events_gap_dedup,
         "docs_graph_degree_hist": docs_graph_degree_hist,
+        "docs_adamic_adar": docs_adamic_adar,
+        "kg_entity_adamic_adar": kg_entity_adamic_adar,
         "orders_incremental_agg": orders_incremental_agg,
         "docs_token_budget_head": docs_token_budget_head,
         "docs_lang_budget_mix": docs_lang_budget_mix,
@@ -13002,6 +13065,44 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY ts, event_id) AS pts
             FROM events)
         WHERE pts IS NULL OR ts - pts > INTERVAL 60 SECOND
+    """
+    d["docs_adamic_adar"] = """
+        WITH raw AS (
+            SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * doc_id + 1) % 500 FROM documents
+        ),
+        edges AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ),
+        und AS (SELECT a AS c, b AS n FROM edges
+                UNION ALL SELECT b, a FROM edges),
+        deg AS (SELECT c AS node, count(*) AS deg FROM und GROUP BY c),
+        wedges AS (
+            SELECT u1.n AS x, u2.n AS y, u1.c AS z
+            FROM und u1 JOIN und u2 ON u1.c = u2.c AND u1.n < u2.n
+        ),
+        scored AS (
+            SELECT x, y, count(*) AS cn,
+                   sum(1.0 / ln(d.deg)) AS aa,
+                   sum(1.0 / d.deg) AS ra
+            FROM wedges w JOIN deg d ON d.node = w.z
+            GROUP BY x, y
+        ),
+        nonedge AS (
+            SELECT s.* FROM scored s
+            LEFT JOIN edges e ON e.a = s.x AND e.b = s.y
+            WHERE e.a IS NULL
+        )
+        SELECT n.x AS node_a, n.y AS node_b, n.cn,
+               round(n.aa, 6) AS aa, round(n.ra, 6) AS ra,
+               round(n.cn / (da.deg + db.deg - n.cn)::DOUBLE, 6)
+                   AS jaccard
+        FROM nonedge n
+        JOIN deg da ON da.node = n.x
+        JOIN deg db ON db.node = n.y
     """
     d["docs_graph_degree_hist"] = """
         WITH edges AS (
