@@ -3570,6 +3570,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return link_scores(edges, src_col="src_entity_id",
                            dst_col="dst_entity_id", num_partitions=8)
 
+    def docs_clustering_coef(sf_dir: str):
+        """Per-node triangle count + local clustering coefficient
+        (pipelines/graph.clustering_coefficient) over the same
+        deterministic skewed synthetic doc graph
+        docs_graph_degree_hist pins — the community-density signal
+        (Watts & Strogatz 1998) that separates clique-like KG
+        neighborhoods from star hubs.  Same degree-orientation wedge
+        enumeration as the triangle census, but every closed wedge
+        credits all three corners.  The oracle replays
+        canonicalization, the center self-join and the closure join
+        in SQL; tests pin local == distributed parity."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            clustering_coefficient,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(x):
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500),
+                                                  500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(pc.add(pc.multiply(ids, 7), 3)).combine_chunks(),
+                mod500(pc.add(pc.multiply(ids, ids),
+                              1)).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        return clustering_coefficient(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            num_partitions=8,
+        )
+
+    def kg_entity_clustering(sf_dir: str):
+        """Local clustering coefficients over the real KG edge list
+        (string entity ids) — which extracted entities sit in dense
+        mutually-connected neighborhoods (topic cliques) vs sparse
+        hubs, the per-node refinement of kg_entity_communities'
+        partition view.  Rows only: KG tables aren't SQL views;
+        semantics are pinned by docs_clustering_coef's oracle and
+        tests/test_clustering.py.  Small KGs solve in-process off the
+        published checkpoint."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            _clustering_local,
+            clustering_coefficient,
+        )
+
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            return _clustering_local(tbl, "src_entity_id",
+                                     "dst_entity_id")
+        edges = _kg_tables(sf_dir)["edges"].select_columns(
+            ["src_entity_id", "dst_entity_id"])
+        return clustering_coefficient(
+            edges, src_col="src_entity_id",
+            dst_col="dst_entity_id", num_partitions=8)
+
     def orders_incremental_agg(sf_dir: str):
         """Materialized-view refresh (pipelines/relational.
         incremental_agg): the stored per-customer (sum, count)
@@ -9123,6 +9184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_graph_degree_hist": docs_graph_degree_hist,
         "docs_adamic_adar": docs_adamic_adar,
         "kg_entity_adamic_adar": kg_entity_adamic_adar,
+        "docs_clustering_coef": docs_clustering_coef,
+        "kg_entity_clustering": kg_entity_clustering,
         "orders_incremental_agg": orders_incremental_agg,
         "docs_token_budget_head": docs_token_budget_head,
         "docs_lang_budget_mix": docs_lang_budget_mix,
@@ -13103,6 +13166,34 @@ def oracle_sql() -> dict[str, str]:
         FROM nonedge n
         JOIN deg da ON da.node = n.x
         JOIN deg db ON db.node = n.y
+    """
+    d["docs_clustering_coef"] = """
+        WITH raw AS (
+            SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * doc_id + 1) % 500 FROM documents
+        ),
+        edges AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst
+        ),
+        und AS (SELECT a AS c, b AS n FROM edges
+                UNION ALL SELECT b, a FROM edges),
+        deg AS (SELECT c AS node, count(*) AS deg FROM und GROUP BY c),
+        tri AS (
+            SELECT u1.c AS v
+            FROM und u1
+            JOIN und u2 ON u1.c = u2.c AND u1.n < u2.n
+            JOIN edges e ON e.a = u1.n AND e.b = u2.n
+        ),
+        cnt AS (SELECT v, count(*) AS t FROM tri GROUP BY v)
+        SELECT d.node, coalesce(c.t, 0) AS n_tri,
+               round(CASE WHEN d.deg >= 2
+                          THEN 2.0 * coalesce(c.t, 0)
+                               / (d.deg * (d.deg - 1))
+                          ELSE 0.0 END, 6) AS lcc
+        FROM deg d LEFT JOIN cnt c ON c.v = d.node
     """
     d["docs_graph_degree_hist"] = """
         WITH edges AS (

@@ -2377,3 +2377,295 @@ def link_scores(edges_ds, src_col: str = "src", dst_col: str = "dst",
         })
 
     return with_dy.map_batches(finish, batch_format="pyarrow")
+
+
+def _clustering_local(tbl: pa.Table, src_col: str, dst_col: str,
+                      ndigits: int = 6) -> pa.Table:
+    """Single-task exact per-node clustering coefficients — the
+    small-graph fast path and the parity reference for
+    :func:`clustering_coefficient`."""
+    s = tbl.column(src_col).to_numpy(zero_copy_only=False)
+    d = tbl.column(dst_col).to_numpy(zero_copy_only=False)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    if not len(s):
+        return pa.table({
+            "node": pa.array([], tbl.schema.field(src_col).type),
+            "n_tri": pa.array([], pa.int64()),
+            "lcc": pa.array([], pa.float64()),
+        })
+    lo = np.where(s < d, s, d)
+    hi = np.where(s < d, d, s)
+    edges = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+    und = pd.DataFrame({
+        "c": np.concatenate([edges["a"].to_numpy(),
+                             edges["b"].to_numpy()]),
+        "n": np.concatenate([edges["b"].to_numpy(),
+                             edges["a"].to_numpy()]),
+    }).sort_values(["c", "n"], kind="mergesort")
+    deg = und.groupby("c")["n"].size()
+    xs, ys, cs = [], [], []
+    for c, g in und.groupby("c", sort=False):
+        k = len(g)
+        if k < 2:
+            continue
+        vs = g["n"].to_numpy()
+        i, j = np.triu_indices(k, 1)
+        xs.append(vs[i])
+        ys.append(vs[j])
+        cs.append(np.repeat(g["c"].to_numpy()[:1], i.size))
+    if xs:
+        w = pd.DataFrame({"x": np.concatenate(xs),
+                          "y": np.concatenate(ys),
+                          "c": np.concatenate(cs)})
+        closed = w.merge(edges, left_on=["x", "y"],
+                         right_on=["a", "b"], how="inner")
+        tri = closed.groupby("c")["a"].size()
+    else:
+        tri = pd.Series(dtype="int64")
+    out = deg.rename("deg").reset_index().rename(columns={"c": "node"})
+    out["n_tri"] = out["node"].map(tri).fillna(0).astype("int64")
+    degv = out["deg"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lcc = np.where(degv >= 2,
+                       2.0 * out["n_tri"].to_numpy(np.float64)
+                       / (degv * (degv - 1.0)), 0.0)
+    return pa.table({
+        "node": pa.array(out["node"].to_numpy()),
+        "n_tri": pa.array(out["n_tri"].to_numpy(np.int64)),
+        "lcc": pc.round(pa.array(lcc), ndigits=ndigits,
+                        round_mode="half_towards_infinity"),
+    })
+
+
+def clustering_coefficient(edges_ds, src_col: str = "src",
+                           dst_col: str = "dst",
+                           num_partitions: int = 16,
+                           ndigits: int = 6,
+                           local_threshold: int | None =
+                           LOCAL_EDGES_THRESHOLD):
+    """Per-node triangle count and local clustering coefficient
+    ``lcc(v) = 2·T(v) / (deg v · (deg v − 1))`` (Watts & Strogatz
+    1998) over the UNDIRECTED graph — the community-density signal
+    per entity (KG neighborhoods that are cliques vs stars), the
+    per-node refinement of :func:`triangle_count`'s global census.
+
+    Same degree-orientation trick as :func:`triangle_count` — every
+    triangle is enumerated exactly once from its lowest-(deg, id)
+    corner, so oriented out-degrees stay O(√m) and hub wedge
+    explosion is structurally bounded — but each closed wedge
+    (u; v, w) credits ALL THREE corners, so per-node counts come out
+    of the one enumeration.  Seven bounded exchanges: canonical
+    dedup → endpoint degrees → two co-partitioned degree joins
+    (degrees are O(V) rows, never broadcast) → center-grouped wedge
+    generation (wedges carry their center) → (x, y)-keyed closure
+    join that emits per-partition (node, t) credit partials → one
+    fused node exchange that sums credits AND joins degrees for the
+    final coefficient.  Node ids may be int or string; results are
+    exactly equal to the single-task reference (``local_threshold``,
+    same contract as :func:`pagerank`)."""
+    import ray
+    import ray.data as rd
+
+    refs = _edges_below(edges_ds, local_threshold)
+    if refs is not None:
+        @ray.remote
+        def solve(*blocks):
+            tbls = ([b.select([src_col, dst_col])
+                     for b in blocks if b.num_rows]
+                    or [blocks[0].select([src_col, dst_col])])
+            return _clustering_local(pa.concat_tables(tbls),
+                                     src_col, dst_col, ndigits)
+
+        return rd.from_arrow(ray.get(solve.remote(*refs)))
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b.column(src_col)
+        c = b.column(dst_col)
+        lo = pc.min_element_wise(a, c)
+        hi = pc.max_element_wise(a, c)
+        t = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
+        return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+
+    edges = grouped_apply(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], dedup, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    ).materialize()  # consumed 2×: degree count + degree join
+
+    node_t = edges.schema().types[0]
+    degrees = edge_degrees(edges, num_partitions).materialize()
+    # consumed 2×: the endpoint joins + the final coefficient join
+
+    # ---- generic degree attach (any node type, payload preserved) ----
+    def attach(tbl_ds, key: str, other: str, out: str, carry: str | None):
+        def tag_t(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "k": b.column(key), "o": b.column(other),
+                "c0": (b.column(carry) if carry
+                       else pa.nulls(n, pa.int64())),
+                "deg": pa.nulls(n, pa.int64()),
+            })
+
+        def tag_d(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "kind": pa.array(np.ones(n, np.int8)),
+                "k": b.column("node"), "o": pa.nulls(n, node_t),
+                "c0": pa.nulls(n, pa.int64()),
+                "deg": b.column("deg"),
+            })
+
+        def join(t: pa.Table) -> pa.Table:
+            pdf = t.to_pandas()
+            dd = pdf[pdf["kind"] == 1][["k", "deg"]]
+            ee = pdf[pdf["kind"] == 0].drop(columns=["kind", "deg"])
+            m = ee.merge(dd, on="k", how="inner")
+            cols = {
+                key: pc.cast(pa.array(m["k"].to_numpy()), node_t),
+                other: pc.cast(pa.array(m["o"].to_numpy()), node_t),
+                out: pc.cast(pa.array(m["deg"].to_numpy()), pa.int64()),
+            }
+            if carry:
+                cols[carry] = pc.cast(pa.array(m["c0"].to_numpy()),
+                                      pa.int64())
+            return pa.table(cols)
+
+        return grouped_apply(
+            tbl_ds.map_batches(tag_t, batch_format="pyarrow").union(
+                degrees.map_batches(tag_d, batch_format="pyarrow")),
+            ["k"], join, num_partitions=num_partitions,
+            batch_format="pyarrow",
+        )
+
+    with_da = attach(edges, "a", "b", "da", carry=None)
+    with_db = attach(with_da, "b", "a", "db", carry="da")
+
+    # ---- orient each edge from its lower-(deg, id) endpoint ----
+    def orient(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas()
+        a_first = (pdf["da"].to_numpy() < pdf["db"].to_numpy()) | (
+            (pdf["da"].to_numpy() == pdf["db"].to_numpy())
+            & (pdf["a"].to_numpy() < pdf["b"].to_numpy()))
+        u = np.where(a_first, pdf["a"], pdf["b"])
+        v = np.where(a_first, pdf["b"], pdf["a"])
+        dv = np.where(a_first, pdf["db"], pdf["da"])
+        return pa.table({
+            "u": pc.cast(pa.array(u), node_t),
+            "v": pc.cast(pa.array(v), node_t),
+            "dv": pa.array(dv.astype(np.int64)),
+        })
+
+    oriented = with_db.map_batches(
+        orient, batch_format="pyarrow"
+    ).materialize()  # consumed 2×: wedges + closure edge rows
+
+    # ---- wedges carry their center; ordered by the same total order ----
+    def wedges(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas().sort_values(["u", "dv", "v"],
+                                        kind="mergesort")
+        xs, ys, us = [], [], []
+        for _, g in pdf.groupby("u", sort=False):
+            if len(g) < 2:
+                continue
+            vs = g["v"].to_numpy()
+            i, j = np.triu_indices(len(vs), 1)
+            xs.append(vs[i])
+            ys.append(vs[j])
+            us.append(np.repeat(g["u"].to_numpy()[:1], i.size))
+        if not xs:
+            return pa.table({
+                "kind": pa.array([], pa.int8()),
+                "x": pa.array([], node_t), "y": pa.array([], node_t),
+                "u": pa.array([], node_t),
+            })
+        return pa.table({
+            "kind": pa.array(np.zeros(sum(x.size for x in xs),
+                                      np.int8)),
+            "x": pc.cast(pa.array(np.concatenate(xs)), node_t),
+            "y": pc.cast(pa.array(np.concatenate(ys)), node_t),
+            "u": pc.cast(pa.array(np.concatenate(us)), node_t),
+        })
+
+    wedge_ds = grouped_apply(oriented, ["u"], wedges,
+                             num_partitions=num_partitions,
+                             batch_format="pyarrow")
+
+    def tag_e(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "kind": pa.array(np.ones(n, np.int8)),
+            "x": b.column("u"), "y": b.column("v"),
+            "u": pa.nulls(n, node_t),
+        })
+
+    # ---- closure: credit all three corners of each closed wedge ----
+    def close(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        ee = pdf[pdf["kind"] == 1][["x", "y"]].drop_duplicates()
+        ww = pdf[pdf["kind"] == 0]
+        m = ww.merge(ee, on=["x", "y"], how="inner")
+        if not len(m):
+            return pa.table({"node": pa.array([], node_t),
+                             "t": pa.array([], pa.int64())})
+        nodes = np.concatenate([m["u"].to_numpy(), m["x"].to_numpy(),
+                                m["y"].to_numpy()])
+        s = pd.Series(nodes).value_counts()
+        return pa.table({
+            "node": pc.cast(pa.array(s.index.to_numpy()), node_t),
+            "t": pa.array(s.to_numpy(np.int64)),
+        })
+
+    credits = grouped_apply(
+        wedge_ds.union(oriented.map_batches(tag_e,
+                                            batch_format="pyarrow")),
+        ["x", "y"], close, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+    # ---- fused final: sum credits, join degrees, coefficient ----
+    def tag_credit(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "node": b.column("node"), "t": b.column("t"),
+            "deg": pa.nulls(n, pa.int64()),
+        })
+
+    def tag_deg(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "kind": pa.array(np.ones(n, np.int8)),
+            "node": b.column("node"), "t": pa.nulls(n, pa.int64()),
+            "deg": b.column("deg"),
+        })
+
+    def fin(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        dd = pdf[pdf["kind"] == 1][["node", "deg"]]
+        cc = pdf[pdf["kind"] == 0].groupby("node")["t"].sum()
+        dd = dd.copy()
+        dd["n_tri"] = dd["node"].map(cc).fillna(0).astype("int64")
+        degv = dd["deg"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lcc = np.where(degv >= 2,
+                           2.0 * dd["n_tri"].to_numpy(np.float64)
+                           / (degv * (degv - 1.0)), 0.0)
+        return pa.table({
+            "node": pc.cast(pa.array(dd["node"].to_numpy()), node_t),
+            "n_tri": pa.array(dd["n_tri"].to_numpy(np.int64)),
+            "lcc": pc.round(pa.array(lcc), ndigits=ndigits,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return grouped_apply(
+        credits.map_batches(tag_credit, batch_format="pyarrow").union(
+            degrees.map_batches(tag_deg, batch_format="pyarrow")),
+        ["node"], fin, num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
