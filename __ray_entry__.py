@@ -7040,6 +7040,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_argmax(ev, ["user_id"], ["ts", "event_id"],
                               num_partitions=16)
 
+    def events_gap_sessions(sf_dir: str):
+        """Gap-based session windows (1 h inactivity closes a session):
+        ONE hash exchange on user_id, then a single vectorized
+        lag+cumsum+groupby per partition — no per-key Python."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            gap_sessions,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id"]
+        )
+        return gap_sessions(ev, key="user_id", ts_col="ts",
+                            gap_seconds=3600.0, order_col="event_id",
+                            num_partitions=16)
+
+    def events_session_error_windows(sf_dir: str):
+        """Interval (overlap) join: user sessions × 15-minute error
+        windows from a sampled user slice. Bucketed replication on
+        1 h time buckets — each qualifying pair is emitted by exactly
+        the bucket containing its first overlap instant, so there is
+        no all-pairs scan and no dedup exchange."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            gap_sessions,
+            interval_join,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id"]
+        )
+        sess = gap_sessions(ev, key="user_id", ts_col="ts",
+                            gap_seconds=3600.0, order_col="event_id",
+                            num_partitions=16)
+        left = sess.map_batches(
+            lambda t: t.rename_columns(
+                ["user_id", "session_id", "st", "en", "n_events"]
+            ).select(["st", "en", "user_id", "session_id"]),
+            batch_format="pyarrow")
+
+        def error_windows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.equal(t.column("event_type"), "error"),
+                pc.equal(pc.bit_wise_and(t.column("user_id"), 31), 0)))
+            st = t.column("ts")
+            en = pc.add(st, pa.scalar(900_000_000, pa.duration("us")))
+            return pa.table(
+                {"st": st, "en": en, "event_id": t.column("event_id")})
+
+        right = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id", "event_type"]
+        ).map_batches(error_windows, batch_format="pyarrow")
+        return interval_join(
+            left, right, "st", "en",
+            left_cols=["st", "en", "user_id", "session_id"],
+            right_cols=["st", "en", "event_id"],
+            bucket_seconds=3600.0, num_partitions=16)
+
     def lineitem_price_regression(sf_dir: str):
         """Per-group OLS (extendedprice ~ quantity) via the
         sufficient-statistics combiner — O(groups) shuffle bytes."""
@@ -9266,6 +9325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_keep_best": docs_minhash_keep_best,
         "simhash_vs_jaccard_eval": simhash_vs_jaccard_eval,
         "embeddings_semantic_dedup": embeddings_semantic_dedup,
+        "events_gap_sessions": events_gap_sessions,
+        "events_session_error_windows": events_session_error_windows,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13251,4 +13312,43 @@ def oracle_sql() -> dict[str, str]:
         "SELECT t.doc_id, t.ws_tokens FROM t, q "
         "WHERE t.ws_tokens >= q.lo AND t.ws_tokens <= q.hi"
     )
+    # gap-based session windows: lag → break flag → running sum
+    _SESSIONS_CTE = """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ), b AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev IS NULL OR ts - prev > INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM o
+        ), s0 AS (
+          SELECT user_id, ts,
+                 CAST(sum(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                      AS BIGINT) AS session_id
+          FROM b
+        )
+    """
+    d["events_gap_sessions"] = _SESSIONS_CTE + """
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s0 GROUP BY user_id, session_id
+    """
+    d["events_session_error_windows"] = _SESSIONS_CTE + """
+        , s AS (
+          SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+          FROM s0 GROUP BY user_id, session_id
+        ), w AS (
+          SELECT ts AS st_b, ts + INTERVAL 900 SECOND AS en_b,
+                 event_id AS event_id_b
+          FROM events WHERE event_type = 'error' AND user_id % 32 = 0
+        )
+        SELECT s.st, s.en, s.user_id, s.session_id,
+               w.st_b, w.en_b, w.event_id_b
+        FROM s JOIN w ON s.st <= w.en_b AND w.st_b <= s.en
+    """
     return d

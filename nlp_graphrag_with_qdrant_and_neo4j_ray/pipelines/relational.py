@@ -3482,3 +3482,200 @@ def fd_violations(ds, lhs: str, rhs: str, num_partitions: int = 32):
         batch_format="pyarrow")
     return grouped_apply(tagged, ["__one"], fold, num_partitions=1,
                          batch_format="pandas")
+
+
+def gap_sessions(ds, key: str, ts_col: str, gap_seconds: float,
+                 order_col: str, num_partitions: int = 64):
+    """Gap-based session windows (the streaming "session window"
+    sibling of the tumbling/hopping aggregates): per ``key``, events
+    sorted by ``(ts, order_col)`` start a NEW session whenever the gap
+    to the previous event exceeds ``gap_seconds``.  Output is one row
+    per session: ``(key, session_id, session_start, session_end,
+    n_events)`` with 1-based per-key session ids — exactly SQL's
+    ``sum(brk) OVER (PARTITION BY key ORDER BY ts, order_col)``.
+
+    Scale shape: ONE hash exchange on ``key``; inside each partition a
+    single vectorized lag + cumsum + groupby over all its keys (no
+    per-key Python).  Per-key event history must fit a partition — the
+    bounded-fan-in shape of user/session telemetry."""
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key, ts_col, order_col], kind="mergesort")
+        prev = pdf.groupby(key, sort=False)[ts_col].shift(1)
+        brk = (prev.isna() | (pdf[ts_col] - prev > gap)).astype("int64")
+        sid = brk.groupby(pdf[key], sort=False).cumsum()
+        out = (
+            pdf.assign(session_id=sid)
+            .groupby([key, "session_id"], sort=False)
+            .agg(session_start=(ts_col, "min"),
+                 session_end=(ts_col, "max"),
+                 n_events=(order_col, "size"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return grouped_apply(
+        ds.select_columns([key, ts_col, order_col]), [key], sessions,
+        num_partitions=num_partitions, batch_format="pandas")
+
+
+_BUCKET = "__ibucket"
+
+
+def interval_join(left, right, start_col: str, end_col: str,
+                  left_cols: list[str], right_cols: list[str],
+                  bucket_seconds: float = 3600.0, suffix: str = "_b",
+                  num_partitions: int = 64, chunk: int = 512):
+    """Overlap (range) join of two interval tables: every (L, R) pair
+    with ``L.start <= R.end AND R.start <= L.end`` (closed intervals).
+    Both sides must carry ``start_col``/``end_col`` (timestamp[us] or
+    numeric); right-side columns are suffixed.
+
+    Scale shape — bucketed replication, no all-pairs and no dedup
+    exchange: time is cut into fixed ``bucket_seconds`` buckets; each
+    interval replicates to every bucket it spans (one map each side),
+    both sides co-partition on the bucket id through ONE exchange, and
+    inside a bucket a chunked vectorized mask tests overlap.  Each
+    qualifying pair is emitted by exactly ONE bucket — the bucket
+    containing ``max(L.start, R.start)`` (the pair's first overlap
+    instant) — so no downstream dedup pass exists.  Partitioning
+    assumptions: ``bucket_seconds`` should be >= the typical interval
+    length (replication factor = span/bucket + 1) and per-bucket
+    concurrency bounded (concurrent-session counts; a pathological
+    bucket degrades to its own chunked quadratic, never the corpus').
+    """
+    lcar = [c for c in left_cols if c not in (start_col, end_col)]
+    rcar = [c for c in right_cols if c not in (start_col, end_col)]
+    w_us = int(round(bucket_seconds * 1_000_000))
+
+    def _us(col: pa.ChunkedArray) -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        return pc.cast(
+            pc.round(pc.multiply(pc.cast(col, pa.float64()), 1_000_000)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+
+    def replicate(cols: list[str], side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            st = _us(b.column(start_col))
+            en = _us(b.column(end_col))
+            b0 = st // w_us
+            b1 = en // w_us
+            counts = (b1 - b0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(st), dtype=np.int64), counts)
+            within = (np.arange(idx.size, dtype=np.int64)
+                      - np.repeat(np.cumsum(counts) - counts, counts))
+            out = b.select(cols).take(pa.array(idx))
+            out = out.append_column("__st", pa.array(st[idx]))
+            out = out.append_column("__en", pa.array(en[idx]))
+            out = out.append_column(
+                _BUCKET, pa.array(b0[idx] + within))
+            out = out.append_column(
+                _SIDE, pa.array(np.full(idx.size, side, np.int8)))
+            return out
+
+        return fn
+
+    l_keep = [start_col, end_col] + lcar
+    r_keep = [start_col, end_col] + rcar
+    lt_schema = _arrow_schema(left)
+    rt_schema = _arrow_schema(right)
+    if lt_schema is None or rt_schema is None:
+        # an EMPTY side (Ray reports no schema at all) joins to zero
+        # pairs; type the empty result from whatever side is known
+        import ray.data
+
+        def _t(schema, c):
+            return schema.field(c).type if schema is not None else pa.null()
+
+        empty_schema = pa.schema(
+            [pa.field(c, _t(lt_schema, c)) for c in l_keep]
+            + [pa.field(c + suffix, _t(rt_schema, c)) for c in r_keep])
+        return ray.data.from_arrow(empty_schema.empty_table())
+    out_fields = (
+        [pa.field(c, lt_schema.field(c).type) for c in l_keep]
+        + [pa.field(c + suffix, rt_schema.field(c).type) for c in r_keep]
+    )
+    out_schema = pa.schema(out_fields)
+
+    # pad both replicated streams to one union schema (side-tagged)
+    union_fields = [pa.field(_SIDE, pa.int8()),
+                    pa.field(_BUCKET, pa.int64()),
+                    pa.field("__st", pa.int64()),
+                    pa.field("__en", pa.int64())]
+    for c in l_keep:
+        union_fields.append(pa.field("l_" + c, lt_schema.field(c).type))
+    for c in r_keep:
+        union_fields.append(pa.field("r_" + c, rt_schema.field(c).type))
+    union_schema = pa.schema(union_fields)
+
+    def pad_side(side: int, keep: list[str], prefix: str):
+        rep = replicate(keep, side)
+
+        def fn(b: pa.Table) -> pa.Table:
+            r = rep(b)
+            r = r.rename_columns(
+                [(prefix + n) if n in keep else n
+                 for n in r.column_names])
+            return _pad_to(r, union_schema)
+
+        return fn
+
+    unioned = left.map_batches(
+        pad_side(0, l_keep, "l_"), batch_format="pyarrow"
+    ).union(right.map_batches(
+        pad_side(1, r_keep, "r_"), batch_format="pyarrow"))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {f.name: pa.array([], f.type) for f in out_schema})
+        if tbl.num_rows == 0:
+            return empty
+        side = tbl.column(_SIDE)
+        lt = tbl.filter(pc.equal(side, 0))
+        rt = tbl.filter(pc.equal(side, 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        # one bucket id per partition group? No — grouped_apply hands a
+        # PARTITION (many buckets); pair rows bucket-by-bucket locally.
+        out_parts = []
+        lb = lt.column(_BUCKET).to_numpy()
+        rb = rt.column(_BUCKET).to_numpy()
+        l_st = lt.column("__st").to_numpy()
+        l_en = lt.column("__en").to_numpy()
+        r_st = rt.column("__st").to_numpy()
+        r_en = rt.column("__en").to_numpy()
+        l_order = np.argsort(lb, kind="stable")
+        r_order = np.argsort(rb, kind="stable")
+        lb_s, rb_s = lb[l_order], rb[r_order]
+        for bucket in np.intersect1d(np.unique(lb), np.unique(rb)):
+            li = l_order[np.searchsorted(lb_s, bucket, "left"):
+                         np.searchsorted(lb_s, bucket, "right")]
+            ri = r_order[np.searchsorted(rb_s, bucket, "left"):
+                         np.searchsorted(rb_s, bucket, "right")]
+            for c0 in range(0, li.size, chunk):
+                lc = li[c0:c0 + chunk]
+                ov = ((l_st[lc][:, None] <= r_en[ri][None, :])
+                      & (r_st[ri][None, :] <= l_en[lc][:, None]))
+                first = np.maximum(l_st[lc][:, None],
+                                   r_st[ri][None, :]) // w_us == bucket
+                ii, jj = np.nonzero(ov & first)
+                if not ii.size:
+                    continue
+                lrows = lt.take(pa.array(lc[ii]))
+                rrows = rt.take(pa.array(ri[jj]))
+                cols = {}
+                for c in l_keep:
+                    cols[c] = lrows.column("l_" + c)
+                for c in r_keep:
+                    cols[c + suffix] = rrows.column("r_" + c)
+                out_parts.append(pa.table(cols))
+        if not out_parts:
+            return empty
+        return pa.concat_tables(out_parts)
+
+    return grouped_apply(unioned, [_BUCKET], per_bucket,
+                         num_partitions=num_partitions,
+                         batch_format="pyarrow")
