@@ -7099,6 +7099,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=["st", "en", "event_id"],
             bucket_seconds=3600.0, num_partitions=16)
 
+    def docs_reservoir_per_source(sf_dir: str):
+        """Uniform 10-per-source document sample without randomness:
+        bottom-k by a Knuth multiplicative hash of doc_id — the
+        deterministic, partition-independent, resumable form of a
+        per-group reservoir; ships ≤k rows per (batch, key)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_hash_sample,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source"]
+        )
+        return grouped_hash_sample(docs, ["source"], 10, "doc_id",
+                                   num_partitions=16)
+
+    def lineitem_price_winsorized(sf_dir: str):
+        """Per-group winsorization (clip extendedprice into its
+        returnflag group's [p05, p95]): one (key, value) exchange for
+        the O(groups) bounds table, broadcast into a vectorized clip —
+        the big table is never shuffled."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_winsorize,
+        )
+
+        li = _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_extendedprice"]
+        )
+        return grouped_winsorize(li, ["l_returnflag"], "l_extendedprice",
+                                 q_lo=0.05, q_hi=0.95,
+                                 num_partitions=8)
+
     def lineitem_price_regression(sf_dir: str):
         """Per-group OLS (extendedprice ~ quantity) via the
         sufficient-statistics combiner — O(groups) shuffle bytes."""
@@ -9327,6 +9358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_semantic_dedup": embeddings_semantic_dedup,
         "events_gap_sessions": events_gap_sessions,
         "events_session_error_windows": events_session_error_windows,
+        "docs_reservoir_per_source": docs_reservoir_per_source,
+        "lineitem_price_winsorized": lineitem_price_winsorized,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13350,5 +13383,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.st, s.en, s.user_id, s.session_id,
                w.st_b, w.en_b, w.event_id_b
         FROM s JOIN w ON s.st <= w.en_b AND w.st_b <= s.en
+    """
+    d["docs_reservoir_per_source"] = """
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                     doc_id) <= 10
+    """
+    d["lineitem_price_winsorized"] = """
+        WITH b AS (
+          SELECT l_returnflag,
+                 round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+                 round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag, l.l_extendedprice,
+               least(greatest(l.l_extendedprice, b.lo), b.hi)
+                   AS l_extendedprice_w
+        FROM lineitem l JOIN b USING (l_returnflag)
     """
     return d

@@ -3679,3 +3679,79 @@ def interval_join(left, right, start_col: str, end_col: str,
     return grouped_apply(unioned, [_BUCKET], per_bucket,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+_KNUTH = np.uint64(2654435761)
+_PRIO = "__prio"
+
+
+def grouped_hash_sample(ds, keys: list[str], k: int, id_col: str,
+                        num_partitions: int = 64):
+    """Uniform k-per-group sample WITHOUT randomness: priority =
+    Knuth multiplicative hash of ``id_col`` (``id * 2654435761 mod
+    2^32``), keep the ``k`` smallest priorities per group (bottom-k ==
+    uniform without replacement for a fixed hash).  Deterministic,
+    partition-independent, and resumable — the keep/drop decision is a
+    pure function of the row, unlike an RNG-seeded reservoir.
+
+    Scale shape: rides :func:`window_topk` — a per-batch combiner
+    truncates to the local bottom-k per key before the single
+    exchange, so the shuffle ships at most k rows per (batch, key)."""
+
+    def add_prio(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        prio = (ids.astype(np.uint64) * _KNUTH) & np.uint64(0xFFFFFFFF)
+        return b.append_column(_PRIO, pa.array(prio.astype(np.int64)))
+
+    sampled = window_topk(
+        ds.map_batches(add_prio, batch_format="pyarrow"),
+        keys, _PRIO, k, tie_col=id_col, ascending=True,
+        num_partitions=num_partitions)
+    return sampled.map_batches(
+        lambda b: b.drop_columns([_PRIO]), batch_format="pyarrow")
+
+
+def grouped_winsorize(ds, keys: list[str], value_col: str,
+                      q_lo: float = 0.05, q_hi: float = 0.95,
+                      out_col: str | None = None, ndigits: int = 6,
+                      num_partitions: int = 64):
+    """Per-group winsorization: clip ``value_col`` into its group's
+    ``[quantile(q_lo), quantile(q_hi)]`` (SQL ``quantile_cont``
+    convention, bounds rounded to ``ndigits``).  Output = input rows +
+    the clipped column ``out_col`` (default ``value_col + '_w'``).
+
+    Scale shape: the per-group bounds come from ONE
+    :func:`grouped_quantile`-style exchange shipping only
+    (keys, value); the bounds table is O(groups) and is collected once
+    on the driver (bounded-cardinality keys by assumption — a census
+    dimension, not a row id) and broadcast into a vectorized clip map —
+    the big table is never shuffled."""
+    out_col = out_col or value_col + "_w"
+
+    def both(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.groupby(keys, sort=True, dropna=False)[value_col]
+        lo = g.quantile(q_lo)
+        hi = g.quantile(q_hi)
+        out = lo.reset_index(name="__lo")
+        out["__hi"] = hi.to_numpy()
+        out["__lo"] = np.round(out["__lo"].to_numpy(), ndigits)
+        out["__hi"] = np.round(out["__hi"].to_numpy(), ndigits)
+        return out
+
+    slim = ds.map_batches(
+        lambda b: b.select(keys + [value_col]), batch_format="pyarrow")
+    bounds = grouped_apply(slim, keys, both,
+                           num_partitions=num_partitions,
+                           batch_format="pandas").to_pandas()
+    lut = {tuple(r[k] for k in keys): (r["__lo"], r["__hi"])
+           for r in bounds.to_dict("records")}
+
+    def clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        kt = list(zip(*(pdf[k] for k in keys)))
+        lo = np.fromiter((lut[t][0] for t in kt), np.float64, len(kt))
+        hi = np.fromiter((lut[t][1] for t in kt), np.float64, len(kt))
+        pdf[out_col] = np.clip(
+            pdf[value_col].to_numpy(np.float64), lo, hi)
+        return pdf
+
+    return ds.map_batches(clip, batch_format="pandas")
