@@ -2593,6 +2593,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hamming_pairs(hashes, max_hamming=6, id_col="num",
                              hash_col="ahash")
 
+    def audio_tone_features(sf_dir: str):
+        """Hermetic audio feature extraction — real PCM16 WAV payloads
+        (vendored codec), each a planted sine tone + noise → actor-pool
+        numpy-STFT stage emitting banded log-power spectra, dominant
+        and centroid frequency. Tone recovery pinned by
+        tests/test_audio_spectrogram.py."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+            encode_wav,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            audio_spectrograms,
+        )
+
+        def gen(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in batch.column("id").to_pylist():
+                i = int(i)
+                hz = 200.0 + 37.0 * (i % 40)
+                t = np.arange(8000) / 16000.0
+                rng = np.random.default_rng(i)
+                x = (0.5 * np.sin(2 * np.pi * hz * t)
+                     + rng.normal(size=t.size) * 0.01)
+                rows.append({
+                    "media_id": f"tone-{i:05d}",
+                    "kind": "audio",
+                    "payload": encode_wav(16000, x),
+                    "mime": "audio/wav",
+                    "source_url": f"https://fixture.test/tone/{i}",
+                })
+            return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+        media = ray.data.range(160).map_batches(
+            gen, batch_format="pyarrow", batch_size=64)
+        return audio_spectrograms(media).select_columns(
+            ["media_id", "sample_rate", "dominant_hz", "centroid_hz"])
+
     def events_users_both_halves(sf_dir: str):
         """SQL INTERSECT — distinct users active in BOTH halves of the
         month; per-side distinct combiners, one value-keyed exchange."""
@@ -9360,6 +9399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_error_windows": events_session_error_windows,
         "docs_reservoir_per_source": docs_reservoir_per_source,
         "lineitem_price_winsorized": lineitem_price_winsorized,
+        "audio_tone_features": audio_tone_features,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
