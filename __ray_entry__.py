@@ -3594,7 +3594,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         retrieval walk (core/retrieval.py).  Rows only: the KG tables
         aren't SQL views; semantics are pinned by docs_adamic_adar's
         oracle and tests/test_link_scores.py.  Small KGs solve
-        in-process off the published checkpoint."""
+        in-process off the published checkpoint.  Centers above
+        degree 256 are skipped (the operator's documented production
+        cap): a deg-4000 hub emits 8 M wedge pairs each worth only
+        1/ln(4000) ≈ 0.12 — on the bench KG the uncapped run is 65 M
+        proposal rows, the capped one 24 k."""
         from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
             _link_scores_local,
             link_scores,
@@ -3603,11 +3607,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tbl = _kg_edges_local(sf_dir)
         if tbl is not None:
             return _link_scores_local(tbl, "src_entity_id",
-                                      "dst_entity_id")
+                                      "dst_entity_id",
+                                      max_center_degree=256)
         edges = _kg_tables(sf_dir)["edges"].select_columns(
             ["src_entity_id", "dst_entity_id"])
         return link_scores(edges, src_col="src_entity_id",
-                           dst_col="dst_entity_id", num_partitions=8)
+                           dst_col="dst_entity_id", num_partitions=8,
+                           max_center_degree=256)
 
     def docs_clustering_coef(sf_dir: str):
         """Per-node triangle count + local clustering coefficient
@@ -7153,6 +7159,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_hash_sample(docs, ["source"], 10, "doc_id",
                                    num_partitions=16)
 
+    def docs_weighted_sample_per_source(sf_dir: str):
+        """Weighted 5-per-source sample (inclusion ∝ text length) via
+        hash-randomized A-ES priorities — the deterministic form of
+        weighted sampling without replacement; ships ≤k rows per
+        (batch, key) through one exchange."""
+        import pyarrow.compute as _pc
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            grouped_weighted_sample,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "text"]
+        ).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "w": _pc.add(_pc.utf8_length(b.column("text")), 1),
+            }),
+            batch_format="pyarrow")
+        return grouped_weighted_sample(
+            docs, ["source"], 5, "doc_id", "w",
+            num_partitions=16).select_columns(["doc_id", "source"])
+
+    def events_session_ids(sf_dir: str):
+        """Sessionize-enrich: every event annotated with its gap-based
+        (1 h) session id — same single exchange + vectorized
+        lag/cumsum as events_gap_sessions, emitting per-event rows."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+            gap_sessions,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id"]
+        )
+        return gap_sessions(ev, key="user_id", ts_col="ts",
+                            gap_seconds=3600.0, order_col="event_id",
+                            num_partitions=16, emit="events")
+
     def lineitem_price_winsorized(sf_dir: str):
         """Per-group winsorization (clip extendedprice into its
         returnflag group's [p05, p95]): one (key, value) exchange for
@@ -9400,6 +9445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_reservoir_per_source": docs_reservoir_per_source,
         "lineitem_price_winsorized": lineitem_price_winsorized,
         "audio_tone_features": audio_tone_features,
+        "docs_weighted_sample_per_source": docs_weighted_sample_per_source,
+        "events_session_ids": events_session_ids,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13423,6 +13470,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.st, s.en, s.user_id, s.session_id,
                w.st_b, w.en_b, w.event_id_b
         FROM s JOIN w ON s.st <= w.en_b AND w.st_b <= s.en
+    """
+    d["events_session_ids"] = """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ), b AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev IS NULL OR ts - prev > INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM o
+        )
+        SELECT user_id, ts, event_id,
+               CAST(sum(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+                    AS BIGINT) AS session_id
+        FROM b
+    """
+    d["docs_weighted_sample_per_source"] = """
+        WITH t AS (
+          SELECT doc_id, source, length(text) + 1 AS w FROM documents
+        )
+        SELECT doc_id, source FROM t
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY -ln((((CAST(doc_id AS HUGEINT) * 2654435761)
+                           % 4294967296) + 0.5) / 4294967296.0) / w,
+                     doc_id) <= 5
     """
     d["docs_reservoir_per_source"] = """
         SELECT doc_id, source FROM documents

@@ -3485,19 +3485,24 @@ def fd_violations(ds, lhs: str, rhs: str, num_partitions: int = 32):
 
 
 def gap_sessions(ds, key: str, ts_col: str, gap_seconds: float,
-                 order_col: str, num_partitions: int = 64):
+                 order_col: str, num_partitions: int = 64,
+                 emit: str = "sessions"):
     """Gap-based session windows (the streaming "session window"
     sibling of the tumbling/hopping aggregates): per ``key``, events
     sorted by ``(ts, order_col)`` start a NEW session whenever the gap
-    to the previous event exceeds ``gap_seconds``.  Output is one row
-    per session: ``(key, session_id, session_start, session_end,
-    n_events)`` with 1-based per-key session ids — exactly SQL's
-    ``sum(brk) OVER (PARTITION BY key ORDER BY ts, order_col)``.
+    to the previous event exceeds ``gap_seconds``.  Default output is
+    one row per session: ``(key, session_id, session_start,
+    session_end, n_events)`` with 1-based per-key session ids —
+    exactly SQL's ``sum(brk) OVER (PARTITION BY key ORDER BY ts,
+    order_col)``; ``emit="events"`` instead annotates every input row
+    with its ``session_id`` (the sessionize-enrich form).
 
     Scale shape: ONE hash exchange on ``key``; inside each partition a
     single vectorized lag + cumsum + groupby over all its keys (no
     per-key Python).  Per-key event history must fit a partition — the
     bounded-fan-in shape of user/session telemetry."""
+    if emit not in ("sessions", "events"):
+        raise ValueError(f"emit must be 'sessions' or 'events': {emit!r}")
     gap = pd.Timedelta(seconds=gap_seconds)
 
     def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -3505,6 +3510,8 @@ def gap_sessions(ds, key: str, ts_col: str, gap_seconds: float,
         prev = pdf.groupby(key, sort=False)[ts_col].shift(1)
         brk = (prev.isna() | (pdf[ts_col] - prev > gap)).astype("int64")
         sid = brk.groupby(pdf[key], sort=False).cumsum()
+        if emit == "events":
+            return pdf.assign(session_id=sid).reset_index(drop=True)
         out = (
             pdf.assign(session_id=sid)
             .groupby([key, "session_id"], sort=False)
@@ -3702,6 +3709,39 @@ def grouped_hash_sample(ds, keys: list[str], k: int, id_col: str,
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
         prio = (ids.astype(np.uint64) * _KNUTH) & np.uint64(0xFFFFFFFF)
         return b.append_column(_PRIO, pa.array(prio.astype(np.int64)))
+
+    sampled = window_topk(
+        ds.map_batches(add_prio, batch_format="pyarrow"),
+        keys, _PRIO, k, tie_col=id_col, ascending=True,
+        num_partitions=num_partitions)
+    return sampled.map_batches(
+        lambda b: b.drop_columns([_PRIO]), batch_format="pyarrow")
+
+
+def grouped_weighted_sample(ds, keys: list[str], k: int, id_col: str,
+                            weight_col: str, num_partitions: int = 64):
+    """Weighted k-per-group sample without replacement, without
+    randomness — the Efraimidis–Spirakis A-ES scheme with a HASH in
+    place of the RNG: ``u = (knuth_hash(id) + 0.5) / 2^32``,
+    ``priority = -ln(u) / weight``, keep the ``k`` smallest priorities
+    per group (inclusion probability ∝ weight).  Deterministic,
+    partition-independent, resumable.  Rows with ``weight <= 0`` or
+    null are excluded.
+
+    Scale shape: same as :func:`grouped_hash_sample` — priorities ride
+    :func:`window_topk`'s per-batch combiner, so the exchange ships at
+    most k rows per (batch, key)."""
+
+    def add_prio(b: pa.Table) -> pa.Table:
+        w = pc.cast(b.column(weight_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        keep = np.isfinite(w) & (w > 0)
+        b = b.filter(pa.array(keep))
+        w = w[keep]
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * _KNUTH) & np.uint64(0xFFFFFFFF)
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        return b.append_column(_PRIO, pa.array(-np.log(u) / w))
 
     sampled = window_topk(
         ds.map_batches(add_prio, batch_format="pyarrow"),

@@ -6,6 +6,7 @@ import pandas as pd
 
 from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
     grouped_hash_sample,
+    grouped_weighted_sample,
     grouped_winsorize,
 )
 
@@ -60,6 +61,51 @@ def test_hash_sample_small_groups_keep_all_rows(ray_session):
     got = grouped_hash_sample(_ds(ray_session, df, 2), ["g"], 10, "id",
                               num_partitions=2).to_pandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(df))
+
+
+def _weighted_ref(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    d = df[np.isfinite(df["w"]) & (df["w"] > 0)].copy()
+    h = (d["id"].to_numpy(np.uint64) * _KNUTH) & np.uint64(0xFFFFFFFF)
+    u = (h.astype(np.float64) + 0.5) / 4294967296.0
+    d["__p"] = -np.log(u) / d["w"].to_numpy(np.float64)
+    out = (d.sort_values(["__p", "id"], kind="mergesort")
+           .groupby("g", sort=False).head(k).drop(columns="__p"))
+    return out
+
+
+def test_weighted_sample_matches_reference(ray_session):
+    df = _docs()
+    df["w"] = 1.0 + (df["id"].to_numpy() % 17).astype(np.float64)
+    got = grouped_weighted_sample(_ds(ray_session, df), ["g"], 6, "id",
+                                  "w", num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got),
+                                  _sorted(_weighted_ref(df, 6)))
+
+
+def test_weighted_sample_drops_nonpositive_weights(ray_session):
+    df = _docs(n=60, groups=2)
+    df["w"] = 1.0
+    df.loc[df["id"] % 3 == 0, "w"] = 0.0
+    df.loc[df["id"] % 5 == 0, "w"] = -2.0
+    got = grouped_weighted_sample(_ds(ray_session, df), ["g"], 100, "id",
+                                  "w", num_partitions=2).to_pandas()
+    bad = set(df.loc[df["w"] <= 0, "id"])
+    assert not (set(got["id"]) & bad)
+    pd.testing.assert_frame_equal(_sorted(got),
+                                  _sorted(df[df["w"] > 0]))
+
+
+def test_weighted_sample_biases_toward_heavy_rows(ray_session):
+    # one group, half the rows weight 100, half weight 1: the heavy
+    # half should dominate a k=20 sample of 200 rows
+    df = pd.DataFrame({
+        "id": np.arange(200, dtype=np.int64),
+        "g": 0,
+        "w": np.where(np.arange(200) < 100, 100.0, 1.0),
+    })
+    got = grouped_weighted_sample(_ds(ray_session, df), ["g"], 20, "id",
+                                  "w", num_partitions=2).to_pandas()
+    assert (got["id"] < 100).sum() >= 15
 
 
 def _winsor_ref(df, q_lo, q_hi):

@@ -80,6 +80,30 @@ def test_gap_sessions_partition_independent(ray_session):
     pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
 
 
+def test_gap_sessions_emit_events_annotates_rows(ray_session):
+    ev = _events(np.random.default_rng(17), n=150, users=4)
+    got = gap_sessions(_ds(ray_session, ev), "user_id", "ts", 3600.0,
+                       "event_id", num_partitions=3,
+                       emit="events").to_pandas()
+    assert len(got) == len(ev)
+    # per-event ids must aggregate to exactly the session rows
+    agg = (got.groupby(["user_id", "session_id"])
+           .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                n_events=("event_id", "size")).reset_index())
+    agg["n_events"] = agg["n_events"].astype("int64")
+    pd.testing.assert_frame_equal(_sorted(agg),
+                                  _sorted(_sessions_ref(ev, 3600.0)))
+
+
+def test_gap_sessions_rejects_bad_emit(ray_session):
+    import pytest
+
+    ev = _events(np.random.default_rng(1), n=10, users=2)
+    with pytest.raises(ValueError):
+        gap_sessions(_ds(ray_session, ev), "user_id", "ts", 60.0,
+                     "event_id", emit="rows")
+
+
 def _intervals(rng, n, width_s, tag):
     st = pd.Timestamp("2024-01-01") + pd.to_timedelta(
         rng.integers(0, 86400, n), unit="s"
