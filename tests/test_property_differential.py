@@ -479,3 +479,200 @@ def test_dedup_recrawls_windowed_matches_python(ray_session, caps,
     got = sorted((r["canonical_url"], r["window"], r["url"])
                  for r in out)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# closing-session operators: sessions, interval join, sampling, graph locals
+
+
+@st.composite
+def event_frames(draw):
+    n = draw(st.integers(3, 40))
+    users = draw(st.integers(1, 4))
+    secs = draw(st.lists(st.integers(0, 50_000), min_size=n, max_size=n))
+    return pd.DataFrame({
+        "user_id": np.array(
+            draw(st.lists(st.integers(0, users), min_size=n, max_size=n)),
+            np.int64),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(secs, unit="s")).astype("datetime64[us]"),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+
+
+@given(event_frames(), st.integers(60, 7200))
+@SETTINGS
+def test_gap_sessions_matches_pandas_reference(ray_session, ev, gap_s):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        gap_sessions,
+    )
+
+    got = gap_sessions(ray.data.from_pandas(ev).repartition(3),
+                       "user_id", "ts", float(gap_s), "event_id",
+                       num_partitions=3).to_pandas()
+    s = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = s.groupby("user_id")["ts"].shift(1)
+    brk = (prev.isna() | (s["ts"] - prev
+                          > pd.Timedelta(seconds=gap_s))).astype("int64")
+    sid = brk.groupby(s["user_id"]).cumsum()
+    want = (s.assign(session_id=sid)
+            .groupby(["user_id", "session_id"])
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("event_id", "size")).reset_index())
+    want["n_events"] = want["n_events"].astype("int64")
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+
+
+@st.composite
+def interval_frames(draw, tag):
+    n = draw(st.integers(1, 25))
+    st_s = draw(st.lists(st.integers(0, 20_000), min_size=n, max_size=n))
+    dur = draw(st.lists(st.integers(0, 8_000), min_size=n, max_size=n))
+    base = pd.Timestamp("2024-01-01")
+    return pd.DataFrame({
+        "st": (base + pd.to_timedelta(st_s, unit="s")
+               ).astype("datetime64[us]"),
+        "en": (base + pd.to_timedelta(np.array(st_s) + np.array(dur),
+                                      unit="s")).astype("datetime64[us]"),
+        tag: np.arange(n, dtype=np.int64),
+    })
+
+
+@given(interval_frames("lid"), interval_frames("rid"),
+       st.sampled_from([600.0, 3600.0, 14400.0]))
+@SETTINGS
+def test_interval_join_matches_all_pairs(ray_session, left, right, bucket):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        interval_join,
+    )
+
+    got = interval_join(
+        ray.data.from_pandas(left).repartition(2),
+        ray.data.from_pandas(right).repartition(2), "st", "en",
+        left_cols=["st", "en", "lid"], right_cols=["st", "en", "rid"],
+        bucket_seconds=bucket, num_partitions=3).to_pandas()
+    want = set()
+    for _, l in left.iterrows():
+        for _, r in right.iterrows():
+            if l["st"] <= r["en"] and r["st"] <= l["en"]:
+                want.add((int(l["lid"]), int(r["rid"])))
+    assert set(zip(got["lid"], got["rid_b"])) == want
+    assert len(got) == len(want)  # emitted exactly once
+
+
+@st.composite
+def edge_lists(draw):
+    n = draw(st.integers(1, 40))
+    src = draw(st.lists(st.integers(0, 9), min_size=n, max_size=n))
+    dst = draw(st.lists(st.integers(0, 9), min_size=n, max_size=n))
+    return pd.DataFrame({"src": np.array(src, np.int64),
+                         "dst": np.array(dst, np.int64)})
+
+
+def _adj(df):
+    adj = {}
+    for s, d in zip(df["src"], df["dst"]):
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    return adj
+
+
+@given(edge_lists())
+@SETTINGS
+def test_link_scores_local_matches_bruteforce(ray_session, df):
+    import itertools
+    import math
+
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        _link_scores_local,
+    )
+
+    out = _link_scores_local(pa.Table.from_pandas(df), "src", "dst")
+    adj = _adj(df)
+    want = {}
+    for x, y in itertools.combinations(sorted(adj), 2):
+        if y in adj[x]:
+            continue
+        common = adj[x] & adj[y]
+        if not common:
+            continue
+        aa = sum(1.0 / math.log(len(adj[z])) for z in common)
+        ra = sum(1.0 / len(adj[z]) for z in common)
+        jac = len(common) / (len(adj[x]) + len(adj[y]) - len(common))
+        want[(x, y)] = (len(common), round(aa, 6), round(ra, 6),
+                        round(jac, 6))
+    got = {
+        (int(r["node_a"]), int(r["node_b"])):
+        (int(r["cn"]), r["aa"], r["ra"], r["jaccard"])
+        for r in out.to_pylist()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        for i in (1, 2, 3):
+            assert abs(got[k][i] - want[k][i]) <= 1e-6, (k, got[k], want[k])
+
+
+@given(edge_lists())
+@SETTINGS
+def test_clustering_local_matches_bruteforce(ray_session, df):
+    import itertools
+
+    import pyarrow as pa
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        _clustering_local,
+    )
+
+    out = _clustering_local(pa.Table.from_pandas(df), "src", "dst")
+    adj = _adj(df)
+    tri = {v: 0 for v in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    got = {int(r["node"]): (int(r["n_tri"]), r["lcc"])
+           for r in out.to_pylist()}
+    assert set(got) == set(adj)
+    for v in adj:
+        k = len(adj[v])
+        assert got[v][0] == tri[v], (v, got[v], tri[v])
+        want_lcc = 2.0 * tri[v] / (k * (k - 1)) if k >= 2 else 0.0
+        assert abs(got[v][1] - want_lcc) <= 1e-6
+
+
+@given(frames(), st.integers(1, 6))
+@SETTINGS
+def test_hash_sample_property(ray_session, df, k):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.relational import (
+        grouped_hash_sample,
+    )
+
+    got = grouped_hash_sample(
+        ray.data.from_pandas(df).repartition(3), ["k"], k, "id",
+        num_partitions=3).to_pandas()
+    prio = (df["id"].to_numpy(np.uint64)
+            * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    want = (df.assign(__p=prio.astype(np.int64))
+            .sort_values(["__p", "id"], kind="mergesort")
+            .groupby("k", sort=False).head(k).drop(columns="__p"))
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
