@@ -3676,6 +3676,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges, src_col="src_entity_id",
             dst_col="dst_entity_id", num_partitions=8)
 
+    def kg_entity_betweenness(sf_dir: str):
+        """Sampled betweenness centrality (Brandes 2001; Brandes &
+        Pich 2007 estimator) over the real KG edge list — which
+        entities broker between otherwise-separate topic
+        neighborhoods, the path-centric complement to PageRank's
+        stationary view.  Parallel over SOURCES: the CSR adjacency
+        ships once (ray.put), tasks solve source slices, the driver
+        folds O(V) vectors.  Rows only (no SQL for shortest-path
+        dependency counts); exactness with all sources is pinned
+        against an independent pure-python Brandes reference in
+        tests/test_betweenness.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            betweenness_sample,
+        )
+        import ray.data
+
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            edges = ray.data.from_arrow(
+                tbl.select(["src_entity_id", "dst_entity_id"]))
+        else:
+            edges = _kg_tables(sf_dir)["edges"].select_columns(
+                ["src_entity_id", "dst_entity_id"])
+        return betweenness_sample(
+            edges, src_col="src_entity_id", dst_col="dst_entity_id",
+            k_sources=64, tasks=8)
+
     def orders_incremental_agg(sf_dir: str):
         """Materialized-view refresh (pipelines/relational.
         incremental_agg): the stored per-customer (sum, count)
@@ -7198,6 +7225,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             gap_seconds=3600.0, order_col="event_id",
                             num_partitions=16, emit="events")
 
+    def events_session_conversions(sf_dir: str):
+        """Within-session funnel: for every gap-based (1 h) session,
+        did a purchase happen at-or-after the session's first view?
+        ONE user-keyed exchange; the partition fn sessionizes
+        (vectorized lag+cumsum, gap_sessions semantics) AND reduces
+        each session to its verdict in the same pass — session ids are
+        per-key so no second exchange exists."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id", "event_type"]
+        )
+        gap = pd.Timedelta(seconds=3600.0)
+
+        def verdict(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["user_id", "ts", "event_id"],
+                                  kind="mergesort")
+            prev = pdf.groupby("user_id", sort=False)["ts"].shift(1)
+            brk = (prev.isna()
+                   | (pdf["ts"] - prev > gap)).astype("int64")
+            sid = brk.groupby(pdf["user_id"], sort=False).cumsum()
+            out = pd.DataFrame({
+                "user_id": pdf["user_id"],
+                "session_id": sid,
+                "fv": pdf["ts"].where(pdf["event_type"] == "view"),
+                "lp": pdf["ts"].where(pdf["event_type"] == "purchase"),
+            }).groupby(["user_id", "session_id"], sort=False).agg(
+                first_view=("fv", "min"), last_purchase=("lp", "max"),
+                n_events=("fv", "size")).reset_index()
+            out["n_events"] = out["n_events"].astype("int64")
+            out["converted"] = (out["first_view"].notna()
+                                & out["last_purchase"].notna()
+                                & (out["last_purchase"]
+                                   >= out["first_view"]))
+            return out
+
+        return grouped_apply(ev, ["user_id"], verdict,
+                             num_partitions=16, batch_format="pandas")
+
     def lineitem_price_winsorized(sf_dir: str):
         """Per-group winsorization (clip extendedprice into its
         returnflag group's [p05, p95]): one (key, value) exchange for
@@ -9447,6 +9517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_tone_features": audio_tone_features,
         "docs_weighted_sample_per_source": docs_weighted_sample_per_source,
         "events_session_ids": events_session_ids,
+        "events_session_conversions": events_session_conversions,
+        "kg_entity_betweenness": kg_entity_betweenness,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13488,6 +13560,36 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY ts, event_id)
                     AS BIGINT) AS session_id
         FROM b
+    """
+    d["events_session_conversions"] = """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ), b AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN prev IS NULL OR ts - prev > INTERVAL 3600 SECOND
+                      THEN 1 ELSE 0 END AS brk
+          FROM o
+        ), s0 AS (
+          SELECT user_id, ts, event_type,
+                 CAST(sum(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                      AS BIGINT) AS session_id
+          FROM b
+        )
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   AS first_view,
+               max(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS last_purchase,
+               CAST(count(*) AS BIGINT) AS n_events,
+               coalesce(
+                 max(CASE WHEN event_type = 'purchase' THEN ts END)
+                 >= min(CASE WHEN event_type = 'view' THEN ts END),
+                 FALSE) AS converted
+        FROM s0 GROUP BY user_id, session_id
     """
     d["docs_weighted_sample_per_source"] = """
         WITH t AS (
