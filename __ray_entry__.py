@@ -3703,6 +3703,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges, src_col="src_entity_id", dst_col="dst_entity_id",
             k_sources=64, tasks=8)
 
+    def kg_entity_harmonic(sf_dir: str):
+        """Sampled harmonic centrality (Boldi & Vigna 2014) over the
+        real KG edge list — which entities are CLOSE to everything
+        (short-path reach), robust to the disconnected components a
+        real extraction graph always has.  Same source-parallel
+        shape as kg_entity_betweenness (one ray.put CSR, O(V) vector
+        folds); exactness with all sources pinned against a
+        pure-python BFS reference in tests/test_betweenness.py."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            harmonic_sample,
+        )
+        import ray.data
+
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            edges = ray.data.from_arrow(
+                tbl.select(["src_entity_id", "dst_entity_id"]))
+        else:
+            edges = _kg_tables(sf_dir)["edges"].select_columns(
+                ["src_entity_id", "dst_entity_id"])
+        return harmonic_sample(
+            edges, src_col="src_entity_id", dst_col="dst_entity_id",
+            k_sources=64, tasks=8)
+
     def orders_incremental_agg(sf_dir: str):
         """Materialized-view refresh (pipelines/relational.
         incremental_agg): the stored per-customer (sum, count)
@@ -9519,6 +9543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_ids": events_session_ids,
         "events_session_conversions": events_session_conversions,
         "kg_entity_betweenness": kg_entity_betweenness,
+        "kg_entity_harmonic": kg_entity_harmonic,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the

@@ -131,3 +131,72 @@ def test_oversize_graph_raises(ray_session):
     df = _edges([(0, 1), (1, 2), (2, 3)])
     with pytest.raises(ValueError):
         betweenness_sample(_ds(ray_session, df), local_threshold=2)
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality (same sampled-BFS machinery)
+
+
+def _harmonic_ref(pairs):
+    from collections import deque
+
+    adj = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for v in adj:
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        out[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
+    return out
+
+
+def test_harmonic_exact_matches_reference(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        harmonic_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    pairs = list({(int(a), int(b)) for a, b in
+                  zip(rng.integers(0, 15, 60), rng.integers(0, 15, 60))
+                  if a != b})
+    out = harmonic_sample(_ds(ray_session, _edges(pairs)),
+                          k_sources=10_000).to_pandas()
+    got = dict(zip(out["node"], out["harmonic"]))
+    want = _harmonic_ref(pairs)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) <= 1e-6
+
+
+def test_harmonic_disconnected_pairs_contribute_zero(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        harmonic_sample,
+    )
+
+    out = harmonic_sample(
+        _ds(ray_session, _edges([(0, 1), (5, 6)])),
+        k_sources=100).to_pandas()
+    got = dict(zip(out["node"], out["harmonic"]))
+    assert got == {0: 1.0, 1: 1.0, 5: 1.0, 6: 1.0}
+
+
+def test_harmonic_path_hand_values(ray_session):
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        harmonic_sample,
+    )
+
+    # P3 0-1-2: ends 1 + 1/2, middle 2
+    out = harmonic_sample(_ds(ray_session, _edges([(0, 1), (1, 2)])),
+                          k_sources=100).to_pandas()
+    got = dict(zip(out["node"], out["harmonic"]))
+    assert got == {0: 1.5, 1: 2.0, 2: 1.5}
