@@ -3703,6 +3703,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             edges, src_col="src_entity_id", dst_col="dst_entity_id",
             k_sources=64, tasks=8)
 
+    def embedding_hard_negatives(sf_dir: str):
+        """Contrastive hard-negative mining: each vector's most-similar
+        DIFFERENT-label neighbor (cosine; ties toward the smaller id) —
+        the pair-construction step for triplet/contrastive training.
+        Corpus broadcasts once (ray.put), one b×N matmul + masked
+        argmax per batch, no exchange."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            hard_negatives,
+        )
+
+        emb = _read(sf_dir, "embeddings")
+        return hard_negatives(emb)
+
     def kg_entity_harmonic(sf_dir: str):
         """Sampled harmonic centrality (Boldi & Vigna 2014) over the
         real KG edge list — which entities are CLOSE to everything
@@ -9544,6 +9557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_conversions": events_session_conversions,
         "kg_entity_betweenness": kg_entity_betweenness,
         "kg_entity_harmonic": kg_entity_harmonic,
+        "embedding_hard_negatives": embedding_hard_negatives,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13585,6 +13599,20 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY ts, event_id)
                     AS BIGINT) AS session_id
         FROM b
+    """
+    d["embedding_hard_negatives"] = """
+        WITH s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+                 b.label AS neg_label,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                     AS raw
+          FROM embeddings a JOIN embeddings b ON a.label <> b.label
+        )
+        SELECT vec_id, neg_id, neg_label, round(raw, 6) AS score
+        FROM s
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY raw DESC, neg_id) = 1
     """
     d["events_session_conversions"] = """
         WITH o AS (

@@ -1637,3 +1637,64 @@ def label_outliers(embeddings_ds, label_col: str = "label",
     return grouped_apply(scored, [label_col], per_label,
                          num_partitions=num_partitions,
                          batch_format="pyarrow")
+
+
+def hard_negatives(embeddings_ds, id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   label_col: str = "label", ndigits: int = 6):
+    """Contrastive hard-negative mining: for EVERY vector, its single
+    most-cosine-similar corpus vector with a DIFFERENT label — the
+    standard pair-construction step for training embedding models
+    (triplet/contrastive losses want the hardest negatives, not
+    random ones).  Ties break toward the smaller negative id.
+
+    Scale shape: the normalized corpus matrix + ids + labels broadcast
+    ONCE via ``ray.put`` (the same broadcast contract as
+    :func:`knn_join`'s query side — fine to ~10^7 × small-dim on a
+    worker store); each corpus batch then computes one b×N matmul,
+    masks self and same-label columns, and keeps its row argmax — one
+    pass over the corpus, NO exchange.  Above the broadcast budget,
+    compose the IVF index instead: nominate per probe list, drop
+    same-label candidates, rescore (the knn_ivfpq_rerank pattern)."""
+    import ray
+
+    slim = embeddings_ds.select_columns([id_col, emb_col, label_col])
+    tbl = pa.concat_tables(
+        ray.get(slim.materialize().to_arrow_refs()))
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    labels = tbl.column(label_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    M = _normalize(_as_matrix(tbl, emb_col).astype(np.float64))
+    corpus_ref = ray.put((ids, labels, M))
+
+    def mine(batch: pa.Table) -> pa.Table:
+        cids, clabels, Cm = ray.get(corpus_ref)
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "neg_id": pa.array([], pa.int64()),
+            "neg_label": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        q = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        qids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qlabels = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = q @ Cm.T  # (b, N)
+        s[qlabels[:, None] == clabels[None, :]] = -np.inf
+        best = np.lexsort(
+            (np.broadcast_to(cids, s.shape), -s), axis=1)[:, 0]
+        score = s[np.arange(len(qids)), best]
+        keep = np.isfinite(score)  # rows whose label covers the corpus
+        return pa.table({
+            id_col: pa.array(qids[keep]),
+            "neg_id": pa.array(cids[best][keep]),
+            "neg_label": pa.array(clabels[best][keep]),
+            "score": pc.round(pa.array(score[keep]), ndigits=ndigits,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return slim.map_batches(mine, batch_format="pyarrow")
