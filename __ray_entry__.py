@@ -3773,6 +3773,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_apply(partials, ["bucket"], fold,
                              num_partitions=1, batch_format="pandas")
 
+    def kg_edge_truss(sf_dir: str):
+        """k-truss number per KG edge (Cohen 2008) — the edge-cohesion
+        ladder separating relations embedded in clique-dense topic
+        communities from stray links; the edge-level sibling of
+        kg_entity_clustering.  Bulk peeling with vectorized
+        degree-oriented support recomputation per round, solved in one
+        Ray task off the published checkpoint (same local contract as
+        the other graph solvers).  Rows only; semantics pinned by a
+        brute-force peeling reference (tests/test_truss.py)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            truss_decomposition,
+        )
+        import ray.data
+
+        tbl = _kg_edges_local(sf_dir)
+        if tbl is not None:
+            edges = ray.data.from_arrow(
+                tbl.select(["src_entity_id", "dst_entity_id"]))
+        else:
+            edges = _kg_tables(sf_dir)["edges"].select_columns(
+                ["src_entity_id", "dst_entity_id"])
+        return truss_decomposition(edges, src_col="src_entity_id",
+                                   dst_col="dst_entity_id")
+
     def embedding_hard_negatives(sf_dir: str):
         """Contrastive hard-negative mining: each vector's most-similar
         DIFFERENT-label neighbor (cosine; ties toward the smaller id) —
@@ -9629,6 +9653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_harmonic": kg_entity_harmonic,
         "embedding_hard_negatives": embedding_hard_negatives,
         "docs_novelty_by_batch": docs_novelty_by_batch,
+        "kg_edge_truss": kg_edge_truss,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the

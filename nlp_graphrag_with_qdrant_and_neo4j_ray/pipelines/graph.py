@@ -2962,3 +2962,110 @@ def harmonic_sample(edges_ds, src_col: str = "src",
         "harmonic": pc.round(pa.array(acc), ndigits=ndigits,
                              round_mode="half_towards_infinity"),
     }))
+
+
+def _truss_local(tbl: pa.Table, src_col: str, dst_col: str) -> pa.Table:
+    """Single-task exact k-truss decomposition: each undirected edge's
+    truss number = the largest k such that the edge survives in the
+    subgraph where every edge sits in ≥ k−2 triangles (Cohen 2008).
+    Bulk peeling: per round, recompute supports via the degree-
+    oriented wedge enumeration (vectorized, one triu per distinct
+    out-degree) and remove EVERY edge below the current threshold;
+    when a round removes nothing, the survivors graduate to the next
+    k.  Rounds are O(wedges) each and the k ladder is bounded by
+    max-support — no per-edge priority queue, no Python inner loop."""
+    canon = _canon_codes(tbl, src_col, dst_col)
+    node_type = tbl.schema.field(src_col).type
+    if canon is None:
+        return pa.table({
+            "node_a": pa.array([], node_type),
+            "node_b": pa.array([], node_type),
+            "truss": pa.array([], pa.int64()),
+        })
+    a, b, uniques = canon
+    nv = len(uniques)
+    keys = a * nv + b  # sorted canonical edge keys
+    truss = np.full(len(keys), 2, np.int64)  # every edge is a 2-truss
+    alive = np.ones(len(keys), bool)
+
+    def supports(idx: np.ndarray) -> np.ndarray:
+        """Triangle count per alive edge (edges given by index list)."""
+        ea, eb = keys[idx] // nv, keys[idx] % nv
+        deg = np.bincount(np.concatenate([ea, eb]), minlength=nv)
+        a_first = (deg[ea] < deg[eb]) | ((deg[ea] == deg[eb])
+                                         & (ea < eb))
+        oc = np.where(a_first, ea, eb)
+        on = np.where(a_first, eb, ea)
+        order = np.argsort(oc * nv + on, kind="stable")
+        oc, on = oc[order], on[order]
+        ekeys = keys[idx]
+        sup = np.zeros(len(idx), np.int64)
+        for _k, _c, x, y in _group_pairs(oc, on):
+            pk = np.minimum(x, y) * nv + np.maximum(x, y)
+            pos = np.searchsorted(ekeys, pk)
+            pos_c = np.minimum(pos, len(ekeys) - 1)
+            closed = ekeys[pos_c] == pk
+            if not closed.any():
+                continue
+            # the closing edge and both wedge legs each gain a triangle
+            np.add.at(sup, pos_c[closed], 1)
+            npairs = _k * (_k - 1) // 2
+            centers = np.repeat(_c, npairs)[closed]
+            leg1 = np.minimum(centers, x[closed]) * nv + np.maximum(
+                centers, x[closed])
+            leg2 = np.minimum(centers, y[closed]) * nv + np.maximum(
+                centers, y[closed])
+            np.add.at(sup, np.searchsorted(ekeys, leg1), 1)
+            np.add.at(sup, np.searchsorted(ekeys, leg2), 1)
+        return sup
+
+    k = 3
+    while alive.any():
+        idx = np.flatnonzero(alive)
+        sup = supports(idx)
+        drop = sup < k - 2
+        if drop.any():
+            alive[idx[drop]] = False
+            continue  # re-evaluate at the same k (peeling cascades)
+        truss[idx] = k  # everyone alive survives the k-truss
+        k += 1
+    return pa.table({
+        "node_a": pa.array(uniques[keys // nv]),
+        "node_b": pa.array(uniques[keys % nv]),
+        "truss": pa.array(truss),
+    })
+
+
+def truss_decomposition(edges_ds, src_col: str = "src",
+                        dst_col: str = "dst",
+                        local_threshold: int | None =
+                        LOCAL_EDGES_THRESHOLD):
+    """Exact k-truss number per undirected edge — the edge-cohesion
+    ladder (an edge in a k-truss sits in a (k−1)-clique-dense region;
+    the subgraph signal for "is this KG relation embedded in a dense
+    topic community or a stray link?").  The solver runs in ONE Ray
+    task below ``local_threshold`` edges (same contract as the other
+    small-graph solvers); above it, bulk peeling distributes as
+    rounds of the clustering-coefficient support exchange + a
+    broadcast removal set — implemented when a >5 M-edge KG exists;
+    the honest error names the shape rather than faking it."""
+    import ray
+    import ray.data as rd
+
+    refs = _edges_below(edges_ds, local_threshold)
+    if refs is None:
+        raise ValueError(
+            "truss_decomposition currently requires the edge list to "
+            f"fit one worker (<= {local_threshold} edges); the "
+            "distributed form is rounds of the per-edge support "
+            "exchange (clustering_coefficient shape) + broadcast "
+            "removals")
+
+    @ray.remote
+    def solve(*blocks):
+        tbls = ([b.select([src_col, dst_col])
+                 for b in blocks if b.num_rows]
+                or [blocks[0].select([src_col, dst_col])])
+        return _truss_local(pa.concat_tables(tbls), src_col, dst_col)
+
+    return rd.from_arrow(ray.get(solve.remote(*refs)))
