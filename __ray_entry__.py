@@ -3773,6 +3773,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_apply(partials, ["bucket"], fold,
                              num_partitions=1, batch_format="pandas")
 
+    def docs_node2vec_walks(sf_dir: str):
+        """node2vec biased walk corpus (Grover & Leskovec 2016) over
+        the symmetrized synthetic doc graph — p=0.5 (return-averse) /
+        q=2 (BFS-ish), walk_len 4, deterministic hash-fraction picks.
+        Rows only (the second-order weighted pick has no tractable SQL
+        form); exact semantics pinned by a python reference replaying
+        every pick (tests/test_node2vec.py)."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            node2vec_walks,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(x):
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500),
+                                                  500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(pc.add(pc.multiply(ids, 7), 3)).combine_chunks(),
+                mod500(pc.add(pc.multiply(ids, ids), 1)).combine_chunks(),
+            ])
+            # symmetrize: node2vec's usual undirected form
+            return pa.table({
+                "src": pa.concat_arrays([src, dst]),
+                "dst": pa.concat_arrays([dst, src]),
+            })
+
+        return node2vec_walks(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            walk_len=4, p=0.5, q=2.0, num_partitions=8)
+
     def kg_edge_truss(sf_dir: str):
         """k-truss number per KG edge (Cohen 2008) — the edge-cohesion
         ladder separating relations embedded in clique-dense topic
@@ -9654,6 +9689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_hard_negatives": embedding_hard_negatives,
         "docs_novelty_by_batch": docs_novelty_by_batch,
         "kg_edge_truss": kg_edge_truss,
+        "docs_node2vec_walks": docs_node2vec_walks,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the

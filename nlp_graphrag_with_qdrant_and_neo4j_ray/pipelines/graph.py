@@ -3069,3 +3069,217 @@ def truss_decomposition(edges_ds, src_col: str = "src",
         return _truss_local(pa.concat_tables(tbls), src_col, dst_col)
 
     return rd.from_arrow(ray.get(solve.remote(*refs)))
+
+
+def node2vec_walks(edges_ds, walk_len: int = 4, p: float = 1.0,
+                   q: float = 1.0, src_col: str = "src",
+                   dst_col: str = "dst", mult_a: int = 2654435761,
+                   mult_b: int = 40503, num_partitions: int = 16):
+    """node2vec biased walk corpus (Grover & Leskovec 2016) — the
+    second-order sibling of :func:`random_walks`: from node u (having
+    arrived from ``prev``) each out-neighbor x is weighted ``1/p`` if
+    x == prev (return), ``1`` if x is an out-neighbor of prev
+    (BFS-ish stay-local), else ``1/q`` (DFS-ish explore), and the
+    next hop is the DETERMINISTIC weighted pick — the hash fraction
+    ``((walk·A + step·B) mod 2^32 + ½)/2^32`` against the cumulative
+    weights of the cand-id-sorted candidates.  No RNG state:
+    reproducible and partition-independent.  Step 0 has no ``prev``
+    and picks uniformly by the same DeepWalk modular rule.  Directed
+    edges as given — symmetrize upstream for the undirected form.
+
+    Output: ``(walk_id, step, node)`` rows, one walk per distinct
+    source node (walk_id = start node), early stop at sinks.
+
+    Scale shape: TWO co-partitioned union exchanges per step (the
+    pagerank-round pattern twice) — candidates gather at the current
+    node's partition (one row per (live walk, out-neighbor), O(E)
+    worst case per step, same as a pagerank round), then re-key by
+    ``prev`` where prev's adjacency answers the is-neighbor test with
+    a vectorized merge and the weighted pick is a per-walk cumsum —
+    per-step state is one row per live walk, never the prefix."""
+    inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
+
+    def undip(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(batch.column(src_col), pa.int64()),
+            "dst": pc.cast(batch.column(dst_col), pa.int64()),
+            "walk": pa.array([-1] * len(batch), pa.int64()),
+            "step": pa.array([-1] * len(batch), pa.int64()),
+            "prev": pa.array([-1] * len(batch), pa.int64()),
+        })
+
+    edges = edges_ds.map_batches(
+        undip, batch_format="pyarrow").materialize()
+
+    def starts(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("key"))
+        n = len(u)
+        return pa.table({
+            "walk_id": u,
+            "step": pa.array([0] * n, pa.int64()),
+            "node": u,
+            "prev": pa.array([-1] * n, pa.int64()),
+        })
+
+    def dedup_starts(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates("walk_id")
+
+    frontier = grouped_apply(
+        edges.map_batches(starts, batch_format="pyarrow"),
+        ["walk_id"], dedup_starts, num_partitions=num_partitions,
+        batch_format="pandas",
+    ).materialize()
+    visited = [frontier.drop_columns(["prev"])]
+
+    for step in range(walk_len - 1):
+        def fr_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": pc.cast(batch.column("node"), pa.int64()),
+                "dst": pa.array([-1] * len(batch), pa.int64()),
+                "walk": pc.cast(batch.column("walk_id"), pa.int64()),
+                "step": pc.cast(batch.column("step"), pa.int64()),
+                "prev": pc.cast(batch.column("prev"), pa.int64()),
+            })
+
+        unioned = edges.union(
+            frontier.map_batches(fr_rows, batch_format="pyarrow"))
+
+        def expand(pdf: pd.DataFrame, _s=step) -> pd.DataFrame:
+            """Candidates of each live walk = adjacency of its node.
+            Step 0 (prev == -1) resolves HERE with the uniform
+            modular pick — no second exchange needed for it."""
+            adj = (pdf[pdf["walk"] < 0][["key", "dst"]]
+                   .drop_duplicates()
+                   .sort_values(["key", "dst"], kind="mergesort"))
+            fr = pdf[pdf["walk"] >= 0][["key", "walk", "step", "prev"]]
+            first = fr[fr["prev"] < 0]
+            rest = fr[fr["prev"] >= 0]
+            outs = []
+            if len(first):
+                adj_i = adj.assign(i=adj.groupby("key").cumcount())
+                deg = adj.groupby("key").size().rename("deg").reset_index()
+                m = first.merge(deg, on="key", how="inner")
+                m["i"] = (m["walk"].to_numpy(np.int64) * mult_a
+                          + _s * mult_b) % m["deg"].to_numpy(np.int64)
+                nxt = m.merge(adj_i, on=["key", "i"], how="inner")
+                outs.append(pd.DataFrame({
+                    "key": nxt["key"], "walk": nxt["walk"],
+                    "step": nxt["step"], "cand": nxt["dst"],
+                    "picked": True,
+                }))
+            if len(rest):
+                c = rest.merge(adj, on="key", how="inner")
+                outs.append(pd.DataFrame({
+                    # re-key by prev for the membership exchange
+                    "key": c["prev"], "walk": c["walk"],
+                    "step": c["step"], "cand": c["dst"],
+                    "picked": False,
+                }).assign(u=c["key"].to_numpy(np.int64)))
+            if not outs:
+                return pd.DataFrame({
+                    "key": pd.Series([], dtype="int64"),
+                    "walk": pd.Series([], dtype="int64"),
+                    "step": pd.Series([], dtype="int64"),
+                    "cand": pd.Series([], dtype="int64"),
+                    "picked": pd.Series([], dtype="bool"),
+                    "u": pd.Series([], dtype="int64"),
+                })
+            out = pd.concat(outs, ignore_index=True)
+            if "u" not in out.columns:
+                out["u"] = np.int64(-1)
+            out["u"] = out["u"].fillna(-1).astype("int64")
+            return out
+
+        cands = grouped_apply(unioned, ["key"], expand,
+                              num_partitions=num_partitions,
+                              batch_format="pandas")
+
+        def cand_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": batch.column("key"),
+                "dst": pa.nulls(batch.num_rows, pa.int64()),
+                "walk": batch.column("walk"),
+                "step": batch.column("step"),
+                "cand": batch.column("cand"),
+                "picked": batch.column("picked"),
+                "u": batch.column("u"),
+            })
+
+        def edge_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "key": batch.column("key"),
+                "dst": batch.column("dst"),
+                "walk": pa.array([-1] * n, pa.int64()),
+                "step": pa.array([-1] * n, pa.int64()),
+                "cand": pa.nulls(n, pa.int64()),
+                "picked": pa.array([False] * n, pa.bool_()),
+                "u": pa.array([-1] * n, pa.int64()),
+            })
+
+        unioned2 = edges.map_batches(
+            edge_rows, batch_format="pyarrow").union(
+            cands.map_batches(cand_rows, batch_format="pyarrow"))
+
+        def pick(pdf: pd.DataFrame, _s=step) -> pd.DataFrame:
+            done = pdf[(pdf["walk"] >= 0) & pdf["picked"]]
+            todo = pdf[(pdf["walk"] >= 0) & ~pdf["picked"]]
+            outs = []
+            if len(done):
+                outs.append(pd.DataFrame({
+                    "walk_id": done["walk"].to_numpy(np.int64),
+                    "step": done["step"].to_numpy(np.int64) + 1,
+                    "node": done["cand"].to_numpy(np.int64),
+                    "prev": done["key"].to_numpy(np.int64),
+                }))
+            if len(todo):
+                adj = pdf[pdf["walk"] < 0][["key", "dst"]].drop_duplicates()
+                t = todo.merge(
+                    adj, left_on=["key", "cand"],
+                    right_on=["key", "dst"], how="left",
+                    indicator=True).rename(columns={"_merge": "is_nb"})
+                w = np.where(
+                    t["cand"].to_numpy(np.int64)
+                    == t["key"].to_numpy(np.int64), inv_p,
+                    np.where(t["is_nb"].to_numpy() == "both", 1.0,
+                             inv_q))
+                t = t.assign(w=w).sort_values(
+                    ["walk", "cand"], kind="mergesort")
+                g = t.groupby("walk", sort=False)
+                cum = g["w"].cumsum()
+                tot = g["w"].transform("sum")
+                r = ((t["walk"].to_numpy(np.uint64)
+                      * np.uint64(mult_a)
+                      + np.uint64(_s) * np.uint64(mult_b))
+                     & np.uint64(0xFFFFFFFF)).astype(np.float64)
+                r = (r + 0.5) / 4294967296.0
+                hit = cum.to_numpy() > r * tot.to_numpy()
+                # first hitting candidate per walk (cand-sorted order)
+                idx = (t.assign(hit=hit, rn=np.arange(len(t)))
+                       [lambda d: d["hit"]]
+                       .groupby("walk", sort=False)["rn"].min())
+                chosen = t.iloc[idx.to_numpy()]
+                outs.append(pd.DataFrame({
+                    "walk_id": chosen["walk"].to_numpy(np.int64),
+                    "step": chosen["step"].to_numpy(np.int64) + 1,
+                    "node": chosen["cand"].to_numpy(np.int64),
+                    "prev": chosen["u"].to_numpy(np.int64),
+                }))
+            if not outs:
+                return pd.DataFrame({
+                    "walk_id": pd.Series([], dtype="int64"),
+                    "step": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64"),
+                    "prev": pd.Series([], dtype="int64"),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        frontier = grouped_apply(unioned2, ["key"], pick,
+                                 num_partitions=num_partitions,
+                                 batch_format="pandas").materialize()
+        visited.append(frontier.drop_columns(["prev"]))
+
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.union(v)
+    return out
