@@ -3808,6 +3808,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(edges, batch_format="pyarrow"),
             walk_len=4, p=0.5, q=2.0, num_partitions=8)
 
+    def docs_skipgram_pairs(sf_dir: str):
+        """(center, context, offset) skip-gram training pairs from the
+        DeepWalk corpus docs_graph_random_walks° pins — window 2, one
+        walk-keyed exchange + vectorized shifts. The oracle replays
+        the whole chain: the three SQL walk hops, then the window
+        self-join."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            random_walks,
+            skipgram_pairs,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(x):
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500),
+                                                  500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(pc.add(pc.multiply(ids, 7), 3)).combine_chunks(),
+                mod500(pc.add(pc.multiply(ids, ids), 1)).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        walks = random_walks(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            walk_len=4, num_partitions=8)
+        return skipgram_pairs(walks, window=2, num_partitions=8)
+
     def kg_edge_truss(sf_dir: str):
         """k-truss number per KG edge (Cohen 2008) — the edge-cohesion
         ladder separating relations embedded in clique-dense topic
@@ -9690,6 +9722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_novelty_by_batch": docs_novelty_by_batch,
         "kg_edge_truss": kg_edge_truss,
         "docs_node2vec_walks": docs_node2vec_walks,
+        "docs_skipgram_pairs": docs_skipgram_pairs,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13732,6 +13765,13 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS session_id
         FROM b
     """
+    d["docs_skipgram_pairs"] = (
+        "WITH walks AS (" + d["docs_graph_random_walks"] + ") "
+        'SELECT a.node AS center, b.node AS context, '
+        'CAST(b.step - a.step AS BIGINT) AS "offset" '
+        "FROM walks a JOIN walks b ON a.walk_id = b.walk_id "
+        "AND a.step <> b.step AND abs(a.step - b.step) <= 2"
+    )
     d["docs_novelty_by_batch"] = """
         WITH d AS (
           SELECT doc_id,

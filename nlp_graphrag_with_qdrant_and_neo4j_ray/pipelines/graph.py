@@ -3283,3 +3283,57 @@ def node2vec_walks(edges_ds, walk_len: int = 4, p: float = 1.0,
     for v in visited[1:]:
         out = out.union(v)
     return out
+
+
+def skipgram_pairs(walks_ds, window: int = 2,
+                   walk_col: str = "walk_id", step_col: str = "step",
+                   node_col: str = "node", num_partitions: int = 16):
+    """(center, context, offset) training pairs from a walk corpus —
+    the windowing step between :func:`random_walks` /
+    :func:`node2vec_walks` and a skip-gram embedding trainer
+    (Mikolov et al. 2013): every ordered pair of nodes within
+    ``window`` steps of each other on the same walk.
+
+    Scale shape: ONE hash exchange on the walk id; inside each
+    partition a single sort + 2·window vectorized shifts (each a
+    same-walk-masked array offset) — pair count = O(rows · window),
+    no per-walk Python."""
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([walk_col, step_col], kind="mergesort")
+        w = pdf[walk_col].to_numpy(np.int64)
+        s = pdf[step_col].to_numpy(np.int64)
+        n = pdf[node_col].to_numpy(np.int64)
+        outs = []
+        for off in range(-window, window + 1):
+            if off == 0:
+                continue
+            if off > 0:
+                same = (w[: len(w) - off] == w[off:]) & (
+                    s[off:] - s[: len(s) - off] == off)
+                outs.append(pd.DataFrame({
+                    "center": n[: len(n) - off][same],
+                    "context": n[off:][same],
+                    "offset": np.int64(off),
+                }))
+            else:
+                k = -off
+                same = (w[k:] == w[: len(w) - k]) & (
+                    s[: len(s) - k] - s[k:] == off)
+                outs.append(pd.DataFrame({
+                    "center": n[k:][same],
+                    "context": n[: len(n) - k][same],
+                    "offset": np.int64(off),
+                }))
+        if not outs:
+            return pd.DataFrame({
+                "center": pd.Series([], dtype="int64"),
+                "context": pd.Series([], dtype="int64"),
+                "offset": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(
+        walks_ds.select_columns([walk_col, step_col, node_col]),
+        [walk_col], pairs, num_partitions=num_partitions,
+        batch_format="pandas")

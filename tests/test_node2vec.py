@@ -119,3 +119,30 @@ def test_step0_equals_deepwalk_rule(ray_session):
     walks = dict(((w, s), n) for w, s, n in
                  _got(ray_session, pairs, walk_len=2))
     assert walks[(0, 1)] == sorted([1, 2, 3])[(0 * A + 0 * B) % 3]
+
+
+def test_skipgram_pairs_window_semantics(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        skipgram_pairs,
+    )
+
+    walks = pd.DataFrame({
+        "walk_id": np.array([1, 1, 1, 1, 2, 2], np.int64),
+        "step": np.array([0, 1, 2, 3, 0, 1], np.int64),
+        "node": np.array([10, 11, 12, 13, 20, 21], np.int64),
+    })
+    out = skipgram_pairs(ray.data.from_pandas(walks).repartition(2),
+                         window=2, num_partitions=3).to_pandas()
+    got = set(zip(out["center"], out["context"], out["offset"]))
+    want = set()
+    seqs = {1: [10, 11, 12, 13], 2: [20, 21]}
+    for seq in seqs.values():
+        for i, c in enumerate(seq):
+            for off in (-2, -1, 1, 2):
+                j = i + off
+                if 0 <= j < len(seq):
+                    want.add((c, seq[j], off))
+    assert got == want
+    assert len(out) == len(want)  # no duplicate emissions
