@@ -3808,6 +3808,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(edges, batch_format="pyarrow"),
             walk_len=4, p=0.5, q=2.0, num_partitions=8)
 
+    def events_late_arrivals(sf_dir: str):
+        """Event-time disorder census — the signal that sizes a
+        streaming watermark: per user (stream key), events whose
+        timestamp lags the running event-time maximum seen so far in
+        ARRIVAL order by more than 10 minutes.  The fixture has no
+        arrival column (event_id order IS ts order), so arrival time
+        is SIMULATED deterministically as ts + a ±90 min Knuth-hash
+        jitter of the event id — bounded out-of-orderness, the shape
+        real collection pipelines produce.  One key exchange; the
+        running max is a vectorized per-key cummax."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id"])
+        late_by = pd.Timedelta(minutes=10)
+
+        def audit(pdf: pd.DataFrame) -> pd.DataFrame:
+            eid = pdf["event_id"].to_numpy(np.uint64)
+            jitter = (eid * np.uint64(2654435761)
+                      % np.uint64(10_800_000_000)).astype(np.int64)
+            arrival = (pdf["ts"].astype("datetime64[us]").astype(
+                "int64") + jitter - 5_400_000_000)
+            pdf = pdf.assign(__arr=arrival).sort_values(
+                ["user_id", "__arr", "event_id"],
+                kind="mergesort").reset_index(drop=True)
+            cmax = pdf.groupby("user_id", sort=False)["ts"].cummax()
+            prevmax = cmax.groupby(pdf["user_id"], sort=False).shift(1)
+            lag = prevmax - pdf["ts"]
+            out = pdf[lag > late_by].drop(columns="__arr").copy()
+            out["late_by_s"] = np.round(
+                lag[lag > late_by].dt.total_seconds(), 6)
+            return out
+
+        return grouped_apply(ev, ["user_id"], audit,
+                             num_partitions=16, batch_format="pandas")
+
     def docs_skipgram_pairs(sf_dir: str):
         """(center, context, offset) skip-gram training pairs from the
         DeepWalk corpus docs_graph_random_walks° pins — window 2, one
@@ -9723,6 +9763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_truss": kg_edge_truss,
         "docs_node2vec_walks": docs_node2vec_walks,
         "docs_skipgram_pairs": docs_skipgram_pairs,
+        "events_late_arrivals": events_late_arrivals,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13764,6 +13805,26 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY ts, event_id)
                     AS BIGINT) AS session_id
         FROM b
+    """
+    d["events_late_arrivals"] = """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts)
+                 + (CAST(event_id AS HUGEINT) * 2654435761)
+                   % 10800000000 - 5400000000 AS arrival_us
+          FROM events
+        ), w AS (
+          SELECT user_id, ts, event_id,
+                 max(ts) OVER (PARTITION BY user_id
+                               ORDER BY arrival_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prevmax
+          FROM o
+        )
+        SELECT user_id, ts, event_id,
+               round(epoch_us(prevmax - ts) / 1000000.0, 6) AS late_by_s
+        FROM w
+        WHERE prevmax - ts > INTERVAL 600 SECOND
     """
     d["docs_skipgram_pairs"] = (
         "WITH walks AS (" + d["docs_graph_random_walks"] + ") "
