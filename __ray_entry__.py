@@ -3880,6 +3880,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             walk_len=4, num_partitions=8)
         return skipgram_pairs(walks, window=2, num_partitions=8)
 
+    def docs_skipgram_negatives(sf_dir: str):
+        """The complete word2vec training-data shape: skip-gram
+        window pairs from the SQL-replayable DeepWalk corpus plus 3
+        deterministic negatives per pair, drawn from the unigram^0.75
+        visit distribution via a hash fraction against the integer-
+        quantized cumulative weight table (exact bin boundaries on
+        both engines). The oracle replays walks → pairs → counts →
+        cumulative table → range join."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+            random_walks,
+            skipgram_negatives,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+        def edges(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+
+            def mod500(x):
+                return pc.subtract(x, pc.multiply(pc.divide(x, 500),
+                                                  500))
+
+            src = pa.concat_arrays([ids.combine_chunks()] * 2)
+            dst = pa.concat_arrays([
+                mod500(pc.add(pc.multiply(ids, 7), 3)).combine_chunks(),
+                mod500(pc.add(pc.multiply(ids, ids), 1)).combine_chunks(),
+            ])
+            return pa.table({"src": src, "dst": dst})
+
+        walks = random_walks(
+            docs.map_batches(edges, batch_format="pyarrow"),
+            walk_len=4, num_partitions=8)
+        return skipgram_negatives(walks, window=2, k_neg=3,
+                                  num_partitions=8)
+
     def kg_edge_truss(sf_dir: str):
         """k-truss number per KG edge (Cohen 2008) — the edge-cohesion
         ladder separating relations embedded in clique-dense topic
@@ -9763,6 +9798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_truss": kg_edge_truss,
         "docs_node2vec_walks": docs_node2vec_walks,
         "docs_skipgram_pairs": docs_skipgram_pairs,
+        "docs_skipgram_negatives": docs_skipgram_negatives,
         "events_late_arrivals": events_late_arrivals,
     }
     # SQL-oracled entries lead (stable order within each group): the
@@ -13832,6 +13868,41 @@ def oracle_sql() -> dict[str, str]:
         'CAST(b.step - a.step AS BIGINT) AS "offset" '
         "FROM walks a JOIN walks b ON a.walk_id = b.walk_id "
         "AND a.step <> b.step AND abs(a.step - b.step) <= 2"
+    )
+    d["docs_skipgram_negatives"] = (
+        "WITH walks AS (" + d["docs_graph_random_walks"] + "), "
+        """pairs AS (
+          SELECT a.node AS center, b.node AS context,
+                 CAST(b.step - a.step AS BIGINT) AS "offset"
+          FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+           AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        ), counts AS (
+          SELECT node,
+                 CAST(floor(pow(count(*), 0.75) * 1000000) AS BIGINT)
+                     AS w
+          FROM walks GROUP BY node
+        ), cum AS (
+          SELECT node,
+                 sum(w) OVER (ORDER BY node) AS hi,
+                 sum(w) OVER (ORDER BY node) - w AS lo
+          FROM counts
+        ), tot AS (SELECT sum(w) AS t FROM counts),
+        fr AS (
+          SELECT center, context, "offset",
+                 CAST(j AS BIGINT) AS neg_rank,
+                 (((CAST(center AS HUGEINT) * 1000003
+                    + CAST(context AS HUGEINT) * 10007
+                    + ("offset" + 2)) * 2654435761
+                   + CAST(j AS HUGEINT) * 40503) % 4294967296 + 0.5)
+                 / 4294967296.0 AS frac
+          FROM pairs,
+               LATERAL (SELECT unnest(generate_series(0, 2)) AS j)
+        )
+        SELECT f.center, f.context, f."offset", f.neg_rank,
+               c.node AS negative
+        FROM fr f, tot
+        JOIN cum c ON f.frac * tot.t >= c.lo AND f.frac * tot.t < c.hi
+        """
     )
     d["docs_novelty_by_batch"] = """
         WITH d AS (

@@ -3337,3 +3337,85 @@ def skipgram_pairs(walks_ds, window: int = 2,
         walks_ds.select_columns([walk_col, step_col, node_col]),
         [walk_col], pairs, num_partitions=num_partitions,
         batch_format="pandas")
+
+
+def skipgram_negatives(walks_ds, window: int = 2, k_neg: int = 3,
+                       walk_col: str = "walk_id", step_col: str = "step",
+                       node_col: str = "node", mult_a: int = 2654435761,
+                       mult_b: int = 40503, num_partitions: int = 16):
+    """Skip-gram pairs WITH deterministic negative sampling — the
+    complete word2vec training-data shape (Mikolov et al. 2013):
+    every (center, context, offset) window pair from
+    :func:`skipgram_pairs` plus ``k_neg`` negatives drawn from the
+    unigram^0.75 visit-count distribution, picked by a HASH fraction
+    against the node-ascending cumulative weight table (no RNG:
+    reproducible, partition-independent, SQL-replayable).
+
+    Scale shape: the walk exchange of :func:`skipgram_pairs`, ONE
+    tiny node-count exchange, and a broadcast cumulative table
+    (O(vocab) floats — node vocabulary bounded by contract, the same
+    assumption the downstream embedding trainer makes); negatives are
+    a vectorized repeat + searchsorted per batch."""
+    import ray
+
+    pairs = skipgram_pairs(walks_ds, window=window, walk_col=walk_col,
+                           step_col=step_col, node_col=node_col,
+                           num_partitions=num_partitions)
+
+    def count_nodes(batch: pa.Table) -> pa.Table:
+        return (batch.select([node_col])
+                .group_by(node_col).aggregate([([], "count_all")])
+                .rename_columns(["node", "n"]))
+
+    def fold_counts(t: pa.Table) -> pa.Table:
+        return (t.group_by("node").aggregate([("n", "sum")])
+                .rename_columns(["node", "n"]))
+
+    counts = grouped_apply(
+        walks_ds.map_batches(count_nodes, batch_format="pyarrow"),
+        ["node"], fold_counts, num_partitions=num_partitions,
+        batch_format="pyarrow").to_pandas().sort_values("node")
+    nodes = counts["node"].to_numpy(np.int64)
+    # weights quantized to integer micro-units so the cumulative
+    # boundaries are EXACT on both the numpy and the SQL side (a float
+    # cumsum would differ in the last ulp between engines and could
+    # flip a pick at a bin boundary)
+    w = np.floor(
+        counts["n"].to_numpy(np.float64) ** 0.75 * 1e6).astype(np.int64)
+    cum = np.cumsum(w)  # node-ascending, the order the oracle replays
+    tot = float(cum[-1])
+    table_ref = ray.put((nodes, cum, tot))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nds, cm, tt = ray.get(table_ref)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "center": pa.array([], pa.int64()),
+                "context": pa.array([], pa.int64()),
+                "offset": pa.array([], pa.int64()),
+                "neg_rank": pa.array([], pa.int64()),
+                "negative": pa.array([], pa.int64()),
+            })
+        c = batch.column("center").to_numpy(zero_copy_only=False)
+        x = batch.column("context").to_numpy(zero_copy_only=False)
+        off = batch.column("offset").to_numpy(zero_copy_only=False)
+        pairhash = (c.astype(np.uint64) * np.uint64(1000003)
+                    + x.astype(np.uint64) * np.uint64(10007)
+                    + (off + window).astype(np.uint64))
+        j = np.tile(np.arange(k_neg, dtype=np.uint64), n)
+        ph = np.repeat(pairhash, k_neg)
+        h = (ph * np.uint64(mult_a)
+             + j * np.uint64(mult_b)) & np.uint64(0xFFFFFFFF)
+        frac = (h.astype(np.float64) + 0.5) / 4294967296.0
+        pick = np.searchsorted(cm, frac * tt, side="right")
+        pick = np.minimum(pick, len(nds) - 1)
+        return pa.table({
+            "center": pa.array(np.repeat(c, k_neg)),
+            "context": pa.array(np.repeat(x, k_neg)),
+            "offset": pa.array(np.repeat(off, k_neg)),
+            "neg_rank": pa.array(j.astype(np.int64)),
+            "negative": pa.array(nds[pick]),
+        })
+
+    return pairs.map_batches(attach, batch_format="pyarrow")

@@ -146,3 +146,52 @@ def test_skipgram_pairs_window_semantics(ray_session):
                     want.add((c, seq[j], off))
     assert got == want
     assert len(out) == len(want)  # no duplicate emissions
+
+
+def test_skipgram_negatives_deterministic_and_distributed(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        skipgram_negatives,
+    )
+
+    rng = np.random.default_rng(31)
+    walks = pd.DataFrame({
+        "walk_id": np.repeat(np.arange(40, dtype=np.int64), 4),
+        "step": np.tile(np.arange(4, dtype=np.int64), 40),
+        "node": rng.integers(0, 12, 160).astype(np.int64),
+    })
+    a = skipgram_negatives(ray.data.from_pandas(walks).repartition(1),
+                           window=2, k_neg=3,
+                           num_partitions=1).to_pandas()
+    b = skipgram_negatives(ray.data.from_pandas(walks).repartition(7),
+                           window=2, k_neg=3,
+                           num_partitions=5).to_pandas()
+    key = ["center", "context", "offset", "neg_rank", "negative"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True))
+    # 3 negatives per pair, ranks 0..2
+    assert set(a["neg_rank"]) == {0, 1, 2}
+    assert len(a) % 3 == 0
+
+
+def test_skipgram_negatives_follow_unigram_power(ray_session):
+    import ray.data
+
+    from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.graph import (
+        skipgram_negatives,
+    )
+
+    # node 0 dominates visits → it must dominate the negative draws
+    walks = pd.DataFrame({
+        "walk_id": np.repeat(np.arange(50, dtype=np.int64), 4),
+        "step": np.tile(np.arange(4, dtype=np.int64), 50),
+        "node": np.where(np.arange(200) % 4 < 3, 0,
+                         1 + np.arange(200) % 7).astype(np.int64),
+    })
+    out = skipgram_negatives(ray.data.from_pandas(walks).repartition(3),
+                             window=1, k_neg=5,
+                             num_partitions=3).to_pandas()
+    share0 = (out["negative"] == 0).mean()
+    assert share0 > 0.4  # 75% of visits, ^0.75-damped, still dominant
