@@ -3808,6 +3808,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(edges, batch_format="pyarrow"),
             walk_len=4, p=0.5, q=2.0, num_partitions=8)
 
+    def customer_rfm_segments(sf_dir: str):
+        """RFM segmentation — the classic recency/frequency/monetary
+        quartile coding over the per-customer order aggregate (one
+        combiner-bounded exchange builds it; three exact-NTILE windows
+        code it; rfm = r·100 + f·10 + m).  The windows run over the
+        O(customers) aggregate, never the orders fact table — the
+        dimension-sized-output contract every RFM implementation
+        shares; at larger customer counts the quantile-threshold
+        variant (exact_quantiles) replaces exact NTILE."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            return b.group_by("o_custkey").aggregate(
+                [("o_orderdate", "max"), ("o_totalprice", "sum"),
+                 ([], "count_all")]).rename_columns(
+                ["o_custkey", "recency", "monetary", "frequency"])
+
+        def fold(t: pa.Table) -> pa.Table:
+            agg = t.group_by("o_custkey").aggregate(
+                [("recency", "max"), ("monetary", "sum"),
+                 ("frequency", "sum")])
+            return pa.table({
+                "o_custkey": agg.column("o_custkey"),
+                "recency": agg.column("recency_max"),
+                "frequency": pc.cast(agg.column("frequency_sum"),
+                                     pa.int64()),
+                "monetary": pc.round(
+                    agg.column("monetary_sum"), ndigits=2,
+                    round_mode="half_towards_infinity"),
+                "__all": pa.array(np.zeros(agg.num_rows, np.int64)),
+            })
+
+        rfm = grouped_apply(
+            orders.map_batches(partial, batch_format="pyarrow"),
+            ["o_custkey"], fold, num_partitions=16,
+            batch_format="pyarrow")
+
+        def ntile4(pdf: pd.DataFrame, metric: str) -> np.ndarray:
+            # exact SQL NTILE(4) over (metric, custkey) — same
+            # position→bucket formula as relational.window_ntile
+            order = np.lexsort((pdf["o_custkey"].to_numpy(),
+                                pdf[metric].to_numpy()))
+            n = len(pdf)
+            k, r = n // 4, n % 4
+            big = r * (k + 1)
+            p = np.arange(n, dtype=np.int64)
+            tile = np.where(p < big, p // max(k + 1, 1),
+                            r + (p - big) // max(k, 1)) + 1
+            out = np.empty(n, np.int64)
+            out[order] = tile
+            return out
+
+        def code(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.drop(columns="__all").reset_index(drop=True)
+            pdf["r"] = ntile4(pdf, "recency")
+            pdf["f"] = ntile4(pdf, "frequency")
+            pdf["m"] = ntile4(pdf, "monetary")
+            pdf["rfm"] = (pdf["r"] * 100 + pdf["f"] * 10
+                          + pdf["m"]).astype("int64")
+            return pdf
+
+        # all three NTILEs need the GLOBAL rank order, so the
+        # O(customers) aggregate folds through one partition — the
+        # dimension-sized window every exact-NTILE implementation pays
+        return grouped_apply(rfm, ["__all"], code, num_partitions=1,
+                             batch_format="pandas")
+
     def events_late_arrivals(sf_dir: str):
         """Event-time disorder census — the signal that sizes a
         streaming watermark: per user (stream key), events whose
@@ -9800,6 +9874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_skipgram_pairs": docs_skipgram_pairs,
         "docs_skipgram_negatives": docs_skipgram_negatives,
         "events_late_arrivals": events_late_arrivals,
+        "customer_rfm_segments": customer_rfm_segments,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13841,6 +13916,26 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY ts, event_id)
                     AS BIGINT) AS session_id
         FROM b
+    """
+    d["customer_rfm_segments"] = """
+        WITH agg AS (
+          SELECT o_custkey, max(o_orderdate) AS recency,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 round(sum(o_totalprice), 2) AS monetary
+          FROM orders GROUP BY o_custkey
+        ), t AS (
+          SELECT *,
+                 CAST(ntile(4) OVER (ORDER BY recency, o_custkey)
+                      AS BIGINT) AS r,
+                 CAST(ntile(4) OVER (ORDER BY frequency, o_custkey)
+                      AS BIGINT) AS f,
+                 CAST(ntile(4) OVER (ORDER BY monetary, o_custkey)
+                      AS BIGINT) AS m
+          FROM agg
+        )
+        SELECT o_custkey, recency, frequency, monetary, r, f, m,
+               r * 100 + f * 10 + m AS rfm
+        FROM t
     """
     d["events_late_arrivals"] = """
         WITH o AS (
