@@ -1698,3 +1698,110 @@ def hard_negatives(embeddings_ds, id_col: str = "vec_id",
         })
 
     return slim.map_batches(mine, batch_format="pyarrow")
+
+
+def dim_truncation_recall(embeddings_ds, dims=(8, 16, 32, 64),
+                          k: int = 10, query_mod: int = 25,
+                          id_col: str = "vec_id",
+                          emb_col: str = "embedding",
+                          ndigits: int = 6, num_partitions: int = 8):
+    """Matryoshka-style dimension-truncation audit: for each prefix
+    dimensionality in ``dims``, the cosine top-``k`` recall against
+    the full-dimension truth over a deterministic query subset
+    (``id % query_mod == 0``) — "how many dims can serving truncate
+    before recall falls off", the embedding-engineering eval behind
+    MRL (Kusupati et al. 2022) deployments.  Self-matches excluded;
+    ties break toward the smaller corpus id; the LAST entry of
+    ``dims`` must be the full dimension (it defines truth).
+
+    Scale shape: the truncated+renormalized query matrices broadcast
+    ONCE (O(queries × Σdims) floats); each corpus batch computes one
+    q×b matmul per dim and keeps its local top-k per (dim, query) —
+    a combiner — then ONE (dim, qid)-keyed exchange merges exact
+    global top-k and a tiny fold intersects each dim against the
+    full-dim truth."""
+    import ray
+
+    from ..stages.shuffle import grouped_apply
+
+    dims = list(dims)
+    full = dims[-1]
+    slim = embeddings_ds.select_columns([id_col, emb_col])
+
+    def is_query(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column(id_col), pa.int64())
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(
+                pc.divide(ids, query_mod), query_mod)), 0)
+        return b.filter(keep)
+
+    qtbl = pa.concat_tables(
+        ray.get(slim.map_batches(is_query, batch_format="pyarrow")
+                .materialize().to_arrow_refs()))
+    qids = qtbl.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    Qfull = _as_matrix(qtbl, emb_col).astype(np.float64)
+    qmats = {d: _normalize(Qfull[:, :d].copy()) for d in dims}
+    qref = ray.put((qids, qmats))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(qref)
+        empty = pa.table({
+            "dim": pa.array([], pa.int64()),
+            "qid": pa.array([], pa.int64()),
+            "cid": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if batch.num_rows == 0 or not len(qi):
+            return empty
+        M = _as_matrix(batch, emb_col).astype(np.float64)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts = []
+        for d, Q in qm.items():
+            m = _normalize(M[:, :d].copy())
+            s = Q @ m.T  # (q, b)
+            s[qi[:, None] == ids[None, :]] = -np.inf  # self-match
+            kk = min(k, s.shape[1])
+            order = np.lexsort(
+                (np.broadcast_to(ids, s.shape), -s), axis=1)[:, :kk]
+            rows = np.arange(len(qi))[:, None]
+            parts.append(pa.table({
+                "dim": pa.array(np.full(len(qi) * kk, d, np.int64)),
+                "qid": pa.array(np.repeat(qi, kk)),
+                "cid": pa.array(ids[order].ravel()),
+                "score": pa.array(s[rows, order].ravel()),
+            }))
+        return pa.concat_tables(parts)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[np.isfinite(pdf["score"])]
+        pdf = pdf.sort_values(["dim", "qid", "score", "cid"],
+                              ascending=[True, True, False, True],
+                              kind="mergesort")
+        return (pdf.groupby(["dim", "qid"], sort=False).head(k)
+                [["dim", "qid", "cid"]])
+
+    topk = grouped_apply(
+        slim.map_batches(partial, batch_format="pyarrow"),
+        ["dim", "qid"], merge, num_partitions=num_partitions,
+        batch_format="pandas")
+
+    def recall(pdf: pd.DataFrame) -> pd.DataFrame:
+        truth = pdf[pdf["dim"] == full][["qid", "cid"]]
+        n_q = truth["qid"].nunique()
+        out = []
+        for d, g in pdf.groupby("dim"):
+            hit = g.merge(truth, on=["qid", "cid"], how="inner")
+            out.append({"dim": int(d), "recall_at_k": round(
+                len(hit) / (k * n_q), ndigits)})
+        return pd.DataFrame(out)
+
+    # O(dims × queries × k) rows — a driver-sized eval fold
+    return grouped_apply(
+        topk.map_batches(
+            lambda b: b.append_column(
+                "__one", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["__one"], lambda pdf: recall(pdf.drop(columns="__one")),
+        num_partitions=1, batch_format="pandas")
