@@ -4041,6 +4041,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dim_truncation_recall(emb, dims=(8, 16, 32, 64), k=10,
                                      query_mod=25)
 
+    def embedding_knn_ndcg(sf_dir: str):
+        """Graded retrieval quality: per-query nDCG@10 of exact cosine
+        top-k under label-match relevance — does nearest-neighbor
+        search surface the right class, the IR-metric complement to
+        the recall-vs-brute ANN audits. Broadcast queries, matmul
+        combiner, one qid exchange, per-query vectorized DCG/IDCG."""
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.pipelines.similarity import (
+            knn_label_ndcg,
+        )
+
+        emb = _read(sf_dir, "embeddings")
+        return knn_label_ndcg(emb, k=10, query_mod=25)
+
     def kg_entity_harmonic(sf_dir: str):
         """Sampled harmonic centrality (Boldi & Vigna 2014) over the
         real KG edge list — which entities are CLOSE to everything
@@ -9891,6 +9904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_arrivals": events_late_arrivals,
         "customer_rfm_segments": customer_rfm_segments,
         "embedding_dim_truncation_recall": embedding_dim_truncation_recall,
+        "embedding_knn_ndcg": embedding_knn_ndcg,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13956,6 +13970,46 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_at_k
         FROM topk t JOIN truth tr ON t.qid = tr.qid AND t.cid = tr.cid
         GROUP BY t.dim
+    """
+    d["embedding_knn_ndcg"] = """
+        WITH q AS (
+          SELECT vec_id AS qid, label AS qlabel,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id % 25 = 0
+        ), c AS (
+          SELECT vec_id AS cid, label AS clabel,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), scored AS (
+          SELECT q.qid, q.qlabel, c.cid, c.clabel,
+                 list_cosine_similarity(q.e, c.e) AS s
+          FROM q JOIN c ON q.qid <> c.cid
+        ), topk AS (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY s DESC, cid) AS rnk
+          FROM scored
+          QUALIFY rnk <= 10
+        ), dcg AS (
+          SELECT qid, qlabel,
+                 sum(CASE WHEN qlabel = clabel
+                     THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg_raw
+          FROM topk GROUP BY qid, qlabel
+        ), lc AS (
+          SELECT label, count(*) AS n FROM embeddings GROUP BY label
+        ), base AS (
+          SELECT d.qid, d.dcg_raw,
+                 least(10, lc.n - 1) AS n_rel
+          FROM dcg d JOIN lc ON lc.label = d.qlabel
+        )
+        SELECT qid, round(dcg_raw, 6) AS dcg,
+               round((SELECT sum(1.0 / log2(r + 1))
+                      FROM unnest(generate_series(1, n_rel)) AS t(r)),
+                     6) AS idcg,
+               round(CASE WHEN n_rel > 0 THEN dcg_raw /
+                     (SELECT sum(1.0 / log2(r + 1))
+                      FROM unnest(generate_series(1, n_rel)) AS t(r))
+                     ELSE 0 END, 6) AS ndcg
+        FROM base
     """
     d["customer_rfm_segments"] = """
         WITH agg AS (

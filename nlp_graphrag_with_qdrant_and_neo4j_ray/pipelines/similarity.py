@@ -1805,3 +1805,108 @@ def dim_truncation_recall(embeddings_ds, dims=(8, 16, 32, 64),
             batch_format="pyarrow"),
         ["__one"], lambda pdf: recall(pdf.drop(columns="__one")),
         num_partitions=1, batch_format="pandas")
+
+
+def knn_label_ndcg(embeddings_ds, k: int = 10, query_mod: int = 25,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   label_col: str = "label", ndigits: int = 6,
+                   num_partitions: int = 8):
+    """Graded retrieval quality: nDCG@k of exact cosine top-k with
+    label-match relevance (rel = 1 when the neighbor shares the
+    query's label) — the standard IR metric over the embedding space,
+    the "does nearest-neighbor search surface the right class" eval
+    that complements recall-vs-brute ANN audits.  IDCG uses the full
+    corpus: the ideal ranking front-loads min(k, #same-label others)
+    relevant hits.  Self-matches excluded; ties toward the smaller
+    corpus id; per-query rows ``(qid, dcg, idcg, ndcg)``.
+
+    Scale shape: query matrix + label lookup broadcast once; per-batch
+    matmul + local top-k combiner; ONE qid exchange merges global
+    top-k; label counts fold from one tiny label-keyed aggregate."""
+    import ray
+
+    from ..stages.shuffle import grouped_apply
+
+    slim = embeddings_ds.select_columns([id_col, emb_col, label_col])
+
+    def is_query(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column(id_col), pa.int64())
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(
+                pc.divide(ids, query_mod), query_mod)), 0)
+        return b.filter(keep)
+
+    qtbl = pa.concat_tables(
+        ray.get(slim.map_batches(is_query, batch_format="pyarrow")
+                .materialize().to_arrow_refs()))
+    qids = qtbl.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    qlab = qtbl.column(label_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    Q = _normalize(_as_matrix(qtbl, emb_col).astype(np.float64))
+    label_counts = (
+        embeddings_ds.select_columns([label_col]).groupby(label_col)
+        .count().to_pandas())
+    n_per_label = dict(zip(label_counts[label_col].astype(int),
+                           label_counts["count()"].astype(int)))
+    qref = ray.put((qids, qlab, Q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, ql, Qm = ray.get(qref)
+        empty = pa.table({
+            "qid": pa.array([], pa.int64()),
+            "cid": pa.array([], pa.int64()),
+            "rel": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if batch.num_rows == 0 or not len(qi):
+            return empty
+        M = _normalize(_as_matrix(batch, emb_col).astype(np.float64))
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        labs = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = Qm @ M.T
+        s[qi[:, None] == ids[None, :]] = -np.inf
+        kk = min(k, s.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(ids, s.shape), -s), axis=1)[:, :kk]
+        rows = np.arange(len(qi))[:, None]
+        rel = (ql[:, None] == labs[order]).astype(np.int64)
+        return pa.table({
+            "qid": pa.array(np.repeat(qi, kk)),
+            "cid": pa.array(ids[order].ravel()),
+            "rel": pa.array(rel.ravel()),
+            "score": pa.array(s[rows, order].ravel()),
+        })
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[np.isfinite(pdf["score"])]
+        pdf = pdf.sort_values(["qid", "score", "cid"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = pdf.groupby("qid", sort=False).head(k).copy()
+        top["rank"] = top.groupby("qid", sort=False).cumcount() + 1
+        top["gain"] = top["rel"] / np.log2(top["rank"] + 1.0)
+        dcg = top.groupby("qid", sort=False)["gain"].sum()
+        out = dcg.reset_index().rename(columns={"gain": "dcg"})
+        ideal = np.cumsum(1.0 / np.log2(np.arange(1, k + 1) + 1.0))
+        qlabel = dict(zip(qids, qlab))
+        n_rel = np.array([
+            min(k, n_per_label.get(int(qlabel[q]), 1) - 1)
+            for q in out["qid"]])
+        out["idcg"] = np.where(n_rel > 0, ideal[np.maximum(n_rel, 1)
+                                                - 1], 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = np.where(out["idcg"] > 0,
+                          out["dcg"] / out["idcg"], 0.0)
+        out["dcg"] = np.round(out["dcg"].to_numpy(), ndigits)
+        out["idcg"] = np.round(out["idcg"].to_numpy(), ndigits)
+        out["ndcg"] = np.round(nd, ndigits)
+        return out
+
+    merged = grouped_apply(
+        slim.map_batches(partial, batch_format="pyarrow"),
+        ["qid"], fold, num_partitions=num_partitions,
+        batch_format="pandas")
+    return merged
