@@ -4013,6 +4013,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return truss_decomposition(edges, src_col="src_entity_id",
                                    dst_col="dst_entity_id")
 
+    def docs_readability(sf_dir: str):
+        """Flesch-reading-ease-style readability per document — the
+        classic curation signal for audience-level filtering.
+        Syllables are approximated as vowel-group runs (the standard
+        regex proxy); sentences as [.!?]+ runs (min 1).  Pure
+        vectorized regex map, zero exchanges."""
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def score(b: pa.Table) -> pa.Table:
+            text = b.column("text")
+            words = pc.count_substring_regex(text, "[A-Za-z]+")
+            syll = pc.count_substring_regex(text, "[aeiouAEIOU]+")
+            sents = pc.max_element_wise(
+                pc.count_substring_regex(text, "[.!?]+"),
+                pa.scalar(1, pa.int32()))
+            w = pc.cast(words, pa.float64()).to_numpy(
+                zero_copy_only=False)
+            s = pc.cast(syll, pa.float64()).to_numpy(
+                zero_copy_only=False)
+            n = pc.cast(sents, pa.float64()).to_numpy(
+                zero_copy_only=False)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                flesch = np.where(
+                    w > 0,
+                    206.835 - 1.015 * (w / n) - 84.6 * (s / w),
+                    0.0)
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_words": pc.cast(words, pa.int64()),
+                "n_sentences": pc.cast(sents, pa.int64()),
+                "n_syllable_groups": pc.cast(syll, pa.int64()),
+                "flesch": pc.round(pa.array(flesch), ndigits=6,
+                                   round_mode="half_towards_infinity"),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
     def embedding_hard_negatives(sf_dir: str):
         """Contrastive hard-negative mining: each vector's most-similar
         DIFFERENT-label neighbor (cosine; ties toward the smaller id) —
@@ -9905,6 +9943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": customer_rfm_segments,
         "embedding_dim_truncation_recall": embedding_dim_truncation_recall,
         "embedding_knn_ndcg": embedding_knn_ndcg,
+        "docs_readability": docs_readability,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -13970,6 +14009,24 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_at_k
         FROM topk t JOIN truth tr ON t.qid = tr.qid AND t.cid = tr.cid
         GROUP BY t.dim
+    """
+    d["docs_readability"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+                 len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS s,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                     AS n
+          FROM documents
+        )
+        SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+               CAST(n AS BIGINT) AS n_sentences,
+               CAST(s AS BIGINT) AS n_syllable_groups,
+               round(CASE WHEN w > 0 THEN
+                 206.835 - 1.015 * (w / CAST(n AS DOUBLE))
+                 - 84.6 * (s / CAST(w AS DOUBLE))
+               ELSE 0 END, 6) AS flesch
+        FROM b
     """
     d["embedding_knn_ndcg"] = """
         WITH q AS (
