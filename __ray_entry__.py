@@ -4013,6 +4013,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return truss_decomposition(edges, src_col="src_entity_id",
                                    dst_col="dst_entity_id")
 
+    def docs_lang_temperature_weights(sf_dir: str):
+        """XLM-R-style temperature sampling weights (Conneau et al.
+        2020, α = 0.3): per language, w_l ∝ p_l^α normalized — the
+        multilingual rebalance that upweights low-resource languages.
+        One tiny count exchange; the α-scaling is an O(langs) fold."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["lang"])
+
+        def count_l(b: pa.Table) -> pa.Table:
+            return b.group_by("lang").aggregate(
+                [([], "count_all")]).rename_columns(["lang", "n"])
+
+        def fold(t: pa.Table) -> pa.Table:
+            agg = t.group_by("lang").aggregate([("n", "sum")])
+            return agg.rename_columns(["lang", "n"])
+
+        counts = grouped_apply(
+            docs.map_batches(count_l, batch_format="pyarrow"),
+            ["lang"], fold, num_partitions=4, batch_format="pyarrow")
+
+        def weights(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.drop(columns="__one").sort_values("lang")
+            n = pdf["n"].to_numpy(np.float64)
+            p = n / n.sum()
+            w = p ** 0.3
+            w = w / w.sum()
+            return pd.DataFrame({
+                "lang": pdf["lang"].to_numpy(),
+                "n_docs": pdf["n"].astype("int64").to_numpy(),
+                "p": np.round(p, 6),
+                "weight": np.round(w, 6),
+                "boost": np.round(w / p, 6),
+            })
+
+        return grouped_apply(
+            counts.map_batches(
+                lambda b: b.append_column(
+                    "__one", pa.array(np.zeros(b.num_rows, np.int64))),
+                batch_format="pyarrow"),
+            ["__one"], weights, num_partitions=1,
+            batch_format="pandas")
+
     def docs_readability(sf_dir: str):
         """Flesch-reading-ease-style readability per document — the
         classic curation signal for audience-level filtering.
@@ -9944,6 +9991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_truncation_recall": embedding_dim_truncation_recall,
         "embedding_knn_ndcg": embedding_knn_ndcg,
         "docs_readability": docs_readability,
+        "docs_lang_temperature_weights": docs_lang_temperature_weights,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -14009,6 +14057,23 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_at_k
         FROM topk t JOIN truth tr ON t.qid = tr.qid AND t.cid = tr.cid
         GROUP BY t.dim
+    """
+    d["docs_lang_temperature_weights"] = """
+        WITH c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang
+        ), t AS (
+          SELECT lang, n_docs,
+                 n_docs / (SELECT sum(n_docs) FROM c)::DOUBLE AS p,
+                 pow(n_docs / (SELECT sum(n_docs) FROM c)::DOUBLE, 0.3)
+                     AS wraw
+          FROM c
+        )
+        SELECT lang, n_docs, round(p, 6) AS p,
+               round(wraw / (SELECT sum(wraw) FROM t), 6) AS weight,
+               round((wraw / (SELECT sum(wraw) FROM t)) / p, 6)
+                   AS boost
+        FROM t
     """
     d["docs_readability"] = """
         WITH b AS (
