@@ -2080,6 +2080,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              num_partitions=8,
                              batch_format="pandas").sort(["doc_a", "doc_b"])
 
+    def docs_containment_pairs(sf_dir: str):
+        """EXACT all-pairs char-3-gram CONTAINMENT ≥ 0.8 — the
+        asymmetric near-dup (Broder 1997's containment next to
+        resemblance): |A∩B| / min(|A|, |B|) catches quote-inclusion
+        and page-wrapping that symmetric Jaccard misses (a small doc
+        fully quoted inside a big one scores ~2·|A|/(|A|+|B|) on
+        Jaccard but 1.0 on containment).  Same bounded-200-doc oracle
+        baseline + gram-keyed exchange as docs_jaccard_exact_pairs;
+        the production path pairs a MinHash candidate generator with
+        this as the verifier."""
+        import ray
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = (_read(sf_dir, "documents")
+                .select_columns(["doc_id", "text"])
+                .sort("doc_id").limit(200))
+
+        def grams(batch: pa.Table) -> pa.Table:
+            ids, out = [], []
+            for did, txt in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+                t = (txt or "").lower()
+                gs = {t[i:i + 3] for i in range(max(len(t) - 2, 0))}
+                ids.extend([did] * len(gs))
+                out.extend(gs)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "gram": pa.array(out, pa.string())})
+
+        gram_ds = docs.map_batches(grams, batch_format="pyarrow")
+        sizes = {r["doc_id"]: r["count()"] for r in
+                 gram_ds.groupby("doc_id").count().take_all()}
+        sizes_ref = ray.put(sizes)
+
+        def pair_counts(pdf) -> Any:
+            j = pdf.merge(pdf, on="gram")
+            j = j[j["doc_id_x"] < j["doc_id_y"]]
+            return (j.groupby(["doc_id_x", "doc_id_y"], sort=False)
+                    .size().reset_index(name="c")
+                    .rename(columns={"doc_id_x": "doc_a",
+                                     "doc_id_y": "doc_b"}))
+
+        inter = grouped_apply(gram_ds, ["gram"], pair_counts,
+                              num_partitions=16, batch_format="pandas")
+
+        def finish(pdf) -> Any:
+            s = ray.get(sizes_ref)
+            g = (pdf.groupby(["doc_a", "doc_b"], sort=False)["c"]
+                 .sum().reset_index())
+            na = g["doc_a"].map(s).to_numpy()
+            nb = g["doc_b"].map(s).to_numpy()
+            c = g["c"].to_numpy()
+            cont = c / np.minimum(na, nb)
+            keep = cont >= 0.8  # filter on the UNROUNDED value (as SQL)
+            g["containment"] = np.floor(cont * 1e6 + 0.5) / 1e6
+            return g[keep][["doc_a", "doc_b", "containment"]]
+
+        return grouped_apply(inter, ["doc_a", "doc_b"], finish,
+                             num_partitions=8,
+                             batch_format="pandas").sort(
+            ["doc_a", "doc_b"])
+
     def embedding_cosine_exact_pairs(sf_dir: str):
         """EXACT all-pairs cosine ≥ 0.4 over the embeddings table — the
         recall-1.0 baseline next to embedding_near_dups (whose LSH
@@ -9992,6 +10056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_ndcg": embedding_knn_ndcg,
         "docs_readability": docs_readability,
         "docs_lang_temperature_weights": docs_lang_temperature_weights,
+        "docs_containment_pairs": docs_containment_pairs,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -14057,6 +14122,27 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_at_k
         FROM topk t JOIN truth tr ON t.qid = tr.qid AND t.cid = tr.cid
         GROUP BY t.dim
+    """
+    d["docs_containment_pairs"] = """
+        WITH d AS (SELECT doc_id, lower(text) AS t
+                   FROM documents ORDER BY doc_id LIMIT 200),
+        g AS (SELECT DISTINCT doc_id, substring(t, i, 3) AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(
+                               1, greatest(length(t) - 2, 0))) AS i
+                    FROM d)),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS c
+                  FROM g a JOIN g b
+                    ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE c * 1.0 / least(sa.n, sb.n) >= 0.8
     """
     d["docs_lang_temperature_weights"] = """
         WITH c AS (
