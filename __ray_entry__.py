@@ -3946,6 +3946,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_apply(rfm, ["__all"], code, num_partitions=1,
                              batch_format="pandas")
 
+    def events_burstiness(sf_dir: str):
+        """Traffic burstiness per event type: the Fano factor
+        (sample variance / mean of DAILY counts) — >1 flags bursty,
+        overdispersed streams that need headroom; ≈1 is Poisson-like.
+        One (type, day) count exchange, then an O(types × days)
+        variance fold."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts"])
+
+        def day_counts(b: pa.Table) -> pa.Table:
+            day = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"),
+                          pa.date32())
+            return pa.table({
+                "event_type": b.column("event_type"), "day": day,
+            }).group_by(["event_type", "day"]).aggregate(
+                [([], "count_all")]).rename_columns(
+                ["event_type", "day", "n"])
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = (pdf.groupby(["event_type", "day"], sort=False)["n"]
+                 .sum().reset_index()
+                 .groupby("event_type", sort=True)["n"])
+            out = g.agg(n_days="size", mean_daily="mean",
+                        var_daily="var").reset_index()
+            out["n_days"] = out["n_days"].astype("int64")
+            out["fano"] = np.round(
+                out["var_daily"] / out["mean_daily"], 6)
+            out["mean_daily"] = np.round(out["mean_daily"], 6)
+            out["var_daily"] = np.round(out["var_daily"], 6)
+            return out
+
+        return grouped_apply(
+            ev.map_batches(day_counts, batch_format="pyarrow"),
+            ["event_type"], fold, num_partitions=4,
+            batch_format="pandas")
+
     def events_late_arrivals(sf_dir: str):
         """Event-time disorder census — the signal that sizes a
         streaming watermark: per user (stream key), events whose
@@ -10057,6 +10099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": docs_readability,
         "docs_lang_temperature_weights": docs_lang_temperature_weights,
         "docs_containment_pairs": docs_containment_pairs,
+        "events_burstiness": events_burstiness,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -14122,6 +14165,19 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_at_k
         FROM topk t JOIN truth tr ON t.qid = tr.qid AND t.cid = tr.cid
         GROUP BY t.dim
+    """
+    d["events_burstiness"] = """
+        WITH dc AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+                     AS day,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(n), 6) AS mean_daily,
+               round(var_samp(n), 6) AS var_daily,
+               round(var_samp(n) / avg(n), 6) AS fano
+        FROM dc GROUP BY event_type
     """
     d["docs_containment_pairs"] = """
         WITH d AS (SELECT doc_id, lower(text) AS t

@@ -29,6 +29,8 @@ NEW_ORACLED = [
     "docs_readability",
     "docs_lang_temperature_weights",
     "customer_rfm_segments",
+    "docs_containment_pairs",
+    "events_burstiness",
 ]
 
 
