@@ -2538,6 +2538,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return resize_images(media, out_h=16, out_w=16).select_columns(
             ["media_id", "width", "height", "n_bytes"])
 
+    def images_augmented(sf_dir: str):
+        """Deterministic per-image augmentation (flip / k·90° rotation
+        / hashed crop, chosen by CRC32 of media_id — no RNG state, so
+        the augmented snapshot is reproducible and resumable) — real
+        PNG payloads in AND out via the vendored codec.  Rows-only;
+        pixel semantics pinned by tests/test_augment.py against a
+        pure-numpy reference."""
+        import ray.data
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.functions.media import (
+            encode_png,
+        )
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.multimodal import (
+            MEDIA_SCHEMA,
+            augment_images,
+        )
+
+        def gen(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in batch.column("id").to_pylist():
+                rng = np.random.default_rng(int(i))
+                img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+                rows.append({
+                    "media_id": f"img-{int(i):07d}",
+                    "kind": "image",
+                    "payload": encode_png(img),
+                    "mime": "image/png",
+                    "source_url": f"https://fixture.test/img/{int(i)}",
+                })
+            return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+        media = ray.data.range(200).map_batches(
+            gen, batch_format="pyarrow", batch_size=64)
+        return augment_images(media, crop_margin=8).select_columns(
+            ["media_id", "aug", "width", "height", "n_bytes"])
+
     def images_phash_dups(sf_dir: str):
         """Image near-dup detection — REAL PNG payloads (vendored
         encoder) → actor-pool perceptual dHash → the same band-bucket +
@@ -10100,6 +10136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_temperature_weights": docs_lang_temperature_weights,
         "docs_containment_pairs": docs_containment_pairs,
         "events_burstiness": events_burstiness,
+        "images_augmented": images_augmented,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the

@@ -565,6 +565,94 @@ def resize_images(media_ds, out_h: int = 64, out_w: int = 64,
     )
 
 
+class AugmentImage(DecodeImage):
+    """Actor-pool stage: decode (same precedence chain as
+    :class:`DecodeImage`) → DETERMINISTIC augmentation → re-encode
+    PNG.  The augmentation chain is picked per image by a CRC32 hash
+    of ``media_id`` (no RNG state — reproducible, resumable, and
+    partition-independent, the properties a training-data snapshot
+    needs): horizontal flip (1 bit), rotation k·90° (2 bits), and a
+    crop of ``crop_margin`` pixels at a hashed offset when the image
+    is big enough.  Output: (media_id, aug, width, height, n_bytes,
+    payload) with ``aug`` a compact ``f{0,1}r{0-3}c{dy},{dx}``
+    descriptor."""
+
+    def __init__(self, crop_margin: int = 8):
+        super().__init__(feature_dim=8)  # dim unused; decode chain only
+        self.crop_margin = int(crop_margin)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from ..functions.media import (
+            PNG_SIG,
+            decode_png,
+            encode_png,
+            gray2d,
+        )
+
+        ids, augs, ws, hs, nb, payloads = [], [], [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if payload.startswith(_MAGIC):
+                arr = gray2d(np.frombuffer(payload[19:],
+                                           dtype=np.uint8))
+            elif self._pil is not None:  # pragma: no cover
+                import io
+
+                arr = np.asarray(self._pil.open(io.BytesIO(payload)))
+            elif payload.startswith(PNG_SIG):
+                _w, _h, arr = decode_png(payload)
+            else:
+                raise NotImplementedError(
+                    "image augment requires PIL, a PNG payload, or a "
+                    "synthetic fixture")
+            h = zlib.crc32(str(mid).encode("utf-8"))
+            flip = h & 1
+            rot = (h >> 1) & 3
+            if flip:
+                arr = arr[:, ::-1]
+            if rot:
+                arr = np.rot90(arr, rot)
+            m = self.crop_margin
+            dy = dx = 0
+            if m and arr.shape[0] > m and arr.shape[1] > m:
+                dy = (h >> 3) % (m + 1)
+                dx = (h >> 7) % (m + 1)
+                arr = arr[dy:arr.shape[0] - (m - dy),
+                          dx:arr.shape[1] - (m - dx)]
+            out = encode_png(np.ascontiguousarray(arr))
+            ids.append(mid)
+            augs.append(f"f{flip}r{rot}c{dy},{dx}")
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            nb.append(len(out))
+            payloads.append(out)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "aug": pa.array(augs, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+
+def augment_images(media_ds, crop_margin: int = 8, concurrency=(1, 4),
+                   batch_size: int = 32):
+    """Deterministic image augmentation as an actor-pool map_batches
+    (payload-in / payload-out, same sizing rationale as resize)."""
+    return media_ds.map_batches(
+        AugmentImage,
+        fn_constructor_kwargs={"crop_margin": crop_margin},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class AudioFingerprint(DecodeAudio):
     """Actor-pool stage: decode (same precedence chain as
     :class:`DecodeAudio`) → 64-bit energy-envelope fingerprint
