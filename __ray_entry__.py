@@ -4202,6 +4202,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["__one"], weights, num_partitions=1,
             batch_format="pandas")
 
+    def docs_trigram_entropy(sf_dir: str):
+        """Character-trigram Shannon entropy per document — the
+        LM-free gibberish/boilerplate detector (low entropy = highly
+        repetitive templates; keyboard-mash and encrypted blobs sit at
+        the high extreme).  Pure map, zero exchanges; per-doc counting
+        is inherently per-record (same contract as the zlib
+        compression-ratio signal), the entropy fold is numpy."""
+        from collections import Counter
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def entropy(b: pa.Table) -> pa.Table:
+            ids, ents = [], []
+            for did, txt in zip(b.column("doc_id").to_pylist(),
+                                b.column("text").to_pylist()):
+                t = (txt or "").lower()
+                if len(t) < 3:
+                    continue
+                c = Counter(t[i:i + 3] for i in range(len(t) - 2))
+                n = np.fromiter(c.values(), np.float64, len(c))
+                p = n / n.sum()
+                ids.append(did)
+                ents.append(float(-(p * np.log2(p)).sum()))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "trigram_entropy": pc.round(
+                    pa.array(ents, pa.float64()), ndigits=6,
+                    round_mode="half_towards_infinity"),
+            })
+
+        return docs.map_batches(entropy, batch_format="pyarrow")
+
     def docs_readability(sf_dir: str):
         """Flesch-reading-ease-style readability per document — the
         classic curation signal for audience-level filtering.
@@ -10137,6 +10170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment_pairs": docs_containment_pairs,
         "events_burstiness": events_burstiness,
         "images_augmented": images_augmented,
+        "docs_trigram_entropy": docs_trigram_entropy,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -14253,6 +14287,24 @@ def oracle_sql() -> dict[str, str]:
                round((wraw / (SELECT sum(wraw) FROM t)) / p, 6)
                    AS boost
         FROM t
+    """
+    d["docs_trigram_entropy"] = """
+        WITH g AS (
+          SELECT doc_id, substring(t, i, 3) AS gram
+          FROM (SELECT doc_id, lower(text) AS t,
+                       unnest(generate_series(
+                           1, greatest(length(text) - 2, 0))) AS i
+                FROM documents)
+        ), c AS (
+          SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2
+        ), t AS (
+          SELECT doc_id, sum(n) AS tot FROM c GROUP BY 1
+        )
+        SELECT c.doc_id,
+               round(-sum((n / tot::DOUBLE)
+                          * log2(n / tot::DOUBLE)), 6)
+                   AS trigram_entropy
+        FROM c JOIN t USING (doc_id) GROUP BY c.doc_id
     """
     d["docs_readability"] = """
         WITH b AS (

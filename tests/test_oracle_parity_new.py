@@ -31,6 +31,7 @@ NEW_ORACLED = [
     "customer_rfm_segments",
     "docs_containment_pairs",
     "events_burstiness",
+    "docs_trigram_entropy",
 ]
 
 
