@@ -3982,6 +3982,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_apply(rfm, ["__all"], code, num_partitions=1,
                              batch_format="pandas")
 
+    def events_interarrival_quantiles(sf_dir: str):
+        """Inter-arrival time distribution per event type (p50 / p90
+        of consecutive same-type gaps in seconds) — the arrival-rate
+        profile that sizes stream buffers; the quantile companion to
+        events_burstiness' dispersion view.  One type-keyed exchange:
+        lag + quantile both run vectorized inside the partition."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        ev = _read(sf_dir, "events").select_columns(
+            ["event_type", "ts", "event_id"])
+
+        def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["event_type", "ts", "event_id"],
+                                  kind="mergesort")
+            prev = pdf.groupby("event_type", sort=False)["ts"].shift(1)
+            gap = (pdf["ts"] - prev).dt.total_seconds()
+            out = (pdf.assign(gap=gap).dropna(subset=["gap"])
+                   .groupby("event_type", sort=True)["gap"]
+                   .quantile([0.5, 0.9]).unstack())
+            out.columns = ["p50_s", "p90_s"]
+            out = out.reset_index()
+            out["p50_s"] = np.round(out["p50_s"].to_numpy(), 6)
+            out["p90_s"] = np.round(out["p90_s"].to_numpy(), 6)
+            return out
+
+        return grouped_apply(ev, ["event_type"], quantiles,
+                             num_partitions=4, batch_format="pandas")
+
+    def docs_hapax_ratio(sf_dir: str):
+        """Vocabulary richness: the corpus hapax-legomena share —
+        what fraction of DISTINCT whitespace tokens occur exactly
+        once (high on fresh diverse text, near zero on templated
+        spam).  Per-batch token-count combiner, one token-keyed
+        exchange, O(partitions) scalar fold."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(["text"])
+
+        def tok_counts(b: pa.Table) -> pa.Table:
+            toks = pc.list_flatten(
+                pc.split_pattern(b.column("text"), " "))
+            t = pa.table({"tok": toks}).filter(pc.not_equal(toks, ""))
+            return t.group_by("tok").aggregate(
+                [([], "count_all")]).rename_columns(["tok", "n"])
+
+        def per_token(t: pa.Table) -> pa.Table:
+            agg = t.group_by("tok").aggregate([("n", "sum")])
+            n = agg.column("n_sum")
+            return pa.table({
+                "n_distinct": pa.array([agg.num_rows], pa.int64()),
+                "n_hapax": pa.array([pc.sum(pc.cast(
+                    pc.equal(n, 1), pa.int64())).as_py() or 0],
+                    pa.int64()),
+            })
+
+        partials = grouped_apply(
+            docs.map_batches(tok_counts, batch_format="pyarrow"),
+            ["tok"], per_token, num_partitions=8,
+            batch_format="pyarrow")
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            d = int(pdf["n_distinct"].sum())
+            h = int(pdf["n_hapax"].sum())
+            return pd.DataFrame({
+                "n_distinct_tokens": [d], "n_hapax": [h],
+                "hapax_ratio": [round(h / d, 6) if d else 0.0],
+            })
+
+        return grouped_apply(
+            partials.map_batches(
+                lambda b: b.append_column(
+                    "__one", pa.array(np.zeros(b.num_rows, np.int64))),
+                batch_format="pyarrow"),
+            ["__one"], lambda pdf: fold(pdf.drop(columns="__one")),
+            num_partitions=1, batch_format="pandas")
+
     def events_burstiness(sf_dir: str):
         """Traffic burstiness per event type: the Fano factor
         (sample variance / mean of DAILY counts) — >1 flags bursty,
@@ -10171,6 +10255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burstiness": events_burstiness,
         "images_augmented": images_augmented,
         "docs_trigram_entropy": docs_trigram_entropy,
+        "events_interarrival_quantiles": events_interarrival_quantiles,
+        "docs_hapax_ratio": docs_hapax_ratio,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -14236,6 +14322,35 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_at_k
         FROM topk t JOIN truth tr ON t.qid = tr.qid AND t.cid = tr.cid
         GROUP BY t.dim
+    """
+    d["events_interarrival_quantiles"] = """
+        WITH o AS (
+          SELECT event_type,
+                 epoch_us(ts - lag(ts) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id))
+                 / 1000000.0 AS gap
+          FROM events
+        )
+        SELECT event_type,
+               round(quantile_cont(gap, 0.5), 6) AS p50_s,
+               round(quantile_cont(gap, 0.9), 6) AS p90_s
+        FROM o WHERE gap IS NOT NULL
+        GROUP BY event_type
+    """
+    d["docs_hapax_ratio"] = """
+        WITH tok AS (
+          SELECT t, count(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t <> ''
+          GROUP BY t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT)
+                   AS n_hapax,
+               round(count(CASE WHEN n = 1 THEN 1 END)
+                     / count(*)::DOUBLE, 6) AS hapax_ratio
+        FROM tok
     """
     d["events_burstiness"] = """
         WITH dc AS (

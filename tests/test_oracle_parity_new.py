@@ -32,6 +32,8 @@ NEW_ORACLED = [
     "docs_containment_pairs",
     "events_burstiness",
     "docs_trigram_entropy",
+    "events_interarrival_quantiles",
+    "docs_hapax_ratio",
 ]
 
 
