@@ -4319,6 +4319,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(entropy, batch_format="pyarrow")
 
+    def docs_mixing_schedule(sf_dir: str):
+        """Deterministic source-mixing schedule — stride scheduling
+        (WFQ) over temperature weights: doc r of source s gets
+        ``mix_key = (r + 0.5) / w_s``, and sorting by (mix_key,
+        source, doc_id) interleaves sources in exact proportion to
+        their α=0.3 sampling weights — how training batches mix
+        sources without an RNG.  Fully distributed: one tiny count
+        exchange for the O(sources) weight table, one source-keyed
+        exchange for the per-source ranks, a broadcast map for the
+        keys; the global order is the consumer's sort (training
+        shards are written key-sorted), never a global window."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "source"])
+
+        def count_s(b: pa.Table) -> pa.Table:
+            return b.group_by("source").aggregate(
+                [([], "count_all")]).rename_columns(["source", "n"])
+
+        def fold_c(t: pa.Table) -> pa.Table:
+            return t.group_by("source").aggregate(
+                [("n", "sum")]).rename_columns(["source", "n"])
+
+        counts = grouped_apply(
+            docs.map_batches(count_s, batch_format="pyarrow"),
+            ["source"], fold_c, num_partitions=4,
+            batch_format="pyarrow").to_pandas().sort_values("source")
+        n = counts["n"].to_numpy(np.float64)
+        p = n / n.sum()
+        w = p ** 0.3
+        w = np.round(w / w.sum(), 6)
+        wmap = dict(zip(counts["source"], w))
+
+        def keys(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["source", "doc_id"],
+                                  kind="mergesort").reset_index(
+                drop=True)
+            r = pdf.groupby("source", sort=False).cumcount().to_numpy(
+                np.float64)
+            wt = pdf["source"].map(wmap).to_numpy(np.float64)
+            pdf["src_rank"] = r.astype(np.int64)
+            pdf["mix_key"] = np.round((r + 0.5) / wt, 6)
+            return pdf
+
+        return grouped_apply(docs, ["source"], keys,
+                             num_partitions=8, batch_format="pandas")
+
     def docs_readability(sf_dir: str):
         """Flesch-reading-ease-style readability per document — the
         classic curation signal for audience-level filtering.
@@ -10257,6 +10309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_trigram_entropy": docs_trigram_entropy,
         "events_interarrival_quantiles": events_interarrival_quantiles,
         "docs_hapax_ratio": docs_hapax_ratio,
+        "docs_mixing_schedule": docs_mixing_schedule,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -14402,6 +14455,27 @@ def oracle_sql() -> dict[str, str]:
                round((wraw / (SELECT sum(wraw) FROM t)) / p, 6)
                    AS boost
         FROM t
+    """
+    d["docs_mixing_schedule"] = """
+        WITH c AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), w AS (
+          SELECT source,
+                 round(pow(n / (SELECT sum(n) FROM c)::DOUBLE, 0.3)
+                       / (SELECT sum(pow(n / (SELECT sum(n) FROM c)
+                                         ::DOUBLE, 0.3)) FROM c), 6)
+                     AS wt
+          FROM c
+        ), r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_id) - 1 AS src_rank
+          FROM documents
+        )
+        SELECT r.doc_id, r.source,
+               CAST(src_rank AS BIGINT) AS src_rank,
+               round((src_rank + 0.5) / wt, 6) AS mix_key
+        FROM r JOIN w USING (source)
     """
     d["docs_trigram_entropy"] = """
         WITH g AS (

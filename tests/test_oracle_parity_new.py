@@ -34,6 +34,7 @@ NEW_ORACLED = [
     "docs_trigram_entropy",
     "events_interarrival_quantiles",
     "docs_hapax_ratio",
+    "docs_mixing_schedule",
 ]
 
 
