@@ -4014,6 +4014,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_apply(ev, ["event_type"], quantiles,
                              num_partitions=4, batch_format="pandas")
 
+    def docs_type_token_ratio(sf_dir: str):
+        """Per-document type-token ratio (distinct / total whitespace
+        tokens) — the doc-level lexical-diversity signal next to the
+        corpus-level hapax share; low TTR flags repetitive templates.
+        Pure vectorized map: tokens explode once per batch, both
+        counts come from one arrow group_by."""
+        docs = _read(sf_dir, "documents").select_columns(
+            ["doc_id", "text"])
+
+        def ttr(b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(b.column("text"), " ")
+            flat = pc.list_flatten(toks)
+            rep = pc.list_parent_indices(toks)
+            ids = pc.cast(b.column("doc_id"), pa.int64())
+            t = pa.table({
+                "doc_id": pc.take(ids, rep), "tok": flat,
+            }).filter(pc.not_equal(flat, ""))
+            per_pair = t.group_by(["doc_id", "tok"]).aggregate(
+                [([], "count_all")])
+            agg = per_pair.group_by("doc_id").aggregate(
+                [([], "count_all"), ("count_all", "sum")])
+            n_types = pc.cast(agg.column("count_all"), pa.float64())
+            n_toks = pc.cast(agg.column("count_all_sum"), pa.float64())
+            return pa.table({
+                "doc_id": agg.column("doc_id"),
+                "n_tokens": pc.cast(agg.column("count_all_sum"),
+                                    pa.int64()),
+                "n_types": pc.cast(agg.column("count_all"),
+                                   pa.int64()),
+                "ttr": pc.round(pc.divide(n_types, n_toks), ndigits=6,
+                                round_mode="half_towards_infinity"),
+            })
+
+        return docs.map_batches(ttr, batch_format="pyarrow")
+
+    def orders_mom_growth(sf_dir: str):
+        """Month-over-month order-count growth per priority — the
+        trend view of the orders stream (lag window over the tiny
+        (priority, month) aggregate).  One count exchange; lag +
+        growth vectorized over O(priorities × months) rows."""
+        import pandas as pd
+
+        from nlp_graphrag_with_qdrant_and_neo4j_ray.stages.shuffle import (
+            grouped_apply,
+        )
+
+        orders = _read(sf_dir, "orders").select_columns(
+            ["o_orderpriority", "o_orderdate"])
+
+        def month_counts(b: pa.Table) -> pa.Table:
+            m = pc.floor_temporal(b.column("o_orderdate"), unit="month")
+            return pa.table({
+                "o_orderpriority": b.column("o_orderpriority"),
+                "month": m,
+            }).group_by(["o_orderpriority", "month"]).aggregate(
+                [([], "count_all")]).rename_columns(
+                ["o_orderpriority", "month", "n"])
+
+        def growth(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = (pdf.groupby(["o_orderpriority", "month"],
+                             sort=False)["n"].sum().reset_index()
+                 .sort_values(["o_orderpriority", "month"],
+                              kind="mergesort"))
+            prev = g.groupby("o_orderpriority", sort=False)["n"].shift(1)
+            g["n"] = g["n"].astype("int64")
+            g["prev_n"] = prev.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                g["growth"] = np.round(
+                    (g["n"] - prev) / prev.astype(np.float64), 6)
+            return g
+
+        return grouped_apply(
+            orders.map_batches(month_counts, batch_format="pyarrow"),
+            ["o_orderpriority"], growth, num_partitions=4,
+            batch_format="pandas")
+
     def docs_hapax_ratio(sf_dir: str):
         """Vocabulary richness: the corpus hapax-legomena share —
         what fraction of DISTINCT whitespace tokens occur exactly
@@ -10310,6 +10386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival_quantiles": events_interarrival_quantiles,
         "docs_hapax_ratio": docs_hapax_ratio,
         "docs_mixing_schedule": docs_mixing_schedule,
+        "docs_type_token_ratio": docs_type_token_ratio,
+        "orders_mom_growth": orders_mom_growth,
     }
     # SQL-oracled entries lead (stable order within each group): the
     # driver's correctness pass checks a fixed-size window of the
@@ -14455,6 +14533,35 @@ def oracle_sql() -> dict[str, str]:
                round((wraw / (SELECT sum(wraw) FROM t)) / p, 6)
                    AS boost
         FROM t
+    """
+    d["docs_type_token_ratio"] = """
+        WITH t AS (
+          SELECT doc_id, t AS tok
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE t <> ''
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+               round(count(DISTINCT tok) / count(*)::DOUBLE, 6) AS ttr
+        FROM t GROUP BY doc_id
+    """
+    d["orders_mom_growth"] = """
+        WITH mc AS (
+          SELECT o_orderpriority,
+                 date_trunc('month', o_orderdate) AS month,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, month, n,
+               CAST(lag(n) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY month) AS DOUBLE) AS prev_n,
+               round((n - lag(n) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY month))
+                     / CAST(lag(n) OVER (PARTITION BY o_orderpriority
+                                         ORDER BY month) AS DOUBLE), 6)
+                   AS growth
+        FROM mc
     """
     d["docs_mixing_schedule"] = """
         WITH c AS (

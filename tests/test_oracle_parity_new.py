@@ -35,6 +35,8 @@ NEW_ORACLED = [
     "events_interarrival_quantiles",
     "docs_hapax_ratio",
     "docs_mixing_schedule",
+    "docs_type_token_ratio",
+    "orders_mom_growth",
 ]
 
 
